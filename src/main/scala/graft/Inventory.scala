@@ -1,0 +1,231 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.exec.{Estimators, Sampling}
+import graft.model.AggKind
+
+/** One runnable operator/query: the Spark implementation plus (where the
+  * semantics are SQL-expressible) the equivalent DuckDB oracle SQL the
+  * driver hash-compares against.
+  *
+  * Determinism rules that make hash-compare possible across engines:
+  *  - sampling is systematic via key arithmetic (`key % step == offset`) —
+  *    same rows selected by any engine;
+  *  - monetary sums go through `DECIMAL(18,2)` (exact, order-independent)
+  *    and only the final value is cast to double — identical bits in Spark
+  *    and DuckDB regardless of row/partition order;
+  *  - every result carries an ORDER BY on its full key;
+  *  - CI math is the same closed-form expression text in both engines over
+  *    those exact moments.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    /** included in the per-round Bench headline set */
+    headline: Boolean = false)
+
+object Inventory {
+  import graft.Tables._
+
+  /** Deterministic sampling key for lineitem. Multipliers are odd primes
+    * coprime to every step we use, so for dense orderkeys the key is uniform
+    * mod any step (a multiplier sharing a factor with the step would wipe out
+    * residue classes — e.g. ×8 makes `key % 8 == 0` impossible when
+    * l_linenumber ∈ 1..7). Max value ~1.2e16 at 100 TB scale: no ANSI
+    * overflow. */
+  private def liKey: Column = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+  private val liKeySql = "(l_orderkey * 8191 + l_linenumber * 131)"
+
+  /** Exact decimal view of a monetary column (order-independent sums). */
+  private def dec(c: String): Column = col(c).cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------------
+  // Exact aggregates (reference A1/A2, P1/P2, A5, A10)
+  // ---------------------------------------------------------------------
+
+  private val exactQueries: Seq[QueryDef] = Seq(
+    QueryDef("q01_sum_exact",
+      (s, d) => lineitem(s, d)
+        .agg(sum(dec("l_extendedprice")).cast("double").as("sum_price")),
+      Some("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem"),
+      headline = true),
+
+    QueryDef("q02_count_exact",
+      (s, d) => lineitem(s, d).agg(count(lit(1)).as("cnt")),
+      Some("SELECT COUNT(*) AS cnt FROM lineitem")),
+
+    QueryDef("q03_avg_exact",
+      (s, d) => lineitem(s, d)
+        .agg((sum(dec("l_quantity")).cast("double") / count(col("l_quantity"))).as("avg_qty")),
+      Some("SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty FROM lineitem")),
+
+    QueryDef("q04_sum_where",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .agg(sum(dec("l_extendedprice")).cast("double").as("sum_price")),
+      Some("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem WHERE l_returnflag = 'R'")),
+
+    QueryDef("q05_sum_range_where",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_extendedprice").between(1000.0, 50000.0))
+        .agg(sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt")),
+      Some("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, COUNT(*) AS cnt FROM lineitem WHERE l_extendedprice BETWEEN 1000.0 AND 50000.0")),
+
+    QueryDef("q06_groupby_sum",
+      (s, d) => lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec("l_extendedprice")).cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag")),
+      Some("SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      headline = true),
+
+    QueryDef("q07_groupby_avg_where",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_linestatus") === "F")
+        .groupBy(col("l_returnflag"))
+        .agg((sum(dec("l_quantity")).cast("double") / count(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag")),
+      Some("SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty, COUNT(*) AS cnt FROM lineitem WHERE l_linestatus = 'F' GROUP BY l_returnflag ORDER BY l_returnflag")),
+
+    QueryDef("q08_distinct_groups",
+      (s, d) => lineitem(s, d)
+        .select(col("l_returnflag")).distinct().orderBy(col("l_returnflag")),
+      Some("SELECT DISTINCT l_returnflag FROM lineitem ORDER BY l_returnflag")),
+
+    QueryDef("q09_multi_agg",
+      (s, d) => lineitem(s, d).agg(
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+        count(lit(1)).as("cnt"),
+        (sum(dec("l_extendedprice")).cast("double") / count(col("l_extendedprice"))).as("avg_price"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price")),
+      Some("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, COUNT(*) AS cnt, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price, MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price FROM lineitem"))
+  )
+
+  // ---------------------------------------------------------------------
+  // Approximate scaled aggregates — systematic key-mod sampling
+  // (reference A3 scaling contract over the R2/R3/R7/R8 stride family)
+  // ---------------------------------------------------------------------
+
+  private val approxQueries: Seq[QueryDef] = Seq(
+    QueryDef("q10_approx_sum_sys10",
+      (s, d) => {
+        val sf = Sampling.systematic(lineitem(s, d), liKey, step = 10L)
+        sf.df.agg((sum(dec("l_extendedprice")).cast("double") * lit(sf.scaleFactor)).as("sum_price_est"))
+      },
+      Some(s"SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 10.0 AS sum_price_est FROM lineitem WHERE $liKeySql % 10 = 0"),
+      headline = true),
+
+    QueryDef("q11_approx_count_sys10",
+      (s, d) => {
+        val sf = Sampling.systematic(lineitem(s, d), liKey, step = 10L)
+        sf.df.agg((count(lit(1)) * lit(10L)).as("cnt_est"))
+      },
+      Some(s"SELECT COUNT(*) * 10 AS cnt_est FROM lineitem WHERE $liKeySql % 10 = 0")),
+
+    QueryDef("q12_approx_avg_sys10",
+      (s, d) => {
+        val sf = Sampling.systematic(lineitem(s, d), liKey, step = 10L)
+        sf.df.agg((sum(dec("l_quantity")).cast("double") / count(col("l_quantity"))).as("avg_qty_est"))
+      },
+      Some(s"SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty_est FROM lineitem WHERE $liKeySql % 10 = 0")),
+
+    QueryDef("q13_approx_groupby_sum_sys10",
+      (s, d) => {
+        val sf = Sampling.systematic(lineitem(s, d), liKey, step = 10L)
+        sf.df.groupBy(col("l_returnflag"))
+          .agg((sum(dec("l_extendedprice")).cast("double") * lit(10.0)).as("sum_price_est"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 10.0 AS sum_price_est FROM lineitem WHERE $liKeySql % 10 = 0 GROUP BY l_returnflag ORDER BY l_returnflag"),
+      headline = true),
+
+    QueryDef("q14_approx_sum_where_sys20",
+      (s, d) => {
+        val sf = Sampling.systematic(lineitem(s, d), liKey, step = 20L, offset = 3L)
+        sf.df.filter(col("l_returnflag") === "R")
+          .agg((sum(dec("l_extendedprice")).cast("double") * lit(20.0)).as("sum_price_est"))
+      },
+      Some(s"SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 20.0 AS sum_price_est FROM lineitem WHERE $liKeySql % 20 = 3 AND l_returnflag = 'R'")),
+
+    QueryDef("q15_block_sample_sum",
+      // cluster sampling over *consecutive orders* (the physical layout unit),
+      // not the mixed key — whole blocks of 16 orderkeys, every 4th block.
+      (s, d) => {
+        val sf = Sampling.block(lineitem(s, d), col("l_orderkey"), blockSize = 16L, skip = 4L)
+        sf.df.agg((sum(dec("l_extendedprice")).cast("double") * lit(4.0)).as("sum_price_est"),
+          (count(lit(1)) * lit(4L)).as("cnt_est"))
+      },
+      Some(s"SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 4.0 AS sum_price_est, COUNT(*) * 4 AS cnt_est FROM lineitem WHERE (l_orderkey // 16) % 4 = 0")),
+
+    QueryDef("q16_stratified_sys_avg",
+      (s, d) => {
+        // equal-allocation stratified-systematic: one step within every stratum
+        val sf = Sampling.stratifiedSystematic(lineitem(s, d), "l_returnflag", liKey, step = 5L)
+        sf.df.groupBy(col("l_returnflag"))
+          .agg((sum(dec("l_quantity")).cast("double") / count(col("l_quantity"))).as("avg_qty_est"),
+            count(lit(1)).as("n_samples"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty_est, COUNT(*) AS n_samples FROM lineitem WHERE $liKeySql % 5 = 0 GROUP BY l_returnflag ORDER BY l_returnflag"))
+  )
+
+  // ---------------------------------------------------------------------
+  // Confidence intervals (reference A6/A7, moment sketch, B2 corrected)
+  // ---------------------------------------------------------------------
+
+  /** Oracle-side mirror of Estimators.ciProjection for SUM, over exact
+    * decimal moments. Keep the expression text in lockstep with
+    * graft.exec.Estimators — identical IEEE op order in both engines. */
+  private def ciSumOracle(step: Long, valueCol: String, where: String, group: Option[String]): String = {
+    val g = group.map(c => s"$c, ").getOrElse("")
+    val gby = group.map(c => s" GROUP BY $c ORDER BY $c").getOrElse("")
+    s"""WITH m AS (
+       |  SELECT ${g}CAST(COUNT($valueCol) AS DOUBLE) AS n,
+       |         CAST(SUM(CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) AS s,
+       |         CAST(SUM(CAST($valueCol AS DECIMAL(18,2)) * CAST($valueCol AS DECIMAL(18,2))) AS DOUBLE) AS s2
+       |  FROM lineitem WHERE $where$gby
+       |)
+       |SELECT ${g}s * $step.0 AS sum_est,
+       |       s * $step.0 - 1.96 * SQRT((CASE WHEN n > 1.0 THEN (s2 - (s * s) / GREATEST(n, 1.0)) / GREATEST(n - 1.0, 1.0) ELSE 0.0 END) / GREATEST(n, 1.0)) * $step.0 * n AS sum_est_ci_lower,
+       |       s * $step.0 + 1.96 * SQRT((CASE WHEN n > 1.0 THEN (s2 - (s * s) / GREATEST(n, 1.0)) / GREATEST(n - 1.0, 1.0) ELSE 0.0 END) / GREATEST(n, 1.0)) * $step.0 * n AS sum_est_ci_upper,
+       |       CAST(n AS BIGINT) AS sum_est_n
+       |FROM m""".stripMargin.replaceAll("\n", " ")
+  }
+
+  private def ciQueries: Seq[QueryDef] = Seq(
+    QueryDef("q17_ci_sum_sys10",
+      (s, d) => {
+        val sf = Sampling.systematic(lineitem(s, d), liKey, step = 10L)
+        Estimators.ciAgg(sf, AggKind.Sum, dec("l_extendedprice"), "sum_est")
+      },
+      Some(ciSumOracle(10, "l_extendedprice", s"$liKeySql % 10 = 0", None))),
+
+    QueryDef("q18_ci_avg_sys10",
+      (s, d) => {
+        val sf = Sampling.systematic(lineitem(s, d), liKey, step = 10L)
+        Estimators.ciAgg(sf, AggKind.Avg, dec("l_quantity"), "avg_est")
+      },
+      Some(s"""WITH m AS (SELECT CAST(COUNT(l_quantity) AS DOUBLE) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM lineitem WHERE $liKeySql % 10 = 0) SELECT s / GREATEST(n, 1.0) AS avg_est, s / GREATEST(n, 1.0) - 1.96 * SQRT((CASE WHEN n > 1.0 THEN (s2 - (s * s) / GREATEST(n, 1.0)) / GREATEST(n - 1.0, 1.0) ELSE 0.0 END) / GREATEST(n, 1.0)) AS avg_est_ci_lower, s / GREATEST(n, 1.0) + 1.96 * SQRT((CASE WHEN n > 1.0 THEN (s2 - (s * s) / GREATEST(n, 1.0)) / GREATEST(n - 1.0, 1.0) ELSE 0.0 END) / GREATEST(n, 1.0)) AS avg_est_ci_upper, CAST(n AS BIGINT) AS avg_est_n FROM m""")),
+
+    QueryDef("q19_ci_groupby_sum_sys10",
+      (s, d) => {
+        val sf = Sampling.systematic(lineitem(s, d), liKey, step = 10L)
+        Estimators.ciAggBy(sf, AggKind.Sum, dec("l_extendedprice"),
+          Seq(col("l_returnflag")), "sum_est").orderBy(col("l_returnflag"))
+      },
+      Some(ciSumOracle(10, "l_extendedprice", s"$liKeySql % 10 = 0", Some("l_returnflag"))))
+  )
+
+  // ---------------------------------------------------------------------
+
+  val all: Seq[QueryDef] = exactQueries ++ approxQueries ++ ciQueries
+
+  def byName(name: String): QueryDef = all.find(_.name == name)
+    .getOrElse(throw new NoSuchElementException(name))
+}

@@ -1,0 +1,118 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.AggKind
+
+/** Scale-up estimators and CLT confidence intervals, as single-pass
+  * DataFrame aggregations.
+  *
+  * Semantics follow the reference's *documented* contract
+  * (parser.h:4-16): SUM and COUNT estimates scale by 1/f, AVG does not.
+  * The CI computation is the moment sketch of executor.cpp:130-200 —
+  * one pass over the sample computing (n, Σx, Σx²) then
+  * mean, var = (Σx² − (Σx)²/n)/(n−1), se = √(var/n), margin = z·se —
+  * with bug B2 corrected (SURVEY §2.6): the SUM branch scales the sample
+  * *sum* (and its margin by N̂ = scale·n), never the mean.
+  *
+  * Everything here is a `groupBy().agg()` over codegen'd built-ins: one
+  * shuffle of pre-aggregated partials per query (Spark's partial/final
+  * HashAggregate), which is exactly the reference's thread-local
+  * accumulate + merge design (custom_bplus_db.cpp:1962-2048) generalized
+  * to a cluster.
+  */
+object Estimators {
+
+  /** z-score lookup matching the reference (executor.cpp:188-189,
+    * custom_bplus_db.cpp:911-912). */
+  def zScore(confidence: Double): Double =
+    if (confidence >= 0.99) 2.576
+    else if (confidence >= 0.95) 1.96
+    else 1.645
+
+  /** The aggregate expression for `agg` over `value`, scaled per contract. */
+  def scaledExpr(agg: AggKind, value: Column, scale: Double): Column = agg match {
+    case AggKind.Sum   => sum(value) * lit(scale)
+    case AggKind.Count => count(value).cast("double") * lit(scale)
+    case AggKind.Avg   => avg(value) // never scaled
+    case AggKind.Min   => min(value) // order statistics don't scale
+    case AggKind.Max   => max(value)
+  }
+
+  /** Scalar scaled aggregate: one row, one column `alias`. */
+  def scaledAgg(sf: SampledFrame, agg: AggKind, value: Column, alias: String): DataFrame =
+    sf.df.agg(scaledExpr(agg, value, sf.scaleFactor).as(alias))
+
+  /** Grouped scaled aggregate (reference A5 — the per-group thread fan-out of
+    * executor.cpp:60-127 is one shuffle here). */
+  def scaledAggBy(sf: SampledFrame, agg: AggKind, value: Column,
+      groupCols: Seq[Column], alias: String): DataFrame =
+    sf.df.groupBy(groupCols: _*).agg(scaledExpr(agg, value, sf.scaleFactor).as(alias))
+
+  /** CI columns for an aggregate over sample moments. Input columns must be
+    * `n` (count), `s` (sum), `s2` (sum of squares); emits
+    * `alias`, `{alias}_ci_lower`, `{alias}_ci_upper`, `{alias}_n`. */
+  private def ciProjection(agg: AggKind, scale: Double, z: Double, alias: String,
+      n: Column, s: Column, s2: Column): Seq[Column] = {
+    // Denominators guarded with greatest(...): ANSI mode (Spark 4 default)
+    // throws DIVIDE_BY_ZERO, and common-subexpression elimination hoists the
+    // division out of the `when` guard — so the guard must live in the
+    // denominator itself. Semantics unchanged for n >= 2; n <= 1 yields a
+    // zero-width margin (reference fallback, executor.cpp:241-246). The
+    // DuckDB oracle mirrors the same GREATEST(..) text for bit-identical CI.
+    val nn = greatest(n, lit(1.0))
+    val mean = s / nn
+    val variance = when(n > 1, (s2 - (s * s) / nn) / greatest(n - lit(1.0), lit(1.0)))
+      .otherwise(lit(0.0))
+    val se = sqrt(variance / nn)
+    val (value, margin) = agg match {
+      case AggKind.Avg   => (mean, lit(z) * se)
+      // SUM: value = scale·Σx ; margin = z·se·N̂, N̂ = scale·n  (B2 corrected)
+      case AggKind.Sum   => (s * lit(scale), lit(z) * se * lit(scale) * n)
+      // COUNT: N̂ = scale·n ; Bernoulli margin = z·scale·√(n·(1−f)), f = 1/scale
+      case AggKind.Count =>
+        val f = 1.0 / scale
+        (n * lit(scale), lit(z) * lit(scale) * sqrt(n * lit(1.0 - f)))
+      case other =>
+        throw new IllegalArgumentException(s"CI undefined for $other")
+    }
+    Seq(value.as(alias),
+      (value - margin).as(s"${alias}_ci_lower"),
+      (value + margin).as(s"${alias}_ci_upper"),
+      n.cast("long").as(s"${alias}_n"))
+  }
+
+  /** Scalar aggregate with 95% (or chosen) CI — reference A6, single pass. */
+  def ciAgg(sf: SampledFrame, agg: AggKind, value: Column, alias: String,
+      confidence: Double = 0.95): DataFrame = {
+    val z = zScore(confidence)
+    val moments = sf.df.agg(
+      count(value).cast("double").as("n"),
+      sum(value).cast("double").as("s"),
+      sum(value * value).cast("double").as("s2"))
+    moments.select(ciProjection(agg, sf.scaleFactor, z, alias,
+      col("n"), col("s"), col("s2")): _*)
+  }
+
+  /** Grouped aggregate with CI — reference A7, one shuffle. Groups with
+    * n < 2 get a degenerate zero-width margin (reference falls back to the
+    * plain value, executor.cpp:241-246). */
+  def ciAggBy(sf: SampledFrame, agg: AggKind, value: Column, groupCols: Seq[Column],
+      alias: String, confidence: Double = 0.95): DataFrame = {
+    val z = zScore(confidence)
+    val moments = sf.df.groupBy(groupCols: _*).agg(
+      count(value).cast("double").as("n"),
+      sum(value).cast("double").as("s"),
+      sum(value * value).cast("double").as("s2"))
+    val groupNames = moments.columns.dropRight(3).map(col)
+    moments.select(groupNames ++ ciProjection(agg, sf.scaleFactor, z, alias,
+      col("n"), col("s"), col("s2")): _*)
+  }
+
+  /** Relative half-width of the CI in percent — the quantity the adaptive
+    * executor compares against the error threshold. */
+  def relativeMarginPct(value: Double, lower: Double, upper: Double): Double =
+    if (value == 0.0) Double.PositiveInfinity
+    else 100.0 * ((upper - lower) / 2.0) / math.abs(value)
+}

@@ -1,0 +1,109 @@
+package graft.exec
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.model.SamplingStrategy
+import graft.model.SamplingStrategy._
+
+/** A sampled DataFrame plus the scale factor to apply to SUM/COUNT
+  * estimates (1 / inclusion probability). AVG is never scaled
+  * (reference contract, parser.h:4-16).
+  */
+final case class SampledFrame(df: DataFrame, scaleFactor: Double, strategy: SamplingStrategy)
+
+/** Physical sampling, Spark-first.
+  *
+  * The reference implements ~27 samplers as imperative strides over a flat
+  * in-memory record array (SURVEY §2.4, custom_bplus_db.cpp:345-2048). On
+  * Spark each design is one declarative transformation, and its
+  * parallelism/region-splitting (threads in the reference) is the
+  * partitioning of the scan — free and cluster-scalable:
+  *
+  *  - Uniform    → `df.sample` (per-row Bernoulli; pushed into the scan
+  *                 iterator, no shuffle, no materialization).
+  *  - Systematic → `key % step == offset` filter. Evaluated inside the scan
+  *                 stage (whole-stage codegen); no shuffle; deterministic;
+  *                 expressible in ANSI SQL so a foreign oracle can reproduce
+  *                 it bit-for-bit. This is the honest Spark twin of the
+  *                 reference's `rowid % step = 0` rewrite (executor.cpp:36-41).
+  *  - Block      → `(key / blockSize) % skip == 0` — whole consecutive key
+  *                 ranges, the cluster-sampling design of R14-R16. Also a
+  *                 pure scan-stage filter.
+  *  - Stratified → per-stratum Bernoulli via `df.stat.sampleBy`, or the
+  *                 deterministic per-stratum systematic variant.
+  *
+  * 100 TB posture: every design here is a *narrow* transformation — a
+  * predicate or per-row RNG inside the scan — so sampling cost is the scan
+  * itself and parallelism is the number of input splits. Nothing collects,
+  * nothing shuffles, nothing depends on a global row order (SURVEY §7.4.3:
+  * we deliberately avoid `row_number()` over a global sort; key arithmetic
+  * gives the same statistical design without the sort).
+  */
+object Sampling {
+
+  /** Uniform Bernoulli sample (reference R1/R11). */
+  def uniform(df: DataFrame, fraction: Double, seed: Long = 42L): SampledFrame =
+    SampledFrame(df.sample(withReplacement = false, fraction, seed), 1.0 / fraction, Uniform(fraction, seed))
+
+  /** Systematic sample by key arithmetic (reference R2/R3/R7/R8/R20-R23).
+    * `key` must be a deterministic integer expression roughly uniform mod
+    * `step` (e.g. a primary key, or `orderkey * 8 + linenumber`).
+    */
+  def systematic(df: DataFrame, key: Column, step: Long, offset: Long = 0L): SampledFrame =
+    SampledFrame(df.filter(pmod(key, lit(step)) === lit(offset)),
+      step.toDouble, Systematic(step, offset))
+
+  /** Block / cluster sample (reference R4/R14/R15/R16): keep every `skip`-th
+    * block of `blockSize` consecutive key values, whole blocks at a time. */
+  def block(df: DataFrame, key: Column, blockSize: Long, skip: Long): SampledFrame =
+    SampledFrame(df.filter(pmod(floor(key / lit(blockSize)), lit(skip)) === lit(0)),
+      skip.toDouble, Block(blockSize, skip))
+
+  /** Stratified Bernoulli sample with equal fraction per stratum
+    * (reference R18 equal-allocation design). Uses `sampleBy`, which needs
+    * the stratum keys: they are computed with one small distinct job
+    * (bounded by stratum cardinality, fine at any scale for low-cardinality
+    * strata — the only kind the design makes sense for). */
+  def stratified(df: DataFrame, strataCol: String, fraction: Double, seed: Long = 42L): SampledFrame = {
+    val strata = df.select(strataCol).distinct().collect().map(_.get(0))
+    val fractions = strata.map(s => s -> fraction).toMap
+    SampledFrame(df.stat.sampleBy(col(strataCol), fractions, seed),
+      1.0 / fraction, Stratified(strataCol, fraction, seed))
+  }
+
+  /** Deterministic stratified-systematic: per-stratum systematic sampling by
+    * key arithmetic — SQL-expressible, unlike `sampleBy`. */
+  def stratifiedSystematic(df: DataFrame, strataCol: String, key: Column, step: Long): SampledFrame =
+    SampledFrame(df.filter(pmod(key, lit(step)) === lit(0)),
+      step.toDouble, Systematic(step, 0L))
+
+  /** Dual-rate sample (reference R9 `dual_pointer_sample`): union of a
+    * coarse stride (`key % coarseStep == 0`) and a fine stride on offset 1
+    * (`key % fineStep == 1`). Inclusion probability by inclusion-exclusion:
+    * 1/c + 1/f − overlap, where the residue classes intersect (CRT) iff
+    * gcd(c, f) divides 1, i.e. gcd == 1, with density 1/(c·f). */
+  def dualRate(df: DataFrame, key: Column, coarseStep: Long, fineStep: Long): SampledFrame = {
+    require(coarseStep >= 2 && fineStep >= 2 && coarseStep != fineStep, "strides must differ and be >= 2")
+    val sampled = df.filter(pmod(key, lit(coarseStep)) === lit(0) ||
+      pmod(key, lit(fineStep)) === lit(1))
+    val overlap =
+      if (BigInt(coarseStep).gcd(BigInt(fineStep)) == 1) 1.0 / (coarseStep.toDouble * fineStep)
+      else 0.0
+    val p = 1.0 / coarseStep + 1.0 / fineStep - overlap
+    SampledFrame(sampled, 1.0 / p, Exact)
+  }
+
+  /** Apply a [[SamplingStrategy]] given the table's sampling key. */
+  def apply(df: DataFrame, strategy: SamplingStrategy, key: => Column): SampledFrame =
+    strategy match {
+      case Exact                       => SampledFrame(df, 1.0, Exact)
+      case Uniform(f, seed)            => uniform(df, f, seed)
+      case Systematic(step, off)       => systematic(df, key, step, off)
+      case Block(bs, skip)             => block(df, key, bs, skip)
+      case Stratified(c, f, seed)      => stratified(df, c, f, seed)
+      case a: SamplingStrategy.Adaptive =>
+        throw new IllegalArgumentException(
+          s"Adaptive($a) is executed by graft.exec.AdaptiveExecutor, not Sampling()")
+    }
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/oracle_check.py <verify_out_dir> <sf_dir>
+
+For each <name>.parquet result under verify_out_dir, runs the matching SQL
+from oracle_sql.json in DuckDB (with each fixture parquet registered as a
+view), sorts columns by name, sorts rows, and compares cell-by-cell —
+flagging any value that is not exactly equal (and reporting the max float
+divergence so near-misses are visible).
+"""
+import json, math, os, sys
+import duckdb
+
+def norm_cell(v):
+    if isinstance(v, float):
+        return v
+    # decimals -> float for comparison visibility; report exactness separately
+    return v
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in ["region","nation","customer","supplier","part","orders",
+              "lineitem","events","documents","embeddings"]:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        res_path = os.path.join(out_dir, name)
+        if not os.path.isdir(res_path):
+            print(f"FAIL {name}: no spark result dir"); n_fail += 1; continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{res_path}/*.parquet')").fetchdf()
+        want = con.execute(oracle[name]).fetchdf()
+        got = got.reindex(sorted(got.columns), axis=1)
+        want = want.reindex(sorted(want.columns), axis=1)
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
+            n_fail += 1; continue
+        if len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}"); n_fail += 1; continue
+        got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+        want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+        bad = []
+        for c in got.columns:
+            for i in range(len(got)):
+                a, b = got[c][i], want[c][i]
+                if isinstance(a, float) and isinstance(b, float):
+                    if a != b and not (math.isnan(a) and math.isnan(b)):
+                        rel = abs(a-b)/max(abs(a), abs(b), 1e-300)
+                        bad.append(f"{c}[{i}]: {a!r} != {b!r} (rel {rel:.2e})")
+                elif str(a) != str(b):
+                    bad.append(f"{c}[{i}]: {a!r} != {b!r}")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad[:5])); n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
