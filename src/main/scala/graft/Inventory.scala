@@ -224,7 +224,9 @@ object Inventory {
 
   // ---------------------------------------------------------------------
 
-  val all: Seq[QueryDef] = exactQueries ++ approxQueries ++ ciQueries
+  val all: Seq[QueryDef] =
+    exactQueries ++ approxQueries ++ ciQueries ++ InventoryPipeline.all ++
+      InventoryExtensions.all
 
   def byName(name: String): QueryDef = all.find(_.name == name)
     .getOrElse(throw new NoSuchElementException(name))

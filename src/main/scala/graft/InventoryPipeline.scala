@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, TextAnalysis}
+
+/** Training-data pipeline queries (dedup / similarity / text analysis) over
+  * the `documents` and `embeddings` fixtures, plus multi-table join and
+  * events queries — the north-star surface beyond the reference (SURVEY §7
+  * M7). Oracle notes:
+  *
+  *  - Integer outputs (counts, token sums) are exact in any engine.
+  *  - Jaccard = |∩|/|∪| of small ints — one exact double division.
+  *  - Cosine/dot products are LEFT FOLDS in both engines
+  *    (`aggregate(zip_with(...), 0.0, +)` ≡ `list_reduce(list_prepend(0.0,
+  *    [a[i]*b[i] ...]), +)`) so even float math is bit-identical.
+  *  - LSH-based queries (MinHash bands, hyperplane buckets) are *verified
+  *    against exact similarity*, so when recall = 1 on the fixture their
+  *    output equals the exact all-pairs oracle — the oracle states the exact
+  *    semantics, the Spark plan is the scalable path.
+  */
+object InventoryPipeline {
+  import graft.Tables._
+
+  /** DuckDB left-fold dot product mirroring VectorOps.dot (defined before
+    * every val that interpolates it — object vals initialize in declaration
+    * order). */
+  private def dDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a) + 1)]), (acc, v) -> acc + v)"
+
+  /** cosine(a.embedding, b.embedding) with when(denom>0) guard mirrored. */
+  private def dCosAB: String = {
+    val dotAB = dDot("a.embedding", "b.embedding")
+    s"(CASE WHEN a.nrm * b.nrm > 0 THEN $dotAB / (a.nrm * b.nrm) ELSE 0.0 END)"
+  }
+
+  // DuckDB mirror of TextAnalysis token/punct/stopword counts.
+  private val dTokens = "string_split_regex(text, ' +')"
+  private val dStop =
+    s"len(list_filter($dTokens, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))"
+  private val dPunct = """length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"""
+
+  private val joinAndEvents: Seq[QueryDef] = Seq(
+    // -- multi-table joins (absent in reference, SURVEY §2.5 — the Spark
+    //    build gets them for free; dims broadcast, fact side streams) -------
+    QueryDef("q20_join_revenue_by_nation",
+      (s, d) => {
+        val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        lineitem(s, d)
+          .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(round(rev, 4).cast("decimal(18,4)")).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
+      headline = true),
+
+    QueryDef("q21_approx_join_sum_sys10",
+      // sampled fact side scaled x10; dims joined AFTER sampling (join on a
+      // 10x smaller stream), broadcast by size
+      (s, d) => {
+        val li = lineitem(s, d)
+          .filter(pmod(col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L),
+            lit(10L)) === lit(0L))
+        li.join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") * lit(10.0))
+            .as("sum_price_est"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 10.0 AS sum_price_est FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE (l_orderkey * 8191 + l_linenumber * 131) % 10 = 0 GROUP BY n_name ORDER BY n_name""")),
+
+    // -- events: time-window aggregation (batch twin of the streaming path) -
+    QueryDef("q22_events_hourly",
+      (s, d) => events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q23_events_top_users",
+      (s, d) => events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("total_value"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(10),
+      Some("""SELECT user_id, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"""))
+  )
+
+  private val textQueries: Seq[QueryDef] = Seq(
+    QueryDef("q30_doc_stats_by_source",
+      (s, d) => {
+        val t = col("text")
+        documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(t).cast("long")).as("sum_tokens"),
+            sum(TextAnalysis.stopwordCount(t).cast("long")).as("sum_stopwords"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("source"))
+      },
+      // SUM(BIGINT) is HUGEINT in DuckDB -> cast back to BIGINT to match
+      // Spark's long
+      Some(s"""SELECT source, COUNT(*) AS n_docs, CAST(SUM(len($dTokens)) AS BIGINT) AS sum_tokens, CAST(SUM($dStop) AS BIGINT) AS sum_stopwords, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY source ORDER BY source""")),
+
+    QueryDef("q31_doc_quality",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id, len($dTokens) AS n_tokens, (LEAST(1.0, CAST(len($dTokens) AS DOUBLE) / 20.0) + LEAST(1.0, 5.0 * CAST($dStop AS DOUBLE) / GREATEST(CAST(len($dTokens) AS DOUBLE), 1.0)) + (1.0 - LEAST(1.0, 4.0 * CAST($dPunct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0)))) / 3.0 AS quality FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q32_doc_fingerprint",
+      (s, d) => documents(s, d)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id""")),
+
+    QueryDef("q33_langid_counts",
+      (s, d) => documents(s, d)
+        .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred")),
+      Some {
+        val toks = "string_split_regex(lower(text), ' +')"
+        def hits(ws: Seq[String]) =
+          s"CAST(len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)"
+        val sEn = hits(Seq("the", "and", "of", "to", "is", "with", "that"))
+        val sEs = hits(Seq("el", "la", "los", "las", "que", "de", "y", "una"))
+        val sDe = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein"))
+        val sFr = hits(Seq("le", "les", "des", "est", "et", "une", "dans"))
+        val sZh = """CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS DOUBLE) * 3.0"""
+        // strictly-greater reduceLeft over (en, es, de, fr, zh)
+        s"""WITH sc AS (SELECT $sEn AS s_en, $sEs AS s_es, $sDe AS s_de, $sFr AS s_fr, $sZh AS s_zh FROM documents),
+           | pick AS (SELECT CASE
+           |   WHEN GREATEST(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und'
+           |   WHEN s_zh > s_fr AND s_zh > s_de AND s_zh > s_es AND s_zh > s_en THEN 'zh'
+           |   WHEN s_fr > s_de AND s_fr > s_es AND s_fr > s_en THEN 'fr'
+           |   WHEN s_de > s_es AND s_de > s_en THEN 'de'
+           |   WHEN s_es > s_en THEN 'es'
+           |   ELSE 'en' END AS lang_pred FROM sc)
+           |SELECT lang_pred, COUNT(*) AS n FROM pick GROUP BY 1 ORDER BY 1""".stripMargin.replaceAll("\n", " ")
+      })
+  )
+
+  private val dedupQueries: Seq[QueryDef] = Seq(
+    QueryDef("q34_dedup_exact_stats",
+      (s, d) => documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique_normalized")),
+      Some("""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique, COUNT(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007)) AS n_unique_normalized FROM documents""")),
+
+    // MinHash+LSH near-dup, verified by exact Jaccard: equals the exact
+    // all-pairs answer whenever LSH recall = 1 (16 bands x 4 rows at
+    // j >= 0.8 -> miss probability < 1e-6; see Dedup.scaladoc).
+    QueryDef("q35_minhash_neardup_pairs",
+      (s, d) => Dedup.nearDupPairs(documents(s, d), "doc_id", "text",
+        threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8 ORDER BY id_a, id_b"""),
+      headline = true),
+
+    QueryDef("q36_simhash_neardup_pairs",
+      // no oracle: DuckDB lacks xxhash64; correctness asserted in
+      // DedupSpec against the planted Jaccard pairs (rows-only driver check)
+      (s, d) => Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text",
+        maxHamming = 3).orderBy(col("id_a"), col("id_b")),
+      None),
+
+    QueryDef("q37_embedding_neardup_pairs",
+      (s, d) => Ann.allPairsCosine(embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH n AS (SELECT vec_id, embedding, SQRT(${dDot("embedding", "embedding")}) AS nrm FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dCosAB} AS cosine FROM n a JOIN n b ON a.vec_id < b.vec_id WHERE ${dCosAB} >= 0.4 ORDER BY id_a, id_b"""))
+  )
+
+  private val annQueries: Seq[QueryDef] = Seq(
+    QueryDef("q38_ann_bruteforce_top5",
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+      },
+      Some(s"""WITH n AS (SELECT vec_id, embedding, SQRT(${dDot("embedding", "embedding")}) AS nrm FROM embeddings), scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dCosAB.replace("a.vec_id < b.vec_id", "")} AS cosine FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) SELECT query_id, neighbor_id, cosine FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored) WHERE rnk <= 5 ORDER BY query_id, cosine DESC, neighbor_id"""),
+      headline = true),
+
+    QueryDef("q39_ann_lsh_top5",
+      // no oracle (recall < 1 by design); AnnSpec asserts recall vs brute
+      // force stays above the tuned floor
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, bitsPerTable = 8, numTables = 8, probeRadius = 1)
+          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+      },
+      None)
+  )
+
+  val all: Seq[QueryDef] = joinAndEvents ++ textQueries ++ dedupQueries ++ annQueries
+}

@@ -1,0 +1,78 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+import graft.parser.QueryParser
+import graft.exec.SpecExecutor
+
+/** Command-line front end — the Spark twin of the reference's CLIs
+  * (enhanced_aqe_cli.py:388-433 flags; simple_cli/cli.py positional form).
+  *
+  * Usage:
+  *   graft.cli.Main "SELECT SUM(l_extendedprice) FROM lineitem" \
+  *     [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
+  *     [--compare] [--count-exact-compat]
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { System.err.println(usage); sys.exit(2) }
+    val sql = args(0)
+    val opts = parseFlags(args.drop(1).toList, Map.empty)
+    val dataDir = opts.getOrElse("data", "/root/testdata/sf0.001")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.registerAll(spark, dataDir)
+
+    val spec0 = QueryParser.parse(sql,
+      samplePercent = opts.get("sample").map(_.toDouble),
+      errorThresholdPct = opts.get("error").map(_.toDouble),
+      withCi = opts.contains("ci"),
+      confidence = opts.get("confidence").map(_.toDouble).getOrElse(0.95))
+    val spec = spec0.copy(countExactCompat = opts.contains("count-exact-compat"))
+
+    val t0 = System.nanoTime()
+    val result = SpecExecutor.run(spark, spec)
+    result.show(100, truncate = false)
+    val approxMs = (System.nanoTime() - t0) / 1000000
+
+    if (opts.contains("compare")) {
+      val t1 = System.nanoTime()
+      val exact = SpecExecutor.run(spark,
+        spec.copy(sampling = graft.model.SamplingStrategy.Exact, withCi = false))
+      exact.show(100, truncate = false)
+      val exactMs = (System.nanoTime() - t1) / 1000000
+      println(f"approx: ${approxMs}ms  exact: ${exactMs}ms  speedup: ${exactMs.toDouble / math.max(approxMs, 1)}%.2fx")
+    }
+    spark.stop()
+  }
+
+  @annotation.tailrec
+  private def parseFlags(args: List[String], acc: Map[String, String]): Map[String, String] =
+    args match {
+      case Nil => acc
+      case flag :: rest if flag.startsWith("--") =>
+        val key = flag.drop(2)
+        rest match {
+          case v :: more if !v.startsWith("--") => parseFlags(more, acc + (key -> v))
+          case _ => parseFlags(rest, acc + (key -> ""))
+        }
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unexpected argument: $other\n$usage")
+    }
+
+  private val usage =
+    """usage: graft.cli.Main "<SELECT agg(col) FROM table [WHERE ..] [GROUP BY g]>"
+      |  [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
+      |  [--compare] [--count-exact-compat]
+      |APPROX(agg(col)) embedded syntax is also accepted.""".stripMargin
+}

@@ -31,7 +31,14 @@ object Estimators {
     else if (confidence >= 0.95) 1.96
     else 1.645
 
-  /** The aggregate expression for `agg` over `value`, scaled per contract. */
+  /** The aggregate expression for `agg` over `value`, scaled per contract.
+    *
+    * Note on estimators: ×(1/f) is Horvitz-Thompson — unbiased for any
+    * design, but under *Bernoulli* sampling a SUM estimate inherits the
+    * binomial noise of the realized sample size (≈ ±1/√n relative). The
+    * key-mod systematic designs used by the oracle queries have
+    * deterministic n, where HT ≡ the ratio estimator. When the population
+    * size is known (adaptive path), AdaptiveExecutor uses Σx·(N/n). */
   def scaledExpr(agg: AggKind, value: Column, scale: Double): Column = agg match {
     case AggKind.Sum   => sum(value) * lit(scale)
     case AggKind.Count => count(value).cast("double") * lit(scale)

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north-star similarity ops; no counterpart in the reference).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The probe set is broadcast
+  *    (small by construction), the corpus side streams: one scan + one
+  *    shuffle of only the per-partition top-k survivors (window over
+  *    query_id after a broadcast join). Correctness baseline at any scale
+  *    where "scan everything once" is acceptable.
+  *  - [[lshTopK]] — random-hyperplane LSH: corpus and probes are bucketed by
+  *    a b-bit sign signature; only same-bucket (or Hamming<=r neighboring
+  *    bucket) pairs are scored. Scan-heavy → bucket-join, the 100 TB path;
+  *    recall traded via (numPlanes, probeRadius).
+  */
+object Ann {
+
+  /** Exact cosine top-k: for every probe row (small DataFrame, broadcast),
+    * the k nearest corpus rows. Output: (query_id, neighbor_id, cosine). */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"))
+    val scored = c.join(broadcast(p), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("pvec"), col("cvec")).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k).drop("rank")
+  }
+
+  /** Multi-table LSH approximate top-k (OR-amplification): `numTables`
+    * independent sign-hash tables of `bitsPerTable` hyperplanes each; a
+    * corpus row is a candidate for a probe if they share a bucket in ANY
+    * table, optionally also within Hamming radius 1 of the probe's bucket.
+    *
+    * Single-table sign-LSH collapses on near-orthogonal data (p_bit ≈ 0.6 ⇒
+    * p_bucket ≈ 0.6^b); OR-ing L tables lifts recall to 1−(1−p)^L while the
+    * per-table bucket-join stays O(candidates), never O(N²).
+    */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, bitsPerTable: Int = 8, numTables: Int = 8,
+      probeRadius: Int = 1, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(probeRadius <= 1, "radius 0 or 1")
+    // one bucket id per (table, bucket): table index in the high bits
+    def buckets(v: Column, forProbe: Boolean): Column = {
+      val all = (0 until numTables).flatMap { t =>
+        val planes = VectorOps.randomPlanes(bitsPerTable, dim, seed + t)
+        val sig = VectorOps.hyperplaneSignature(v, planes)
+        val base = lit(t.toLong << 32) + sig
+        if (forProbe && probeRadius == 1)
+          base +: (0 until bitsPerTable).map(i =>
+            lit(t.toLong << 32) + sig.bitwiseXOR(lit(1L << i)))
+        else Seq(base)
+      }
+      array(all: _*)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      explode(buckets(col(vecCol), forProbe = false)).as("bucket"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"),
+      explode(buckets(col(vecCol), forProbe = true)).as("bucket"))
+    val scored = c.join(broadcast(p), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("pvec"), col("cvec"))
+      .distinct() // dedupe candidates across tables BEFORE scoring
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("pvec"), col("cvec")).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k).drop("rank")
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. LSH-bucketed
+    * (same-bucket candidates only) with exact verify — the scalable analogue
+    * of text MinHash dedup for embedding space. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
+    val withSig = df.select(col(idCol), col(vecCol),
+      VectorOps.hyperplaneSignature(col(vecCol), planes).as("bucket"))
+    val l = withSig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = withSig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold).distinct()
+  }
+
+  /** Oracle twin: exact all-pairs cosine >= threshold (O(N²), small data). */
+  def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star ops; the
+  * reference has no dedup — SURVEY §2.5). Four families:
+  *
+  *   1. exact         — hash groupBy on the raw text (one shuffle of hashes)
+  *   2. fingerprint   — groupBy on a normalized rolling-hash fingerprint
+  *   3. MinHash + LSH — shingle → per-row signature → band buckets →
+  *                      candidate pairs → exact-Jaccard verify
+  *   4. SimHash       — 64-bit per-row sketch; near-dups = small Hamming gap
+  *
+  * 100 TB posture: signatures/sketches are per-row *narrow* projections
+  * (higher-order array expressions, no UDF on the hot path except the seed
+  * constants baked into the plan). The only shuffles are groupBys on
+  * (band, signature) buckets — i.e. proportional to candidate-duplicate
+  * density, never O(N²). The all-pairs Jaccard join exists solely as the
+  * small-data oracle twin for correctness checks.
+  */
+object Dedup {
+
+  // -- shingling -----------------------------------------------------------
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " +")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => when(i + n <= size(words),
+            concat_ws(" ", slice(words, i + lit(1), lit(n))))),
+        s => s.isNotNull))
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns: |∩| / |∪| as an
+    * exact small-integer ratio (bit-identical in any engine). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // -- 1. exact / 2. fingerprint dedup ------------------------------------
+
+  /** Groups of byte-identical values of `keyCol` with their multiplicity;
+    * one hash-shuffle, map-side partial aggregation. */
+  def exactDupGroups(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** Keep one row per distinct `keyCol` (exact dedup). */
+  def dropExactDups(df: DataFrame, keyCols: String*): DataFrame =
+    df.dropDuplicates(keyCols)
+
+  /** Dedup on the normalized rolling-hash fingerprint
+    * (TextAnalysis.fingerprint): catches case/whitespace-only variants. */
+  def fingerprintDedup(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    df.withColumn("fp", fp)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+          .orderBy(col(textCol))))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  // -- 3. MinHash + LSH ----------------------------------------------------
+
+  /** Deterministic shingle hash: polynomial fold of code points mod 2^31-1 —
+    * cheap, codegen'd, and reproducible in any engine (same fold as
+    * TextAnalysis.fingerprint but per-shingle). */
+  def shingleHash(s: Column): Column =
+    aggregate(filter(split(s, ""), c => length(c) === 1), lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(2147483647L)))
+
+  /** MinHash signature: element i = min over shingles of the i-th universal
+    * hash g_i(h) = (a_i·h + b_i) mod p, p = 2^31-1. All arithmetic stays
+    * below 2^62 (h < 2^31, a_i < 2^31) so ANSI mode cannot overflow. The
+    * a/b constants come from a fixed-seed RNG → plan-baked literals. */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val ab = Seq.fill(numHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
+      rng.nextInt(Int.MaxValue).toLong))
+    val hashes = transform(shingleCol, s => shingleHash(s))
+    array(ab.map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(2147483647L))))
+    }: _*)
+  }
+
+  /** Per-document banded signature rows: (id, band, bandSig). bandSig is the
+    * xxhash64 of the band's slice of the MinHash signature. */
+  def lshBands(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = minhashSignature(shingles(col(textCol), shingleN), numHashes, seed)
+    df.select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
+  }
+
+  /** Candidate near-duplicate pairs from LSH banding: ids sharing any
+    * (band, band_sig) bucket. Shuffle ∝ corpus size × bands; the self-join
+    * happens per-bucket (skew-bounded: genuine duplicate clusters are small;
+    * a pathological mega-bucket means the docs ARE near-identical and the
+    * pair list is the true answer). */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val b = lshBands(df, idCol, textCol, shingleN, numHashes, bands, seed)
+    val l = b.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
+    val r = b.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard
+    * >= `threshold`. Output: (id_a, id_b, jaccard). */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, seed: Long = 42L): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands, seed)
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Oracle twin of [[nearDupPairs]]: exact all-pairs Jaccard — O(N²),
+    * small-data correctness baseline only. */
+  def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -- 4. SimHash ----------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: bit j of the sketch is the sign
+    * of Σ_tokens (2·bit_j(xxhash64(token)) − 1). Built as one aggregate with
+    * an array<long> accumulator zip_with-updated per token — a single narrow
+    * projection, no explode. */
+  def simhash64(text: Column): Column = {
+    val tokens = split(text, " +")
+    val bitMasks = array((0 until 64).map(j => lit(1L << j)): _*)
+    val counters = aggregate(
+      tokens,
+      array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, bitMasks,
+          (c, m) => c + when(h.bitwiseAND(m) =!= 0, lit(1L)).otherwise(lit(-1L)))
+      })
+    // pack sign bits via bitwiseOR of per-position masks — acc*2 folding
+    // would overflow signed long (ANSI throw) once bit 63 is set
+    aggregate(
+      zip_with(counters, bitMasks, (c, m) => when(c > 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, m) => acc.bitwiseOR(m))
+  }
+
+  /** Hamming distance between two 64-bit sketches. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs within `maxHamming`, bucketed by the
+    * 4-chunk pigeonhole trick: two sketches within Hamming distance k<=3 of
+    * each other must agree exactly on at least one of 4 16-bit chunks, so
+    * candidates come from 4 bucket-joins instead of N². */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
+    val sk = df.select(col(idCol), simhash64(col(textCol)).as("sk"))
+    val chunks = sk.select(col(idCol), col("sk"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("sk"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val l = chunks.select(col("chunk"), col("chunk_val"), col(idCol).as("id_a"), col("sk").as("sk_a"))
+    val r = chunks.select(col("chunk"), col("chunk_val"), col(idCol).as("id_b"), col("sk").as("sk_b"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sk_a"), col("sk_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

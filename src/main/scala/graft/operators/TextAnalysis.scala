@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines (north-star ops, not
+  * in the reference — SURVEY §7 M7). Everything here is a *narrow* per-row
+  * projection built from codegen'd built-ins and higher-order array
+  * functions: no UDFs, no shuffles, no driver round-trips — at 100 TB the
+  * cost is exactly one scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " +")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword token count: split on word/number/punct boundaries like
+    * a GPT-style pre-tokenizer regex, so counts track subword tokenizers
+    * better than whitespace does. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
+      t => length(t) > 0))
+
+  /** Stopword hit count over a fixed lexicon (whitespace tokens). */
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*)))
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, """[\p{Punct}]""", ""))
+
+  /** Heuristic quality score in [0,1] — the length/punctuation/stopword-ratio
+    * family used by pretraining corpus filters (C4/Gopher-style rules).
+    * Deterministic rational arithmetic: mean of three [0,1] terms.
+    *   - length term: min(1, tokens/20) — very short docs score low
+    *   - stopword term: min(1, 5 * stop_ratio) — natural prose has stopwords
+    *   - punct term: 1 - min(1, 4 * punct_ratio) — punctuation soup scores low
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenTerm = least(lit(1.0), nTok / lit(20.0))
+    val stopTerm = least(lit(1.0),
+      lit(5.0) * stopwordCount(text).cast("double") / greatest(nTok, lit(1.0)))
+    val punctTerm = lit(1.0) - least(lit(1.0),
+      lit(4.0) * punctCount(text).cast("double") /
+        greatest(length(text).cast("double"), lit(1.0)))
+    (lenTerm + stopTerm + punctTerm) / lit(3.0)
+  }
+
+  /** Polynomial rolling-hash fingerprint of the normalized text
+    * (lowercase, collapsed whitespace): fold over code points of
+    * `acc * 31 + cp (mod 1e9+7)`. Order-dependent by design (it is a
+    * *sequence* fingerprint) and bit-reproducible in any engine with 64-bit
+    * integers — the DuckDB oracle runs the same fold via list_reduce. */
+  def fingerprint(text: Column): Column = {
+    val norm = lower(regexp_replace(trim(text), """\s+""", " "))
+    aggregate(
+      filter(split(norm, ""), c => length(c) === 1),
+      lit(0L),
+      (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(1000000007L)))
+  }
+
+  /** Language-ID via stopword/character heuristics: score each candidate
+    * language by hits of its marker lexicon; best score wins, ties broken by
+    * language code, docs with no hits → "und". The markers are the standard
+    * tell-tale function words / scripts for each language. Pure expression:
+    * a max over per-language hit counts. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words: _*))).cast("double")
+    // CJK: classify by script, not lexicon
+    val cjkChars = length(regexp_replace(text, """[^\p{IsHan}]""", ""))
+    val scored: Seq[(String, Column)] = Seq(
+      "en" -> hits(Seq("the", "and", "of", "to", "is", "with", "that")),
+      "es" -> hits(Seq("el", "la", "los", "las", "que", "de", "y", "una")),
+      "de" -> hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein")),
+      "fr" -> hits(Seq("le", "les", "des", "est", "et", "une", "dans")),
+      "zh" -> cjkChars.cast("double") * lit(3.0))
+    val best = scored.map { case (lang, score) => struct(score.as("s"), lit(lang).as("l")) }
+      .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** One-scan document profile: all metrics as extra columns. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpeish", bpeishTokenCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("n_stopwords", stopwordCount(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+      .withColumn("lang_pred", langId(t))
+  }
+}

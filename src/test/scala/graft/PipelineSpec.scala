@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Ann, Dedup, TextAnalysis}
+import graft.functions.VectorOps
+
+class PipelineSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf0001)
+  private def embs = Tables.embeddings(spark, sf0001)
+
+  // -- dedup ---------------------------------------------------------------
+
+  test("minhash LSH near-dup pairs equal the exact all-pairs answer (recall 1)") {
+    val lsh = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.allPairsJaccard(docs, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("simhash finds the high-jaccard planted pairs") {
+    val planted = Dedup.allPairsJaccard(docs, "doc_id", "text", threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // simhash@3 is coarser than jaccard>=0.95; it must still catch most
+    val caught = planted.intersect(sim).size.toDouble / planted.size
+    assert(caught >= 0.8, s"simhash caught only ${planted.intersect(sim).size}/${planted.size}")
+  }
+
+  test("fingerprint dedup is idempotent and keeps distinct docs") {
+    val n = docs.count()
+    val d1 = Dedup.fingerprintDedup(docs)
+    assert(d1.count() <= n)
+    assert(Dedup.fingerprintDedup(d1).count() === d1.count())
+  }
+
+  test("jaccard of identical shingle sets is 1") {
+    val sh = docs.limit(5).select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val ones = sh.select(Dedup.jaccard(col("sh"), col("sh")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(ones.forall(_ == 1.0))
+  }
+
+  // -- vectors / ANN -------------------------------------------------------
+
+  test("cosine of a vector with itself is ~1 on unit embeddings") {
+    val c = embs.limit(10)
+      .select(VectorOps.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(c.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k returns k rows per query, sorted by cosine") {
+    val res = Ann.bruteForceTopK(embs, embs.filter(col("vec_id") < 3), "vec_id",
+      "embedding", 5).collect()
+    assert(res.length === 15)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val cs = rows.map(_.getDouble(2))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH top-k recall vs brute force is usable") {
+    val queries = embs.filter(col("vec_id") < 10)
+    val bf = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(embs, queries, "vec_id", "embedding", 5,
+      bitsPerTable = 8, numTables = 8, probeRadius = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    assert(recall >= 0.3, s"LSH recall $recall collapsed — buckets broken?")
+  }
+
+  // -- text ----------------------------------------------------------------
+
+  test("token counts and quality are sane") {
+    val r = TextAnalysis.profile(docs).select("n_tokens", "quality").collect()
+    assert(r.forall(_.getInt(0) > 0))
+    assert(r.forall(x => x.getDouble(1) >= 0.0 && x.getDouble(1) <= 1.0))
+  }
+
+  test("fingerprint ignores case and extra whitespace") {
+    import spark.implicits._
+    val df = Seq("Hello  World", "hello world", "different").toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("langId returns a known code for every doc") {
+    val langs = docs.select(TextAnalysis.langId(col("text"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "zh", "und")))
+  }
+}
