@@ -57,8 +57,13 @@ object AdaptiveExecutor {
     var done = false
 
     while (!done) {
-      val sf = Sampling.uniform(df, fraction, spec.seed + rounds.size)
-      val m = sf.df.agg(
+      // Bernoulli sample as an explicit rand() filter, NOT df.sample: the
+      // GraftExtensions auto-scaling rule rewrites bare aggregates over a
+      // Sample node (estimator semantics), which would corrupt this moment
+      // sketch — these aggregates must stay RAW sample moments.
+      val sampled = df.filter(rand(spec.seed + rounds.size) < fraction)
+      val scaleFactor = 1.0 / fraction
+      val m = sampled.agg(
         count(value).cast("double").as("n"),
         sum(value).cast("double").as("s"),
         sum(value * value).cast("double").as("s2")).head()
@@ -74,8 +79,8 @@ object AdaptiveExecutor {
         case AggKind.Sum   =>
           if (n > 0) (s * (totalN / n), z * se * totalN)
           else (0.0, Double.PositiveInfinity)
-        case AggKind.Count => (n * sf.scaleFactor,
-          z * sf.scaleFactor * math.sqrt(n * (1.0 - fraction)))
+        case AggKind.Count => (n * scaleFactor,
+          z * scaleFactor * math.sqrt(n * (1.0 - fraction)))
         case other => throw new IllegalArgumentException(s"adaptive CI undefined for $other")
       }
       val relPct = Estimators.relativeMarginPct(estimate, estimate - margin, estimate + margin)

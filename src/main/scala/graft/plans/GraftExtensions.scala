@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Sample}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst extension: automatic scale-up of SUM/COUNT aggregates computed
+  * directly over a `Sample` node (SURVEY §4.2/§7.3 optional rule (c)) — the
+  * declarative form of the reference's scaling contract (parser.h:4-16):
+  * `TABLESAMPLE`/`df.sample` + `sum(x)` behaves as an *estimator of the
+  * full-table sum*, AVG untouched.
+  *
+  * Rewrite: `Aggregate(_, sum(x), Sample(f))` → `Aggregate(_, sum(x)·(1/f),
+  * Sample(f))`. Idempotent by shape: the rewrite wraps the aggregate in a
+  * Multiply, which no longer matches the bare-aggregate pattern.
+  *
+  * Opt-in semantics change → gated on `spark.graft.autoscale.enabled`
+  * (default true once the extension is installed; installing it IS the
+  * opt-in). Enable with:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => ScaleSampledAggregates)
+}
+
+object ScaleSampledAggregates extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.autoscale.enabled", "true").toBoolean) plan
+    else plan.transformUp {
+      case agg @ Aggregate(_, aggExprs, s: Sample, _)
+          if s.upperBound - s.lowerBound < 1.0 && !s.withReplacement &&
+            hasBareScalable(aggExprs) =>
+        val scale = 1.0 / (s.upperBound - s.lowerBound)
+        agg.copy(aggregateExpressions = aggExprs.map {
+          case a @ Alias(ae: AggregateExpression, name) if isScalable(ae) =>
+            Alias(Multiply(Cast(ae, DoubleType), Literal(scale)), name)(
+              exprId = a.exprId, qualifier = a.qualifier)
+          case other => other
+        })
+    }
+
+  private val DoubleType = org.apache.spark.sql.types.DoubleType
+
+  private def isScalable(ae: AggregateExpression): Boolean = ae.aggregateFunction match {
+    case _: Sum | _: Count => !ae.isDistinct
+    case _ => false
+  }
+
+  private def hasBareScalable(exprs: Seq[NamedExpression]): Boolean = exprs.exists {
+    case Alias(ae: AggregateExpression, _) => isScalable(ae)
+    case _ => false
+  }
+}
