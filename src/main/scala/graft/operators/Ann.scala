@@ -81,21 +81,36 @@ object Ann {
       .filter(col("rank") <= k).drop("rank")
   }
 
-  /** Embedding near-duplicate pairs: cosine >= threshold. LSH-bucketed
-    * (same-bucket candidates only) with exact verify — the scalable analogue
-    * of text MinHash dedup for embedding space. */
+  /** Embedding near-duplicate pairs: cosine >= threshold, multi-table
+    * sign-LSH candidates (OR-amplification, same rationale as [[lshTopK]])
+    * verified exactly — the scalable analogue of text MinHash dedup for
+    * embedding space. Bucket-collect shape: one evaluation of the signature
+    * subtree, in-bucket pair enumeration, candidates deduped before the
+    * exact cosine verify. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 8, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = VectorOps.randomPlanes(numPlanes, dim, seed)
-    val withSig = df.select(col(idCol), col(vecCol),
-      VectorOps.hyperplaneSignature(col(vecCol), planes).as("bucket"))
-    val l = withSig.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val r = withSig.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      threshold: Double, bitsPerTable: Int = 8, numTables: Int = 8,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val sigs = (0 until numTables).map { t =>
+      val planes = VectorOps.randomPlanes(bitsPerTable, dim, seed + t)
+      lit(t.toLong << 32) + VectorOps.hyperplaneSignature(col(vecCol), planes)
+    }
+    val pairs = df
+      .select(col(idCol), explode(array(sigs: _*)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = df.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorOps.cosine(col("va"), col("vb")).as("cosine"))
-      .filter(col("cosine") >= threshold).distinct()
+      .filter(col("cosine") >= threshold)
   }
 
   /** Oracle twin: exact all-pairs cosine >= threshold (O(N²), small data). */
