@@ -86,7 +86,8 @@ object InventoryPipeline {
         .agg(count(lit(1)).as("n"),
           sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("sum_value"))
         .orderBy(col("hour"), col("event_type")),
-      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
+      headline = true),
 
     QueryDef("q23_events_top_users",
       (s, d) => events(s, d)
@@ -119,7 +120,8 @@ object InventoryPipeline {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
           TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")),
-      Some(s"""SELECT doc_id, len($dTokens) AS n_tokens, (LEAST(1.0, CAST(len($dTokens) AS DOUBLE) / 20.0) + LEAST(1.0, 5.0 * CAST($dStop AS DOUBLE) / GREATEST(CAST(len($dTokens) AS DOUBLE), 1.0)) + (1.0 - LEAST(1.0, 4.0 * CAST($dPunct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0)))) / 3.0 AS quality FROM documents ORDER BY doc_id""")),
+      Some(s"""SELECT doc_id, len($dTokens) AS n_tokens, (LEAST(1.0, CAST(len($dTokens) AS DOUBLE) / 20.0) + LEAST(1.0, 5.0 * CAST($dStop AS DOUBLE) / GREATEST(CAST(len($dTokens) AS DOUBLE), 1.0)) + (1.0 - LEAST(1.0, 4.0 * CAST($dPunct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0)))) / 3.0 AS quality FROM documents ORDER BY doc_id"""),
+      headline = true),
 
     QueryDef("q32_doc_fingerprint",
       (s, d) => documents(s, d)

@@ -88,7 +88,7 @@ object Ann {
     * subtree, in-bucket pair enumeration, candidates deduped before the
     * exact cosine verify. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bitsPerTable: Int = 8, numTables: Int = 8,
+      threshold: Double, bitsPerTable: Int = 6, numTables: Int = 16,
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val sigs = (0 until numTables).map { t =>
       val planes = VectorOps.randomPlanes(bitsPerTable, dim, seed + t)

@@ -75,6 +75,20 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.3, s"LSH recall $recall collapsed — buckets broken?")
   }
 
+  test("embedding near-dup LSH recall vs exact all-pairs at cosine >= 0.4") {
+    val exact = Ann.allPairsCosine(embs, "vec_id", "embedding", 0.4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.cosineNearDupPairs(embs, "vec_id", "embedding", 0.4,
+      bitsPerTable = 6, numTables = 16)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "verified pairs must be true pairs")
+    // cos 0.4 is the near-orthogonal worst case: sign-LSH per-bit agreement
+    // is only 0.63, so 6 bits x 16 tables predicts ~0.65 recall (it exceeds
+    // 0.99 at a true near-dup threshold of 0.8)
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.4,
+      s"recall ${lsh.size}/${exact.size} collapsed")
+  }
+
   // -- text ----------------------------------------------------------------
 
   test("token counts and quality are sane") {
