@@ -40,6 +40,38 @@ object InventoryExtensions {
       (s, d) => lineitem(s, d).agg(
         percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_est"),
         percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("p95_est")),
+      None),
+
+    QueryDef("q28_dual_rate_sum",
+      // dual-pointer design (reference R9): coarse stride ∪ fine stride,
+      // honest inclusion-probability scale via inclusion–exclusion
+      (s, d) => {
+        val key = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+        val sf = graft.exec.Sampling.dualRate(lineitem(s, d), key,
+          coarseStep = 10L, fineStep = 7L)
+        sf.df.agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") *
+          lit(sf.scaleFactor)).as("sum_price_est"),
+          count(lit(1)).as("n_samples"))
+      },
+      Some {
+        val k = "(l_orderkey * 8191 + l_linenumber * 131)"
+        val p = 1.0 / 10 + 1.0 / 7 - 1.0 / 70
+        s"SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * ${1.0 / p} AS sum_price_est, COUNT(*) AS n_samples FROM lineitem WHERE $k % 10 = 0 OR $k % 7 = 1"
+      }),
+
+    QueryDef("q29_adaptive_sum",
+      // adaptive CLT loop: seed-deterministic but Bernoulli rand() is not
+      // reproducible in another engine -> rows-only check; convergence and
+      // accuracy are asserted in AdaptiveSpec
+      (s, d) => {
+        val r = graft.exec.AdaptiveExecutor.run(
+          lineitem(s, d), col("l_extendedprice"), graft.model.AggKind.Sum,
+          graft.model.SamplingStrategy.Adaptive(errorThresholdPct = 2.0,
+            initialFraction = 0.05)).result
+        import s.implicits._
+        Seq((r.value, r.ciLower, r.ciUpper, r.samplesUsed, r.status.toString))
+          .toDF("sum_est", "ci_lower", "ci_upper", "n_samples", "status")
+      },
       None)
   )
 }

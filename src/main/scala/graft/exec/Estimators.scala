@@ -122,4 +122,19 @@ object Estimators {
   def relativeMarginPct(value: Double, lower: Double, upper: Double): Double =
     if (value == 0.0) Double.PositiveInfinity
     else 100.0 * ((upper - lower) / 2.0) / math.abs(value)
+
+  /** Sample-size → confidence heuristic (reference A11,
+    * custom_scheduler.cpp:296-305). */
+  def confidenceForSampleSize(n: Long): Double =
+    if (n >= 1000) 0.95
+    else if (n >= 500) 0.90
+    else if (n >= 100) 0.85
+    else if (n >= 50) 0.80
+    else 0.70
+
+  /** Relative-error quality validation (reference A12,
+    * custom_scheduler.cpp:307-313). */
+  def validateQuality(exact: Double, approx: Double, thresholdPct: Double): Boolean =
+    if (exact == 0.0) approx == 0.0
+    else 100.0 * math.abs(exact - approx) / math.abs(exact) <= thresholdPct
 }

@@ -94,6 +94,17 @@ object Sampling {
     SampledFrame(sampled, 1.0 / p, Exact)
   }
 
+  /** Gather rows whose key is in an explicit index list (reference R27
+    * `get_records_by_indices`, custom_bplus_db.cpp:1820-1836). Small lists
+    * become an IN-filter in the scan; large ones a broadcast semi-join. */
+  def byIndex(df: DataFrame, key: Column, indices: Seq[Long]): DataFrame =
+    if (indices.size <= 1000) df.filter(key.isin(indices: _*))
+    else {
+      val idxDf = df.sparkSession.createDataFrame(
+        indices.map(Tuple1(_))).toDF("__idx")
+      df.join(broadcast(idxDf), key === col("__idx"), "left_semi")
+    }
+
   /** Apply a [[SamplingStrategy]] given the table's sampling key. */
   def apply(df: DataFrame, strategy: SamplingStrategy, key: => Column): SampledFrame =
     strategy match {

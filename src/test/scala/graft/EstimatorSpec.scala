@@ -97,6 +97,26 @@ class EstimatorSpec extends SparkSpec {
     assert(math.abs(est - exactCount) / exactCount < 0.10, s"est=$est exact=$exactCount")
   }
 
+  test("confidence heuristic matches reference custom_scheduler.cpp:296-305") {
+    assert(Estimators.confidenceForSampleSize(1500) === 0.95)
+    assert(Estimators.confidenceForSampleSize(600) === 0.90)
+    assert(Estimators.confidenceForSampleSize(200) === 0.85)
+    assert(Estimators.confidenceForSampleSize(60) === 0.80)
+    assert(Estimators.confidenceForSampleSize(10) === 0.70)
+  }
+
+  test("quality validator thresholds relative error") {
+    assert(Estimators.validateQuality(100.0, 103.0, 5.0))
+    assert(!Estimators.validateQuality(100.0, 110.0, 5.0))
+    assert(Estimators.validateQuality(0.0, 0.0, 5.0))
+  }
+
+  test("byIndex gathers exactly the requested keys") {
+    val got = Sampling.byIndex(li, col("l_orderkey"), Seq(1L, 2L, 3L))
+      .select("l_orderkey").distinct().collect().map(_.getLong(0)).toSet
+    assert(got.subsetOf(Set(1L, 2L, 3L)) && got.nonEmpty)
+  }
+
   test("zScore table matches reference executor.cpp:188-189") {
     assert(Estimators.zScore(0.99) === 2.576)
     assert(Estimators.zScore(0.95) === 1.96)
