@@ -41,7 +41,55 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
       q.name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    // Scale probe at reference-baseline size (BASELINE.md: 10M-row SUM,
+    // 5.123 s exact, up to 234x claimed sampled speedup): union the sf
+    // lineitem 10x (~6M rows at sf0.1) and compare a full exact SUM against
+    // a 10% systematic sample SUM — the honest comparable is the
+    // exact/sampled ratio at equal fractions, not absolute wall-clock.
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sfDir)
+    val li10 = Seq.fill(10)(li).reduce(_ union _)
+    val key = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+    def timeMedian(f: => Unit): Double = {
+      f // warmup
+      val ts = Seq.fill(3) {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.sorted
+      ts(1)
+    }
+    val nRows = li10.count()
+    // materialize once as a 40-file dataset so file-level sampling has
+    // files to skip (the fixtures are single-file)
+    val li10Path = "/tmp/graft_bench_li10.parquet"
+    if (!new java.io.File(li10Path, "_SUCCESS").exists()) {
+      li10.repartition(40).write.mode("overwrite").parquet(li10Path)
+    }
+    val li10f = spark.read.parquet(li10Path)
+    val tExact = timeMedian {
+      li10f.agg(sum(col("l_extendedprice"))).collect(): Unit
+    }
+    // row-level systematic: variance win only, no IO win (documented)
+    val tSampled = timeMedian {
+      li10f.filter(pmod(key, lit(10L)) === 0)
+        .agg(sum(col("l_extendedprice")) * lit(10.0)).collect(): Unit
+    }
+    // file-level cluster sampling: reads 1/10 of the part-files
+    val fileSf = graft.sources.FileSampling.parquetFileSample(spark, li10Path, 10)
+    val tFile = timeMedian {
+      fileSf.df.agg(sum(col("l_extendedprice")) * lit(fileSf.scaleFactor))
+        .collect(): Unit
+    }
+    val extra = Seq(
+      "x10_rows" -> nRows.toDouble,
+      "x10_exact_sum_sec" -> tExact,
+      "x10_sys10_sum_sec" -> tSampled,
+      "x10_filesample10_sum_sec" -> tFile,
+      "x10_speedup_sys" -> (if (tSampled > 0) tExact / tSampled else -1.0),
+      "x10_speedup_file" -> (if (tFile > 0) tExact / tFile else -1.0),
+      "x10_exact_mrows_per_sec" -> nRows / tExact / 1e6)
+
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
+      extra.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -120,9 +120,22 @@ object Dedup {
     val rng = new scala.util.Random(seed)
     val ab = Seq.fill(numHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
       rng.nextInt(Int.MaxValue).toLong))
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("shingle"))
-      .select(col(idCol), shingleHash(col("shingle")).as("h"))
+    // Shingles via posexplode + window lead(): fully whole-stage-codegen
+    // (a higher-order transform/slice/concat per shingle runs interpreted —
+    // ~1.5M lambda invocations at 5k docs). The window's hash partitioning
+    // on id is reused by the groupBy below → ONE shuffle total. No
+    // per-doc distinct: MinHash is invariant under duplicate shingles
+    // (min over a multiset == min over its set).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val words = df.select(col(idCol),
+      posexplode(split(col(textCol), " +")).as(Seq("pos", "w1")))
+    val leadCols = (1 until shingleN).map(i => lead(col("w1"), i).over(w).as(s"w${i + 1}"))
+    val wordCols = (1 to shingleN).map(i => col(s"w$i"))
+    val exploded = words
+      .select(col(idCol) +: col("w1") +: leadCols: _*)
+      .filter(wordCols.last.isNotNull)
+      .select(col(idCol), shingleHash(concat_ws(" ", wordCols: _*)).as("h"))
     val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), p)).as(s"m$i")
     }
