@@ -86,10 +86,10 @@ final case class ApproxTable(df: DataFrame, samplingKey: Column) {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1000000L)
     }
     val (exact, tExact) = time {
-      df.agg(Estimators.scaledExpr(agg, value, 1.0).as("v")).head.getDouble(0)
+      df.agg(Estimators.scaledExpr(agg, value, 1.0).as("v")).head().getDouble(0)
     }
     val (approx, tApprox) = time {
-      approxAgg(agg, value, strategy).head.getDouble(0)
+      approxAgg(agg, value, strategy).head().getDouble(0)
     }
     val err = if (exact == 0.0) Double.PositiveInfinity
       else 100.0 * math.abs(exact - approx) / math.abs(exact)

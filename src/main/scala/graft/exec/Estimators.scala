@@ -113,7 +113,7 @@ object Estimators {
       sum(value).cast("double").as("s"),
       sum(value * value).cast("double").as("s2"))
     val groupNames = moments.columns.dropRight(3).map(col)
-    moments.select(groupNames ++ ciProjection(agg, sf.scaleFactor, z, alias,
+    moments.select(groupNames.toIndexedSeq ++ ciProjection(agg, sf.scaleFactor, z, alias,
       col("n"), col("s"), col("s2")): _*)
   }
 

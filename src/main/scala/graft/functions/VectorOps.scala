@@ -47,7 +47,7 @@ object VectorOps {
   def hyperplaneSignature(v: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.length <= 63, "1..63 planes")
     planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = array(plane.map(lit): _*)
+      val planeCol = array(plane.toIndexedSeq.map(lit): _*)
       when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

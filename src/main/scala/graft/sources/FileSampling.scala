@@ -44,7 +44,7 @@ object FileSampling {
       case (f, i) if i % step == offset => f
     }
     val scale = files.length.toDouble / picked.length
-    SampledFrame(spark.read.parquet(picked: _*), scale,
+    SampledFrame(spark.read.parquet(picked.toIndexedSeq: _*), scale,
       SamplingStrategy.Block(blockSize = 1L, skip = step.toLong))
   }
 }

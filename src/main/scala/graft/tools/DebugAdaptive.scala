@@ -19,7 +19,7 @@ object DebugAdaptive {
       SamplingStrategy.Adaptive(errorThresholdPct = 5.0, initialFraction = 0.05))
     out.rounds.foreach(r => println(
       f"f=${r.fraction}%.3f n=${r.n} est=${r.estimate}%.1f ci=[${r.ciLower}%.1f, ${r.ciUpper}%.1f] rel=${r.relMarginPct}%.2f%%"))
-    println(s"status=${out.result.status} exact=${li.agg(sum("l_extendedprice")).head.getDouble(0)}")
+    println(s"status=${out.result.status} exact=${li.agg(sum("l_extendedprice")).head().getDouble(0)}")
     spark.stop()
   }
 }
