@@ -7,9 +7,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * this object is the stable façade the driver invokes.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The revenue-by-nation join exercises scan→broadcast-join→partial-agg→
+    * shuffle→sort in one plan. */
   def entry(spark: SparkSession): DataFrame =
-    Inventory.byName("q01_sum_exact").run(spark, "/root/testdata/sf0.001")
+    Inventory.byName("q20_join_revenue_by_nation").run(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

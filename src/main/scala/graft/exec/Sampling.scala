@@ -42,9 +42,20 @@ final case class SampledFrame(df: DataFrame, scaleFactor: Double, strategy: Samp
   */
 object Sampling {
 
-  /** Uniform Bernoulli sample (reference R1/R11). */
-  def uniform(df: DataFrame, fraction: Double, seed: Long = 42L): SampledFrame =
-    SampledFrame(df.sample(withReplacement = false, fraction, seed), 1.0 / fraction, Uniform(fraction, seed))
+  /** Uniform Bernoulli sample (reference R1/R11).
+    *
+    * Implemented as a seeded `rand() < f` filter, NOT `df.sample`:
+    * statistically identical (per-row Bernoulli, partition-seeded RNG,
+    * scan-stage filter), but it emits no `Sample` node — so the
+    * GraftExtensions auto-scaling rule, which gives *user* `TABLESAMPLE`/
+    * `df.sample` aggregates estimator semantics, can never rewrite the
+    * library's own estimator pipelines (whose moment aggregates must stay
+    * raw; a scaled Σx with an unscaled n yields negative variance). */
+  def uniform(df: DataFrame, fraction: Double, seed: Long = 42L): SampledFrame = {
+    require(fraction > 0 && fraction <= 1.0)
+    val sampled = if (fraction >= 1.0) df else df.filter(rand(seed) < fraction)
+    SampledFrame(sampled, 1.0 / fraction, Uniform(fraction, seed))
+  }
 
   /** Systematic sample by key arithmetic (reference R2/R3/R7/R8/R20-R23).
     * `key` must be a deterministic integer expression roughly uniform mod
