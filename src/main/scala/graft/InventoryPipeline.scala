@@ -89,6 +89,18 @@ object InventoryPipeline {
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
       headline = true),
 
+    QueryDef("q40_events_hourly_approx_sys5",
+      // batch twin of StreamingAgg.windowedApproxAgg: deterministic
+      // event_id-mod sampling + scaled per-window estimates
+      (s, d) => events(s, d)
+        .filter(pmod(col("event_id"), lit(5L)) === 0L)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg((sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double") * lit(5.0))
+          .as("sum_value_est"),
+          (count(lit(1)) * lit(5L)).as("n_est"))
+        .orderBy(col("hour")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) * 5.0 AS sum_value_est, COUNT(*) * 5 AS n_est FROM events WHERE event_id % 5 = 0 GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q23_events_top_users",
       (s, d) => events(s, d)
         .groupBy(col("user_id"))

@@ -83,6 +83,49 @@ object Sampling {
       1.0 / fraction, Stratified(strataCol, fraction, seed))
   }
 
+  /** Variance-aware stratified sampling — the intent of the reference's
+    * `adaptive_block_sample` (R17, custom_bplus_db.cpp:1273-1329: per-zone
+    * variance → smaller blocks in high-variance zones), done properly as
+    * Neyman allocation: sampling rate per stratum ∝ σ_h, normalized so the
+    * expected total sample ≈ `totalFraction`·N. Two passes: a cheap
+    * per-stratum moment job (one shuffle of 3 numbers per stratum), then
+    * `sampleBy` with the computed fractions. The returned per-stratum scale
+    * factors (1/f_h) are carried in a join-able DataFrame since a single
+    * global scale no longer applies. */
+  def neymanStratified(df: DataFrame, strataCol: String, value: Column,
+      totalFraction: Double, seed: Long = 42L,
+      minFraction: Double = 0.01): (SampledFrame, DataFrame) = {
+    require(totalFraction > 0 && totalFraction <= 1.0)
+    val stats = df.groupBy(col(strataCol)).agg(
+      count(value).as("n_h"), stddev_samp(value).as("sd_h")).collect()
+    val weights = stats.map { r =>
+      val n = r.getLong(1).toDouble
+      val sd = if (r.isNullAt(2) || r.getDouble(2) <= 0) 1e-9 else r.getDouble(2)
+      (r.get(0), n, n * sd)
+    }
+    val totalN = weights.map(_._2).sum
+    val totalW = weights.map(_._3).sum
+    val fractions = weights.map { case (k, n, w) =>
+      val f = math.min(1.0, math.max(minFraction,
+        totalFraction * totalN * (w / totalW) / n))
+      k -> f
+    }.toMap
+    val sampled = df.stat.sampleBy(col(strataCol), fractions, seed)
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val scales = spark.createDataFrame(
+      fractions.toSeq.map { case (k, f) =>
+        org.apache.spark.sql.Row(k, 1.0 / f)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(strataCol,
+          df.schema(strataCol).dataType),
+        org.apache.spark.sql.types.StructField("strata_scale",
+          org.apache.spark.sql.types.DoubleType))))
+    (SampledFrame(sampled, 1.0 / totalFraction, Stratified(strataCol, totalFraction, seed)),
+      scales)
+  }
+
   /** Deterministic stratified-systematic: per-stratum systematic sampling by
     * key arithmetic — SQL-expressible, unlike `sampleBy`. */
   def stratifiedSystematic(df: DataFrame, strataCol: String, key: Column, step: Long): SampledFrame =

@@ -97,6 +97,18 @@ class EstimatorSpec extends SparkSpec {
     assert(math.abs(est - exactCount) / exactCount < 0.10, s"est=$est exact=$exactCount")
   }
 
+  test("Neyman allocation samples high-variance strata harder and stays unbiased") {
+    val (sf, scales) = Sampling.neymanStratified(li, "l_returnflag",
+      col("l_extendedprice"), totalFraction = 0.2, seed = 7L)
+    // per-stratum HT estimate with per-stratum scales
+    val est = sf.df.join(scales, "l_returnflag")
+      .agg(sum(col("l_extendedprice") * col("strata_scale"))).head().getDouble(0)
+    assert(math.abs(est - exactSum) / exactSum < 0.15, s"est=$est exact=$exactSum")
+    // all strata present, scales positive
+    assert(scales.count() === 3)
+    assert(scales.collect().forall(_.getDouble(1) >= 1.0))
+  }
+
   test("confidence heuristic matches reference custom_scheduler.cpp:296-305") {
     assert(Estimators.confidenceForSampleSize(1500) === 0.95)
     assert(Estimators.confidenceForSampleSize(600) === 0.90)
