@@ -201,9 +201,11 @@ object InventoryPipeline {
 
   private val annQueries: Seq[QueryDef] = Seq(
     QueryDef("q38_ann_bruteforce_top5",
+      // fast mapPartitions kernel — bit-identical to the expression form
+      // (PipelineSpec asserts it) so the DuckDB oracle is unchanged
       (s, d) => {
         val emb = embeddings(s, d)
-        Ann.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+        Ann.bruteForceTopKFast(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
           .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
       },
       Some(s"""WITH n AS (SELECT vec_id, embedding, SQRT(${dDot("embedding", "embedding")}) AS nrm FROM embeddings), scored AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${dCosAB.replace("a.vec_id < b.vec_id", "")} AS cosine FROM n a JOIN n b ON a.vec_id < 10 AND a.vec_id <> b.vec_id) SELECT query_id, neighbor_id, cosine FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored) WHERE rnk <= 5 ORDER BY query_id, cosine DESC, neighbor_id"""),

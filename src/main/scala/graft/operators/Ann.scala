@@ -38,6 +38,70 @@ object Ann {
       .filter(col("rank") <= k).drop("rank")
   }
 
+  private case class Scored(query_id: Long, neighbor_id: Long, cosine: Double)
+
+  /** [[bruteForceTopK]], JIT-kernel form: broadcast probe matrix, primitive
+    * float-array dot/norm loops inside `mapPartitions`, and a bounded
+    * per-(partition, query) top-k heap so the shuffle carries at most
+    * partitions × probes × k rows instead of corpus × probes. Interpreted
+    * Catalyst higher-order folds cost ~100× a JIT'd while-loop on dense
+    * numeric kernels — this is the one place `mapPartitions` beats
+    * expressions (SURVEY §7.3 "last resort" clause, used deliberately).
+    *
+    * Accumulation order (index 0..d-1, double precision) matches the
+    * left-fold of [[VectorOps.dot]] exactly → results are bit-identical to
+    * the expression form and the DuckDB oracle. */
+  def bruteForceTopKFast(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probeArr: Array[(Long, Array[Float])] = probes
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])].collect()
+    val bc = spark.sparkContext.broadcast(probeArr)
+    val partial = corpus.select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val ps = bc.value
+        // per-query bounded min-heaps (ordered worst-first for eviction)
+        val heaps = scala.collection.mutable.Map.empty[Long,
+          scala.collection.mutable.PriorityQueue[Scored]]
+        // (-cosine, nid) natural order: greater tuple = lower cosine or
+        // larger id = WORSE; PQ dequeues its max, so head is the worst kept
+        implicit val worstFirst: Ordering[Scored] =
+          Ordering.by[Scored, (Double, Long)](s => (-s.cosine, s.neighbor_id))
+        it.foreach { case (nid, v) =>
+          var pi = 0
+          while (pi < ps.length) {
+            val (qid, p) = ps(pi)
+            if (qid != nid) {
+              var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+              while (i < v.length) {
+                val x = p(i).toDouble; val y = v(i).toDouble
+                dot += x * y; na += x * x; nb += y * y; i += 1
+              }
+              val denom = math.sqrt(na) * math.sqrt(nb)
+              val c = if (denom > 0) dot / denom else 0.0
+              val h = heaps.getOrElseUpdate(qid,
+                new scala.collection.mutable.PriorityQueue[Scored]()(worstFirst))
+              if (h.size < k) h.enqueue(Scored(qid, nid, c))
+              else if (worstFirst.lt(Scored(qid, nid, c), h.head)) {
+                // new candidate sorts BETTER than current worst (ordering is
+                // worst-first): replace
+                h.dequeue(); h.enqueue(Scored(qid, nid, c))
+              }
+            }
+            pi += 1
+          }
+        }
+        heaps.valuesIterator.flatMap(_.iterator)
+      }
+    partial.toDF()
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k).drop("rank")
+  }
+
   /** Multi-table LSH approximate top-k (OR-amplification): `numTables`
     * independent sign-hash tables of `bitsPerTable` hyperplanes each; a
     * corpus row is a candidate for a probe if they share a bucket in ANY

@@ -64,6 +64,15 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("fast kernel top-k is bit-identical to the expression form") {
+    val probes = embs.filter(col("vec_id") < 10)
+    val expr = Ann.bruteForceTopK(embs, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = Ann.bruteForceTopKFast(embs, probes, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === expr)
+  }
+
   test("LSH top-k recall vs brute force is usable") {
     val queries = embs.filter(col("vec_id") < 10)
     val bf = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
