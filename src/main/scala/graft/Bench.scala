@@ -25,9 +25,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
 
     val headline = Inventory.all.filter(_.headline)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = headline.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -38,7 +39,12 @@ object Bench {
         once() // warmup
         val runs = Seq(once(), once(), once()).sorted
         runs(1) // median
-      } catch { case _: Throwable => -1.0 }
+      } catch {
+        case e: Throwable =>
+          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r\\t]", " ").take(200)
+          -1.0
+      }
       q.name -> t
     }
     // Scale probe at reference-baseline size (BASELINE.md: 10M-row SUM,
@@ -91,8 +97,20 @@ object Bench {
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
       extra.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })
       .mkString("{", ",", "}")
+    val errJson = errors
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // Belt and braces for the driver's parser: the JSON goes to stdout as
+    // its own (last) line AND to a file — sbt/log4j noise on stdout blinded
+    // the round-1 perf gate ("parsed": null in BENCH_r01.json).
     spark.stop()
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(line)
   }
 }

@@ -165,7 +165,10 @@ object Inventory {
 
     QueryDef("q16_stratified_sys_avg",
       (s, d) => {
-        // equal-allocation stratified-systematic: one step within every stratum
+        // PROPORTIONAL-allocation stratified-systematic: one shared step, so
+        // each stratum contributes ∝ its size (n_h ≈ N_h/step). The
+        // reference's actual R18 equal-SIZE allocation over value ntiles is
+        // q43_stratified_equal_alloc.
         val sf = Sampling.stratifiedSystematic(lineitem(s, d), "l_returnflag", liKey, step = 5L)
         sf.df.groupBy(col("l_returnflag"))
           .agg((sum(dec("l_quantity")).cast("double") / count(col("l_quantity"))).as("avg_qty_est"),
@@ -223,10 +226,63 @@ object Inventory {
   )
 
   // ---------------------------------------------------------------------
+  // Design-aware statistics (round-2): cluster CI, Neyman allocation,
+  // equal-size value-ntile stratification (reference R18's actual design)
+  // ---------------------------------------------------------------------
+
+  private val designQueries: Seq[QueryDef] = Seq(
+    QueryDef("q41_block_ci_sum",
+      // same 1-in-4 block design as q15, but the CI uses BETWEEN-BLOCK
+      // variance (Estimators.blockCiSum) — the SRS formula under-covers on
+      // clustered data (EstimatorSpec demonstrates)
+      (s, d) => {
+        val sf = Sampling.block(lineitem(s, d), col("l_orderkey"), blockSize = 16L, skip = 4L)
+        Estimators.blockCiSum(sf.df, floor(col("l_orderkey") / lit(16L)),
+          col("l_extendedprice"), skip = 4.0, alias = "sum_est")
+      },
+      Some("""WITH b AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t FROM lineitem WHERE (l_orderkey // 16) % 4 = 0 GROUP BY (l_orderkey // 16)), m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(t * t) AS DOUBLE) AS st2 FROM b) SELECT st * 4.0 AS sum_est, st * 4.0 - 1.96 * (4.0 * SQRT((1.0 - 0.25) * m * (CASE WHEN m > 1.0 THEN (st2 - (st * st) / GREATEST(m, 1.0)) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END))) AS sum_est_ci_lower, st * 4.0 + 1.96 * (4.0 * SQRT((1.0 - 0.25) * m * (CASE WHEN m > 1.0 THEN (st2 - (st * st) / GREATEST(m, 1.0)) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END))) AS sum_est_ci_upper, CAST(m AS BIGINT) AS sum_est_m_blocks FROM m""")),
+
+    QueryDef("q42_neyman_stratified",
+      // deterministic Neyman: per-stratum systematic steps derived from
+      // EXACT pilot moments (fixed IEEE op order both engines) — the
+      // driver-gated variant of Sampling.neymanStratified
+      (s, d) => {
+        val (sampled, steps) = Sampling.neymanSystematic(lineitem(s, d),
+          "l_returnflag", col("l_extendedprice"), liKey, totalFraction = 0.1)
+        val stepCol = steps.tail.foldLeft(
+          when(col("l_returnflag") === steps.head._1, lit(steps.head._2))) {
+          case (acc, (k, st)) => acc.when(col("l_returnflag") === k, lit(st))
+        }.otherwise(lit(1L))
+        sampled.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_samples"),
+            sum(dec("l_extendedprice")).cast("double").as("s"))
+          .select(col("l_returnflag"), stepCol.as("step_h"), col("n_samples"),
+            (col("s") * stepCol.cast("double")).as("sum_price_est"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH st AS (SELECT l_returnflag AS flag, CAST(COUNT(l_extendedprice) AS DOUBLE) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2 FROM lineitem GROUP BY 1), w AS (SELECT flag, n, n * GREATEST(CASE WHEN n > 1.0 THEN SQRT((s2 - s * s / n) / (n - 1.0)) ELSE 0.0 END, 1e-9) AS wgt FROM st), tot AS (SELECT ((0.0 + MAX(CASE WHEN flag = 'A' THEN n END)) + MAX(CASE WHEN flag = 'N' THEN n END)) + MAX(CASE WHEN flag = 'R' THEN n END) AS totn, ((0.0 + MAX(CASE WHEN flag = 'A' THEN wgt END)) + MAX(CASE WHEN flag = 'N' THEN wgt END)) + MAX(CASE WHEN flag = 'R' THEN wgt END) AS totw FROM w), steps AS (SELECT flag, GREATEST(1, CAST(FLOOR(1.0 / LEAST(1.0, GREATEST(0.01, 0.1 * totn * wgt / (totw * n))) + 0.5) AS BIGINT)) AS step_h FROM w, tot) SELECT l_returnflag, step_h, COUNT(*) AS n_samples, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(step_h AS DOUBLE) AS sum_price_est FROM lineitem JOIN steps ON l_returnflag = steps.flag WHERE $liKeySql % step_h = 0 GROUP BY 1, 2 ORDER BY 1""")),
+
+    QueryDef("q43_stratified_equal_alloc",
+      // reference R18's actual design (custom_bplus_db.cpp:1331-1379): sort
+      // by amount, cut 4 equal ntile strata, 500 evenly-spaced samples EACH
+      (s, d) => {
+        val sampled = Sampling.equalAllocationStratified(lineitem(s, d),
+          col("l_extendedprice"), liKey, strataCount = 4, samplesPerStratum = 500)
+        sampled.groupBy(col("stratum"), col("n_h"))
+          .agg(count(lit(1)).as("n_sampled"),
+            (sum(dec("l_extendedprice")).cast("double") / count(lit(1))).as("avg_price_est"))
+          .select(col("stratum"), col("n_h"), col("n_sampled"), col("avg_price_est"),
+            (col("avg_price_est") * col("n_h").cast("double")).as("sum_price_est"))
+          .orderBy(col("stratum"))
+      },
+      Some(s"""WITH ranked AS (SELECT l_extendedprice, $liKeySql AS k, NTILE(4) OVER (ORDER BY l_extendedprice, $liKeySql) AS stratum FROM lineitem), rr AS (SELECT l_extendedprice, stratum, ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY l_extendedprice, k) AS rn, COUNT(*) OVER (PARTITION BY stratum) AS n_h FROM ranked), samp AS (SELECT * FROM rr WHERE (rn - 1) % GREATEST(1, CAST(FLOOR(CAST(n_h AS DOUBLE) / 500) AS BIGINT)) = 0 AND rn <= GREATEST(1, CAST(FLOOR(CAST(n_h AS DOUBLE) / 500) AS BIGINT)) * 500) SELECT stratum, n_h, COUNT(*) AS n_sampled, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price_est, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * CAST(n_h AS DOUBLE) AS sum_price_est FROM samp GROUP BY 1, 2 ORDER BY 1"""))
+  )
+
+  // ---------------------------------------------------------------------
 
   val all: Seq[QueryDef] =
-    exactQueries ++ approxQueries ++ ciQueries ++ InventoryPipeline.all ++
-      InventoryExtensions.all
+    exactQueries ++ approxQueries ++ ciQueries ++ designQueries ++
+      InventoryPipeline.all ++ InventoryExtensions.all
 
   def byName(name: String): QueryDef = all.find(_.name == name)
     .getOrElse(throw new NoSuchElementException(name))

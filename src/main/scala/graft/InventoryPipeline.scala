@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, TextAnalysis}
+import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis) over
   * the `documents` and `embeddings` fixtures, plus multi-table join and
@@ -223,5 +223,24 @@ object InventoryPipeline {
       None)
   )
 
-  val all: Seq[QueryDef] = joinAndEvents ++ textQueries ++ dedupQueries ++ annQueries
+  private val multimodalQueries: Seq[QueryDef] = Seq(
+    QueryDef("q44_multimodal_stats",
+      // drives the REAL multimodal path end-to-end: binary media table →
+      // mapPartitions feature extraction (stub decode; real batching/schema)
+      // → per-kind rollup. kind and byte counts are pure functions of the
+      // documents fixture, so DuckDB can oracle the metadata contract; the
+      // stub feature VALUES are asserted separately in MultimodalSpec.
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(documents(s, d))
+        Multimodal.extractFeatures(media).toDF()
+          .groupBy(col("kind"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("n_bytes").cast("long")).as("sum_bytes"))
+          .orderBy(col("kind"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, COUNT(*) AS n_items, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes FROM documents GROUP BY 1 ORDER BY 1"""))
+  )
+
+  val all: Seq[QueryDef] = joinAndEvents ++ textQueries ++ dedupQueries ++
+    annQueries ++ multimodalQueries
 }

@@ -26,8 +26,15 @@ final case class BenchmarkRow(agg: String, exact: Double, approx: Double,
 final case class AqeSession(spark: SparkSession) {
   def table(df: DataFrame, samplingKey: Column): ApproxTable =
     ApproxTable(df, samplingKey)
+  /** No-key overload: derive the sampling key as a content hash of the full
+    * row. Unlike `monotonically_increasing_id()` (whose values depend on the
+    * physical partitioning, so a "systematic" sample through it is neither
+    * reproducible across runs nor a fixed row set), `xxhash64(struct(cols))`
+    * is a pure function of row content — the same rows are selected on any
+    * cluster layout. Folded to 63 bits so `pmod` arithmetic never sees
+    * Long.MinValue. */
   def table(df: DataFrame): ApproxTable =
-    ApproxTable(df, monotonically_increasing_id())
+    ApproxTable(df, abs(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))))
 }
 
 /** Fluent approximate-query surface over one DataFrame. `samplingKey` is the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 import graft.Tables
 import graft.parser.QueryParser
-import graft.exec.SpecExecutor
+import graft.exec.{ApproxPlanner, SpecExecutor}
 
 /** Command-line front end — the Spark twin of the reference's CLIs
   * (enhanced_aqe_cli.py:388-433 flags; simple_cli/cli.py positional form).
@@ -12,7 +12,12 @@ import graft.exec.SpecExecutor
   * Usage:
   *   graft.cli.Main "SELECT SUM(l_extendedprice) FROM lineitem" \
   *     [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
-  *     [--compare] [--count-exact-compat]
+  *     [--method random|clt|block|adaptive|parallel|revolutionary|systematic]
+  *     [--seed N] [--compat] [--compare] [--count-exact-compat]
+  *
+  * `--compat` reproduces the reference's fixed policy tables
+  * (error→fraction, size router — ApproxPlanner scaladoc); without it,
+  * `--error` runs the adaptive CLT loop.
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -38,7 +43,16 @@ object Main {
       errorThresholdPct = opts.get("error").map(_.toDouble),
       withCi = opts.contains("ci"),
       confidence = opts.get("confidence").map(_.toDouble).getOrElse(0.95))
-    val spec = spec0.copy(countExactCompat = opts.contains("count-exact-compat"))
+    val spec1 = spec0.copy(countExactCompat = opts.contains("count-exact-compat"))
+    // --method/--seed/--compat policy layer (reference-compat planner); the
+    // 'revolutionary' size router needs the table's record count — one cheap
+    // count only when that method is requested
+    val needCount = opts.get("method").exists(_.equalsIgnoreCase("revolutionary"))
+    val totalRecords =
+      if (needCount) Some(spark.table(spec1.table).count()) else None
+    val spec = ApproxPlanner.plan(spec1, opts.get("method"),
+      compat = opts.contains("compat"), seed = opts.get("seed").map(_.toLong),
+      totalRecords = totalRecords)
 
     val t0 = System.nanoTime()
     val result = SpecExecutor.run(spark, spec)
@@ -73,6 +87,7 @@ object Main {
   private val usage =
     """usage: graft.cli.Main "<SELECT agg(col) FROM table [WHERE ..] [GROUP BY g]>"
       |  [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
-      |  [--compare] [--count-exact-compat]
+      |  [--method random|clt|block|adaptive|parallel|revolutionary|systematic]
+      |  [--seed N] [--compat] [--compare] [--count-exact-compat]
       |APPROX(agg(col)) embedded syntax is also accepted.""".stripMargin
 }

@@ -3,7 +3,7 @@ package graft.exec
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.model.AggKind
+import graft.model.{AggKind, SamplingStrategy}
 
 /** Scale-up estimators and CLT confidence intervals, as single-pass
   * DataFrame aggregations.
@@ -61,7 +61,7 @@ object Estimators {
     * `n` (count), `s` (sum), `s2` (sum of squares); emits
     * `alias`, `{alias}_ci_lower`, `{alias}_ci_upper`, `{alias}_n`. */
   private def ciProjection(agg: AggKind, scale: Double, z: Double, alias: String,
-      n: Column, s: Column, s2: Column): Seq[Column] = {
+      n: Column, s: Column, s2: Column, deterministicN: Boolean = false): Seq[Column] = {
     // Denominators guarded with greatest(...): ANSI mode (Spark 4 default)
     // throws DIVIDE_BY_ZERO, and common-subexpression elimination hoists the
     // division out of the `when` guard — so the guard must live in the
@@ -77,10 +77,16 @@ object Estimators {
       case AggKind.Avg   => (mean, lit(z) * se)
       // SUM: value = scale·Σx ; margin = z·se·N̂, N̂ = scale·n  (B2 corrected)
       case AggKind.Sum   => (s * lit(scale), lit(z) * se * lit(scale) * n)
-      // COUNT: N̂ = scale·n ; Bernoulli margin = z·scale·√(n·(1−f)), f = 1/scale
+      // COUNT: N̂ = scale·n. Margin is the Bernoulli binomial term
+      // z·scale·√(n·(1−f)) ONLY for random designs; key-mod designs
+      // (systematic/block/dual-rate) have deterministic n, so the COUNT
+      // estimate carries no sampling noise — margin 0.
       case AggKind.Count =>
         val f = 1.0 / scale
-        (n * lit(scale), lit(z) * lit(scale) * sqrt(n * lit(1.0 - f)))
+        val margin =
+          if (deterministicN) lit(0.0)
+          else lit(z) * lit(scale) * sqrt(n * lit(1.0 - f))
+        (n * lit(scale), margin)
       case other =>
         throw new IllegalArgumentException(s"CI undefined for $other")
     }
@@ -88,6 +94,16 @@ object Estimators {
       (value - margin).as(s"${alias}_ci_lower"),
       (value + margin).as(s"${alias}_ci_upper"),
       n.cast("long").as(s"${alias}_n"))
+  }
+
+  /** True when the design's realized sample size is a deterministic function
+    * of the population (key-mod strides), not a random variable. */
+  def hasDeterministicN(strategy: SamplingStrategy): Boolean = strategy match {
+    case SamplingStrategy.Exact                 => true
+    case _: SamplingStrategy.Systematic         => true
+    case _: SamplingStrategy.Block              => true
+    case _: SamplingStrategy.DualRate           => true
+    case _                                      => false
   }
 
   /** Scalar aggregate with 95% (or chosen) CI — reference A6, single pass. */
@@ -99,7 +115,7 @@ object Estimators {
       sum(value).cast("double").as("s"),
       sum(value * value).cast("double").as("s2"))
     moments.select(ciProjection(agg, sf.scaleFactor, z, alias,
-      col("n"), col("s"), col("s2")): _*)
+      col("n"), col("s"), col("s2"), hasDeterministicN(sf.strategy)): _*)
   }
 
   /** Grouped aggregate with CI — reference A7, one shuffle. Groups with
@@ -114,7 +130,46 @@ object Estimators {
       sum(value * value).cast("double").as("s2"))
     val groupNames = moments.columns.dropRight(3).map(col)
     moments.select(groupNames.toIndexedSeq ++ ciProjection(agg, sf.scaleFactor, z, alias,
-      col("n"), col("s"), col("s2")): _*)
+      col("n"), col("s"), col("s2"), hasDeterministicN(sf.strategy)): _*)
+  }
+
+  /** Design-aware CI for CLUSTER (block / file-level) samples — SURVEY
+    * §7.4.4's "keep CI computation strategy-aware" requirement. Feeding a
+    * clustered sample to [[ciAgg]] yields an SRS variance that ignores
+    * intra-cluster correlation and under-covers; the correct unit of
+    * variance is the BLOCK TOTAL:
+    *
+    *   T̂   = skip · Σ_b t_b              (t_b = total of sampled block b)
+    *   s_t² = (Σt² − (Σt)²/m) / (m−1)    (variance over m block totals)
+    *   se   = skip · √((1 − f) · m · s_t²),  f = 1/skip   (M̂ = m·skip blocks)
+    *   CI   = T̂ ± z·se
+    *
+    * Block totals go through exact decimal sums, so the per-block moments —
+    * and therefore the whole CI — are deterministic and oracle-matchable.
+    * Two aggregations: per-block totals (one shuffle on blockCol — map-side
+    * combined, shuffle ∝ #blocks), then a scalar moment pass. Emits
+    * `alias`, `{alias}_ci_lower`, `{alias}_ci_upper`, `{alias}_m_blocks`. */
+  def blockCiSum(sampledDf: DataFrame, blockCol: Column, value: Column,
+      skip: Double, alias: String, confidence: Double = 0.95): DataFrame = {
+    val z = zScore(confidence)
+    val f = 1.0 / skip
+    val blocks = sampledDf.groupBy(blockCol.as("__block"))
+      .agg(sum(value.cast("decimal(18,2)")).cast("decimal(18,2)").as("t"))
+    val moments = blocks.agg(
+      count(lit(1)).cast("double").as("m"),
+      sum(col("t")).cast("double").as("st"),
+      sum(col("t") * col("t")).cast("double").as("st2"))
+    val m = col("m")
+    val varT = when(m > 1,
+      (col("st2") - (col("st") * col("st")) / greatest(m, lit(1.0))) /
+        greatest(m - lit(1.0), lit(1.0))).otherwise(lit(0.0))
+    val est = col("st") * lit(skip)
+    val se = lit(skip) * sqrt((lit(1.0) - lit(f)) * m * varT)
+    moments.select(
+      est.as(alias),
+      (est - lit(z) * se).as(s"${alias}_ci_lower"),
+      (est + lit(z) * se).as(s"${alias}_ci_upper"),
+      m.cast("long").as(s"${alias}_m_blocks"))
   }
 
   /** Relative half-width of the CI in percent — the quantity the adaptive

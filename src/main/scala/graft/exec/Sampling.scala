@@ -71,8 +71,10 @@ object Sampling {
     SampledFrame(df.filter(pmod(floor(key / lit(blockSize)), lit(skip)) === lit(0)),
       skip.toDouble, Block(blockSize, skip))
 
-  /** Stratified Bernoulli sample with equal fraction per stratum
-    * (reference R18 equal-allocation design). Uses `sampleBy`, which needs
+  /** Stratified Bernoulli sample with equal FRACTION per stratum —
+    * proportional allocation (n_h ∝ N_h). The reference's R18 equal-SIZE
+    * allocation over value ntiles is [[equalAllocationStratified]].
+    * Uses `sampleBy`, which needs
     * the stratum keys: they are computed with one small distinct job
     * (bounded by stratum cardinality, fine at any scale for low-cardinality
     * strata — the only kind the design makes sense for). */
@@ -126,8 +128,87 @@ object Sampling {
       scales)
   }
 
-  /** Deterministic stratified-systematic: per-stratum systematic sampling by
-    * key arithmetic — SQL-expressible, unlike `sampleBy`. */
+  /** Reference R18's actual design (custom_bplus_db.cpp:1331-1379): sort by
+    * `value`, cut `strataCount` equal-size strata (ntile), take the same
+    * number of evenly-spaced samples from EACH stratum (equal-size
+    * allocation; within-stratum stride = floor(N_h / samplesPerStratum)).
+    * Fully deterministic given a total tie-break order → ANSI-SQL
+    * expressible and oracle-matchable.
+    *
+    * Scale note: the global `ntile` is a total sort — the one design here
+    * that is not a pure scan-stage filter, faithfully mirroring the
+    * reference's sort-based construction. At 100 TB, cut strata on value
+    * RANGES from `approx_percentile` boundaries instead (same estimator,
+    * boundaries collected once); this exact-ntile form is the
+    * oracle-checkable semantics statement.
+    *
+    * Output gains `stratum` (1-based), `n_h` (stratum population size) —
+    * the per-stratum expansion weight is n_h / n_sampled_h. */
+  def equalAllocationStratified(df: DataFrame, value: Column, tieBreak: Column,
+      strataCount: Int, samplesPerStratum: Int): DataFrame = {
+    require(strataCount >= 1 && samplesPerStratum >= 1)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(value, tieBreak)
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stratum")).orderBy(value, tieBreak)
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("stratum"))
+    df.withColumn("stratum", ntile(strataCount).over(w))
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("n_h", count(lit(1)).over(wh))
+      .withColumn("step_h",
+        greatest(lit(1L), floor(col("n_h") / lit(samplesPerStratum))))
+      .filter(pmod(col("rn") - 1, col("step_h")) === 0 &&
+        col("rn") <= col("step_h") * lit(samplesPerStratum.toLong))
+      .drop("rn", "step_h")
+  }
+
+  /** Deterministic Neyman allocation (driver-gated twin of
+    * [[neymanStratified]]): per-stratum systematic steps derived from EXACT
+    * pilot moments, so the selected row set is a pure function of the data —
+    * oracle-expressible. Allocation math (computed on the driver from one
+    * tiny distributed moment job, fixed operation order so a foreign engine
+    * reproduces the same IEEE doubles):
+    *
+    *   sd_h   = sqrt((s2_h − s_h²/n_h) / (n_h − 1))   (moments from exact decimal sums)
+    *   w_h    = n_h · sd_h ;  W = Σ w_h  (folded in stratum sort order)
+    *   f_h    = min(1, max(minFraction, totalFraction · N · w_h / (W · n_h)))
+    *   step_h = max(1, floor(1/f_h + 0.5))
+    *
+    * Sample = rows with `key % step_h == 0` in stratum h. Returns the
+    * sampled frame and the per-stratum steps (the per-stratum scale for SUM
+    * estimates is step_h itself). */
+  def neymanSystematic(df: DataFrame, strataCol: String, value: Column,
+      key: Column, totalFraction: Double, minFraction: Double = 0.01): (DataFrame, Seq[(String, Long)]) = {
+    require(totalFraction > 0 && totalFraction <= 1.0)
+    val dec = value.cast("decimal(18,2)")
+    val stats = df.groupBy(col(strataCol)).agg(
+      count(value).as("n_h"),
+      sum(dec).cast("double").as("s_h"),
+      sum(dec * dec).cast("double").as("s2_h"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1) // fixed fold order
+    val weights = stats.map { case (k, n, s, s2) =>
+      val nd = n.toDouble
+      val sd = if (n > 1) math.sqrt((s2 - s * s / nd) / (nd - 1.0)) else 0.0
+      (k, nd, nd * math.max(sd, 1e-9))
+    }
+    val totalN = weights.map(_._2).sum
+    val totalW = weights.foldLeft(0.0)((acc, w) => acc + w._3) // sort order
+    val steps = weights.map { case (k, n, wgt) =>
+      val f = math.min(1.0, math.max(minFraction,
+        totalFraction * totalN * wgt / (totalW * n)))
+      k -> math.max(1L, math.floor(1.0 / f + 0.5).toLong)
+    }
+    val stepCol = steps.tail.foldLeft(
+      when(col(strataCol) === steps.head._1, lit(steps.head._2))) {
+      case (acc, (k, st)) => acc.when(col(strataCol) === k, lit(st))
+    }.otherwise(lit(1L))
+    (df.filter(pmod(key, stepCol) === 0), steps.toSeq)
+  }
+
+  /** Deterministic stratified-systematic with ONE shared step — proportional
+    * allocation (each stratum contributes ∝ its size); SQL-expressible,
+    * unlike `sampleBy`. */
   def stratifiedSystematic(df: DataFrame, strataCol: String, key: Column, step: Long): SampledFrame =
     SampledFrame(df.filter(pmod(key, lit(step)) === lit(0)),
       step.toDouble, Systematic(step, 0L))
@@ -138,14 +219,10 @@ object Sampling {
     * 1/c + 1/f − overlap, where the residue classes intersect (CRT) iff
     * gcd(c, f) divides 1, i.e. gcd == 1, with density 1/(c·f). */
   def dualRate(df: DataFrame, key: Column, coarseStep: Long, fineStep: Long): SampledFrame = {
-    require(coarseStep >= 2 && fineStep >= 2 && coarseStep != fineStep, "strides must differ and be >= 2")
+    val strategy = DualRate(coarseStep, fineStep)
     val sampled = df.filter(pmod(key, lit(coarseStep)) === lit(0) ||
       pmod(key, lit(fineStep)) === lit(1))
-    val overlap =
-      if (BigInt(coarseStep).gcd(BigInt(fineStep)) == 1) 1.0 / (coarseStep.toDouble * fineStep)
-      else 0.0
-    val p = 1.0 / coarseStep + 1.0 / fineStep - overlap
-    SampledFrame(sampled, 1.0 / p, Exact)
+    SampledFrame(sampled, strategy.scaleFactor, strategy)
   }
 
   /** Gather rows whose key is in an explicit index list (reference R27
@@ -166,6 +243,7 @@ object Sampling {
       case Uniform(f, seed)            => uniform(df, f, seed)
       case Systematic(step, off)       => systematic(df, key, step, off)
       case Block(bs, skip)             => block(df, key, bs, skip)
+      case DualRate(coarse, fine)      => dualRate(df, key, coarse, fine)
       case Stratified(c, f, seed)      => stratified(df, c, f, seed)
       case a: SamplingStrategy.Adaptive =>
         throw new IllegalArgumentException(

@@ -66,6 +66,22 @@ object SamplingStrategy {
     def scaleFactor: Double = skip.toDouble
   }
 
+  /** Dual-rate sampling (reference R9 `dual_pointer_sample`): union of a
+    * coarse stride (`key % coarseStep == 0`) and a fine stride on offset 1
+    * (`key % fineStep == 1`). Deterministic key-mod design, so n is fixed
+    * given the population; scale is 1/p by inclusion–exclusion. */
+  final case class DualRate(coarseStep: Long, fineStep: Long) extends SamplingStrategy {
+    require(coarseStep >= 2 && fineStep >= 2 && coarseStep != fineStep,
+      s"strides must differ and be >= 2: ($coarseStep, $fineStep)")
+    def scaleFactor: Double = {
+      val overlap =
+        if (BigInt(coarseStep).gcd(BigInt(fineStep)) == 1)
+          1.0 / (coarseStep.toDouble * fineStep)
+        else 0.0
+      1.0 / (1.0 / coarseStep + 1.0 / fineStep - overlap)
+    }
+  }
+
   /** Stratified sampling: per-stratum fractions (reference R17/R18,
     * custom_bplus_db.cpp:1273-1379) via `df.stat.sampleBy` or per-stratum
     * systematic steps. */

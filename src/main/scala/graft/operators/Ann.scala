@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
 
+/** Result row of the JIT brute-force kernel. Top-level and public:
+  * whole-stage codegen instantiates it reflectively from generated code,
+  * so a class nested in `object Ann` (or with private accessors) throws
+  * CompileException and silently degrades every task to the interpreted
+  * fallback path. */
+case class ScoredNeighbor(query_id: Long, neighbor_id: Long, cosine: Double)
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (north-star similarity ops; no counterpart in the reference).
   *
@@ -38,8 +45,6 @@ object Ann {
       .filter(col("rank") <= k).drop("rank")
   }
 
-  private case class Scored(query_id: Long, neighbor_id: Long, cosine: Double)
-
   /** [[bruteForceTopK]], JIT-kernel form: broadcast probe matrix, primitive
     * float-array dot/norm loops inside `mapPartitions`, and a bounded
     * per-(partition, query) top-k heap so the shuffle carries at most
@@ -64,11 +69,11 @@ object Ann {
         val ps = bc.value
         // per-query bounded min-heaps (ordered worst-first for eviction)
         val heaps = scala.collection.mutable.Map.empty[Long,
-          scala.collection.mutable.PriorityQueue[Scored]]
+          scala.collection.mutable.PriorityQueue[ScoredNeighbor]]
         // (-cosine, nid) natural order: greater tuple = lower cosine or
         // larger id = WORSE; PQ dequeues its max, so head is the worst kept
-        implicit val worstFirst: Ordering[Scored] =
-          Ordering.by[Scored, (Double, Long)](s => (-s.cosine, s.neighbor_id))
+        implicit val worstFirst: Ordering[ScoredNeighbor] =
+          Ordering.by[ScoredNeighbor, (Double, Long)](s => (-s.cosine, s.neighbor_id))
         it.foreach { case (nid, v) =>
           var pi = 0
           while (pi < ps.length) {
@@ -82,12 +87,12 @@ object Ann {
               val denom = math.sqrt(na) * math.sqrt(nb)
               val c = if (denom > 0) dot / denom else 0.0
               val h = heaps.getOrElseUpdate(qid,
-                new scala.collection.mutable.PriorityQueue[Scored]()(worstFirst))
-              if (h.size < k) h.enqueue(Scored(qid, nid, c))
-              else if (worstFirst.lt(Scored(qid, nid, c), h.head)) {
+                new scala.collection.mutable.PriorityQueue[ScoredNeighbor]()(worstFirst))
+              if (h.size < k) h.enqueue(ScoredNeighbor(qid, nid, c))
+              else if (worstFirst.lt(ScoredNeighbor(qid, nid, c), h.head)) {
                 // new candidate sorts BETTER than current worst (ordering is
                 // worst-first): replace
-                h.dequeue(); h.enqueue(Scored(qid, nid, c))
+                h.dequeue(); h.enqueue(ScoredNeighbor(qid, nid, c))
               }
             }
             pi += 1
@@ -169,12 +174,18 @@ object Ann {
       .select(col("p.id_a"), col("p.id_b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = df.select(col(idCol), col(vecCol))
-    pairs
+    val verified = pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
         VectorOps.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager verify → release the candidate cache immediately (no cache creep
+    // in long pipelines); callers own the returned (small) result's lifetime
+    verified.count()
+    pairs.unpersist(blocking = false)
+    verified
   }
 
   /** Oracle twin: exact all-pairs cosine >= threshold (O(N²), small data). */

@@ -188,11 +188,18 @@ object Dedup {
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val sh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
-    cands
+    val verified = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (small) verified pairs eagerly so the candidate cache
+    // can be released NOW instead of creeping for the pipeline's lifetime;
+    // callers holding the result long-term own its unpersist.
+    verified.count()
+    cands.unpersist(blocking = false)
+    verified
   }
 
   /** Oracle twin of [[nearDupPairs]]: exact all-pairs Jaccard — O(N²),
@@ -231,6 +238,28 @@ object Dedup {
       lit(0L), (acc, m) => acc.bitwiseOR(m))
   }
 
+  /** [[simhash64]] in the explode + HashAggregate shape (the same treatment
+    * MinHash got in [[lshBands]]): per-token xxhash64 and the 64 sign
+    * counters run inside whole-stage codegen as conditional SUM aggregates,
+    * instead of an interpreted per-token zip_with fold (64 lambda ops per
+    * token). Map-side combine means the shuffle carries 64 longs per
+    * document. Output: (idCol, sk) — bit-identical to `simhash64`
+    * (DedupSpec asserts equality). */
+  def simhashSketch(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(col(textCol), " +")).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val sumAggs = (0 until 64).map { j =>
+      sum(when(col("h").bitwiseAND(lit(1L << j)) =!= 0, lit(1L)).otherwise(lit(-1L)))
+        .as(s"c$j")
+    }
+    val counters = toks.groupBy(col(idCol)).agg(sumAggs.head, sumAggs.tail: _*)
+    val sk = (0 until 64)
+      .map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    counters.select(col(idCol), sk.as("sk"))
+  }
+
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -241,7 +270,7 @@ object Dedup {
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
-    val sk = df.select(col(idCol), simhash64(col(textCol)).as("sk"))
+    val sk = simhashSketch(df, idCol, textCol) // codegen path; == simhash64
     // same bucket-collect shape as lshCandidatePairs: single sketch
     // evaluation, in-bucket pair enumeration
     val chunks = sk.select(col(idCol), col("sk"),

@@ -54,42 +54,67 @@ object StreamingAgg {
   case class SessionOut(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Long, sum_value: Double)
 
-  /** Per-user session aggregation with a processing-time gap timeout —
-    * the custom-state path (`mapGroupsWithState`) the north star asks for.
-    * A session closes after `gapMillis` without events; closed sessions are
-    * emitted, open ones stay in state. */
-  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+  private def toOut(userId: Long, s: SessionState): SessionOut =
+    SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
+      s.nEvents, s.sumValue)
+
+  /** Per-user gap sessionization via `flatMapGroupsWithState` — the
+    * custom-state path the north star asks for, with correct emission
+    * semantics: a gap inside one batch emits the finished session
+    * immediately (nothing is ever discarded), and an idle session closes
+    * through an event-time timeout once the watermark passes
+    * `lastSeen + gapMillis`.
+    *
+    * Works on batch Datasets too (state machinery is identical); since no
+    * later batch can extend a batch group's trailing session, it is closed
+    * and emitted as well — making batch sessionization deterministic and
+    * oracle-expressible (lag/gap-flag/cumulative-count in ANSI SQL). */
+  def sessionize(events: Dataset[Event], gapMillis: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events
+    val streaming = events.isStreaming
+    val src = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+    src
       .groupByKey(_.user_id)
-      .mapGroupsWithState[SessionState, SessionOut](GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionOut](OutputMode.Append, timeoutConf) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
-              s.nEvents, s.sumValue)
+            Iterator.single(toOut(userId, s))
           } else {
-            val evs = batch.toSeq.sortBy(_.ts.getTime)
-            val prev = state.getOption
-            val merged = evs.foldLeft(prev) { (acc, e) =>
+            // deterministic fold order: event time, then id as tiebreak
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            evs.foreach { e =>
               val t = e.ts.getTime
-              acc match {
+              cur match {
                 case Some(s) if t - s.lastSeen <= gapMillis =>
-                  Some(SessionState(s.start, t, s.nEvents + 1, s.sumValue + e.value))
-                case _ =>
-                  // gap exceeded: in this simplified emit-on-timeout model the
-                  // previous session is folded into the new one's emission
-                  // when it times out; production variant uses
-                  // flatMapGroupsWithState to emit both
-                  Some(SessionState(t, t, 1L, e.value))
+                  cur = Some(SessionState(s.start, math.max(s.lastSeen, t),
+                    s.nEvents + 1, s.sumValue + e.value))
+                case Some(s) => // gap exceeded: close the old session NOW
+                  closed += toOut(userId, s)
+                  cur = Some(SessionState(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1L, e.value))
               }
             }
-            merged.foreach(state.update)
-            state.setTimeoutDuration(gapMillis)
-            val s = merged.get
-            SessionOut(userId, new Timestamp(s.start), new Timestamp(s.lastSeen),
-              s.nEvents, s.sumValue)
+            if (streaming) {
+              cur.foreach { s =>
+                state.update(s)
+                // a very-late group may sit behind the watermark; the timeout
+                // timestamp must not (Spark rejects it) — clamp forward so the
+                // session closes on the next watermark advance instead
+                state.setTimeoutTimestamp(
+                  math.max(s.lastSeen + gapMillis, state.getCurrentWatermarkMs + 1))
+              }
+            } else {
+              cur.foreach(s => closed += toOut(userId, s))
+            }
+            closed.result().iterator
           }
       }
   }

@@ -134,4 +134,80 @@ class EstimatorSpec extends SparkSpec {
     assert(Estimators.zScore(0.95) === 1.96)
     assert(Estimators.zScore(0.90) === 1.645)
   }
+
+  test("dualRate reports its own strategy tag, not Exact") {
+    val sf = Sampling.dualRate(li, liKey, coarseStep = 10L, fineStep = 7L)
+    assert(sf.strategy === graft.model.SamplingStrategy.DualRate(10L, 7L))
+    assert(math.abs(sf.scaleFactor - 1.0 / (0.1 + 1.0 / 7 - 1.0 / 70)) < 1e-12)
+  }
+
+  test("COUNT CI margin is zero for deterministic-n designs, nonzero for Bernoulli") {
+    val sys = Sampling.systematic(li, liKey, step = 10L)
+    val sysRow = Estimators.ciAgg(sys, AggKind.Count, lit(1L), "cnt").head()
+    assert(sysRow.getDouble(0) === sysRow.getDouble(1) &&
+      sysRow.getDouble(0) === sysRow.getDouble(2),
+      "systematic n is deterministic: margin must be 0")
+    val uni = Sampling.uniform(li, 0.1, seed = 11L)
+    val uniRow = Estimators.ciAgg(uni, AggKind.Count, lit(1L), "cnt").head()
+    assert(uniRow.getDouble(1) < uniRow.getDouble(0) &&
+      uniRow.getDouble(0) < uniRow.getDouble(2),
+      "Bernoulli realized n is binomial: margin must be > 0")
+  }
+
+  test("design-aware block CI covers on clustered data where SRS CI under-covers") {
+    // 40 blocks of 100 rows; value constant WITHIN a block, pseudo-random
+    // ACROSS blocks -> all variance is between-cluster. An SRS formula sees
+    // n=1000 'independent' rows and shrinks the margin by ~sqrt(100) too much.
+    val df = spark.range(0, 4000)
+      .select(col("id"),
+        (pmod(floor(col("id") / lit(100L)) * lit(2654435761L), lit(997L)))
+          .cast("double").as("v"))
+    val exact = df.agg(sum(col("v"))).head().getDouble(0)
+    val sf = Sampling.block(df, col("id"), blockSize = 100L, skip = 4L)
+    val srs = Estimators.ciAgg(sf, AggKind.Sum, col("v"), "s").head()
+    val blk = Estimators.blockCiSum(sf.df, floor(col("id") / lit(100L)),
+      col("v"), skip = 4.0, alias = "s").head()
+    val srsMargin = (srs.getDouble(2) - srs.getDouble(1)) / 2.0
+    val blkMargin = (blk.getDouble(2) - blk.getDouble(1)) / 2.0
+    assert(blkMargin > 2.0 * srsMargin,
+      s"design effect must widen the CI: block=$blkMargin srs=$srsMargin")
+    assert(blk.getDouble(1) <= exact && exact <= blk.getDouble(2),
+      s"block CI [${blk.getDouble(1)}, ${blk.getDouble(2)}] must cover exact=$exact")
+  }
+
+  test("equal-allocation value-ntile stratification takes the same n from each stratum") {
+    val sampled = Sampling.equalAllocationStratified(li,
+      col("l_extendedprice"), liKey, strataCount = 4, samplesPerStratum = 300)
+    val perStratum = sampled.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perStratum.keySet === Set(1, 2, 3, 4))
+    assert(perStratum.values.forall(_ === 300L),
+      s"equal allocation violated: $perStratum")
+    // stratified mean-of-per-stratum-estimates stays near the exact AVG
+    val est = sampled
+      .groupBy(col("stratum"), col("n_h"))
+      .agg((sum(col("l_extendedprice")) / count(lit(1))).as("avg_h"))
+      .agg(sum(col("avg_h") * col("n_h"))).head().getDouble(0) / exactCount
+    assert(math.abs(est - li.agg(avg(col("l_extendedprice"))).head().getDouble(0)) /
+      li.agg(avg(col("l_extendedprice"))).head().getDouble(0) < 0.05)
+  }
+
+  test("deterministic Neyman systematic allocates more sampling to high-variance strata") {
+    val (sampled, steps) = Sampling.neymanSystematic(li, "l_returnflag",
+      col("l_extendedprice"), liKey, totalFraction = 0.1)
+    assert(steps.map(_._1).sorted === Seq("A", "N", "R"))
+    assert(steps.forall(_._2 >= 1L))
+    // realized sample ≈ Σ n_h/step_h; should land near 10% of the table
+    val n = sampled.count().toDouble
+    assert(math.abs(n / exactCount - 0.1) < 0.05, s"sampled $n of $exactCount")
+    // estimate with per-stratum scale step_h
+    val stepCol = steps.tail.foldLeft(
+      when(col("l_returnflag") === steps.head._1, lit(steps.head._2))) {
+      case (acc, (k, st)) => acc.when(col("l_returnflag") === k, lit(st))
+    }.otherwise(lit(1L))
+    val est = sampled.agg(sum(col("l_extendedprice") * stepCol.cast("double")))
+      .head().getDouble(0)
+    assert(math.abs(est - exactSum) / exactSum < 0.1, s"est=$est exact=$exactSum")
+  }
 }

@@ -21,6 +21,16 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("codegen simhashSketch is bit-identical to the expression-form simhash64") {
+    val viaExpr = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = Dedup.simhashSketch(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg.keySet === viaExpr.keySet)
+    val diffs = viaExpr.keys.filter(k => viaExpr(k) != viaAgg(k))
+    assert(diffs.isEmpty, s"sketch mismatch for doc_ids: ${diffs.take(5).toSeq}")
+  }
+
   test("simhash finds the high-jaccard planted pairs") {
     val planted = Dedup.allPairsJaccard(docs, "doc_id", "text", threshold = 0.95)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

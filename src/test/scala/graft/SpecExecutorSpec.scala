@@ -56,6 +56,67 @@ class SpecExecutorSpec extends SparkSpec {
     assert(r === spark.table("lineitem").count().toDouble)
   }
 
+  test("--compat maps --error to the reference's fixed fraction table") {
+    import graft.exec.ApproxPlanner
+    import graft.model.SamplingStrategy
+    // enhanced_aqe_cli.py:243-250: <=1 -> 20%, <=2 -> 15%, <=5 -> 10%, else 5%
+    def planned(err: Double) = ApproxPlanner.plan(
+      QueryParser.parse("SELECT SUM(l_extendedprice) FROM lineitem",
+        errorThresholdPct = Some(err)),
+      method = None, compat = true, seed = None).sampling
+    assert(planned(1.0) === SamplingStrategy.Uniform(0.20, 42L))
+    assert(planned(2.0) === SamplingStrategy.Uniform(0.15, 42L))
+    assert(planned(5.0) === SamplingStrategy.Uniform(0.10, 42L))
+    assert(planned(10.0) === SamplingStrategy.Uniform(0.05, 42L))
+    // WITHOUT --compat the same flag still runs the adaptive loop
+    val noCompat = ApproxPlanner.plan(
+      QueryParser.parse("SELECT SUM(l_extendedprice) FROM lineitem",
+        errorThresholdPct = Some(2.0)),
+      method = None, compat = false, seed = None).sampling
+    assert(noCompat.isInstanceOf[SamplingStrategy.Adaptive])
+  }
+
+  test("--method routes to the right design; --seed re-seeds Bernoulli") {
+    import graft.exec.ApproxPlanner
+    import graft.model.SamplingStrategy
+    val base = QueryParser.parse("SELECT SUM(l_extendedprice) FROM lineitem",
+      samplePercent = Some(10.0))
+    assert(ApproxPlanner.plan(base, Some("systematic"), compat = false, seed = None)
+      .sampling === SamplingStrategy.Systematic(10L))
+    assert(ApproxPlanner.plan(base, Some("block"), compat = false, seed = None)
+      .sampling === SamplingStrategy.Block(64L, 10L))
+    assert(ApproxPlanner.plan(base, Some("random"), compat = false, seed = Some(7L))
+      .sampling === SamplingStrategy.Uniform(0.10, 7L))
+    assert(ApproxPlanner.plan(base, None, compat = false, seed = Some(9L))
+      .sampling === SamplingStrategy.Uniform(0.10, 9L))
+    // size router (enhanced_aqe_cli.py:178-186): big -> stride, medium ->
+    // random probe, small -> sequential/cluster
+    assert(ApproxPlanner.routeBySize(60000L, 0.1, 42L) === SamplingStrategy.Systematic(10L))
+    assert(ApproxPlanner.routeBySize(20000L, 0.1, 42L) === SamplingStrategy.Uniform(0.1, 42L))
+    assert(ApproxPlanner.routeBySize(5000L, 0.1, 42L) === SamplingStrategy.Block(64L, 10L))
+    // query-shape recommendation (enhanced_aqe_cli.py:116-131)
+    assert(ApproxPlanner.optimalMethod("SELECT SUM(x) FROM t", Some(200000L)) === "revolutionary")
+    assert(ApproxPlanner.optimalMethod("SELECT SUM(x) FROM t", Some(1000L)) === "clt")
+    assert(ApproxPlanner.optimalMethod("SELECT AVG(x) FROM t", None) === "random")
+    assert(ApproxPlanner.optimalMethod("SELECT MIN(x) FROM t GROUP BY g", None) === "parallel")
+  }
+
+  test("default sampling key is content-based: same rows under any partitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.model.SamplingStrategy
+    val aqe = graft.api.AqeSession(spark)
+    val df = Tables.lineitem(spark, sf0001)
+    // exact decimal sum: order-independent, so only the selected ROW SET
+    // matters (a double sum would drift ~1e-15 with partition order)
+    def sampledSum(d: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      aqe.table(d).sampled(SamplingStrategy.Systematic(7L)).df
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")))
+        .head().getDecimal(0)
+    // monotonically_increasing_id would pick a different row set per layout
+    assert(sampledSum(df) === sampledSum(df.repartition(13)))
+    assert(sampledSum(df) === sampledSum(df.coalesce(1)))
+  }
+
   test("--error routes through the adaptive executor with status column") {
     ensureTables()
     val spec = QueryParser.parse("SELECT SUM(l_extendedprice) FROM lineitem",

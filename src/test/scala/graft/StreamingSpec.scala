@@ -37,12 +37,45 @@ class StreamingSpec extends SparkSpec {
     val evs = Tables.events(spark, sf0001)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[StreamingAgg.Event]
-    // batch Dataset: mapGroupsWithState over a bounded group works in batch
-    // mode too (state machinery identical, no timeouts fire)
+    // batch Dataset: flatMapGroupsWithState over a bounded group works in
+    // batch mode too; trailing sessions are closed, so every event lands in
+    // exactly one emitted session
     val sessions = StreamingAgg.sessionize(evs, gapMillis = 60 * 60 * 1000L)
     val out = sessions.collect()
     assert(out.nonEmpty)
     assert(out.forall(s => s.n_events > 0))
     assert(out.forall(s => !s.session_end.before(s.session_start)))
+    assert(out.map(_.n_events).sum == evs.count(),
+      "every event must land in exactly one session")
+  }
+
+  test("sessionize emits both sessions when a gap splits inside one batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[StreamingAgg.Event]
+    // base offset keeps every ts strictly above the initial watermark (0):
+    // a row with ts == watermark is dropped by the stateful late-row filter
+    def ev(id: Long, tMin: Long, user: Long, v: Double) =
+      StreamingAgg.Event(id, new java.sql.Timestamp((tMin + 10) * 60000L), user, "click", v)
+    // user 1: two sessions split by a 2h gap, all inside ONE micro-batch;
+    // user 99's much-later event drives the watermark past session B's
+    // timeout so the event-time timeout can fire in the no-data batch
+    input.addData(
+      ev(1, 0, 1, 1.0), ev(2, 1, 1, 2.0), // session A: [10min, 11min]
+      ev(3, 120, 1, 3.0), ev(4, 121, 1, 4.0), // session B: [2h10, 2h11]
+      ev(5, 600, 99, 0.5)) // watermark driver (10h)
+    val sessions = StreamingAgg.sessionize(input.toDS(),
+      gapMillis = 60 * 60 * 1000L, watermarkDelay = "1 minute")
+    val q = sessions.writeStream.format("memory").queryName("sess_split")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("sess_split").as[StreamingAgg.SessionOut].collect()
+      val u1 = out.filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+      assert(u1.length == 2, s"expected 2 sessions for user 1, got ${u1.toSeq}")
+      assert(u1(0).n_events == 2 && u1(0).sum_value == 3.0, s"session A wrong: ${u1(0)}")
+      assert(u1(1).n_events == 2 && u1(1).sum_value == 7.0, s"session B wrong: ${u1(1)}")
+    } finally q.stop()
   }
 }
