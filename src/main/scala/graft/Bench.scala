@@ -85,7 +85,16 @@ object Bench {
       fileSf.df.agg(sum(col("l_extendedprice")) * lit(fileSf.scaleFactor))
         .collect(): Unit
     }
+    // embedding near-dup over the full embeddings fixture: exercises the
+    // native vec_dot codegen kernel (signature + verify) through the
+    // multi-table LSH bucket-collect path
+    val emb = Tables.embeddings(spark, sfDir)
+    val tEmbedDedup = timeMedian {
+      graft.operators.Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4).count(): Unit
+    }
     val extra = Seq(
+      "x_embed_neardup_sec" -> tEmbedDedup,
       "x10_rows" -> nRows.toDouble,
       "x10_exact_sum_sec" -> tExact,
       "x10_sys10_sum_sec" -> tSampled,

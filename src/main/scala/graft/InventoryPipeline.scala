@@ -186,6 +186,18 @@ object InventoryPipeline {
       Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8 ORDER BY id_a, id_b"""),
       headline = true),
 
+    QueryDef("q45_dup_clusters",
+      // transitive dup groups: MinHash near-dup pairs → connected components
+      // (min-label propagation); DuckDB mirrors with a recursive CTE over
+      // the same exact-Jaccard pair semantics
+      (s, d) => {
+        val pairs = Dedup.nearDupPairs(documents(s, d), "doc_id", "text",
+          threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+        Dedup.dupClusters(pairs).withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
+
     QueryDef("q36_simhash_neardup_pairs",
       // no oracle: DuckDB lacks xxhash64; correctness asserted in
       // DedupSpec against the planted Jaccard pairs (rows-only driver check)
@@ -218,6 +230,17 @@ object InventoryPipeline {
         val emb = embeddings(s, d)
         Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
           k = 5, bitsPerTable = 8, numTables = 8, probeRadius = 1)
+          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+      },
+      None),
+
+    QueryDef("q46_ann_ivf_top5",
+      // no oracle (recall < 1 by design on the random fixture); PipelineSpec
+      // asserts recall >= 0.8 on planted-cluster data plus determinism
+      (s, d) => {
+        val emb = embeddings(s, d)
+        Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, numCentroids = 32, nProbe = 8)
           .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
       },
       None)

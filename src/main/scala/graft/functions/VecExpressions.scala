@@ -1,0 +1,277 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst dot product over `array<float|double>` vectors.
+  *
+  * The declarative form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — is
+  * semantically right but Spark evaluates higher-order lambdas INTERPRETED,
+  * one function-call tree per element (the repo's measured ~100× penalty on
+  * dense numeric kernels; see PLANS.md MinHash history). This expression
+  * generates the obvious fused `for` loop inside whole-stage codegen
+  * instead, so vector scoring stays in the scan stage at JIT speed.
+  *
+  * Accumulation is a left fold in index order with a 0.0 init, elements
+  * widened float→double before multiplying — bit-identical to the
+  * higher-order form (CatalystSpec asserts it) and to the DuckDB oracle's
+  * `list_reduce(list_prepend(0.0, ...))` twin, so swapping it in changes no
+  * query result.
+  *
+  * Mixed element types are supported ((float, double) etc.) because LSH
+  * hyperplanes are plan-baked double literals while embeddings are float.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vec_dot expects array<float|double> inputs, got ($l, $r)")
+    }
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val fx = isFloat(left); val fy = isFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (fx) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (fy) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getA =
+        if (isFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getB =
+        if (isFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ($getA) * ($getB);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+/** Fused b-bit random-hyperplane signature: bit p = [dot(v, plane_p) >= 0],
+  * all `bits` dots in ONE generated nested loop over a flattened primitive
+  * `double[]` plane matrix (row p = plane_p, length bits·dim).
+  *
+  * Why an expression and not `bits` × [[FloatVecDot]]: a probe row's bucket
+  * array references its signature in 1 + bits XOR-variant entries and
+  * Catalyst does not CSE across array elements — 8 tables × 9 entries × 8
+  * dots inlined 576 fused loops into one generated method and blew janino's
+  * method limit (whole-stage codegen fell back to interpreted). One
+  * signature per table per row, computed over a primitive plane matrix, is
+  * both the smallest and the fastest form.
+  *
+  * Bit-identical to the declarative when(dot >= 0) · 2^p sum
+  * (CatalystSpec asserts): same left-fold accumulation in index order, same
+  * float→double widening, same >= 0 test. */
+case class HyperplaneSig(child: Expression, planes: Array[Double], bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bits >= 1 && bits <= 63 && planes.length % bits == 0,
+    s"bits=$bits planes=${planes.length}")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sig expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val dim: Int = planes.length / bits
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fv = isFloat
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var acc = 0.0
+      val base = p * dim
+      val n = math.min(v.numElements(), dim)
+      var i = 0
+      while (i < n) {
+        val x = if (fv) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * planes(base + i)
+        i += 1
+      }
+      if (acc >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val sig = ctx.freshName("sig")
+      val base = ctx.freshName("base"); val n = ctx.freshName("n")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |long $sig = 0L;
+         |for (int $p = 0; $p < $bits; $p++) {
+         |  double $acc = 0.0;
+         |  int $base = $p * $dim;
+         |  int $n = java.lang.Math.min($v.numElements(), $dim);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ($getV) * $planesRef[$base + $i];
+         |  }
+         |  if ($acc >= 0.0) $sig |= (1L << $p);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_sig"
+}
+
+/** Indices of the `nProbe` centroids with the highest dot product against
+  * the input vector, from a flattened row-major `double[]` centroid matrix
+  * (k rows × dim). One fused generated loop: score all k centroids, then
+  * nProbe argmax passes with masking. Ties break to the LOWEST index
+  * (strict `>` comparison), so the result is deterministic.
+  *
+  * Centroids are expected L2-NORMALIZED by the caller, which makes
+  * dot-product order == cosine order for any fixed input vector (the
+  * row's own norm is a positive constant across candidates).
+  * Returns array<int> of length nProbe (k >= nProbe). */
+case class TopCentroids(child: Expression, centroids: Array[Double],
+    k: Int, nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(k >= 1 && nProbe >= 1 && nProbe <= k && centroids.length % k == 0,
+    s"k=$k nProbe=$nProbe centroids=${centroids.length}")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_centroids expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private val dim: Int = centroids.length / k
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fv = isFloat
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      val base = c * dim
+      val n = math.min(v.numElements(), dim)
+      var i = 0
+      while (i < n) {
+        val x = if (fv) v.getFloat(i).toDouble else v.getDouble(i)
+        acc += x * centroids(base + i)
+        i += 1
+      }
+      scores(c) = acc
+      c += 1
+    }
+    val out = new Array[Int](nProbe)
+    val taken = new Array[Boolean](k)
+    var p = 0
+    while (p < nProbe) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var j = 0
+      while (j < k) {
+        if (!taken(j) && scores(j) > bestScore) { best = j; bestScore = scores(j) }
+        j += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    nullSafeCodeGen(ctx, ev, v => {
+      val scores = ctx.freshName("scores"); val taken = ctx.freshName("taken")
+      val out = ctx.freshName("out"); val c = ctx.freshName("c")
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base"); val n = ctx.freshName("n")
+      val p = ctx.freshName("p"); val j = ctx.freshName("j")
+      val best = ctx.freshName("best"); val bestScore = ctx.freshName("bestScore")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |double[] $scores = new double[$k];
+         |for (int $c = 0; $c < $k; $c++) {
+         |  double $acc = 0.0;
+         |  int $base = $c * $dim;
+         |  int $n = java.lang.Math.min($v.numElements(), $dim);
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += ($getV) * $cRef[$base + $i];
+         |  }
+         |  $scores[$c] = $acc;
+         |}
+         |boolean[] $taken = new boolean[$k];
+         |int[] $out = new int[$nProbe];
+         |for (int $p = 0; $p < $nProbe; $p++) {
+         |  int $best = -1;
+         |  double $bestScore = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    if (!$taken[$j] && $scores[$j] > $bestScore) { $best = $j; $bestScore = $scores[$j]; }
+         |  }
+         |  $taken[$best] = true;
+         |  $out[$p] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+
+  override def prettyName: String = "top_centroids"
+}

@@ -18,8 +18,20 @@ object VectorOps {
   private def foldSum(products: Column): Column =
     aggregate(products, lit(0.0), (acc, x) => acc + x)
 
-  /** Dot product of two float vectors, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float vectors, accumulated in double.
+    *
+    * Runs as the native codegen'd [[FloatVecDot]] expression (a fused JIT
+    * loop in the scan stage); [[dotFold]] keeps the declarative higher-order
+    * form as its bit-identical semantics statement / oracle twin. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(FloatVecDot(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
+  /** Declarative twin of [[dot]] — interpreted per element; used only to
+    * pin down the semantics in tests (CatalystSpec asserts bit-equality). */
+  def dotFold(a: Column, b: Column): Column =
     foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   def normSq(a: Column): Column = dot(a, a)
@@ -43,12 +55,25 @@ object VectorOps {
   /** Sign-bit signature against `planes` fixed hyperplanes (random-projection
     * LSH for cosine distance): bit i = [dot(v, plane_i) >= 0]. Returns a
     * BIGINT bucket id (planes.length <= 63). Deterministic given the planes,
-    * which the caller generates from a seed. */
+    * which the caller generates from a seed.
+    *
+    * Runs as the fused native [[HyperplaneSig]] expression (one nested JIT
+    * loop over a primitive plane matrix); [[hyperplaneSignatureFold]] keeps
+    * the declarative form as its bit-identical semantics twin. */
   def hyperplaneSignature(v: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.nonEmpty && planes.length <= 63, "1..63 planes")
+    require(planes.map(_.length).distinct.size == 1, "equal plane dims")
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(HyperplaneSig(ColumnShim.expression(v),
+      planes.flatten.toArray, planes.length))
+  }
+
+  /** Declarative twin of [[hyperplaneSignature]] — interpreted; test-only. */
+  def hyperplaneSignatureFold(v: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.nonEmpty && planes.length <= 63, "1..63 planes")
     planes.zipWithIndex.map { case (plane, i) =>
       val planeCol = array(plane.toIndexedSeq.map(lit): _*)
-      when(dot(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotFold(v, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 

@@ -120,27 +120,122 @@ object Ann {
       vecCol: String, k: Int, bitsPerTable: Int = 8, numTables: Int = 8,
       probeRadius: Int = 1, dim: Int = 64, seed: Long = 42L): DataFrame = {
     require(probeRadius <= 1, "radius 0 or 1")
-    // one bucket id per (table, bucket): table index in the high bits
-    def buckets(v: Column, forProbe: Boolean): Column = {
-      val all = (0 until numTables).flatMap { t =>
-        val planes = VectorOps.randomPlanes(bitsPerTable, dim, seed + t)
-        val sig = VectorOps.hyperplaneSignature(v, planes)
-        val base = lit(t.toLong << 32) + sig
-        if (forProbe && probeRadius == 1)
-          base +: (0 until bitsPerTable).map(i =>
-            lit(t.toLong << 32) + sig.bitwiseXOR(lit(1L << i)))
-        else Seq(base)
+    // Signatures are materialized as per-table COLUMNS before the bucket
+    // array is built: a probe references each signature in 1 + bitsPerTable
+    // XOR-variant entries, and Catalyst does not CSE across array elements —
+    // inlining re-evaluated every signature per entry and (numTables ×
+    // (1+bits) × bits dot loops) blew past janino's generated-method limit,
+    // silently degrading the stage to interpreted. Column references keep
+    // one HyperplaneSig evaluation per (row, table) and a small method
+    // (CollapseProject leaves the sig Project alone: multi-use, non-cheap).
+    val planesByTable = (0 until numTables)
+      .map(t => VectorOps.randomPlanes(bitsPerTable, dim, seed + t))
+    def withSigs(df: DataFrame, vc: String): DataFrame =
+      planesByTable.zipWithIndex.foldLeft(df) { case (d, (planes, t)) =>
+        d.withColumn(s"__sig$t", VectorOps.hyperplaneSignature(col(vc), planes))
       }
-      array(all: _*)
+    // one bucket id per (table, bucket): table index in the high bits
+    val corpusBuckets = (0 until numTables)
+      .map(t => lit(t.toLong << 32) + col(s"__sig$t"))
+    val probeBuckets = (0 until numTables).flatMap { t =>
+      val base = lit(t.toLong << 32) + col(s"__sig$t")
+      if (probeRadius == 1)
+        base +: (0 until bitsPerTable).map(i =>
+          lit(t.toLong << 32) + col(s"__sig$t").bitwiseXOR(lit(1L << i)))
+      else Seq(base)
     }
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      explode(buckets(col(vecCol), forProbe = false)).as("bucket"))
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"),
-      explode(buckets(col(vecCol), forProbe = true)).as("bucket"))
+    val c = withSigs(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("cvec")), "cvec")
+      .select(col("neighbor_id"), col("cvec"),
+        explode(array(corpusBuckets: _*)).as("bucket"))
+    val p = withSigs(probes.select(col(idCol).as("query_id"),
+        col(vecCol).as("pvec")), "pvec")
+      .select(col("query_id"), col("pvec"),
+        explode(array(probeBuckets: _*)).as("bucket"))
     val scored = c.join(broadcast(p), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), col("pvec"), col("cvec"))
       .distinct() // dedupe candidates across tables BEFORE scoring
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("pvec"), col("cvec")).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k).drop("rank")
+  }
+
+  /** IVF (inverted-file) approximate top-k — the clustered-data scale path
+    * complementing [[lshTopK]] (sign-LSH is data-independent; IVF adapts to
+    * the corpus distribution and is the standard ANN index shape for
+    * real embedding corpora).
+    *
+    * Train: centroids seeded from the `numCentroids` lowest-id corpus
+    * vectors (deterministic), refined by `lloydIters` distributed Lloyd
+    * steps whose per-dimension sums go through exact decimals — so the
+    * learned centroids are a pure function of the data, independent of
+    * partitioning. Each step shuffles only (numCentroids × dim) partial
+    * sums; the centroid matrix itself is a bounded driver object.
+    *
+    * Search: corpus rows get their nearest-centroid id from one fused
+    * [[graft.functions.TopCentroids]] scan projection (the inverted lists
+    * are just a hash partitioning by `cid`); probes explode their `nProbe`
+    * nearest lists, the bucket join scores only corpus rows in probed lists
+    * (expected fraction ≈ nProbe/numCentroids of the corpus), exact cosine
+    * ranks survivors. Recall is high when the corpus is actually clustered
+    * (PipelineSpec plants clusters); on uniform random vectors every
+    * partition is equidistant and nProbe/numCentroids is the honest recall
+    * expectation — same caveat the reference-free LSH path documents. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 64, nProbe: Int = 8,
+      lloydIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+
+    def l2norm(a: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n > 0) a.map(_ / n) else a
+    }
+    def topCentroidsCol(flat: Array[Double], nP: Int): Column =
+      ColumnShim.column(TopCentroids(
+        ColumnShim.expression(col(vecCol)), flat, numCentroids, nP))
+
+    val seeds = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .orderBy(col("__id")).limit(numCentroids).collect()
+      .map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    require(seeds.length == numCentroids,
+      s"corpus smaller than numCentroids=$numCentroids")
+    var centroids = seeds.map(l2norm)
+    val dim = centroids.head.length
+    for (_ <- 0 until lloydIters) {
+      val assign = topCentroidsCol(centroids.flatten.toArray, 1).getItem(0)
+      val parts = corpus
+        .select(assign.as("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("x").cast("decimal(28,10)")).cast("double").as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(numCentroids)(new Array[Double](dim))
+      val counts = new Array[Long](numCentroids)
+      parts.foreach { r =>
+        val cid = r.getInt(0); val pos = r.getInt(1)
+        sums(cid)(pos) = r.getDouble(2); counts(cid) = r.getLong(3)
+      }
+      centroids = centroids.indices.toArray.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else l2norm(sums(c).map(_ / counts(c)))
+      }
+    }
+    val flat = centroids.flatten.toArray
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      topCentroidsCol(flat, 1).getItem(0).as("cid"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"),
+      explode(topCentroidsCol(flat, nProbe)).as("cid"))
+    val scored = c.join(broadcast(p), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         VectorOps.cosine(col("pvec"), col("cvec")).as("cosine"))
     scored

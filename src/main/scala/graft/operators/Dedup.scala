@@ -202,6 +202,51 @@ object Dedup {
     verified
   }
 
+  /** Transitive duplicate CLUSTERS from a near-dup pair list: connected
+    * components by iterative min-label propagation. Each doc's label starts
+    * as its own id; every round each doc takes the min label among itself
+    * and its neighbors; fixpoint = components labeled by their min member.
+    *
+    * 100 TB posture: operates on the PAIR list (∝ duplicate density, not
+    * corpus size); each round is one join + one groupBy of that list;
+    * convergence in O(log diameter) rounds (near-dup components are
+    * low-diameter in practice — chains of borderline pairs are rare).
+    * `localCheckpoint` per round truncates the growing lineage. The driver
+    * loop stops when a round changes no label (one scalar count per round).
+    *
+    * Output: (id, cluster) for every id that appears in a pair — min member
+    * id of its component, a deterministic labeling any engine reproduces
+    * (the DuckDB oracle uses a recursive CTE over the same pairs). */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      // candidate labels flowing across edges, then min per id (incl. own)
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("cluster"))
+      val next = labels.select(col("id"), col("cluster"))
+        .union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
+        .filter(col("cluster") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Oracle twin of [[nearDupPairs]]: exact all-pairs Jaccard — O(N²),
     * small-data correctness baseline only. */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,

@@ -34,6 +34,41 @@ class CatalystSpec extends SparkSpec {
     assert(ci.ciLower <= exact && exact <= ci.ciUpper)
   }
 
+  test("native vec_dot is bit-identical to the higher-order fold, float and mixed") {
+    import graft.functions.VectorOps
+    val emb = Tables.embeddings(spark, sf0001)
+    // float × float (embedding vs itself and vs a shifted self-join twin)
+    val selfDiff = emb.select(
+      (VectorOps.dot(col("embedding"), col("embedding")) -
+        VectorOps.dotFold(col("embedding"), col("embedding"))).as("d"))
+      .agg(sum(abs(col("d")))).head().getDouble(0)
+    assert(selfDiff === 0.0, "float x float must be bit-identical")
+    // float × double-literal plane (the LSH hyperplane case)
+    val plane = VectorOps.randomPlanes(1, 64, seed = 5L).head
+    val planeCol = array(plane.toIndexedSeq.map(lit): _*)
+    val mixDiff = emb.select(
+      (VectorOps.dot(col("embedding"), planeCol) -
+        VectorOps.dotFold(col("embedding"), planeCol)).as("d"))
+      .agg(sum(abs(col("d")))).head().getDouble(0)
+    assert(mixDiff === 0.0, "float x double must be bit-identical")
+    // and the plan stays inside whole-stage codegen (no CompileException,
+    // vec_dot visible in the generated plan tree)
+    val planStr = emb.select(VectorOps.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("vec_dot") || planStr.toLowerCase.contains("floatvecdot"))
+  }
+
+  test("fused hyperplane_sig matches the declarative per-plane signature") {
+    import graft.functions.VectorOps
+    val emb = Tables.embeddings(spark, sf0001)
+    val planes = VectorOps.randomPlanes(8, 64, seed = 99L)
+    val diff = emb.select(
+      (VectorOps.hyperplaneSignature(col("embedding"), planes) -
+        VectorOps.hyperplaneSignatureFold(col("embedding"), planes)).as("d"))
+      .agg(sum(abs(col("d")))).head().getLong(0)
+    assert(diff === 0L, "fused signature must be bit-identical")
+  }
+
   test("auto-scaling rule: sum over TABLESAMPLE estimates the full sum") {
     Tables.registerAll(spark, sf0001)
     val exact = spark.sql("SELECT SUM(l_extendedprice) FROM lineitem").head.getDouble(0)

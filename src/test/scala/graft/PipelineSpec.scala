@@ -21,6 +21,22 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("dupClusters labels transitive components by their min member") {
+    import spark.implicits._
+    // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (3L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // long chain exercises multi-round propagation (diameter 6)
+    val chain = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = Dedup.dupClusters(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot.values.toSet === Set(1L) && chainGot.size === 7)
+  }
+
   test("codegen simhashSketch is bit-identical to the expression-form simhash64") {
     val viaExpr = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sk"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -81,6 +97,36 @@ class PipelineSpec extends SparkSpec {
     val fast = Ann.bruteForceTopKFast(embs, probes, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(fast === expr)
+  }
+
+  test("IVF top-k recalls the true neighbors on clustered embeddings") {
+    import spark.implicits._
+    // 10 planted clusters; IVF adapts its partitions to them, so probing 4
+    // of 16 lists must recover nearly all true top-5 neighbors (the random
+    // unit-vector fixture is the documented IVF worst case, hence synthetic)
+    val rng = new scala.util.Random(3L)
+    val centers = Array.fill(10)(Array.fill(64)(rng.nextGaussian()))
+    val data = (0L until 500L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val probes = df.filter(col("vec_id") < 10)
+    val exact = Ann.bruteForceTopK(df, probes, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(df, probes, "vec_id", "embedding", k = 5,
+      numCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall on clustered data")
+    // determinism: same inputs -> identical result set
+    val ivf2 = Ann.ivfTopK(df, probes, "vec_id", "embedding", k = 5,
+      numCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf2 === ivf)
   }
 
   test("LSH top-k recall vs brute force is usable") {
