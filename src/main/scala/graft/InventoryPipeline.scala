@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.operators.{Ann, Dedup, Multimodal, Skew, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis) over
   * the `documents` and `embeddings` fixtures, plus multi-table join and
@@ -100,6 +100,17 @@ object InventoryPipeline {
           (count(lit(1)) * lit(5L)).as("n_est"))
         .orderBy(col("hour")),
       Some("""SELECT date_trunc('hour', ts) AS hour, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) * 5.0 AS sum_value_est, COUNT(*) * 5 AS n_est FROM events WHERE event_id % 5 = 0 GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q47_events_hourly_distinct_users",
+      // skew-safe EXACT distinct per window: every exchange keyed on at
+      // least (hour, value-hash shard), so a hot hour's user set spreads
+      // over 8 tasks — same answer as plain COUNT(DISTINCT), better tails.
+      // Streaming twin: StreamingAgg.windowedApproxDistinct (HLL).
+      (s, d) => Skew.saltedCountDistinct(
+          events(s, d).withColumn("hour", date_trunc("hour", col("ts"))),
+          Seq("hour"), "user_id", salts = 8, alias = "n_users")
+        .orderBy(col("hour")),
+      Some("""SELECT date_trunc('hour', ts) AS hour, COUNT(DISTINCT user_id) AS n_users FROM events GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("q23_events_top_users",
       (s, d) => events(s, d)

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators for hot keys (north-star scale concern; the
+  * reference is single-node and has no notion of partition skew).
+  *
+  * Spark's partial aggregation already absorbs skew for algebraic
+  * aggregates (SUM/COUNT partials combine map-side), and AQE rebalances
+  * skewed shuffle joins at runtime. The two cases those do NOT cover:
+  *
+  *  1. COUNT(DISTINCT x) per hot group — partial aggregation cannot
+  *     compress distinct sets, so one reducer receives a hot group's whole
+  *     value set. [[saltedCountDistinct]] splits each group's values into
+  *     `salts` DISJOINT value-hash shards (x lands in exactly one shard ⇒
+  *     shard distinct-counts add up exactly), counts per (group, shard),
+  *     then sums — the hot group's work spreads over `salts` reducers and
+  *     the result is EXACT, not a sketch.
+  *  2. Broadcast-ineligible joins with a few hot keys when AQE is off (or
+  *     for deterministic plan shape): [[saltedJoin]] fans each fact row to
+  *     one of `salts` sub-keys and replicates the (small) build side per
+  *     sub-key — same rows out as the plain join, hot key's stream spread
+  *     over `salts` tasks.
+  */
+object Skew {
+
+  /** Exact two-stage distinct count per group, shuffle-balanced for hot
+    * groups. Stage 1 counts distincts per (group, value-hash shard) — every
+    * downstream exchange is keyed on at least (group, shard), so a hot
+    * group's value set spreads over `salts` tasks end to end (plain
+    * `countDistinct` funnels the hot group's whole distinct set through one
+    * task in its final phase). Stage 2 sums the disjoint shard counts.
+    * Output: groupCols ++ (alias). */
+  def saltedCountDistinct(df: DataFrame, groupCols: Seq[String],
+      distinctCol: String, salts: Int, alias: String = "n_distinct"): DataFrame = {
+    require(salts >= 1)
+    val g = groupCols.map(col)
+    df.select(g :+ col(distinctCol): _*)
+      .withColumn("__shard", pmod(xxhash64(col(distinctCol)), lit(salts.toLong)))
+      .groupBy((g :+ col("__shard")): _*)
+      .agg(countDistinct(col(distinctCol)).as("__partial"))
+      .groupBy(g: _*)
+      .agg(sum(col("__partial")).as(alias))
+  }
+
+  /** Salted inner equi-join: `fact ⋈ build` on `key`, with the fact side
+    * scattered over `salts` sub-keys (content-hash, deterministic) and the
+    * build side replicated once per sub-key. Row-for-row identical to the
+    * plain inner join; use when one key dominates the fact side and the
+    * build side is small enough to replicate but broadcast is not wanted. */
+  def saltedJoin(fact: DataFrame, build: DataFrame, key: String,
+      salts: Int): DataFrame = {
+    require(salts >= 1)
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(struct(fact.columns.map(col).toIndexedSeq: _*)), lit(salts.toLong)))
+    val replicatedBuild = build.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1L))))
+    saltedFact.join(replicatedBuild, Seq(key, "__salt")).drop("__salt")
+  }
+}

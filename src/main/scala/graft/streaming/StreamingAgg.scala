@@ -46,6 +46,33 @@ object StreamingAgg {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("sum_value"), col("cnt"))
 
+  /** Windowed approximate distinct-user count (HyperLogLog++) — the
+    * streaming shape of per-window COUNT(DISTINCT): exact distinct needs
+    * the window's whole key set in state, HLL keeps a constant-size sketch
+    * per window. Batch twin with exact semantics: q47 (skew-safe salted
+    * exact distinct). */
+  def windowedApproxDistinct(events: DataFrame, windowDur: String,
+      watermarkDelay: String = "10 minutes", keyCol: String = "user_id",
+      rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(approx_count_distinct(col(keyCol), rsd).as("n_distinct_est"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_distinct_est"), col("n_events"))
+
+  /** Streaming exact dedup on `keyCols` within the watermark horizon —
+    * the ingest-side twin of batch `Dedup.dropExactDups`: state holds one
+    * entry per key only until the watermark passes, so memory is bounded by
+    * the horizon's key cardinality, not the stream's lifetime. */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "30 minutes",
+      keyCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   // -- stateful sessionization (mapGroupsWithState) ------------------------
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -32,6 +32,41 @@ class StreamingSpec extends SparkSpec {
       s"stream estimate $estTotal vs exact $exactTotal")
   }
 
+  test("windowed HLL distinct and streaming dedup over a streamed fixture") {
+    val batchEvents = Tables.events(spark, sf0001)
+    val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
+    val dir = java.nio.file.Files.createTempDirectory("events_stream2")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(sf0001, "events")),
+      dir.resolve("events.parquet"))
+    def streamed = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // HLL distinct per window tracks exact batch distinct within sketch error
+    val approx = StreamingAgg.windowedApproxDistinct(streamed, "1 hour")
+    val got = StreamingAgg.runToMemory(spark, approx, "approx_distinct")
+    val exact = batchEvents
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct("user_id").as("n"))
+    // append mode: the final (still-open) window sits behind the watermark
+    // and is not emitted — compare the closed windows only
+    assert(got.count() >= exact.count() - 1, "nearly all windows closed")
+    val joined = got.withColumnRenamed("window_start", "hour").join(exact, "hour")
+    val totalEst = joined.agg(sum("n_distinct_est")).head.getLong(0).toDouble
+    val totalExact = joined.agg(sum("n")).head.getLong(0).toDouble
+    assert(math.abs(totalEst - totalExact) / totalExact < 0.10,
+      s"HLL total $totalEst vs exact $totalExact over closed windows")
+    // dedup on event_id: the fixture has unique ids, so doubling the input
+    // must collapse back to the original count
+    val doubled = streamed.union(streamed)
+    val deduped = StreamingAgg.dedupStream(doubled, keyCols = Seq("event_id"))
+    val gotDedup = StreamingAgg.runToMemory(spark, deduped, "dedup_stream")
+    assert(gotDedup.count() === batchEvents.count(),
+      s"${gotDedup.count()} deduped vs ${batchEvents.count()} source events")
+  }
+
   test("sessionize closes sessions and sums values") {
     import spark.implicits._
     val evs = Tables.events(spark, sf0001)
