@@ -23,6 +23,7 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_bench_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -93,8 +94,50 @@ object Bench {
       graft.operators.Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4).count(): Unit
     }
+    // Bucketed co-located join probe: both sides bucketed+sorted on the
+    // join key -> SortMergeJoin with ZERO exchanges and no sort, vs the
+    // plain shuffle join (broadcast disabled for the probe so the exchange
+    // cost is actually visible; at 100 TB the orders side is far past any
+    // broadcast threshold and this IS the plan that matters).
+    val orders = Tables.orders(spark, sfDir)
+    val (tJoinPlain, tJoinBucketed) = {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // a fresh JVM has an empty in-memory catalog but the warehouse
+        // DIRECTORY survives -> LOCATION_ALREADY_EXISTS unless cleared
+        Seq("li_bucketed", "orders_bucketed").foreach { t =>
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          val root = java.nio.file.Paths.get("/tmp/graft_bench_warehouse", t)
+          if (java.nio.file.Files.exists(root)) {
+            java.nio.file.Files.walk(root)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          }
+        }
+        li.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable("li_bucketed")
+        orders.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable("orders_bucketed")
+        val plain = timeMedian {
+          li.join(orders, col("l_orderkey") === col("o_orderkey"))
+            .agg(count(lit(1))).collect(): Unit
+        }
+        val bucketed = timeMedian {
+          spark.table("li_bucketed")
+            .join(spark.table("orders_bucketed"),
+              col("l_orderkey") === col("o_orderkey"))
+            .agg(count(lit(1))).collect(): Unit
+        }
+        (plain, bucketed)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
     val extra = Seq(
       "x_embed_neardup_sec" -> tEmbedDedup,
+      "x_join_plain_sec" -> tJoinPlain,
+      "x_join_bucketed_sec" -> tJoinBucketed,
+      "x_bucketed_join_speedup" ->
+        (if (tJoinBucketed > 0) tJoinPlain / tJoinBucketed else -1.0),
       "x10_rows" -> nRows.toDouble,
       "x10_exact_sum_sec" -> tExact,
       "x10_sys10_sum_sec" -> tSampled,

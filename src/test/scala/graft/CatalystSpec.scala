@@ -58,6 +58,40 @@ class CatalystSpec extends SparkSpec {
     assert(planStr.contains("vec_dot") || planStr.toLowerCase.contains("floatvecdot"))
   }
 
+  test("bucketed tables co-locate the join: no exchanges in the plan") {
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sf0001)
+      val orders = Tables.orders(spark, sf0001)
+      // clear leftover warehouse dirs from previous JVMs (in-memory catalog
+      // forgets the table but the location survives -> LOCATION_ALREADY_EXISTS)
+      Seq("li_bkt_test", "ord_bkt_test").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val root = java.nio.file.Paths.get("/tmp/graft_test_warehouse", t)
+        if (java.nio.file.Files.exists(root)) {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+      li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("li_bkt_test")
+      orders.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("ord_bkt_test")
+      val bucketed = spark.table("li_bkt_test")
+        .join(spark.table("ord_bkt_test"), col("l_orderkey") === col("o_orderkey"))
+      val bucketedPlan = bucketed.queryExecution.executedPlan.toString
+      assert(!bucketedPlan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$bucketedPlan")
+      val plain = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+        "sanity: the unbucketed join does shuffle")
+      // same answer either way
+      assert(bucketed.count() === plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("fused hyperplane_sig matches the declarative per-plane signature") {
     import graft.functions.VectorOps
     val emb = Tables.embeddings(spark, sf0001)

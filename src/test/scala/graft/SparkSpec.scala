@@ -18,6 +18,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
       // installed for CatalystSpec; inert elsewhere unless a bare sum/count
       // sits directly over a Sample node
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
