@@ -242,6 +242,16 @@ object Inventory {
       },
       Some("""WITH b AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t FROM lineitem WHERE (l_orderkey // 16) % 4 = 0 GROUP BY (l_orderkey // 16)), m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(t * t) AS DOUBLE) AS st2 FROM b) SELECT st * 4.0 AS sum_est, st * 4.0 - 1.96 * (4.0 * SQRT((1.0 - 0.25) * m * (CASE WHEN m > 1.0 THEN (st2 - (st * st) / GREATEST(m, 1.0)) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END))) AS sum_est_ci_lower, st * 4.0 + 1.96 * (4.0 * SQRT((1.0 - 0.25) * m * (CASE WHEN m > 1.0 THEN (st2 - (st * st) / GREATEST(m, 1.0)) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END))) AS sum_est_ci_upper, CAST(m AS BIGINT) AS sum_est_m_blocks FROM m""")),
 
+    QueryDef("q48_block_ci_avg",
+      // AVG twin of q41: ratio estimator over block totals with linearized
+      // variance — SRS AVG CI on the same rows understates on clustered data
+      (s, d) => {
+        val sf = Sampling.block(lineitem(s, d), col("l_orderkey"), blockSize = 16L, skip = 4L)
+        Estimators.blockCiAvg(sf.df, floor(col("l_orderkey") / lit(16L)),
+          col("l_extendedprice"), skip = 4.0, alias = "avg_est")
+      },
+      Some("""WITH b AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t, COUNT(*) AS nb FROM lineitem WHERE (l_orderkey // 16) % 4 = 0 GROUP BY (l_orderkey // 16)), m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(nb) AS DOUBLE) AS sn, CAST(SUM(t * t) AS DOUBLE) AS st2, CAST(SUM(nb * nb) AS DOUBLE) AS sn2, CAST(SUM(t * nb) AS DOUBLE) AS stn FROM b) SELECT st / sn AS avg_est, st / sn - 1.96 * SQRT(((1.0 - 0.25) * (CASE WHEN m > 1.0 THEN (st2 - 2.0 * (st / sn) * stn + (st / sn) * (st / sn) * sn2) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END)) / (m * ((sn / m) * (sn / m)))) AS avg_est_ci_lower, st / sn + 1.96 * SQRT(((1.0 - 0.25) * (CASE WHEN m > 1.0 THEN (st2 - 2.0 * (st / sn) * stn + (st / sn) * (st / sn) * sn2) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END)) / (m * ((sn / m) * (sn / m)))) AS avg_est_ci_upper, CAST(m AS BIGINT) AS avg_est_m_blocks FROM m""")),
+
     QueryDef("q42_neyman_stratified",
       // deterministic Neyman: per-stratum systematic steps derived from
       // EXACT pilot moments (fixed IEEE op order both engines) — the

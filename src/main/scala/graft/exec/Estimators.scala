@@ -172,6 +172,44 @@ object Estimators {
       m.cast("long").as(s"${alias}_m_blocks"))
   }
 
+  /** Design-aware CI for the MEAN under cluster sampling — the ratio
+    * estimator with linearized (Taylor) variance over block totals
+    * (Cochran ch. 3; completes [[blockCiSum]] for AVG):
+    *
+    *   ȳ    = Σt_b / Σn_b
+    *   s_e² = (Σt² − 2·ȳ·Σtn + ȳ²·Σn²) / (m−1)     (residual variance)
+    *   se   = √( (1−f)·s_e² / (m·n̄²) ),  n̄ = Σn_b/m,  f = 1/skip
+    *
+    * All moments flow through exact decimal/integer sums → deterministic
+    * and oracle-matchable. Same two-aggregation shape as [[blockCiSum]]. */
+  def blockCiAvg(sampledDf: DataFrame, blockCol: Column, value: Column,
+      skip: Double, alias: String, confidence: Double = 0.95): DataFrame = {
+    val z = zScore(confidence)
+    val f = 1.0 / skip
+    val blocks = sampledDf.groupBy(blockCol.as("__block"))
+      .agg(sum(value.cast("decimal(18,2)")).cast("decimal(18,2)").as("t"),
+        count(lit(1)).as("nb"))
+    val moments = blocks.agg(
+      count(lit(1)).cast("double").as("m"),
+      sum(col("t")).cast("double").as("st"),
+      sum(col("nb")).cast("double").as("sn"),
+      sum(col("t") * col("t")).cast("double").as("st2"),
+      sum(col("nb") * col("nb")).cast("double").as("sn2"),
+      sum(col("t") * col("nb")).cast("double").as("stn"))
+    val m = col("m")
+    val ybar = col("st") / col("sn")
+    val se2 = when(m > 1,
+      (col("st2") - lit(2.0) * ybar * col("stn") + ybar * ybar * col("sn2")) /
+        greatest(m - lit(1.0), lit(1.0))).otherwise(lit(0.0))
+    val nbar = col("sn") / m
+    val se = sqrt(((lit(1.0) - lit(f)) * se2) / (m * (nbar * nbar)))
+    moments.select(
+      ybar.as(alias),
+      (ybar - lit(z) * se).as(s"${alias}_ci_lower"),
+      (ybar + lit(z) * se).as(s"${alias}_ci_upper"),
+      m.cast("long").as(s"${alias}_m_blocks"))
+  }
+
   /** Relative half-width of the CI in percent — the quantity the adaptive
     * executor compares against the error threshold. */
   def relativeMarginPct(value: Double, lower: Double, upper: Double): Double =

@@ -173,6 +173,17 @@ class EstimatorSpec extends SparkSpec {
       s"design effect must widen the CI: block=$blkMargin srs=$srsMargin")
     assert(blk.getDouble(1) <= exact && exact <= blk.getDouble(2),
       s"block CI [${blk.getDouble(1)}, ${blk.getDouble(2)}] must cover exact=$exact")
+    // same story for the MEAN: ratio-estimator CI vs the SRS AVG formula
+    val exactAvg = df.agg(avg(col("v"))).head().getDouble(0)
+    val srsAvg = Estimators.ciAgg(sf, AggKind.Avg, col("v"), "a").head()
+    val blkAvg = Estimators.blockCiAvg(sf.df, floor(col("id") / lit(100L)),
+      col("v"), skip = 4.0, alias = "a").head()
+    val srsAvgMargin = (srsAvg.getDouble(2) - srsAvg.getDouble(1)) / 2.0
+    val blkAvgMargin = (blkAvg.getDouble(2) - blkAvg.getDouble(1)) / 2.0
+    assert(blkAvgMargin > 2.0 * srsAvgMargin,
+      s"AVG design effect: block=$blkAvgMargin srs=$srsAvgMargin")
+    assert(blkAvg.getDouble(1) <= exactAvg && exactAvg <= blkAvg.getDouble(2),
+      s"block AVG CI [${blkAvg.getDouble(1)}, ${blkAvg.getDouble(2)}] must cover $exactAvg")
   }
 
   test("equal-allocation value-ntile stratification takes the same n from each stratum") {
