@@ -209,6 +209,15 @@ object InventoryPipeline {
       },
       Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    // exact n-gram Jaccard join (prefix filtering): guaranteed recall at
+    // ANY threshold — run at 0.7 where LSH's 16x4 banding would start
+    // missing pairs; the oracle is the same all-pairs semantics
+    QueryDef("q49_ngram_jaccard_pairs",
+      (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+        threshold = 0.7, shingleN = 3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.7 ORDER BY id_a, id_b""")),
+
     QueryDef("q36_simhash_neardup_pairs",
       // no oracle: DuckDB lacks xxhash64; correctness asserted in
       // DedupSpec against the planted Jaccard pairs (rows-only driver check)

@@ -202,6 +202,64 @@ object Dedup {
     verified
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering — the
+    * guaranteed-recall twin of [[nearDupPairs]] (MinHash-LSH trades recall
+    * for speed; this trades a wider candidate set for exactness).
+    *
+    * Prefix-filter theorem: if |A∩B| ≥ α then, under any fixed total order
+    * on the element universe, the first |A|−α+1 elements of A and the first
+    * |B|−α+1 of B must intersect. J(A,B) ≥ t implies |A∩B| ≥ t·|A∪B| ≥
+    * t·max(|A|,|B|), so indexing only each doc's first |X|−⌈t·|X|⌉+1
+    * shingles (canonical order = sorted 31-bit shingle hash) finds every
+    * qualifying pair. Hash collisions only merge elements — hashed-set
+    * Jaccard ≥ string-set Jaccard — so filtering on hashes never drops a
+    * true pair, and the verify step recomputes Jaccard on the true string
+    * shingles, making the result exact.
+    *
+    * 100 TB posture: shuffle ∝ corpus × prefix length (a (1−t) fraction of
+    * the shingles), candidates enumerated in-bucket with a size-ratio prune
+    * (|A| ≥ t·|B| is necessary), verify scoped to candidates by semi-join —
+    * the same bucket-collect shape as LSH, never O(N²). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+        shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("hs", sort_array(array_distinct(
+        transform(col("sh"), s => shingleHash(s)))))
+      .withColumn("sz", size(col("hs")))
+    // prefix length |X| − ⌈t·|X|⌉ + 1 (empty shingle sets → no candidates)
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + lit(1)).cast("int")
+    val prefix = sh.select(col(idCol), col("sz"),
+        explode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0)))).as("h"))
+    val cands = prefix
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sz")))).as("members"))
+      .filter(size(col("members")) > 1)
+      .select(explode(flatten(transform(col("members"), (x, i) =>
+        transform(slice(col("members"), i + lit(2), size(col("members"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            x.getField("sz").as("sz_a"), y.getField("sz").as("sz_b")))))).as("p"))
+      // size-ratio prune: J ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|)
+      .filter(least(col("p.sz_a"), col("p.sz_b")).cast("double") >=
+        lit(threshold) * greatest(col("p.sz_a"), col("p.sz_b")).cast("double"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val strSh = df.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingles(col(textCol), shingleN).as("s"))
+    val verified = cands
+      .join(strSh.select(col(idCol).as("id_a"), col("s").as("s_a")), "id_a")
+      .join(strSh.select(col(idCol).as("id_b"), col("s").as("s_b")), "id_b")
+      .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // materialize so the candidate cache can be released now
+    cands.unpersist(blocking = false)
+    verified
+  }
+
   /** Transitive duplicate CLUSTERS from a near-dup pair list: connected
     * components by iterative min-label propagation. Each doc's label starts
     * as its own id; every round each doc takes the min label among itself

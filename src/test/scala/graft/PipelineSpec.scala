@@ -21,6 +21,16 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("prefix-filtered ngram Jaccard join is exact at thresholds LSH cannot guarantee") {
+    for (t <- Seq(0.5, 0.7, 0.9)) {
+      val pf = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Dedup.allPairsJaccard(docs, "doc_id", "text", threshold = t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pf === exact, s"threshold $t: prefix-filter join must equal all-pairs")
+    }
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
