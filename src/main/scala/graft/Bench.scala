@@ -115,21 +115,36 @@ object Bench {
               .forEach(f => java.nio.file.Files.deleteIfExists(f))
           }
         }
-        li.write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        // repartition on the bucket key first -> exactly ONE file per
+        // bucket, so the read preserves the sortBy order and the join
+        // needs neither Exchange nor Sort (multi-file buckets would
+        // force a re-sort and muddy the probe)
+        li.repartition(16, col("l_orderkey"))
+          .write.bucketBy(16, "l_orderkey").sortBy("l_orderkey")
           .mode("overwrite").saveAsTable("li_bucketed")
-        orders.write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        orders.repartition(16, col("o_orderkey"))
+          .write.bucketBy(16, "o_orderkey").sortBy("o_orderkey")
           .mode("overwrite").saveAsTable("orders_bucketed")
-        val plain = timeMedian {
+        def plainOnce(): Double = {
+          val t0 = System.nanoTime()
           li.join(orders, col("l_orderkey") === col("o_orderkey"))
-            .agg(count(lit(1))).collect(): Unit
+            .agg(count(lit(1))).collect()
+          (System.nanoTime() - t0) / 1e9
         }
-        val bucketed = timeMedian {
+        def bucketedOnce(): Double = {
+          val t0 = System.nanoTime()
           spark.table("li_bucketed")
             .join(spark.table("orders_bucketed"),
               col("l_orderkey") === col("o_orderkey"))
-            .agg(count(lit(1))).collect(): Unit
+            .agg(count(lit(1))).collect()
+          (System.nanoTime() - t0) / 1e9
         }
-        (plain, bucketed)
+        // interleave the two sides (warmup pair + 5 timed pairs) so
+        // external-load drift hits both equally and the RATIO stays honest
+        plainOnce(); bucketedOnce()
+        val pairs = Seq.fill(5)((plainOnce(), bucketedOnce()))
+        val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
+        (med(pairs.map(_._1)), med(pairs.map(_._2)))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
     val extra = Seq(
