@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, Multimodal, Skew, TextAnalysis}
+import graft.operators.{Ann, Dedup, HeavyHitters, Multimodal, Skew, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis) over
   * the `documents` and `embeddings` fixtures, plus multi-table join and
@@ -119,7 +119,16 @@ object InventoryPipeline {
           count(lit(1)).as("n_events"))
         .orderBy(col("total_value").desc, col("user_id"))
         .limit(10),
-      Some("""SELECT user_id, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10"""))
+      Some("""SELECT user_id, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value, COUNT(*) AS n_events FROM events GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 10""")),
+
+    QueryDef("q50_heavy_hitters",
+      // exact frequent users via Misra-Gries candidates + scoped exact
+      // count — same answer as groupBy+HAVING but the full-cardinality
+      // shuffle never happens (candidates ∝ partitions × 1/support)
+      (s, d) => HeavyHitters.heavyHitters(events(s, d), "user_id",
+        support = 0.008, countAlias = "n_events")
+        .orderBy(col("user_id")),
+      Some("""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1 HAVING COUNT(*) >= CAST(CEIL(0.008 * (SELECT COUNT(*) FROM events)) AS BIGINT) ORDER BY 1"""))
   )
 
   private val textQueries: Seq[QueryDef] = Seq(

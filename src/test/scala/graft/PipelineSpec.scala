@@ -31,6 +31,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("heavy hitters equals groupBy+HAVING on skewed, uniform, and all-distinct data") {
+    import spark.implicits._
+    import graft.operators.HeavyHitters
+    def exact(df: org.apache.spark.sql.DataFrame, support: Double) = {
+      val n = df.count()
+      df.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= math.ceil(support * n).toLong)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    }
+    def got(df: org.apache.spark.sql.DataFrame, support: Double) =
+      HeavyHitters.heavyHitters(df, "k", support)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // heavy keys spread across many partitions + a long uniform tail
+    val skewed = ((1 to 3000).map(i => i.toLong % 7) ++ // 7 heavy keys
+        (1 to 2000).map(i => 1000L + i))               // 2000 singletons
+      .toDF("k").repartition(16)
+    assert(got(skewed, 0.05) === exact(skewed, 0.05))
+    assert(got(skewed, 0.05).nonEmpty)
+    // all distinct: no key reaches any support
+    val distinctDf = (1L to 5000L).toDF("k").repartition(16)
+    assert(got(distinctDf, 0.01) === Set.empty)
+    // one mega-key that dominates every partition
+    val mega = ((1 to 4000).map(_ => 42L) ++ (101 to 200).map(_.toLong))
+      .toDF("k").repartition(16)
+    assert(got(mega, 0.5) === exact(mega, 0.5))
+    assert(got(mega, 0.5).head === (42L -> 4000L))
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
