@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Dedup, HeavyHitters, Multimodal, Skew, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Dedup, HeavyHitters, Multimodal, Skew, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis) over
   * the `documents` and `embeddings` fixtures, plus multi-table join and
@@ -128,7 +128,28 @@ object InventoryPipeline {
       (s, d) => HeavyHitters.heavyHitters(events(s, d), "user_id",
         support = 0.008, countAlias = "n_events")
         .orderBy(col("user_id")),
-      Some("""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1 HAVING COUNT(*) >= CAST(CEIL(0.008 * (SELECT COUNT(*) FROM events)) AS BIGINT) ORDER BY 1"""))
+      Some("""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1 HAVING COUNT(*) >= CAST(CEIL(0.008 * (SELECT COUNT(*) FROM events)) AS BIGINT) ORDER BY 1""")),
+
+    QueryDef("q51_asof_join",
+      // backward as-of join: each purchase matched to the user's latest
+      // click at or before it. Both engines compare at MICROsecond
+      // granularity (Spark's ts is ns-truncated to us; DuckDB epoch_us
+      // floors the same way) so the match set is identical.
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        AsofJoin.backward(purchases, clicks, key = "user_id",
+          leftOrder = "ts", rightOrder = "ts",
+          rightCols = Seq("event_id", "ts"), rightTieBreak = "event_id",
+          prefix = "click_")
+          .select(col("event_id"), col("user_id"),
+            col("click_event_id"),
+            unix_micros(col("click_ts")).as("click_ts_us"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH cl AS (SELECT user_id, epoch_us(ts) AS cts, event_id FROM events WHERE event_type = 'click'), pu AS (SELECT event_id, user_id, epoch_us(ts) AS pts FROM events WHERE event_type = 'purchase') SELECT p.event_id, p.user_id, (SELECT c.event_id FROM cl c WHERE c.user_id = p.user_id AND c.cts <= p.pts ORDER BY c.cts DESC, c.event_id DESC LIMIT 1) AS click_event_id, (SELECT c.cts FROM cl c WHERE c.user_id = p.user_id AND c.cts <= p.pts ORDER BY c.cts DESC, c.event_id DESC LIMIT 1) AS click_ts_us FROM pu p ORDER BY 1"""))
   )
 
   private val textQueries: Seq[QueryDef] = Seq(

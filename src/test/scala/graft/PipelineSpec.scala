@@ -59,6 +59,30 @@ class PipelineSpec extends SparkSpec {
     assert(got(mega, 0.5).head === (42L -> 4000L))
   }
 
+  test("asof backward join picks the latest right row at-or-before, deterministically") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    // right: (key, ord, rid) — includes a tie at ord=10 for key 1
+    val right = Seq((1L, 5L, 100L), (1L, 10L, 101L), (1L, 10L, 102L),
+      (1L, 20L, 103L), (2L, 7L, 200L))
+      .toDF("k", "ord", "rid")
+    // left: exact-tie match (10), between (15), before-any (3), other key, no-right key
+    val left = Seq((1L, 10L, "a"), (1L, 15L, "b"), (1L, 3L, "c"),
+      (2L, 7L, "d"), (3L, 99L, "e"))
+      .toDF("k", "ord", "tag")
+    val out = AsofJoin.backward(left, right, key = "k",
+      leftOrder = "ord", rightOrder = "ord",
+      rightCols = Seq("rid"), rightTieBreak = "rid")
+      .select(col("tag"), col("asof_rid")).collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out === Map(
+      "a" -> 102L, // ord=10 inclusive; tie broken by max rid
+      "b" -> 102L, // latest <= 15 is ord=10
+      "c" -> -1L,  // nothing at or before 3
+      "d" -> 200L, // equal ord on the other key
+      "e" -> -1L)) // key absent from right
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
