@@ -42,6 +42,19 @@ object InventoryExtensions {
         percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("p95_est")),
       None),
 
+    QueryDef("q52_percentiles_exact",
+      // EXACT grouped percentiles — the oracle-gated anchor for the q27
+      // sketch family: Spark's `percentile` and DuckDB's `quantile_cont`
+      // share the h = p·(n−1) linear-interpolation formula bit-for-bit
+      // (probed at p = 0.25/0.5/0.9/0.99 before gating)
+      (s, d) => lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        percentile(col("l_extendedprice"), lit(0.25)).as("p25"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("p90"),
+        percentile(col("l_extendedprice"), lit(0.99)).as("p99"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag, quantile_cont(l_extendedprice, 0.25) AS p25, quantile_cont(l_extendedprice, 0.5) AS p50, quantile_cont(l_extendedprice, 0.9) AS p90, quantile_cont(l_extendedprice, 0.99) AS p99 FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q28_dual_rate_sum",
       // dual-pointer design (reference R9): coarse stride ∪ fine stride,
       // honest inclusion-probability scale via inclusion–exclusion

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsofJoin, Dedup, HeavyHitters, Multimodal, Skew, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Dedup, HeavyHitters, Multimodal, RangeJoin, Skew, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis) over
   * the `documents` and `embeddings` fixtures, plus multi-table join and
@@ -149,7 +149,24 @@ object InventoryPipeline {
             unix_micros(col("click_ts")).as("click_ts_us"))
           .orderBy(col("event_id"))
       },
-      Some("""WITH cl AS (SELECT user_id, epoch_us(ts) AS cts, event_id FROM events WHERE event_type = 'click'), pu AS (SELECT event_id, user_id, epoch_us(ts) AS pts FROM events WHERE event_type = 'purchase') SELECT p.event_id, p.user_id, (SELECT c.event_id FROM cl c WHERE c.user_id = p.user_id AND c.cts <= p.pts ORDER BY c.cts DESC, c.event_id DESC LIMIT 1) AS click_event_id, (SELECT c.cts FROM cl c WHERE c.user_id = p.user_id AND c.cts <= p.pts ORDER BY c.cts DESC, c.event_id DESC LIMIT 1) AS click_ts_us FROM pu p ORDER BY 1"""))
+      Some("""WITH cl AS (SELECT user_id, epoch_us(ts) AS cts, event_id FROM events WHERE event_type = 'click'), pu AS (SELECT event_id, user_id, epoch_us(ts) AS pts FROM events WHERE event_type = 'purchase') SELECT p.event_id, p.user_id, (SELECT c.event_id FROM cl c WHERE c.user_id = p.user_id AND c.cts <= p.pts ORDER BY c.cts DESC, c.event_id DESC LIMIT 1) AS click_event_id, (SELECT c.cts FROM cl c WHERE c.user_id = p.user_id AND c.cts <= p.pts ORDER BY c.cts DESC, c.event_id DESC LIMIT 1) AS click_ts_us FROM pu p ORDER BY 1""")),
+
+    QueryDef("q53_band_join_pairs",
+      // band self-join: same-user event pairs within 1 hour, via bin
+      // bucketing — a plain |Δt|<=h self-join predicate would nested-loop
+      // every per-user pair; the (key, bin) equi-join never does
+      (s, d) => {
+        val e = events(s, d).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("tus"))
+        RangeJoin.bandJoin(e, e, key = "user_id",
+          leftOrd = "tus", rightOrd = "tus", band = 3600000000L)
+          .filter(col("l_event_id") < col("r_event_id"))
+          .select(col("l_user_id").as("user_id"),
+            col("l_event_id").as("id_a"), col("r_event_id").as("id_b"),
+            (col("r_tus") - col("l_tus")).as("dt_us"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events) SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b, b.t - a.t AS dt_us FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id AND abs(a.t - b.t) <= 3600000000 ORDER BY 2, 3"""))
   )
 
   private val textQueries: Seq[QueryDef] = Seq(

@@ -83,6 +83,33 @@ class PipelineSpec extends SparkSpec {
       "e" -> -1L)) // key absent from right
   }
 
+  test("band join equals the naive cross-join filter, including cross-bin pairs") {
+    import spark.implicits._
+    import graft.operators.RangeJoin
+    // ords straddle bin boundaries for band=10 (bins at 0,10,20,...):
+    // (9,11) cross-bin within band; (0,10) exactly at band; (5,16) outside
+    val rows = Seq((1L, 0L, 10L), (1L, 9L, 11L), (1L, 11L, 12L), (1L, 16L, 13L),
+      (1L, 10L, 14L), (2L, 9L, 20L), (2L, 11L, 21L), (3L, 100L, 30L))
+      .toDF("k", "ord", "id")
+    val got = RangeJoin.bandJoin(rows, rows, "k", "ord", "ord", band = 10L)
+      .filter(col("l_id") < col("r_id"))
+      .select(col("l_id"), col("r_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = rows.as("a").crossJoin(rows.as("b"))
+      .filter(col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
+        abs(col("a.ord") - col("b.ord")) <= 10L)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+    assert(got.contains((10L, 11L)), "cross-bin pair (ord 0,9) must match")
+    assert(got.contains((10L, 14L)), "pair at exactly band distance must match")
+    assert(!got.contains((10L, 13L)), "ord 0 vs 16 exceeds the band")
+    // exactly-once: no duplicate pairs from the 3-bin replication
+    val withDups = RangeJoin.bandJoin(rows, rows, "k", "ord", "ord", band = 10L)
+      .filter(col("l_id") < col("r_id")).count()
+    assert(withDups === got.size.toLong)
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
