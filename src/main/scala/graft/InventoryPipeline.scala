@@ -275,7 +275,25 @@ object InventoryPipeline {
     QueryDef("q37_embedding_neardup_pairs",
       (s, d) => Ann.allPairsCosine(embeddings(s, d), "vec_id", "embedding", 0.4)
         .orderBy(col("id_a"), col("id_b")),
-      Some(s"""WITH n AS (SELECT vec_id, embedding, SQRT(${dDot("embedding", "embedding")}) AS nrm FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dCosAB} AS cosine FROM n a JOIN n b ON a.vec_id < b.vec_id WHERE ${dCosAB} >= 0.4 ORDER BY id_a, id_b"""))
+      Some(s"""WITH n AS (SELECT vec_id, embedding, SQRT(${dDot("embedding", "embedding")}) AS nrm FROM embeddings) SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${dCosAB} AS cosine FROM n a JOIN n b ON a.vec_id < b.vec_id WHERE ${dCosAB} >= 0.4 ORDER BY id_a, id_b""")),
+
+    QueryDef("q54_repetition_signals",
+      // Gopher-style repetitious-text filter signals rolled up per source:
+      // all-integer outputs so the cross-engine compare is exact; a doc is
+      // "repetitive" when its top bigram covers >20% of bigram occurrences
+      // (top_occ * 5 > n_bigrams in integer arithmetic)
+      (s, d) => TextAnalysis.repetitionSignals(documents(s, d), "doc_id", "text",
+          keep = Seq("source"))
+        .groupBy(col("source")).agg(
+          sum(when(col("n") === 2, 1L).otherwise(0L)).as("n_docs"),
+          sum(when(col("n") === 2, col("top_occ")).otherwise(0L)).as("top_bigram_occ"),
+          sum(when(col("n") === 2, col("n_grams")).otherwise(0L)).as("n_bigrams"),
+          sum(when(col("n") === 3, col("dup_occ")).otherwise(0L)).as("dup_trigram_occ"),
+          sum(when(col("n") === 3, col("n_grams")).otherwise(0L)).as("n_trigrams"),
+          sum(when(col("n") === 2 && col("top_occ") * 5 > col("n_grams"), 1L)
+            .otherwise(0L)).as("n_repetitive"))
+        .orderBy(col("source")),
+      Some("""WITH t AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, source, 2 AS n, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram FROM t UNION ALL SELECT doc_id, source, 3 AS n, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS gram FROM t), c AS (SELECT doc_id, source, n, gram, COUNT(*) AS occ FROM g GROUP BY 1, 2, 3, 4), d AS (SELECT doc_id, source, n, MAX(occ) AS top_occ, SUM(occ) AS n_grams, COALESCE(SUM(CASE WHEN occ > 1 THEN occ END), 0) AS dup_occ FROM c GROUP BY 1, 2, 3) SELECT source, CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, CAST(SUM(CASE WHEN n = 2 THEN top_occ ELSE 0 END) AS BIGINT) AS top_bigram_occ, CAST(SUM(CASE WHEN n = 2 THEN n_grams ELSE 0 END) AS BIGINT) AS n_bigrams, CAST(SUM(CASE WHEN n = 3 THEN dup_occ ELSE 0 END) AS BIGINT) AS dup_trigram_occ, CAST(SUM(CASE WHEN n = 3 THEN n_grams ELSE 0 END) AS BIGINT) AS n_trigrams, CAST(SUM(CASE WHEN n = 2 AND top_occ * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive FROM d GROUP BY source ORDER BY source"""))
   )
 
   private val annQueries: Seq[QueryDef] = Seq(

@@ -88,6 +88,47 @@ object TextAnalysis {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+    * Models", table A1 — adapted): per document and n-gram order n∈{2,3},
+    * the occurrence counts that the standard repetitious-text filters are
+    * ratios of:
+    *
+    *   - `top_occ`  — occurrences of the single most frequent n-gram
+    *     (top-n-gram fraction = top_occ / n_grams)
+    *   - `n_grams`  — total n-gram occurrences (len(tokens) − n + 1)
+    *   - `dup_occ`  — occurrences belonging to n-grams appearing more than
+    *     once (duplicate-n-gram fraction = dup_occ / n_grams)
+    *
+    * Counts, not ratios, so downstream corpus-level aggregation stays in
+    * exact integer arithmetic. Scale shape: posexplode tokens → per-doc
+    * window `lead` forms both gram orders in ONE pass (same shared-shuffle
+    * shape as MinHash shingling) → two hash aggregations with map-side
+    * partial combine. No per-element lambdas, no self-joins; cost is linear
+    * in corpus token count.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keepCols = keep.map(col)
+    val toks = df.select((col(idCol) +: keepCols) :+
+      posexplode(split(col(textCol), " +")).as(Seq("pos", "tok")): _*)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val next1 = lead(col("tok"), 1).over(w)
+    val next2 = lead(col("tok"), 2).over(w)
+    toks
+      .withColumn("big", when(next1.isNotNull, concat_ws(" ", col("tok"), next1)))
+      .withColumn("tri", when(next2.isNotNull, concat_ws(" ", col("tok"), next1, next2)))
+      .selectExpr((idCol +: keep) :+ "stack(2, 2, big, 3, tri) AS (n, gram)": _*)
+      .filter(col("gram").isNotNull)
+      .groupBy((col(idCol) +: keepCols) ++ Seq(col("n"), col("gram")): _*)
+      .agg(count(lit(1)).as("occ"))
+      .groupBy((col(idCol) +: keepCols) :+ col("n"): _*)
+      .agg(
+        max(col("occ")).as("top_occ"),
+        sum(col("occ")).as("n_grams"),
+        sum(when(col("occ") > 1, col("occ")).otherwise(0L)).as("dup_occ"))
+  }
+
   /** One-scan document profile: all metrics as extra columns. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

@@ -110,6 +110,22 @@ class PipelineSpec extends SparkSpec {
     assert(withDups === got.size.toLong)
   }
 
+  test("repetitionSignals counts top/duplicate n-gram occurrences per doc") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // "a b a b c": bigrams [a b, b a, a b, b c] -> top 2, total 4, dup 2
+    //              trigrams [a b a, b a b, a b c] -> top 1, total 3, dup 0
+    val docs = Seq((1L, "s1", "a b a b c"), (2L, "s1", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.repetitionSignals(docs, "doc_id", "text", keep = Seq("source"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got((1L, 2)) === ((2L, 4L, 2L)))
+    assert(got((1L, 3)) === ((1L, 3L, 0L)))
+    assert(got((2L, 2)) === ((1L, 2L, 0L)))
+    assert(got((2L, 3)) === ((1L, 1L, 0L)))
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
