@@ -293,7 +293,44 @@ object InventoryPipeline {
           sum(when(col("n") === 2 && col("top_occ") * 5 > col("n_grams"), 1L)
             .otherwise(0L)).as("n_repetitive"))
         .orderBy(col("source")),
-      Some("""WITH t AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, source, 2 AS n, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram FROM t UNION ALL SELECT doc_id, source, 3 AS n, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS gram FROM t), c AS (SELECT doc_id, source, n, gram, COUNT(*) AS occ FROM g GROUP BY 1, 2, 3, 4), d AS (SELECT doc_id, source, n, MAX(occ) AS top_occ, SUM(occ) AS n_grams, COALESCE(SUM(CASE WHEN occ > 1 THEN occ END), 0) AS dup_occ FROM c GROUP BY 1, 2, 3) SELECT source, CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, CAST(SUM(CASE WHEN n = 2 THEN top_occ ELSE 0 END) AS BIGINT) AS top_bigram_occ, CAST(SUM(CASE WHEN n = 2 THEN n_grams ELSE 0 END) AS BIGINT) AS n_bigrams, CAST(SUM(CASE WHEN n = 3 THEN dup_occ ELSE 0 END) AS BIGINT) AS dup_trigram_occ, CAST(SUM(CASE WHEN n = 3 THEN n_grams ELSE 0 END) AS BIGINT) AS n_trigrams, CAST(SUM(CASE WHEN n = 2 AND top_occ * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive FROM d GROUP BY source ORDER BY source"""))
+      Some("""WITH t AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, source, 2 AS n, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram FROM t UNION ALL SELECT doc_id, source, 3 AS n, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS gram FROM t), c AS (SELECT doc_id, source, n, gram, COUNT(*) AS occ FROM g GROUP BY 1, 2, 3, 4), d AS (SELECT doc_id, source, n, MAX(occ) AS top_occ, SUM(occ) AS n_grams, COALESCE(SUM(CASE WHEN occ > 1 THEN occ END), 0) AS dup_occ FROM c GROUP BY 1, 2, 3) SELECT source, CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs, CAST(SUM(CASE WHEN n = 2 THEN top_occ ELSE 0 END) AS BIGINT) AS top_bigram_occ, CAST(SUM(CASE WHEN n = 2 THEN n_grams ELSE 0 END) AS BIGINT) AS n_bigrams, CAST(SUM(CASE WHEN n = 3 THEN dup_occ ELSE 0 END) AS BIGINT) AS dup_trigram_occ, CAST(SUM(CASE WHEN n = 3 THEN n_grams ELSE 0 END) AS BIGINT) AS n_trigrams, CAST(SUM(CASE WHEN n = 2 AND top_occ * 5 > n_grams THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive FROM d GROUP BY source ORDER BY source""")),
+
+    QueryDef("q55_pii_scan",
+      // PII scan/redaction over a contact blob reconstructed
+      // deterministically from customer keys (the slim fixture drops
+      // TPC-H's c_phone, so both engines derive the same one): every row
+      // gets a CC-XXX-XXX-XXXX phone, every 10th an email, every 7th an
+      // IPv4. Patterns live in the RE2 ∩ java.regex common subset so both
+      // engines match identically; outputs are all-integer.
+      (s, d) => {
+        val ck = col("c_custkey")
+        val phone = concat_ws("-",
+          (lit(10) + col("c_nationkey")).cast("string"),
+          lpad(pmod(ck * 7919L, lit(1000L)).cast("string"), 3, "0"),
+          lpad(pmod(ck * 104729L, lit(1000L)).cast("string"), 3, "0"),
+          lpad(pmod(ck * 1299709L, lit(10000L)).cast("string"), 4, "0"))
+        val blob = concat(col("c_name"), lit(" ph: "), phone,
+          when(pmod(ck, lit(10L)) === 0,
+            concat(lit(" mail: u"), ck.cast("string"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(pmod(ck, lit(7L)) === 0,
+            concat(lit(" ip 10.0."), pmod(ck, lit(256L)).cast("string"), lit(".1")))
+            .otherwise(lit("")))
+        customer(s, d)
+          .select(col("c_mktsegment"),
+            TextAnalysis.piiCount(blob, TextAnalysis.emailPattern).as("ne"),
+            TextAnalysis.piiCount(blob, TextAnalysis.phonePattern).as("np"),
+            TextAnalysis.piiCount(blob, TextAnalysis.ipv4Pattern).as("ni"),
+            length(TextAnalysis.redactPii(blob)).as("rlen"))
+          .groupBy(col("c_mktsegment")).agg(
+            count(lit(1)).as("n_rows"),
+            sum(col("ne")).as("n_emails"),
+            sum(col("np")).as("n_phones"),
+            sum(col("ni")).as("n_ips"),
+            sum(col("rlen").cast("long")).as("redacted_chars"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""WITH b AS (SELECT c_mktsegment, c_name || ' ph: ' || CAST(10 + c_nationkey AS VARCHAR) || '-' || lpad(CAST((c_custkey * 7919) % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((c_custkey * 104729) % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((c_custkey * 1299709) % 10000 AS VARCHAR), 4, '0') || CASE WHEN c_custkey % 10 = 0 THEN ' mail: u' || CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END || CASE WHEN c_custkey % 7 = 0 THEN ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1' ELSE '' END AS blob FROM customer), c AS (SELECT c_mktsegment, len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})')) AS ne, len(regexp_extract_all(blob, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np, len(regexp_extract_all(blob, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni, length(regexp_replace(regexp_replace(regexp_replace(blob, '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})', '<EMAIL>', 'g'), '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS rlen FROM b) SELECT c_mktsegment, COUNT(*) AS n_rows, CAST(SUM(ne) AS BIGINT) AS n_emails, CAST(SUM(np) AS BIGINT) AS n_phones, CAST(SUM(ni) AS BIGINT) AS n_ips, CAST(SUM(rlen) AS BIGINT) AS redacted_chars FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
   )
 
   private val annQueries: Seq[QueryDef] = Seq(

@@ -88,6 +88,34 @@ object TextAnalysis {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
+  // --- PII scan / redaction (pretraining-corpus scrubbing) ---------------
+  // Patterns stay inside the RE2 ∩ java.util.regex common subset (no
+  // backrefs, no lookaround) so the same pattern text runs identically in
+  // Spark, DuckDB, and any RE2-based engine a corpus pipeline touches.
+
+  /** Email addresses (named host with alphabetic TLD, or IPv4-literal
+    * host — so `user@10.0.0.1` scrubs as one email, not a bare IP). */
+  val emailPattern =
+    "[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})"
+  /** TPC-H-style international phone numbers (CC-XXX-XXX-XXXX). */
+  val phonePattern = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  /** Dotted-quad IPv4 literals. */
+  val ipv4Pattern = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Count of PII matches of one pattern — codegen'd `regexp_count`. */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** Redact emails, phones, and IPv4s with typed placeholder tokens.
+    * Order matters: emails first, so `user@10.0.0.1` redacts as one
+    * `<EMAIL>` rather than a partial `<IP>` inside an address. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit(emailPattern), lit("<EMAIL>")),
+        lit(phonePattern), lit("<PHONE>")),
+      lit(ipv4Pattern), lit("<IP>"))
+
   /** Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
     * Models", table A1 — adapted): per document and n-gram order n∈{2,3},
     * the occurrence counts that the standard repetitious-text filters are

@@ -126,6 +126,26 @@ class PipelineSpec extends SparkSpec {
     assert(got((2L, 3)) === ((1L, 1L, 0L)))
   }
 
+  test("redactPii masks planted emails/phones/IPs and leaves clean text alone") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "contact bob.smith+x@mail.example.org or 25-989-741-2988 now"),
+      (2L, "server at 10.0.255.14 rebooted"),
+      (3L, "user@10.0.0.1 logged in"),  // email wins over inner IP
+      (4L, "nothing sensitive here 1234"))
+      .toDF("id", "text")
+    val out = docs.select(col("id"), TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.emailPattern).as("ne"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.phonePattern).as("np"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L)._1 === "contact <EMAIL> or <PHONE> now")
+    assert(out(1L)._2 === 1 && out(1L)._3 === 1)
+    assert(out(2L)._1 === "server at <IP> rebooted")
+    assert(out(3L)._1 === "<EMAIL> logged in")
+    assert(out(4L)._1 === "nothing sensitive here 1234")
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
