@@ -130,6 +130,25 @@ object InventoryPipeline {
         .orderBy(col("user_id")),
       Some("""SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1 HAVING COUNT(*) >= CAST(CEIL(0.008 * (SELECT COUNT(*) FROM events)) AS BIGINT) ORDER BY 1""")),
 
+    QueryDef("q56_bloom_semi_join",
+      // exact semi-join with Bloom pre-pruning: the build side's key set
+      // (urgent orders) is sketched into a broadcast bloom probed by the
+      // codegen'd might_contain BEFORE any shuffle of the fact — survivors
+      // (matches + <=1% FP) then exact-semi-join; answer identical to a
+      // plain semi-join, shuffle volume ∝ selectivity instead of |fact|
+      (s, d) => {
+        import graft.operators.BloomJoin
+        val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        BloomJoin.bloomPrunedSemiJoin(lineitem(s, d), urgent,
+            "l_orderkey", "o_orderkey", expectedItems = 200000L, numBits = 2000000L)
+          .groupBy(col("l_returnflag")).agg(
+            count(lit(1)).as("n_items"),
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_items, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q51_asof_join",
       // backward as-of join: each purchase matched to the user's latest
       // click at or before it. Both engines compare at MICROsecond

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types.BinaryType
+
+/** Bloom-filter semi-join: prune a huge fact table against a build-side key
+  * set that is too large to broadcast exactly but whose Bloom sketch fits in
+  * a few MB.
+  *
+  * This is the manual form of Spark's own runtime-filter machinery
+  * (`InjectRuntimeFilter`): the build side tree-aggregates its hashed keys
+  * into one `BloomFilter` (a few MB driver object), which ships to every
+  * fact task as a literal and is probed by the native, codegen'd
+  * `might_contain` — no shuffle of the fact, no join until the fact is
+  * already pruned to (matching ∪ ε·non-matching) rows. At 100 TB this turns
+  * "shuffle the whole fact to semi-join it" into "scan + local filter, then
+  * shuffle only survivors"; with a 1% FPP the follow-up exact semi-join
+  * moves ~1% of the dead rows instead of all of them.
+  *
+  * Why not rely on `InjectRuntimeFilter`? The optimizer only injects blooms
+  * under a joinable shape it recognizes, with size thresholds tuned for
+  * generic workloads; a curation pipeline that *knows* "this 50 M-key
+  * dedup-survivor list prunes 99% of the corpus" wants the filter
+  * unconditionally, and reusable across several downstream joins.
+  */
+object BloomJoin {
+
+  /** Aggregate `build`'s `key` column into a serialized Bloom filter
+    * (xxhash64'd, like Spark's runtime filters). Distributed partial
+    * aggregation; only the merged sketch (`numBits/8` bytes) reaches the
+    * driver. */
+  def buildBloom(build: DataFrame, key: String, expectedItems: Long,
+      numBits: Long): Array[Byte] = {
+    val hashed = new XxHash64(Seq(ColumnShim.expression(build(key))))
+    val agg = new BloomFilterAggregate(hashed,
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+    build.select(ColumnShim.column(agg).as("bf")).head.getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd `might_contain(bloom, xxhash64(col))` predicate. */
+  def mightContain(bloom: Array[Byte], c: Column): Column =
+    ColumnShim.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      new XxHash64(Seq(ColumnShim.expression(c)))))
+
+  /** Approximate semi-join: rows of `fact` whose `factKey` might be in
+    * `build`'s `buildKey` set. No false negatives; ≤ `fpp`-rate false
+    * positives. One aggregation over `build`, one scan of `fact`. */
+  def bloomSemiJoin(fact: DataFrame, build: DataFrame, factKey: String,
+      buildKey: String, expectedItems: Long, numBits: Long): DataFrame = {
+    val bloom = buildBloom(build, buildKey, expectedItems, numBits)
+    fact.filter(mightContain(bloom, fact(factKey)))
+  }
+
+  /** Exact semi-join with Bloom pre-pruning: the bloom eliminates the bulk
+    * of non-matching fact rows before the (now small) exact semi-join
+    * shuffles the survivors. Same result as `fact.join(build, semi)`. */
+  def bloomPrunedSemiJoin(fact: DataFrame, build: DataFrame, factKey: String,
+      buildKey: String, expectedItems: Long, numBits: Long): DataFrame = {
+    val pruned = bloomSemiJoin(fact, build, factKey, buildKey, expectedItems, numBits)
+    pruned.join(build.select(col(buildKey)).distinct(),
+      pruned(factKey) === col(buildKey), "left_semi")
+  }
+}

@@ -73,6 +73,25 @@ object StreamingAgg {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream equi-join within an event-time band: left rows match
+    * right rows with the same `key` and `r.ts ∈ [l.ts − before, l.ts +
+    * after]`. Both sides are watermarked and the join condition bounds both
+    * event-time columns, so Spark can expire join state: each side holds
+    * only `band + watermarkDelay` of history per key — state is O(rate ×
+    * horizon), not O(stream). Output columns are prefixed `l_` / `r_`; the
+    * batch twin of this shape is `RangeJoin.bandJoin` (q53). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, beforeSec: Long, afterSec: Long,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.columns.foldLeft(left)((d, c) => d.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_$tsCol", watermarkDelay)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermarkDelay)
+    l.join(r, col(s"l_$key") === col(s"r_$key") &&
+      col(s"r_$tsCol") >= col(s"l_$tsCol") - expr(s"INTERVAL $beforeSec SECONDS") &&
+      col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $afterSec SECONDS"))
+  }
+
   // -- stateful sessionization (mapGroupsWithState) ------------------------
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

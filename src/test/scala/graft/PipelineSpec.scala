@@ -146,6 +146,21 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L)._1 === "nothing sensitive here 1234")
   }
 
+  test("bloom semi-join: no false negatives, exact variant matches a real semi-join") {
+    import spark.implicits._
+    import graft.operators.BloomJoin
+    val fact = (1L to 2000L).map(i => (i, i % 7)).toDF("k", "v")
+    val build = (1L to 2000L).filter(_ % 13 == 0).map(Tuple1(_)).toDF("bk")
+    val exact = fact.join(build, col("k") === col("bk"), "left_semi")
+      .select("k").as[Long].collect().toSet
+    val approx = BloomJoin.bloomSemiJoin(fact, build, "k", "bk", 200L, 4000L)
+      .select("k").as[Long].collect().toSet
+    assert(exact.subsetOf(approx), "bloom must not drop true matches")
+    val pruned = BloomJoin.bloomPrunedSemiJoin(fact, build, "k", "bk", 200L, 4000L)
+      .select("k").as[Long].collect().toSet
+    assert(pruned === exact)
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components

@@ -67,6 +67,37 @@ class StreamingSpec extends SparkSpec {
       s"${gotDedup.count()} deduped vs ${batchEvents.count()} source events")
   }
 
+  test("stream-stream interval join matches the batch band join") {
+    val batchEvents = Tables.events(spark, sf0001)
+    val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
+    val dir = java.nio.file.Files.createTempDirectory("events_stream3")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(sf0001, "events")),
+      dir.resolve("events.parquet"))
+    def streamed = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sel = Seq("event_id", "user_id", "ts")
+    val clicks = streamed.filter(col("event_type") === "click")
+      .selectExpr(sel: _*)
+    val purchases = streamed.filter(col("event_type") === "purchase")
+      .selectExpr(sel: _*)
+    // purchases within 1h AFTER a click by the same user
+    val joined = StreamingAgg.intervalJoin(clicks, purchases, "user_id", "ts",
+      beforeSec = 0L, afterSec = 3600L)
+    val got = StreamingAgg.runToMemory(spark, joined, "interval_join")
+    val exact = batchEvents.filter(col("event_type") === "click").as("c")
+      .join(batchEvents.filter(col("event_type") === "purchase").as("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("p.ts") >= col("c.ts") &&
+          col("p.ts") <= col("c.ts") + expr("INTERVAL 3600 SECONDS"))
+      .count()
+    assert(got.count() === exact,
+      s"stream join ${got.count()} pairs vs batch $exact")
+  }
+
   test("sessionize closes sessions and sums values") {
     import spark.implicits._
     val evs = Tables.events(spark, sf0001)
