@@ -149,6 +149,21 @@ object InventoryPipeline {
       },
       Some("""SELECT l_returnflag, COUNT(*) AS n_items, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("q58_compact_latest",
+      // CDC/snapshot compaction: keep each user's latest event (event-time
+      // desc, event_id desc tiebreak) — one keyed window shuffle, the
+      // standard "current state of every key" pass before training-data
+      // extraction from an event log
+      (s, d) => {
+        import graft.operators.Packing
+        Packing.latestPerKey(
+            events(s, d).select(col("user_id"), col("event_id"),
+              unix_micros(col("ts")).as("ts_us"), col("event_type")),
+            keyCols = Seq("user_id"), orderCols = Seq("ts_us", "event_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, event_id, ts_us, event_type FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id""")),
+
     QueryDef("q51_asof_join",
       // backward as-of join: each purchase matched to the user's latest
       // click at or before it. Both engines compare at MICROsecond
@@ -349,7 +364,24 @@ object InventoryPipeline {
             sum(col("rlen").cast("long")).as("redacted_chars"))
           .orderBy(col("c_mktsegment"))
       },
-      Some("""WITH b AS (SELECT c_mktsegment, c_name || ' ph: ' || CAST(10 + c_nationkey AS VARCHAR) || '-' || lpad(CAST((c_custkey * 7919) % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((c_custkey * 104729) % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((c_custkey * 1299709) % 10000 AS VARCHAR), 4, '0') || CASE WHEN c_custkey % 10 = 0 THEN ' mail: u' || CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END || CASE WHEN c_custkey % 7 = 0 THEN ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1' ELSE '' END AS blob FROM customer), c AS (SELECT c_mktsegment, len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})')) AS ne, len(regexp_extract_all(blob, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np, len(regexp_extract_all(blob, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni, length(regexp_replace(regexp_replace(regexp_replace(blob, '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})', '<EMAIL>', 'g'), '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS rlen FROM b) SELECT c_mktsegment, COUNT(*) AS n_rows, CAST(SUM(ne) AS BIGINT) AS n_emails, CAST(SUM(np) AS BIGINT) AS n_phones, CAST(SUM(ni) AS BIGINT) AS n_ips, CAST(SUM(rlen) AS BIGINT) AS redacted_chars FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+      Some("""WITH b AS (SELECT c_mktsegment, c_name || ' ph: ' || CAST(10 + c_nationkey AS VARCHAR) || '-' || lpad(CAST((c_custkey * 7919) % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((c_custkey * 104729) % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST((c_custkey * 1299709) % 10000 AS VARCHAR), 4, '0') || CASE WHEN c_custkey % 10 = 0 THEN ' mail: u' || CAST(c_custkey AS VARCHAR) || '@example.com' ELSE '' END || CASE WHEN c_custkey % 7 = 0 THEN ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR) || '.1' ELSE '' END AS blob FROM customer), c AS (SELECT c_mktsegment, len(regexp_extract_all(blob, '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})')) AS ne, len(regexp_extract_all(blob, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS np, len(regexp_extract_all(blob, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS ni, length(regexp_replace(regexp_replace(regexp_replace(blob, '[A-Za-z0-9._%+-]+@([A-Za-z0-9.-]+\.[A-Za-z]{2,}|[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3})', '<EMAIL>', 'g'), '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS rlen FROM b) SELECT c_mktsegment, COUNT(*) AS n_rows, CAST(SUM(ne) AS BIGINT) AS n_emails, CAST(SUM(np) AS BIGINT) AS n_phones, CAST(SUM(ni) AS BIGINT) AS n_ips, CAST(SUM(rlen) AS BIGINT) AS redacted_chars FROM c GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    QueryDef("q57_sequence_pack",
+      // token-budget sequence packing: docs fill 512-token packs in doc_id
+      // order within each source shard (contiguous fill with overflow);
+      // per-pack doc and token counts — parallelism = number of shards,
+      // the cumulative sum never crosses shard boundaries
+      (s, d) => {
+        import graft.operators.Packing
+        val docs = documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        Packing.packSequences(docs, "doc_id", "n_tokens", "source", budget = 512L)
+          .groupBy(col("source"), col("pack")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("pack_tokens"))
+          .orderBy(col("source"), col("pack"))
+      },
+      Some("""WITH t AS (SELECT doc_id, source, CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, source, n, COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM t) SELECT source, CAST((bef - (bef % 512)) / 512 AS BIGINT) AS pack, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS pack_tokens FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   private val annQueries: Seq[QueryDef] = Seq(

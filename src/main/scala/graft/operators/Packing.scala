@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing and snapshot compaction — the two "shape the corpus for
+  * training" operators a pretraining pipeline runs after filtering/dedup.
+  */
+object Packing {
+
+  /** Assign each row to a token-budget pack: rows are taken in `idCol`
+    * order within each `partCol` group, and a row's pack is
+    * `floor(tokens_before_it / budget)` — contiguous fill, so a document
+    * that crosses a budget boundary overflows its pack rather than being
+    * split (packing-with-overflow; real packers then truncate or split
+    * downstream).
+    *
+    * Scale shape: ONE window per partition key — the cumulative sum is
+    * computed per group, so parallelism = number of groups (pass a
+    * date/shard/source column, never a constant: a single global order
+    * would funnel 100 TB through one task). Output adds `pack` and
+    * `pack_fill` (tokens before this row within its pack). */
+  def packSequences(df: DataFrame, idCol: String, tokenCol: String,
+      partCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn("__before", before)
+      .withColumn("pack", (col("__before") - pmod(col("__before"), lit(budget))) / lit(budget))
+      .withColumn("pack", col("pack").cast("long"))
+      .withColumn("pack_fill", pmod(col("__before"), lit(budget)))
+      .drop("__before")
+  }
+
+  /** Latest row per key — CDC/snapshot compaction: for each `keyCols`
+    * group keep the single row that is maximal by `orderCols` (descending,
+    * with the LAST order column as a total-order tiebreak so the winner is
+    * deterministic). Scale shape: window row_number over the key — one
+    * shuffle on the key columns, no driver state; AQE splits skewed keys.
+    */
+  def latestPerKey(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

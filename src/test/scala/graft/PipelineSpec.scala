@@ -161,6 +161,23 @@ class PipelineSpec extends SparkSpec {
     assert(pruned === exact)
   }
 
+  test("packSequences fills budget bins in order; latestPerKey keeps one deterministic winner") {
+    import spark.implicits._
+    import graft.operators.Packing
+    // tokens 300+300 cross the 512 boundary: doc 2 overflows pack 0,
+    // doc 3 starts pack 1 (before=600)
+    val docs = Seq((1L, "s", 300L), (2L, "s", 300L), (3L, "s", 100L), (4L, "t", 600L), (5L, "t", 10L))
+      .toDF("doc_id", "src", "n_tokens")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tokens", "src", 512L)
+      .select("doc_id", "pack").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(packed === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 0L, 5L -> 1L))
+    val ev = Seq((7L, 100L, 1L), (7L, 200L, 2L), (7L, 200L, 3L), (8L, 50L, 4L))
+      .toDF("user_id", "ts_us", "event_id")
+    val latest = Packing.latestPerKey(ev, Seq("user_id"), Seq("ts_us", "event_id"))
+      .select("user_id", "event_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(latest === Map(7L -> 3L, 8L -> 4L)) // ties broken by highest event_id
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
