@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, AsofJoin, Dedup, HeavyHitters, Multimodal, RangeJoin, Skew, TextAnalysis}
+import graft.operators.{Ann, AsofJoin, Dedup, HeavyHitters, Mixing, Multimodal, RangeJoin, Rolling, Skew, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / similarity / text analysis) over
   * the `documents` and `embeddings` fixtures, plus multi-table join and
@@ -437,6 +437,59 @@ object InventoryPipeline {
       Some("""SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, COUNT(*) AS n_items, CAST(SUM(octet_length(encode(text))) AS BIGINT) AS sum_bytes FROM documents GROUP BY 1 ORDER BY 1"""))
   )
 
+  private val mixAndFeatureQueries: Seq[QueryDef] = Seq(
+    QueryDef("q59_corpus_mix",
+      // corpus mixing: per-source keep rates (1/step via the affine hash) +
+      // Horvitz-Thompson reweighted char totals — integer arithmetic
+      // throughout, pure scan-stage filter
+      (s, d) => {
+        val mixed = Mixing.corpusMix(documents(s, d), "doc_id", "source",
+          Map("src0" -> 1L, "src1" -> 2L, "src2" -> 4L, "src3" -> 2L),
+          defaultStep = 5L)
+        mixed.groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars") * col("mix_step")).as("est_chars"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH w AS (SELECT source, n_chars, CASE source WHEN 'src0' THEN 1 WHEN 'src1' THEN 2 WHEN 'src2' THEN 4 WHEN 'src3' THEN 2 ELSE 5 END AS mix_step, ${Mixing.hashPrioritySql("doc_id")} AS h FROM documents) SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars * mix_step) AS BIGINT) AS est_chars FROM w WHERE h % mix_step = 0 GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q60_rolling_features",
+      // trailing-window featurization: previous-3-events count/sum AND
+      // previous-hour count/sum per user — both frames share one keyed
+      // shuffle+sort (same partition/order spec). Cents via floor(value*100)
+      // keep cross-engine sums in exact integer arithmetic.
+      (s, d) => {
+        val ev = events(s, d)
+          .filter(pmod(col("user_id"), lit(10L)) === 7)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us"),
+            floor(col("value") * lit(100)).cast("long").as("cents"))
+        val rows3 = Rolling.trailingRows(ev, Seq("user_id"),
+          Seq("ts_us", "event_id"), col("cents"), k = 3)
+        Rolling.trailingRange(rows3, Seq("user_id"), "ts_us",
+            col("cents"), lookback = 3600L * 1000000L)
+          .select("user_id", "event_id", "prev_n", "prev_sum", "win_n", "win_sum")
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id, prev_n, CAST(prev_sum AS BIGINT) AS prev_sum, win_n, CAST(win_sum AS BIGINT) AS win_sum FROM (SELECT user_id, event_id, COUNT(cents) OVER wr AS prev_n, COALESCE(SUM(cents) OVER wr, 0) AS prev_sum, COUNT(cents) OVER wt AS win_n, COALESCE(SUM(cents) OVER wt, 0) AS win_sum FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(floor(value * 100) AS BIGINT) AS cents FROM events WHERE user_id % 10 = 7) WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), wt AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)) ORDER BY user_id, event_id""")),
+
+    QueryDef("q61_top_terms",
+      // TF vocabulary inspection: top-5 terms per source; the shuffle after
+      // the explode carries one row per distinct (source, term) — partial
+      // aggregation absorbs the occurrence fan-out map-side
+      (s, d) => TextAnalysis.topTerms(documents(s, d), "source", "text", k = 5)
+        .orderBy(col("source"), col("rank")),
+      Some("""WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), ' +')) AS term FROM documents), c AS (SELECT source, term, COUNT(*) AS occ FROM tok WHERE length(term) > 0 GROUP BY 1, 2) SELECT source, term, occ, ROW_NUMBER() OVER (PARTITION BY source ORDER BY occ DESC, term) AS rank FROM c QUALIFY rank <= 5 ORDER BY source, rank""")),
+
+    QueryDef("q62_exact_n_sample",
+      // exact-n-per-stratum pseudo-random sample (deterministic reservoir
+      // twin): smallest-hash-priority rows, replayable by any engine
+      (s, d) => Mixing.exactNPerGroup(documents(s, d), "doc_id", "source", n = 3)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("doc_id")),
+      Some(s"""SELECT source, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ${Mixing.hashPrioritySql("doc_id")}, doc_id) AS rn FROM documents) WHERE rn <= 3 ORDER BY source, doc_id"""))
+  )
+
   val all: Seq[QueryDef] = joinAndEvents ++ textQueries ++ dedupQueries ++
-    annQueries ++ multimodalQueries
+    annQueries ++ multimodalQueries ++ mixAndFeatureQueries
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus mixing and exact-size sampling — how a pretraining pipeline turns
+  * "we want 30% web, 30% code, 5% of everything else" into a row filter, and
+  * how it draws an exact-n pseudo-random subset without a `rand()` that no
+  * other engine can replay.
+  *
+  * Both designs ride on one deterministic affine hash of the row id,
+  * `h(id) = (id·1299709 + 104729) mod 1000003` (primes; max |id|·1.3e6 keeps
+  * 64-bit arithmetic overflow-free past 10^12 ids). Unlike raw `id % step`,
+  * `h` is uniform modulo any step even when ids are structurally striped
+  * (the fixtures assign `source = src(doc_id % 20)`, so raw-id strides that
+  * share a factor with 20 would select all-or-nothing within a source).
+  */
+object Mixing {
+
+  /** Deterministic pseudo-random priority in [0, 1000003). */
+  def hashPriority(id: Column): Column =
+    pmod(id.cast("long") * lit(1299709L) + lit(104729L), lit(1000003L))
+
+  /** SQL text of [[hashPriority]] for oracle twins. */
+  def hashPrioritySql(idExpr: String): String =
+    s"(($idExpr * 1299709 + 104729) % 1000003)"
+
+  /** Downsample each group to its configured rate: keep rows with
+    * `h(id) % step == 0` where `step = stepPerGroup(group)` (≈ keep 1/step),
+    * `defaultStep` elsewhere; a step of 1 keeps everything. Adds `mix_step`
+    * (the row's expansion weight for reweighted corpus statistics).
+    *
+    * Scale shape: a pure scan-stage filter — no shuffle, no lookup table,
+    * pushes past column pruning; the group→step map is a compiled CASE
+    * expression (corpus mixes have tens of sources, not millions — for a
+    * per-key table of that size you would broadcast-join instead). */
+  def corpusMix(df: DataFrame, idCol: String, groupCol: String,
+      stepPerGroup: Map[String, Long], defaultStep: Long = 1L): DataFrame = {
+    require(defaultStep >= 1 && stepPerGroup.values.forall(_ >= 1))
+    val step = stepPerGroup.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultStep)) { case (acc, (g, s)) =>
+        when(col(groupCol) === lit(g), lit(s)).otherwise(acc)
+      }
+    df.withColumn("mix_step", step)
+      .filter(pmod(hashPriority(col(idCol)), col("mix_step")) === 0)
+  }
+
+  /** Exact-n pseudo-random sample per group, without replacement: the n rows
+    * with the smallest hash priority (id tiebreak) in each group. The
+    * deterministic twin of per-stratum reservoir sampling — any engine
+    * replays the same row set.
+    *
+    * Scale shape: one shuffle on the group key, and the window's sort is a
+    * per-group top-n (rank ≤ n prunes at the sort). For a single global
+    * sample prefer [[exactNGlobal]], which compiles to a distributed
+    * TakeOrderedAndProject (per-partition heaps, no full sort). */
+  def exactNPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashPriority(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Exact-n global sample: ORDER BY priority LIMIT n — Spark plans this as
+    * TakeOrderedAndProject (bounded per-partition heaps merged on one
+    * reducer; only n rows ever move). */
+  def exactNGlobal(df: DataFrame, idCol: String, n: Int): DataFrame =
+    df.orderBy(hashPriority(col(idCol)), col(idCol)).limit(n)
+}

@@ -157,6 +157,29 @@ object TextAnalysis {
         sum(when(col("occ") > 1, col("occ")).otherwise(0L)).as("dup_occ"))
   }
 
+  /** Top-k terms per group by occurrence count — the corpus-inspection /
+    * TF-vocabulary pass. Lowercased whitespace tokens, empty tokens dropped;
+    * ties broken by term text so the result is total-ordered.
+    *
+    * Scale shape: explode → hash aggregate on (group, term) with map-side
+    * partial combine (the shuffle carries one row per distinct (group,term),
+    * not per occurrence) → per-group top-k window where rank ≤ k prunes
+    * inside the sort. Integer counts only: corpus-level TF stays exact.
+    */
+  def topTerms(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1)
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("occ").desc, col("term"))
+    df.select(col(groupCol), explode(split(lower(col(textCol)), " +")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** One-scan document profile: all metrics as extra columns. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)

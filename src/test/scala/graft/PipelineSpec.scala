@@ -178,6 +178,47 @@ class PipelineSpec extends SparkSpec {
     assert(latest === Map(7L -> 3L, 8L -> 4L)) // ties broken by highest event_id
   }
 
+  test("corpusMix keeps ~1/step per group and exactNPerGroup is exact and deterministic") {
+    import spark.implicits._
+    import graft.operators.Mixing
+    val docs = (0L until 2000L).map(i => (i, s"g${i % 4}")).toDF("id", "g")
+    val mixed = Mixing.corpusMix(docs, "id", "g",
+      Map("g0" -> 1L, "g1" -> 2L, "g2" -> 10L), defaultStep = 5L)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed("g0") === 500) // step 1 keeps everything
+    // hash decorrelates the id%4 striping: rates land near 1/step
+    assert(math.abs(mixed("g1") - 250.0) / 250.0 < 0.25)
+    assert(math.abs(mixed("g2") - 50.0) / 50.0 < 0.5)
+    assert(math.abs(mixed("g3") - 100.0) / 100.0 < 0.4)
+    val s1 = Mixing.exactNPerGroup(docs, "id", "g", 7)
+    assert(s1.groupBy("g").count().collect().forall(_.getLong(1) === 7))
+    val ids = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(s1) === ids(Mixing.exactNPerGroup(docs.repartition(13), "id", "g", 7)))
+    assert(ids(Mixing.exactNGlobal(docs, "id", 25)).size === 25)
+  }
+
+  test("trailingRows/trailingRange compute prior-frame stats; topTerms ranks by count") {
+    import spark.implicits._
+    import graft.operators.{Rolling, TextAnalysis}
+    val ev = Seq((1L, 10L, 1L), (1L, 20L, 2L), (1L, 20L, 3L), (1L, 500L, 4L))
+      .toDF("k", "tick", "v")
+    val r = Rolling.trailingRows(ev, Seq("k"), Seq("tick", "v"), col("v"), k = 2)
+      .orderBy("tick", "v")
+      .select("prev_n", "prev_sum").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(r === Array((0L, 0L), (1L, 1L), (2L, 3L), (2L, 5L)))
+    val t = Rolling.trailingRange(ev, Seq("k"), "tick", col("v"), lookback = 100L)
+      .orderBy("tick", "v")
+      .select("win_n", "win_sum").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // ties at tick 20 are concurrent -> excluded from each other's frame;
+    // tick 500 sees nothing within 100
+    assert(t === Array((0L, 0L), (1L, 1L), (1L, 1L), (0L, 0L)))
+    val docs = Seq(("s", "b b a a a"), ("s", "a c"), ("t", "z")).toDF("src", "text")
+    val top = TextAnalysis.topTerms(docs, "src", "text", 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getInt(3)))
+    assert(top.toSet === Set(("s", "a", 4L, 1), ("s", "b", 2L, 2), ("t", "z", 1L, 1)))
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
