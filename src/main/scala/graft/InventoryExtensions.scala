@@ -72,6 +72,64 @@ object InventoryExtensions {
         s"SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * ${1.0 / p} AS sum_price_est, COUNT(*) AS n_samples FROM lineitem WHERE $k % 10 = 0 OR $k % 7 = 1"
       }),
 
+    QueryDef("q64_value_histogram",
+      // equi-width value profiling: bin = floor(x / width) is pure scan
+      // arithmetic (no min/max pre-pass, no sort); one partial-agg shuffle
+      // of (bin, count, decimal sum) partials
+      (s, d) => lineitem(s, d)
+        .withColumn("bin", floor(col("l_extendedprice") / lit(5000.0)).cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("bin")),
+      Some("""SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bin, COUNT(*) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q65_group_corr",
+      // Pearson correlation per group from five EXACT integer moments
+      // (cents — corr is invariant under the x100 scaling), closed form
+      // applied once per group in identical expression text. Moments stay
+      // scale-0 decimals until ONE final double cast: a hugeint-backed
+      // DECIMAL(38,6)->DOUBLE cast double-rounds in DuckDB (int->double
+      // then /1e6, measured 1 ulp off on sum(price^2)) while Java's
+      // BigDecimal converts in one rounding — scale 0 makes both a single
+      // correctly-rounded int->double conversion.
+      (s, d) => {
+        val xc = (col("l_quantity").cast("decimal(18,2)") * lit(100)).cast("long")
+        val yc = (col("l_extendedprice").cast("decimal(18,2)") * lit(100)).cast("long")
+        lineitem(s, d)
+          .select(col("l_returnflag"), xc.as("xc"), yc.as("yc"))
+          .groupBy(col("l_returnflag")).agg(
+            count(lit(1)).cast("double").as("n"),
+            sum(col("xc").cast("decimal(28,0)")).cast("double").as("sx"),
+            sum(col("yc").cast("decimal(28,0)")).cast("double").as("sy"),
+            sum((col("xc") * col("xc")).cast("decimal(38,0)")).cast("double").as("sxx"),
+            sum((col("yc") * col("yc")).cast("decimal(38,0)")).cast("double").as("syy"),
+            sum((col("xc") * col("yc")).cast("decimal(38,0)")).cast("double").as("sxy"))
+          .select(col("l_returnflag"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_price"),
+            col("n").cast("long").as("n_rows"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH c AS (SELECT l_returnflag, CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc FROM lineitem), m AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(xc AS DECIMAL(28,0))) AS DOUBLE) AS sx, CAST(SUM(CAST(yc AS DECIMAL(28,0))) AS DOUBLE) AS sy, CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx, CAST(SUM(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy, CAST(SUM(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy FROM c GROUP BY 1) SELECT l_returnflag, (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price, CAST(n AS BIGINT) AS n_rows FROM m ORDER BY l_returnflag""")),
+
+    QueryDef("q66_pps_sum",
+      // PPS weighted sampling + Horvitz-Thompson: inclusion probability
+      // proportional to l_quantity, unbiased SUM estimate via y/p summed
+      // through decimal (raw double HT sums are partition-order dependent)
+      (s, d) => {
+        val key = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+        val (sampled, _, _) = graft.exec.Sampling.pps(
+          lineitem(s, d), col("l_quantity"), key, targetFraction = 0.1)
+        sampled.agg(
+          sum((col("l_extendedprice") / col("pps_p")).cast("decimal(28,10)"))
+            .cast("double").as("sum_price_est"),
+          count(lit(1)).as("n_samples"))
+      },
+      Some("""WITH m AS (SELECT COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s FROM lineitem), p AS (SELECT l_extendedprice, least(1.0, 0.1 * n * l_quantity / s) AS pp, ((l_orderkey * 8191 + l_linenumber * 131) % 1000003 * 1299709 + 104729) % 1000003 AS h FROM lineitem, m) SELECT CAST(SUM(CAST(l_extendedprice / pp AS DECIMAL(28,10))) AS DOUBLE) AS sum_price_est, COUNT(*) AS n_samples FROM p WHERE h < pp * 1000003""")),
+
     QueryDef("q29_adaptive_sum",
       // adaptive CLT loop: seed-deterministic but Bernoulli rand() is not
       // reproducible in another engine -> rows-only check; convergence and

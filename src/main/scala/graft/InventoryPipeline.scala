@@ -481,6 +481,20 @@ object InventoryPipeline {
         .orderBy(col("source"), col("rank")),
       Some("""WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), ' +')) AS term FROM documents), c AS (SELECT source, term, COUNT(*) AS occ FROM tok WHERE length(term) > 0 GROUP BY 1, 2) SELECT source, term, occ, ROW_NUMBER() OVER (PARTITION BY source ORDER BY occ DESC, term) AS rank FROM c QUALIFY rank <= 5 ORDER BY source, rank""")),
 
+    QueryDef("q63_doc_chunks",
+      // sliding-window chunking (64-token windows, stride 48) with the
+      // rolling-hash fingerprint of every chunk — the fp oracle-proves the
+      // reassembled chunk TEXT matches, not just the counts
+      (s, d) => {
+        val chunks = TextAnalysis.chunkDocs(documents(s, d), "doc_id", "text",
+          chunkTokens = 64, strideTokens = 48, keep = Seq("source"))
+        chunks.filter(col("source") === "src0")
+          .select(col("doc_id"), col("chunk"), col("chunk_tokens"),
+            TextAnalysis.fingerprint(col("chunk_text")).as("chunk_fp"))
+          .orderBy(col("doc_id"), col("chunk"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents WHERE source = 'src0'), s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS strt FROM t), c AS (SELECT doc_id, strt // 48 AS chunk, list_slice(toks, strt + 1, strt + 64) AS ctoks FROM s) SELECT doc_id, chunk, len(ctoks) AS chunk_tokens, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(ch) AS BIGINT) for ch in string_split(lower(regexp_replace(trim(array_to_string(ctoks, ' ')), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp FROM c ORDER BY doc_id, chunk""")),
+
     QueryDef("q62_exact_n_sample",
       // exact-n-per-stratum pseudo-random sample (deterministic reservoir
       // twin): smallest-hash-priority rows, replayable by any engine

@@ -236,6 +236,37 @@ object Sampling {
       df.join(broadcast(idxDf), key === col("__idx"), "left_semi")
     }
 
+  /** Deterministic PPS (probability-proportional-to-size) Poisson sample —
+    * the unequal-probability design the equal-probability family can't
+    * express: big rows are more likely sampled, and the Horvitz–Thompson
+    * estimator `Σ y_i / p_i` over the sample is unbiased for `Σ y` with far
+    * lower variance when y correlates with the size column.
+    *
+    * Row i is kept iff `hash(key_i) < p_i · M` where the affine hash is
+    * uniform on [0, M) and `p_i = min(1, f·N·size_i / Σsize)` (so E[n] =
+    * f·N absent clamping). Fully deterministic given the key → replayable
+    * by any engine; the pre-mod keeps 64-bit arithmetic overflow-free for
+    * any key magnitude.
+    *
+    * Scale shape: one tiny moments job (COUNT + exact decimal Σsize →
+    * two driver scalars), then a pure scan-stage filter. Output keeps
+    * `pps_p`; estimate SUMs as `Σ (y/pps_p)` **through decimal** — the HT
+    * terms are doubles and a raw double sum is partition-order dependent.
+    *
+    * @return (sampled frame with `pps_p`, N, Σsize) */
+  def pps(df: DataFrame, sizeCol: Column, key: Column,
+      targetFraction: Double): (DataFrame, Long, Double) = {
+    require(targetFraction > 0 && targetFraction <= 1.0)
+    val m = 1000003L
+    val row = df.agg(count(lit(1)),
+      sum(sizeCol.cast("decimal(18,2)")).cast("double")).collect()(0)
+    val (n, s) = (row.getLong(0), row.getDouble(1))
+    val c = targetFraction * n // one driver multiply, mirrored by oracles
+    val p = least(lit(1.0), lit(c) * sizeCol / lit(s))
+    val h = pmod(pmod(key, lit(m)) * lit(1299709L) + lit(104729L), lit(m))
+    (df.withColumn("pps_p", p).filter(h < col("pps_p") * lit(m.toDouble)), n, s)
+  }
+
   /** Apply a [[SamplingStrategy]] given the table's sampling key. */
   def apply(df: DataFrame, strategy: SamplingStrategy, key: => Column): SampledFrame =
     strategy match {

@@ -167,6 +167,69 @@ case class HyperplaneSig(child: Expression, planes: Array[Double], bits: Int)
   override def prettyName: String = "hyperplane_sig"
 }
 
+/** Polynomial rolling hash over a string's code points:
+  * `acc = (acc·31 + codepoint) mod 1e9+7`, left-to-right — the fold
+  * [[graft.operators.TextAnalysis.fingerprint]] declares via
+  * `aggregate(split(s, ""), ...)`, which Spark evaluates INTERPRETED with a
+  * per-character function-call tree plus a per-character string allocation
+  * from the split (the repo's measured ~100× penalty class; see PLANS.md).
+  * This generates the obvious code-point loop instead, keeping document
+  * fingerprinting inside whole-stage codegen.
+  *
+  * Bit-identical to the declarative form (PipelineSpec asserts on mixed
+  * ASCII/CJK input): `split(s, "")` yields one element per code POINT (Java
+  * regex does not split surrogate pairs) and `ascii(c)` is that element's
+  * code point, so iterating `String.codePointAt` is the same sequence.
+  * Normalization (trim/lower/whitespace-collapse) stays declarative in the
+  * caller — those built-ins already codegen. */
+case class StringFoldHash(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"string_fold_hash expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val acc = ctx.freshName("acc")
+      s"""
+         |java.lang.String $s = $v.toString();
+         |long $acc = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % 1000000007L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): StringFoldHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "string_fold_hash"
+}
+
 /** Indices of the `nProbe` centroids with the highest dot product against
   * the input vector, from a flattened row-major `double[]` centroid matrix
   * (k rows × dim). One fused generated loop: score all k centroids, then

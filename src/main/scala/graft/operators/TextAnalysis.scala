@@ -57,14 +57,26 @@ object TextAnalysis {
     * (lowercase, collapsed whitespace): fold over code points of
     * `acc * 31 + cp (mod 1e9+7)`. Order-dependent by design (it is a
     * *sequence* fingerprint) and bit-reproducible in any engine with 64-bit
-    * integers — the DuckDB oracle runs the same fold via list_reduce. */
+    * integers — the DuckDB oracle runs the same fold via list_reduce.
+    * Runs as the native codegen'd [[graft.functions.StringFoldHash]] loop;
+    * [[fingerprintFold]] is the declarative twin it is spec-locked to. */
   def fingerprint(text: Column): Column = {
-    val norm = lower(regexp_replace(trim(text), """\s+""", " "))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.StringFoldHash(
+      ColumnShim.expression(normalizeWs(text))))
+  }
+
+  /** Interpreted higher-order-function form of [[fingerprint]] (the
+    * semantics statement; ~100× slower per char — kept for the equality
+    * spec and as executable documentation). */
+  def fingerprintFold(text: Column): Column =
     aggregate(
-      filter(split(norm, ""), c => length(c) === 1),
+      filter(split(normalizeWs(text), ""), c => length(c) === 1),
       lit(0L),
       (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(1000000007L)))
-  }
+
+  private def normalizeWs(text: Column): Column =
+    lower(regexp_replace(trim(text), """\s+""", " "))
 
   /** Language-ID via stopword/character heuristics: score each candidate
     * language by hits of its marker lexicon; best score wins, ties broken by
@@ -178,6 +190,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("occ"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Sliding-window document chunking — split each document into
+    * `chunkTokens`-token windows whose starts step by `strideTokens`
+    * (overlapping when stride < chunk, the standard long-context
+    * pretraining cut). Start offsets are 0, stride, 2·stride, … < n_tokens;
+    * the final windows may be short (truncation/padding is downstream
+    * policy). Adds `chunk` (index = start/stride), `chunk_text`,
+    * `chunk_tokens`.
+    *
+    * Scale shape: one Generate (explode of the start-offset sequence) per
+    * row — no shuffle at all; output rows ≈ input tokens / stride. The
+    * token array materializes once per row and each chunk slices it
+    * (CollapseProject keeps the multi-use alias a real column, so the
+    * split doesn't re-run per chunk). */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int, keep: Seq[String] = Nil): DataFrame = {
+    require(chunkTokens >= 1 && strideTokens >= 1)
+    val toks = tokens(col(textCol))
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)),
+      lit(strideTokens))
+    df.select((col(idCol) +: keep.map(col)) ++ Seq(toks.as("__toks"),
+        explode(starts).as("__start")): _*)
+      .withColumn("__ctoks",
+        slice(col("__toks"), col("__start") + 1, lit(chunkTokens)))
+      .withColumn("chunk", expr(s"__start div $strideTokens"))
+      .withColumn("chunk_text", array_join(col("__ctoks"), " "))
+      .withColumn("chunk_tokens", size(col("__ctoks")).cast("long"))
+      .drop("__toks", "__start", "__ctoks")
   }
 
   /** One-scan document profile: all metrics as extra columns. */

@@ -221,4 +221,17 @@ class EstimatorSpec extends SparkSpec {
       .head().getDouble(0)
     assert(math.abs(est - exactSum) / exactSum < 0.1, s"est=$est exact=$exactSum")
   }
+
+  test("PPS sample hits the target size and the HT estimator lands near the exact sum") {
+    val (sampled, n, _) = Sampling.pps(li, col("l_quantity"), liKey, targetFraction = 0.1)
+    val got = sampled.count()
+    assert(math.abs(got - 0.1 * n) / (0.1 * n) < 0.15, s"E[n]=${0.1 * n} got=$got")
+    val ht = sampled.agg(sum(col("l_extendedprice") / col("pps_p")))
+      .head().getDouble(0)
+    // y = qty x unit-price with ~10x unit-price spread, so HT keeps the
+    // unit-price variance: ~600 draws at sf0.001 puts 2 s.e. near 8%
+    assert(math.abs(ht - exactSum) / exactSum < 0.10, s"ht=$ht exact=$exactSum")
+    // every inclusion probability is in (0, 1]
+    assert(sampled.filter(col("pps_p") <= 0 || col("pps_p") > 1).isEmpty)
+  }
 }

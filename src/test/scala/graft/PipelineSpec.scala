@@ -219,6 +219,21 @@ class PipelineSpec extends SparkSpec {
     assert(top.toSet === Set(("s", "a", 4L, 1), ("s", "b", 2L, 2), ("t", "z", 1L, 1)))
   }
 
+  test("chunkDocs slides overlapping token windows with short tails") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, stride 3 -> starts 0,3,6,9; last two are short
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocs(docs, "doc_id", "text", 4, 3)
+      .select("doc_id", "chunk", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    assert(got === Array(
+      (1L, 0L, "t0 t1 t2 t3", 4L), (1L, 1L, "t3 t4 t5 t6", 4L),
+      (1L, 2L, "t6 t7 t8 t9", 4L), (1L, 3L, "t9", 1L),
+      (2L, 0L, "solo", 1L)))
+  }
+
   test("dupClusters labels transitive components by their min member") {
     import spark.implicits._
     // chain 1-2-3 plus pair 10-11 plus isolated pair 20-21: three components
@@ -366,6 +381,16 @@ class PipelineSpec extends SparkSpec {
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).collect().map(_.getLong(0))
     assert(fps(0) === fps(1))
     assert(fps(0) !== fps(2))
+  }
+
+  test("native fingerprint is bit-identical to the declarative fold (ASCII, CJK, edge)") {
+    import spark.implicits._
+    val df = (Seq("Hello  World", "", " ", "mixed 中文 text", "exact",
+      "tabs\tand\nnewlines collapse") ++ docs.limit(20).collect().map(_.getAs[String]("text")))
+      .toDF("text")
+    val both = df.select(TextAnalysis.fingerprint(col("text")).as("fast"),
+      TextAnalysis.fingerprintFold(col("text")).as("fold")).collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1), r))
   }
 
   test("langId returns a known code for every doc") {
