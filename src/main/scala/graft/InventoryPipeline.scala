@@ -381,7 +381,8 @@ object InventoryPipeline {
             sum(col("n_tokens")).as("pack_tokens"))
           .orderBy(col("source"), col("pack"))
       },
-      Some("""WITH t AS (SELECT doc_id, source, CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, source, n, COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM t) SELECT source, CAST((bef - (bef % 512)) / 512 AS BIGINT) AS pack, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS pack_tokens FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+      Some("""WITH t AS (SELECT doc_id, source, CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS n FROM documents), c AS (SELECT doc_id, source, n, COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef FROM t) SELECT source, CAST((bef - (bef % 512)) / 512 AS BIGINT) AS pack, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS pack_tokens FROM c GROUP BY 1, 2 ORDER BY 1, 2"""),
+      headline = true)
   )
 
   private val annQueries: Seq[QueryDef] = Seq(
@@ -479,7 +480,8 @@ object InventoryPipeline {
       // aggregation absorbs the occurrence fan-out map-side
       (s, d) => TextAnalysis.topTerms(documents(s, d), "source", "text", k = 5)
         .orderBy(col("source"), col("rank")),
-      Some("""WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), ' +')) AS term FROM documents), c AS (SELECT source, term, COUNT(*) AS occ FROM tok WHERE length(term) > 0 GROUP BY 1, 2) SELECT source, term, occ, ROW_NUMBER() OVER (PARTITION BY source ORDER BY occ DESC, term) AS rank FROM c QUALIFY rank <= 5 ORDER BY source, rank""")),
+      Some("""WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), ' +')) AS term FROM documents), c AS (SELECT source, term, COUNT(*) AS occ FROM tok WHERE length(term) > 0 GROUP BY 1, 2) SELECT source, term, occ, ROW_NUMBER() OVER (PARTITION BY source ORDER BY occ DESC, term) AS rank FROM c QUALIFY rank <= 5 ORDER BY source, rank"""),
+      headline = true),
 
     QueryDef("q63_doc_chunks",
       // sliding-window chunking (64-token windows, stride 48) with the
@@ -493,7 +495,8 @@ object InventoryPipeline {
             TextAnalysis.fingerprint(col("chunk_text")).as("chunk_fp"))
           .orderBy(col("doc_id"), col("chunk"))
       },
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents WHERE source = 'src0'), s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS strt FROM t), c AS (SELECT doc_id, strt // 48 AS chunk, list_slice(toks, strt + 1, strt + 64) AS ctoks FROM s) SELECT doc_id, chunk, len(ctoks) AS chunk_tokens, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(ch) AS BIGINT) for ch in string_split(lower(regexp_replace(trim(array_to_string(ctoks, ' ')), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp FROM c ORDER BY doc_id, chunk""")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, ' +') AS toks FROM documents WHERE source = 'src0'), s AS (SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS strt FROM t), c AS (SELECT doc_id, strt // 48 AS chunk, list_slice(toks, strt + 1, strt + 64) AS ctoks FROM s) SELECT doc_id, chunk, len(ctoks) AS chunk_tokens, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(ch) AS BIGINT) for ch in string_split(lower(regexp_replace(trim(array_to_string(ctoks, ' ')), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS chunk_fp FROM c ORDER BY doc_id, chunk"""),
+      headline = true),
 
     QueryDef("q62_exact_n_sample",
       // exact-n-per-stratum pseudo-random sample (deterministic reservoir
