@@ -92,6 +92,79 @@ object StreamingAgg {
       col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $afterSec SECONDS"))
   }
 
+  // -- windowed heavy hitters (bounded Misra-Gries state) ------------------
+
+  case class HHOut(window_start: Timestamp, window_end: Timestamp,
+      key: String, est_count: Long, window_total: Long)
+  private case class HHState(counters: Map[String, Long], total: Long)
+
+  /** Per-window heavy hitters over an unbounded key domain with BOUNDED
+    * state: each open window holds one Misra–Gries sketch of
+    * `m = ceil(2/support)` counters (not the window's whole key set — the
+    * exact-count shape would be O(distinct keys) state and is what q50 does
+    * in batch, where a second pass can rescope counts). On event-time
+    * timeout (watermark past window end) the window emits every surviving
+    * key with `est_count ≥ support·total/2`, largest first.
+    *
+    * Guarantees (standard MG): every key with true frequency ≥
+    * support·total IS emitted (its counter survives with estimate ≥
+    * true − total/m ≥ support·total/2), and `est_count` is a lower bound
+    * within total/m of the truth. Exact counts, if needed, come from
+    * rescanning the archived batch data scoped to the emitted keys —
+    * the q50 pattern.
+    *
+    * Works on batch Datasets too (groups emit at end-of-fold), which is how
+    * the spec anchors it against the exact batch answer. */
+  def windowedHeavyHitters(events: DataFrame, windowDur: String,
+      keyCol: String, support: Double,
+      watermarkDelay: String = "10 minutes"): Dataset[HHOut] = {
+    require(support > 0 && support < 1, s"support=$support")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = math.max(2, math.ceil(2.0 / support).toInt)
+    val streaming = events.isStreaming
+    val src0 = if (streaming) events.withWatermark("ts", watermarkDelay) else events
+    val keyed = src0
+      .select(window(col("ts"), windowDur).as("w"), col(keyCol).cast("string").as("key"))
+      .select(col("w.start").as("wstart"), col("w.end").as("wend"), col("key"))
+      .as[(Timestamp, Timestamp, String)]
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout
+
+    def mgAdd(c: Map[String, Long], k: String): Map[String, Long] =
+      if (c.contains(k)) c.updated(k, c(k) + 1L)
+      else if (c.size < m) c.updated(k, 1L)
+      else c.collect { case (kk, v) if v > 1L => kk -> (v - 1L) }
+
+    def emit(ws: Long, we: Long, s: HHState): Iterator[HHOut] =
+      s.counters.toSeq
+        .filter { case (_, v) => v.toDouble >= support * s.total / 2.0 }
+        .sortBy { case (k, v) => (-v, k) }
+        .map { case (k, v) => HHOut(new Timestamp(ws), new Timestamp(we), k, v, s.total) }
+        .iterator
+
+    keyed
+      .groupByKey(r => (r._1.getTime, r._2.getTime))
+      .flatMapGroupsWithState[HHState, HHOut](OutputMode.Append, timeoutConf) {
+        case ((ws, we), batch, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            emit(ws, we, s)
+          } else {
+            var s = state.getOption.getOrElse(HHState(Map.empty, 0L))
+            batch.foreach { r => s = HHState(mgAdd(s.counters, r._3), s.total + 1L) }
+            if (streaming) {
+              state.update(s)
+              // close once the watermark passes the window end (clamped
+              // forward: a timeout timestamp must exceed the watermark)
+              state.setTimeoutTimestamp(math.max(we, state.getCurrentWatermarkMs + 1))
+              Iterator.empty
+            } else emit(ws, we, s)
+          }
+      }
+  }
+
   // -- stateful sessionization (mapGroupsWithState) ------------------------
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
