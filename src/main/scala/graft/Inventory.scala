@@ -292,7 +292,7 @@ object Inventory {
 
   val all: Seq[QueryDef] =
     exactQueries ++ approxQueries ++ ciQueries ++ designQueries ++
-      InventoryPipeline.all ++ InventoryExtensions.all
+      InventoryPipeline.all ++ InventoryExtensions.all ++ InventoryCuration.all
 
   def byName(name: String): QueryDef = all.find(_.name == name)
     .getOrElse(throw new NoSuchElementException(name))

@@ -77,6 +77,29 @@ object VectorOps {
     }.reduce(_ + _)
   }
 
+  /** Max |x_i| over a float vector (left fold, double). */
+  def maxAbs(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization against a per-vector scale (the standard
+    * embedding-store compression: 4× smaller than float32, recall loss
+    * usually <1%): `q_i = floor(x_i/scale + 0.5)` — round-half-up, chosen
+    * over banker's rounding because floor is bit-identical in every engine.
+    * Callers derive `scale = maxAbs(v)/127` (guard scale=0 → all-zero q).
+    * Pure per-row projection; no shuffle. */
+  def int8Quantize(a: Column, scale: Column): Column =
+    transform(a, x =>
+      when(scale > 0, floor(x.cast("double") / scale + lit(0.5)).cast("int"))
+        .otherwise(lit(0)))
+
+  /** Squared reconstruction error of a quantized vector:
+    * Σ (x_i − q_i·scale)² as a left fold — the quality metric that decides
+    * whether int8 is safe for a given embedding family. */
+  def dequantSqError(a: Column, q: Column, scale: Column): Column =
+    foldSum(zip_with(a, q, (x, qi) => {
+      val d = x.cast("double") - qi.cast("double") * scale; d * d
+    }))
+
   /** Deterministic pseudo-random unit-free hyperplanes (xorshift-seeded). */
   def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rng = new scala.util.Random(seed)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Test-set decontamination — find training documents that share n-grams
+  * with an evaluation set (the GPT-3 / Gopher / Llama pretraining hygiene
+  * step: any train doc overlapping a benchmark answer is flagged or
+  * dropped). Not in the reference (north-star surface, SURVEY §7 M7).
+  *
+  * Scale shape: the eval set is small by construction (benchmarks are
+  * thousands of docs; the corpus is billions), so its distinct-n-gram set
+  * is built once and BROADCAST — the 100 TB train side never shuffles for
+  * the probe. Per-train-doc overlap counts then ride one hash aggregation
+  * keyed on doc id with map-side partial combine. Cost: one train scan +
+  * one broadcast; no train-side shuffle besides the per-doc count.
+  */
+object Decontam {
+
+  /** Per-row distinct word n-grams: (idCol, gram). One Generate (explode)
+    * per row, no shuffle — `array_distinct` dedups within the doc so a
+    * gram repeated in one doc counts once. */
+  def docNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val toks = split(col(textCol), " +")
+    val grams = array_distinct(
+      if (n == 1) toks
+      else {
+        // slide an n-window via transform over start indices 0..len-n;
+        // docs shorter than n tokens get NO grams (sequence(0, -1) would
+        // count DOWN in Spark, so guard with an empty array instead)
+        val starts = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+          .otherwise(array().cast("array<int>"))
+        transform(starts, i => array_join(slice(toks, i + 1, lit(n)), " "))
+      })
+    df.select(col(idCol), explode(grams).as("gram"))
+  }
+
+  /** Contamination report: for every train doc sharing at least one n-gram
+    * with the eval set, `(idCol, n_overlap, n_grams)` — the count of its
+    * distinct n-grams that appear anywhere in eval, and its total distinct
+    * n-gram count (so callers threshold on the overlap fraction in exact
+    * integer arithmetic: drop when `n_overlap * 100 >= pct * n_grams`).
+    *
+    * `eval` is broadcast (see object scaladoc); pass `broadcastEval=false`
+    * only if the eval side is genuinely too big, which degrades to a
+    * shuffle join on the gram key. */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams = docNgrams(eval, idCol, textCol, n)
+      .select(col("gram")).distinct()
+    val probe = if (broadcastEval) broadcast(evalGrams) else evalGrams
+    val trainGrams = docNgrams(train, idCol, textCol, n)
+    val totals = trainGrams.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val overlaps = trainGrams.join(probe, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    // join overlaps (small: only contaminated docs) back to totals; the
+    // totals side prunes to the same keys via the inner join
+    overlaps.join(totals, idCol)
+      .select(col(idCol), col("n_overlap"), col("n_grams"))
+  }
+
+  /** Drop contaminated train docs: remove any doc whose eval-overlapping
+    * n-grams exceed `maxOverlapPct` percent of its distinct n-grams
+    * (0 = drop on any overlap). Anti-join against the flagged id set —
+    * exact, and the flagged set is tiny so it broadcasts. */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, maxOverlapPct: Int = 0): DataFrame = {
+    val flagged = contamination(train, eval, idCol, textCol, n)
+      .filter(col("n_overlap") * 100 > lit(maxOverlapPct.toLong) * col("n_grams"))
+      .select(col(idCol))
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+}

@@ -70,4 +70,34 @@ object Mixing {
     * reducer; only n rows ever move). */
   def exactNGlobal(df: DataFrame, idCol: String, n: Int): DataFrame =
     df.orderBy(hashPriority(col(idCol)), col(idCol)).limit(n)
+
+  /** Deterministic train/val/test split: each row lands in the bucket whose
+    * cumulative weight range contains `h(id) mod Σweights` — stable across
+    * runs, engines, partitionings, and re-appends (a doc's split never
+    * changes when the corpus grows, the property that keeps eval sets
+    * leak-free across dataset versions). Adds `split`.
+    *
+    * Scale shape: pure scan-stage projection (a compiled CASE over the hash)
+    * — no shuffle, no sampling state, splits any size corpus in one pass. */
+  def splitAssign(df: DataFrame, idCol: String,
+      weights: Seq[(String, Long)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 1))
+    val total = weights.map(_._2).sum
+    val slot = pmod(hashPriority(col(idCol)), lit(total))
+    val (cases, _) = weights.foldLeft(
+        (when(lit(false), lit("")), 0L)) { case ((acc, cum), (name, w)) =>
+      (acc.when(slot < lit(cum + w), lit(name)), cum + w)
+    }
+    df.withColumn("split", cases)
+  }
+
+  /** SQL text of [[splitAssign]]'s bucket expression for oracle twins. */
+  def splitAssignSql(idExpr: String, weights: Seq[(String, Long)]): String = {
+    val total = weights.map(_._2).sum
+    val slot = s"(${hashPrioritySql(idExpr)} % $total)"
+    val (cases, _) = weights.foldLeft(("", 0L)) { case ((acc, cum), (name, w)) =>
+      (acc + s" WHEN $slot < ${cum + w} THEN '$name'", cum + w)
+    }
+    s"CASE$cases END"
+  }
 }

@@ -192,6 +192,41 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Top-k terms per document by rarity-weighted TF — a deterministic
+    * integer-arithmetic TF-IDF variant: `score = (tf · SCALE) div df`
+    * (integer division, SCALE = 1e6), monotone in tf and anti-monotone in
+    * document frequency like log-IDF but bit-reproducible in any engine
+    * (no transcendental `ln` whose last ulp differs across libm builds).
+    * Ties broken by term text. Output: (idCol, term, tf, df, score, rank).
+    *
+    * Scale shape: explode → (doc, term, tf) hash aggregation (map-side
+    * combine absorbs the occurrence fan-out) → df by a second aggregation
+    * over the already-deduped (doc, term) pairs, shuffled on term — the
+    * natural key for a vocabulary-sized exchange — joined back on term,
+    * then one per-doc top-k window where rank ≤ k prunes inside the sort.
+    * Nothing is ever quadratic and no side materializes the corpus.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int, scale: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && scale >= 1)
+    val tf = df
+      .select(col(idCol), explode(split(lower(col(textCol)), " +")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score", expr(s"tf * ${scale}L div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Sliding-window document chunking — split each document into
     * `chunkTokens`-token windows whose starts step by `strideTokens`
     * (overlapping when stride < chunk, the standard long-context

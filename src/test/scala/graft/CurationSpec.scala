@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.{Decontam, Mixing, Profiling, TextAnalysis}
+
+/** Specs for the round-2 curation operators (q67–q72 surface). */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- decontamination -----------------------------------------------------
+
+  test("contamination flags exactly the train docs sharing eval trigrams") {
+    val eval = Seq((1L, "the secret benchmark answer is forty two"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "nothing in common with anything here at all"),
+      (11L, "we mention the secret benchmark answer verbatim"), // 3 shared 3-grams
+      (12L, "short doc"), // < 3 tokens → no grams at all
+      (13L, "answer is forty two said the machine")) // 2 shared 3-grams
+      .toDF("doc_id", "text")
+    val got = Decontam.contamination(train, eval, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 11: "the secret benchmark", "secret benchmark answer" shared (2);
+    // doc 13: "answer is forty", "is forty two" shared (2)
+    assert(got === Set((11L, 2L, 5L), (13L, 2L, 5L)))
+  }
+
+  test("decontaminate drops flagged docs and keeps the rest") {
+    val eval = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "alpha beta gamma epsilon zeta"), // shares "alpha beta gamma"
+      (11L, "totally unrelated text with no shared grams here"))
+      .toDF("doc_id", "text")
+    val kept = Decontam.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(11L))
+    // a loose threshold keeps a lightly-contaminated doc: doc 10 has 3
+    // distinct trigrams, 1 shared → 33% ≤ 50%
+    val loose = Decontam.decontaminate(train, eval, "doc_id", "text", n = 3,
+      maxOverlapPct = 50).select("doc_id").as[Long].collect().toSet
+    assert(loose === Set(10L, 11L))
+  }
+
+  test("docNgrams: short docs yield no n-grams, repeats dedup within doc") {
+    val df = Seq((1L, "a b"), (2L, "x y x y x y")).toDF("doc_id", "text")
+    val grams = Decontam.docNgrams(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(!grams.exists(_._1 == 1L))
+    // doc 2 trigrams: "x y x" (×2 occurrences) and "y x y" (×2) → distinct 2
+    assert(grams.filter(_._1 == 2L).map(_._2).sorted.toSeq ===
+      Seq("x y x", "y x y"))
+  }
+
+  // -- tf-idf --------------------------------------------------------------
+
+  test("tfidfTopTerms ranks a doc-unique term above corpus-wide terms") {
+    val df = Seq(
+      (1L, "common common common unicorn"),
+      (2L, "common words only here"),
+      (3L, "common words again and again")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1: "common" (tf=3, df=3) and "unicorn" (tf=1, df=1) tie at 1e6 —
+    // term-text tiebreak ranks "common" first, so check the top-2 SET
+    val top2 = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 2)
+      .filter($"doc_id" === 1L).select("term").as[String].collect().toSet
+    assert(top2 === Set("common", "unicorn"))
+    assert(top(2L) === "here" || top(2L) === "only") // df=1 terms outrank "words"
+  }
+
+  test("tfidf score is the documented integer division") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfTopTerms(df, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4))).toSet
+    // a: tf=2 df=1 → 2e6; b in doc1: tf=1 df=2 → 500000; c: tf=1 df=1 → 1e6
+    assert(rows.contains((1L, "a", 2000000L)))
+    assert(rows.contains((1L, "b", 500000L)))
+    assert(rows.contains((2L, "c", 1000000L)))
+  }
+
+  // -- deterministic split -------------------------------------------------
+
+  test("splitAssign covers every row, is stable, and hits the weights") {
+    val df = (0L until 5000L).toDF("id")
+    val counts = Mixing.splitAssign(df, "id",
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 5000L)
+    assert(math.abs(counts("train") - 4000L) < 200, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 500L) < 100)
+    assert(math.abs(counts("test") - 500L) < 100)
+    // stability: the same doc gets the same split in a bigger corpus
+    val a = Mixing.splitAssign(df.filter($"id" < 100), "id", Seq("a" -> 1L, "b" -> 1L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Mixing.splitAssign(df, "id", Seq("a" -> 1L, "b" -> 1L))
+      .filter($"id" < 100)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b)
+  }
+
+  // -- profiling -----------------------------------------------------------
+
+  test("profileNumeric counts nulls, exact distincts, and ranges in one pass") {
+    val df = Seq[(java.lang.Long, java.lang.Double)](
+      (1L, 1.5), (2L, null), (2L, 2.5), (null, 2.5))
+      .toDF("k", "v")
+    val prof = Profiling.profileNumeric(df, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(prof("k") === ((4L, 1L, 2L, 1.0, 2.0)))
+    assert(prof("v") === ((4L, 1L, 2L, 1.5, 2.5)))
+  }
+
+  // -- int8 quantization ---------------------------------------------------
+
+  test("int8 quantization: bounded error, zero-vector guard, exact checksum") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("scale", VectorOps.maxAbs($"embedding") / lit(127.0))
+      .withColumn("q", VectorOps.int8Quantize($"embedding", $"scale"))
+      .withColumn("err", VectorOps.dequantSqError($"embedding", $"q", $"scale"))
+    val rows = df.collect().map(r => r.getLong(0) ->
+      (r.getSeq[Int](3), r.getDouble(4))).toMap
+    assert(rows(1L)._1 === Seq(127, -63, 32, 0)) // -0.5/scale+0.5 = -63.0 floor
+    // per-element error ≤ (scale/2)² each → total ≤ 4·(scale/2)²
+    val scale = 1.0 / 127.0
+    assert(rows(1L)._2 <= 4 * (scale / 2) * (scale / 2) + 1e-12)
+    assert(rows(2L)._1 === Seq(0, 0, 0, 0) && rows(2L)._2 === 0.0)
+    // quantized values all within int8 range on the real fixture
+    val emb = Tables.embeddings(spark, sf0001)
+      .withColumn("scale", VectorOps.maxAbs($"embedding") / lit(127.0))
+      .withColumn("q", VectorOps.int8Quantize($"embedding", $"scale"))
+    val bad = emb.select(explode($"q").as("qi"))
+      .filter($"qi" > 127 || $"qi" < -128).count()
+    assert(bad === 0L)
+  }
+}
