@@ -53,6 +53,24 @@ class CurationSpec extends SparkSpec {
       Seq("x y x", "y x y"))
   }
 
+  test("native word_ngrams kernel is bit-identical to the declarative fold") {
+    val edge = Seq(
+      (100L, "  leading and trailing  "), // empty tokens from split(\" +\")
+      (101L, ""), (102L, "one"), (103L, "one two"),
+      (104L, "a b a b a b"), // dedup + order
+      (105L, "汉字 字汉 汉字 test")) // non-ASCII
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .unionAll(edge)
+    for (n <- Seq(1, 2, 3)) {
+      val fast = Decontam.docNgrams(docs, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val slow = Decontam.docNgramsFold(docs, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(fast.toSeq === slow.toSeq, s"n=$n (order-sensitive compare)")
+    }
+  }
+
   // -- tf-idf --------------------------------------------------------------
 
   test("tfidfTopTerms ranks a doc-unique term above corpus-wide terms") {
