@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{Decontam, Mixing, Profiling, Sessionize, TextAnalysis}
+import graft.operators.{BloomJoin, Decontam, Mixing, Profiling, Sessionize, TextAnalysis}
 
 /** Corpus-curation queries (round-2 widening): the remaining passes a
   * training-data pipeline runs that q30–q66 did not yet cover —
@@ -15,6 +15,13 @@ import graft.operators.{Decontam, Mixing, Profiling, Sessionize, TextAnalysis}
   */
 object InventoryCuration {
   import graft.Tables._
+
+  // DuckDB mirrors of TextAnalysis token/stopword/punct counts (q31 twins).
+  private val dTok = "string_split_regex(text, ' +')"
+  private val dStop2 =
+    s"len(list_filter($dTok, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))"
+  private val dPunct2 =
+    """length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"""
 
   // DuckDB twin of Decontam.docNgrams (n=3): per-doc DISTINCT trigrams.
   private val dTrigrams =
@@ -188,6 +195,64 @@ object InventoryCuration {
               .otherwise(0L)).as("n_lo"))
           .orderBy(col("l_linestatus"))
       },
-      Some("""WITH c AS (SELECT l_linestatus, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc FROM lineitem), m AS (SELECT l_linestatus, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(xc AS DECIMAL(28,0))) AS DOUBLE) AS sx, CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx FROM c GROUP BY 1), s AS (SELECT l_linestatus, n, sx / n AS mu, sqrt(n * sxx - sx * sx) / n AS sigma FROM m) SELECT c.l_linestatus, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN CAST(xc AS DOUBLE) - mu > 2.0 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, CAST(SUM(CASE WHEN mu - CAST(xc AS DOUBLE) > 2.0 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_lo FROM c JOIN s USING (l_linestatus) GROUP BY 1 ORDER BY 1"""))
+      Some("""WITH c AS (SELECT l_linestatus, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc FROM lineitem), m AS (SELECT l_linestatus, CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(xc AS DECIMAL(28,0))) AS DOUBLE) AS sx, CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx FROM c GROUP BY 1), s AS (SELECT l_linestatus, n, sx / n AS mu, sqrt(n * sxx - sx * sx) / n AS sigma FROM m) SELECT c.l_linestatus, COUNT(*) AS n_rows, CAST(SUM(CASE WHEN CAST(xc AS DOUBLE) - mu > 2.0 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, CAST(SUM(CASE WHEN mu - CAST(xc AS DOUBLE) > 2.0 * sigma THEN 1 ELSE 0 END) AS BIGINT) AS n_lo FROM c JOIN s USING (l_linestatus) GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q76_incremental_dedup",
+      // incremental corpus refresh: odd-id docs are the "new drop", even-id
+      // docs the seen corpus; keep new docs whose normalized fingerprint is
+      // absent from the seen set. Bloom-staged anti-join: a bloom MISS is
+      // proof of absence (no join at all for the mostly-new bulk); only
+      // maybe-rows shuffle into the exact anti-join (BloomJoin scaladoc)
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        val seen = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+          .select(col("fp").as("seen_fp"))
+        val fresh = docs.filter(pmod(col("doc_id"), lit(2L)) === 1)
+        BloomJoin.bloomPrunedAntiJoin(fresh, seen, "fp", "seen_fp",
+            expectedItems = 100000L, numBits = 1L << 20)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_new"),
+            countDistinct(col("fp")).as("n_new_unique"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH f AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents) SELECT source, COUNT(*) AS n_new, COUNT(DISTINCT fp) AS n_new_unique FROM f WHERE doc_id % 2 = 1 AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0) GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q77_quality_bins",
+      // curriculum binning WITHOUT a global sort: exact quality quartile
+      // boundaries from one percentile pass (1-row table, broadcast), then
+      // threshold-CASE binning in the scan stage — the scale-safe twin of
+      // a global NTILE (which would single-partition the window)
+      (s, d) => {
+        val t = col("text")
+        val q = documents(s, d).select(col("source"),
+          TextAnalysis.qualityScore(t).as("q"),
+          TextAnalysis.tokenCount(t).cast("long").as("nt"))
+        val b = q.agg(percentile(col("q"), lit(0.25)).as("p25"),
+          percentile(col("q"), lit(0.5)).as("p50"),
+          percentile(col("q"), lit(0.75)).as("p75"))
+        q.crossJoin(broadcast(b))
+          .withColumn("bin",
+            when(col("q") < col("p25"), 0).when(col("q") < col("p50"), 1)
+              .when(col("q") < col("p75"), 2).otherwise(3))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("sum_tokens"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some(s"""WITH t AS (SELECT source, (LEAST(1.0, CAST(len($dTok) AS DOUBLE) / 20.0) + LEAST(1.0, 5.0 * CAST($dStop2 AS DOUBLE) / GREATEST(CAST(len($dTok) AS DOUBLE), 1.0)) + (1.0 - LEAST(1.0, 4.0 * CAST($dPunct2 AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0)))) / 3.0 AS q, CAST(len($dTok) AS BIGINT) AS nt FROM documents), b AS (SELECT quantile_cont(q, 0.25) AS p25, quantile_cont(q, 0.5) AS p50, quantile_cont(q, 0.75) AS p75 FROM t) SELECT source, CASE WHEN q < p25 THEN 0 WHEN q < p50 THEN 1 WHEN q < p75 THEN 2 ELSE 3 END AS bin, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS sum_tokens FROM t, b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q78_label_centroids",
+      // per-label mean embeddings (class prototypes): ×dim scan-stage
+      // fan-out absorbed map-side; the one shuffle carries label×dim
+      // INTEGER partials, independent of corpus size. 1e-10 fixed-point
+      // quantization before the sum — floor rounding, because the "obvious"
+      // double→DECIMAL(p,10) cast rounds ties differently across engines
+      // (Ann.groupCentroids scaladoc; found by this query's oracle)
+      (s, d) => {
+        import graft.operators.Ann
+        Ann.groupCentroids(embeddings(s, d), "label", "embedding")
+          .orderBy(col("label"), col("pos"))
+      },
+      Some("""WITH e AS (SELECT label, CAST(u['pos'] AS INTEGER) AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT label, unnest([{'pos': i - 1, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u FROM embeddings)), q AS (SELECT label, pos, CASE WHEN x >= 0 THEN floor(x * 1e10 + 0.5) ELSE -floor(-(x * 1e10) + 0.5) END AS xq FROM e) SELECT label, pos, COUNT(*) AS n, CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e10) AS mean_val FROM q GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -283,6 +283,34 @@ object Ann {
     verified
   }
 
+  /** Per-group mean embedding (class centroids / prototype vectors), long
+    * format `(groupCol, pos, n, mean_val)` — the embedding-space rollup
+    * behind prototype classifiers, drift monitoring, and IVF-style
+    * seeding at corpus scale. Elements are averaged at 1e-10 fixed-point
+    * resolution (far below float32 noise).
+    *
+    * Scale shape: posexplode fans each vector into (group, pos, x) rows in
+    * the scan stage; partial aggregation absorbs the ×dim fan-out map-side,
+    * so the one shuffle carries a (group × dim)-sized table of partials —
+    * independent of corpus row count. Element sums travel as exact
+    * INTEGERS: each element quantizes to `±floor(|x|·1e10 + 0.5)` (floor
+    * rounding — deterministic in every engine; a double→DECIMAL(p,10) cast
+    * is NOT: a float whose decimal expansion ties at digit 11 — any odd
+    * multiple of 2^-11 — rounds HALF_UP in Spark and half-even in DuckDB,
+    * measured 1 ulp apart on the fixture), summed as scale-0 decimals
+    * (q65 rule: one correctly-rounded int→double conversion per engine). */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame = {
+    val xd = col("x").cast("double")
+    val s = xd * lit(1e10)
+    val xq = when(xd >= 0, floor(s + lit(0.5)))
+      .otherwise(-floor(-s + lit(0.5)))
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        (sum(xq.cast("decimal(38,0)")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e10))).as("mean_val"))
+  }
+
   /** Oracle twin: exact all-pairs cosine >= threshold (O(N²), small data). */
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {

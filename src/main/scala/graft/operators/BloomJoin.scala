@@ -65,4 +65,28 @@ object BloomJoin {
     pruned.join(build.select(col(buildKey)).distinct(),
       pruned(factKey) === col(buildKey), "left_semi")
   }
+
+  /** Exact ANTI-join with Bloom staging — incremental corpus dedup's core:
+    * "which rows of `fact` are NOT in `build`". A Bloom has no false
+    * negatives, so a miss is PROOF of absence: miss-rows pass straight
+    * through with no join at all, and only the maybe-rows (true matches +
+    * ε·false positives) go through the exact anti-join. Same result as
+    * `fact.join(build, anti)`.
+    *
+    * Scale trade, explicit: this scans `fact` twice (once per branch; both
+    * filters sit in the scan stage) but shuffles only the maybe-subset —
+    * vs. the plain anti-join's ONE scan + full-fact shuffle. For the
+    * corpus-refresh shape (new drop mostly-new, seen-set large but
+    * sketchable) the maybe-side is the small side and two cheap scans beat
+    * one full shuffle; if `fact` is expensive to produce, persist it first.
+    */
+  def bloomPrunedAntiJoin(fact: DataFrame, build: DataFrame, factKey: String,
+      buildKey: String, expectedItems: Long, numBits: Long): DataFrame = {
+    val bloom = buildBloom(build, buildKey, expectedItems, numBits)
+    val definitelyNew = fact.filter(!mightContain(bloom, fact(factKey)))
+    val maybe = fact.filter(mightContain(bloom, fact(factKey)))
+    val checked = maybe.join(build.select(col(buildKey)).distinct(),
+      maybe(factKey) === col(buildKey), "left_anti")
+    definitelyNew.unionAll(checked)
+  }
 }

@@ -132,6 +132,49 @@ class CurationSpec extends SparkSpec {
     assert(prof("v") === ((4L, 1L, 2L, 1.5, 2.5)))
   }
 
+  // -- group centroids -----------------------------------------------------
+
+  test("groupCentroids computes exact per-position means") {
+    import graft.operators.Ann
+    val df = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(-1.0f, 0.5f)))
+      .toDF("label", "embedding")
+    val got = Ann.groupCentroids(df, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got((0, 0)) === ((2L, 2.0)) && got((0, 1)) === ((2L, 4.0)))
+    assert(got((1, 0)) === ((1L, -1.0)) && got((1, 1)) === ((1L, 0.5)))
+  }
+
+  // -- bloom-staged incremental dedup --------------------------------------
+
+  test("bloomPrunedAntiJoin equals the plain anti-join (fixture + planted dup)") {
+    import graft.operators.BloomJoin
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint($"text"))
+    val seen = docs.filter(pmod($"doc_id", lit(2L)) === 0).select($"fp".as("seen_fp"))
+    val fresh = docs.filter(pmod($"doc_id", lit(2L)) === 1)
+    val staged = BloomJoin.bloomPrunedAntiJoin(fresh, seen, "fp", "seen_fp",
+      expectedItems = 10000L, numBits = 1L << 18)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = fresh.join(seen, fresh("fp") === col("seen_fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(staged === plain)
+    // planted: a new doc duplicating seen content (modulo normalization)
+    // is dropped, a genuinely new one kept
+    val seenDocs = Seq((0L, "the quick brown fox")).toDF("doc_id", "text")
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint($"text"))
+    val drop = Seq((1L, "  The  quick   brown fox "), (3L, "something new"))
+      .toDF("doc_id", "text")
+      .withColumn("fp", graft.operators.TextAnalysis.fingerprint($"text"))
+    val kept = BloomJoin.bloomPrunedAntiJoin(drop,
+        seenDocs.select($"fp".as("seen_fp")), "fp", "seen_fp",
+        expectedItems = 100L, numBits = 1L << 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+  }
+
   // -- int8 quantization ---------------------------------------------------
 
   test("int8 quantization: bounded error, zero-vector guard, exact checksum") {

@@ -98,6 +98,34 @@ class StreamingSpec extends SparkSpec {
       s"stream join ${got.count()} pairs vs batch $exact")
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    // the feature-store shape: a live stream broadcast-enriched against a
+    // static dimension — Spark joins each micro-batch against the static
+    // side with no streaming state at all
+    val batchEvents = Tables.events(spark, sf0001)
+    val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
+    val dir = java.nio.file.Files.createTempDirectory("events_stream4")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(sf0001, "events")),
+      dir.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val dim = batchEvents.select(col("user_id")).distinct()
+      .withColumn("cohort", pmod(col("user_id"), lit(5L)))
+    val enriched = streamed.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+    val got = StreamingAgg.runToMemory(spark, enriched, "enriched",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    val exact = batchEvents.withColumn("cohort", pmod(col("user_id"), lit(5L)))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotMap = got.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap === exact)
+  }
+
   test("sessionize closes sessions and sums values") {
     import spark.implicits._
     val evs = Tables.events(spark, sf0001)
