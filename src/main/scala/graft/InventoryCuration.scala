@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{BloomJoin, Decontam, Mixing, Profiling, Sessionize, TextAnalysis}
+import graft.operators.{BloomJoin, Decontam, Mixing, Multimodal, Profiling, Sessionize, TextAnalysis}
 
 /** Corpus-curation queries (round-2 widening): the remaining passes a
   * training-data pipeline runs that q30–q66 did not yet cover —
@@ -216,7 +216,8 @@ object InventoryCuration {
             countDistinct(col("fp")).as("n_new_unique"))
           .orderBy(col("source"))
       },
-      Some("""WITH f AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents) SELECT source, COUNT(*) AS n_new, COUNT(DISTINCT fp) AS n_new_unique FROM f WHERE doc_id % 2 = 1 AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0) GROUP BY 1 ORDER BY 1""")),
+      Some("""WITH f AS (SELECT doc_id, source, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS fp FROM documents) SELECT source, COUNT(*) AS n_new, COUNT(DISTINCT fp) AS n_new_unique FROM f WHERE doc_id % 2 = 1 AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0) GROUP BY 1 ORDER BY 1"""),
+      headline = true),
 
     QueryDef("q77_quality_bins",
       // curriculum binning WITHOUT a global sort: exact quality quartile
@@ -253,6 +254,55 @@ object InventoryCuration {
         Ann.groupCentroids(embeddings(s, d), "label", "embedding")
           .orderBy(col("label"), col("pos"))
       },
-      Some("""WITH e AS (SELECT label, CAST(u['pos'] AS INTEGER) AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT label, unnest([{'pos': i - 1, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u FROM embeddings)), q AS (SELECT label, pos, CASE WHEN x >= 0 THEN floor(x * 1e10 + 0.5) ELSE -floor(-(x * 1e10) + 0.5) END AS xq FROM e) SELECT label, pos, COUNT(*) AS n, CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e10) AS mean_val FROM q GROUP BY 1, 2 ORDER BY 1, 2"""))
+      Some("""WITH e AS (SELECT label, CAST(u['pos'] AS INTEGER) AS pos, CAST(u['x'] AS DOUBLE) AS x FROM (SELECT label, unnest([{'pos': i - 1, 'x': embedding[i]} for i in range(1, len(embedding) + 1)]) AS u FROM embeddings)), q AS (SELECT label, pos, CASE WHEN x >= 0 THEN floor(x * 1e10 + 0.5) ELSE -floor(-(x * 1e10) + 0.5) END AS xq FROM e) SELECT label, pos, COUNT(*) AS n, CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e10) AS mean_val FROM q GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q79_hll_union_mergeable",
+      // MERGEABLE distinct sketches — the capability that makes
+      // pre-aggregated rollup tables work at 100 TB: per-type HLL sketches
+      // union to the global estimate without rescanning (sketch outputs are
+      // engine-specific → no oracle; ExtensionSpec bounds error vs exact
+      // and asserts union(parts) == sketch(whole))
+      (s, d) => {
+        val sk = events(s, d).groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val per = sk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("n_users_est"))
+        val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+            .as("n_users_est"))
+          .select(lit("__all__").as("event_type"), col("n_users_est"))
+        per.unionAll(all).orderBy(col("event_type"))
+      },
+      None),
+
+    QueryDef("q80_near_dedup_survivors",
+      // the end-to-end near-dedup ACTION (q35/q45 produce the evidence,
+      // this drops the losers): keep each cluster's min-id representative,
+      // pass singletons through — MinHash-LSH pairs → label propagation →
+      // AQE-sized anti-join (Dedup.dropNearDups scaladoc)
+      (s, d) => graft.operators.Dedup.dropNearDups(documents(s, d),
+          "doc_id", "text", threshold = 0.8, shingleN = 3, numHashes = 64,
+          bands = 16)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT doc_id, source FROM documents WHERE doc_id NOT IN (SELECT id FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) WHERE cluster < id) ORDER BY doc_id""")),
+
+    QueryDef("q81_multimodal_plans",
+      // gates the resize + frame-sampling multimodal plans (q44 gates the
+      // mapPartitions feature path): aspect-preserving target dims and
+      // every-2s frame timestamps are pure column math over the
+      // deterministic media metadata, so the whole transform chain is
+      // integer-oracle-able end-to-end
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(documents(s, d))
+        val planned = Multimodal.frameSamplePlan(
+          Multimodal.resizePlan(media, maxSide = 256), everyMs = 2000L)
+        planned.groupBy(col("kind")).agg(
+            count(lit(1)).as("n_items"),
+            sum(col("target_width").cast("long")).as("sum_tw"),
+            sum(col("target_height").cast("long")).as("sum_th"),
+            sum(size(col("frame_ts_ms")).cast("long")).as("sum_frames"))
+          .orderBy(col("kind"))
+      },
+      Some("""WITH m AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST((doc_id % 4) * 160 + 320 AS INTEGER) AS width, CAST((doc_id % 4) * 90 + 180 AS INTEGER) AS height, n_chars * 10 AS duration_ms FROM documents), p AS (SELECT kind, CAST(floor(width * LEAST(1.0, 256.0 / CAST(GREATEST(width, height) AS DOUBLE))) AS BIGINT) AS tw, CAST(floor(height * LEAST(1.0, 256.0 / CAST(GREATEST(width, height) AS DOUBLE))) AS BIGINT) AS th, CASE WHEN kind = 'video' THEN duration_ms // 2000 + 1 ELSE 0 END AS nf FROM m) SELECT kind, COUNT(*) AS n_items, CAST(SUM(tw) AS BIGINT) AS sum_tw, CAST(SUM(th) AS BIGINT) AS sum_th, CAST(SUM(nf) AS BIGINT) AS sum_frames FROM p GROUP BY 1 ORDER BY 1"""))
   )
 }

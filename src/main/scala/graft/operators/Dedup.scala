@@ -305,6 +305,24 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dedup: drop every document that is NOT its near-dup
+    * cluster's canonical representative (the min-id member) — the actual
+    * "dedup the corpus" action built from [[nearDupPairs]] →
+    * [[dupClusters]] → anti-join. Singleton docs (no near-dup) survive
+    * untouched. The loser set is sized by the duplicate count, not the
+    * corpus; the anti-join is left un-hinted so AQE broadcasts it when it
+    * is small and falls back to a shuffle join when a pathological corpus
+    * makes it large. */
+  def dropNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleN,
+      numHashes, bands)
+    val losers = dupClusters(pairs).filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Oracle twin of [[nearDupPairs]]: exact all-pairs Jaccard — O(N²),
     * small-data correctness baseline only. */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,

@@ -132,6 +132,28 @@ class CurationSpec extends SparkSpec {
     assert(prof("v") === ((4L, 1L, 2L, 1.5, 2.5)))
   }
 
+  // -- near-dedup canonicalization -----------------------------------------
+
+  test("dropNearDups keeps one representative per cluster, singletons pass") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val survivors = Dedup.dropNearDups(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val clusters = Dedup.dupClusters(
+        Dedup.allPairsJaccard(docs, "doc_id", "text", threshold = 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty, "fixture has planted near-dups")
+    // every cluster's min id survives, every other member is gone
+    clusters.foreach { case (id, cluster) =>
+      if (id == cluster) assert(survivors.contains(id), s"rep $id dropped")
+      else assert(!survivors.contains(id), s"loser $id kept")
+    }
+    // docs in no cluster survive
+    val inClusters = clusters.map(_._1).toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert((all -- inClusters).forall(survivors.contains))
+  }
+
   // -- group centroids -----------------------------------------------------
 
   test("groupCentroids computes exact per-position means") {

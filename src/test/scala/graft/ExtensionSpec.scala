@@ -18,4 +18,20 @@ class ExtensionSpec extends SparkSpec {
       .head.getDouble(0)
     assert(math.abs(est - exact) / math.max(exact, 1e-9) < 0.05)
   }
+
+  test("HLL sketches are mergeable: union of per-group parts == whole") {
+    val ev = Tables.events(spark, sf001)
+    val exact = ev.agg(countDistinct("user_id")).head.getLong(0)
+    // union of per-type sketches
+    val viaUnion = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head.getLong(0)
+    // one direct sketch over everything
+    val direct = ev.agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .head.getLong(0)
+    assert(viaUnion === direct,
+      "sketch algebra must be exact: merging partials == sketching the whole")
+    assert(math.abs(viaUnion - exact).toDouble / exact < 0.05,
+      s"est=$viaUnion exact=$exact")
+  }
 }
