@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus curation pipeline — the composition every
+  * pretraining data job runs, wired from the individual operators so a
+  * user gets the whole flow in one call (and so operator composition is
+  * itself tested):
+  *
+  *   1. exact dedup (normalized fingerprint, keep min-id)
+  *   2. near-dedup (MinHash-LSH pairs → clusters → keep representative)
+  *   3. test-set decontamination (broadcast eval n-gram probe)
+  *   4. quality filter (heuristic score threshold)
+  *   5. corpus mixing (per-source keep rates, HT weight attached)
+  *   6. deterministic train/val/test split
+  *
+  * Every stage is a deterministic, shuffle-minimal transformation (each
+  * one's scale shape documented at its definition); the pipeline adds
+  * `quality`, `n_tokens`, `mix_step`, `split` columns and drops rows, never
+  * reorders semantics. Stages toggle off via their config; the result is a
+  * plain DataFrame to write/pack downstream.
+  */
+object CurationPipeline {
+
+  /** Pipeline configuration; defaults mirror common pretraining settings. */
+  case class Config(
+      nearDupThreshold: Double = 0.8,
+      decontaminateNgram: Int = 3,
+      minQuality: Double = 0.0,
+      mixSteps: Map[String, Long] = Map.empty,
+      mixDefaultStep: Long = 1L,
+      splitWeights: Seq[(String, Long)] =
+        Seq("train" -> 98L, "val" -> 1L, "test" -> 1L))
+
+  /** Run the full curation flow over `docs(idCol, textCol, sourceCol, …)`;
+    * `eval` is the held-out benchmark set to scrub against (pass an empty
+    * DataFrame with the same two columns to skip decontamination). */
+  def run(docs: DataFrame, eval: Option[DataFrame], idCol: String,
+      textCol: String, sourceCol: String,
+      config: Config = Config()): DataFrame = {
+    // 1. exact dedup on the normalized fingerprint: one hash aggregation
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    val exactDeduped = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+      docs.withColumn("__fp", fp)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__fp", "__rn")
+    }
+    // 2. near-dedup via MinHash-LSH clustering
+    val nearDeduped = Dedup.dropNearDups(exactDeduped, idCol, textCol,
+      threshold = config.nearDupThreshold)
+    // 3. decontamination against the eval set
+    val clean = eval match {
+      case Some(ev) => Decontam.decontaminate(nearDeduped, ev, idCol, textCol,
+        n = config.decontaminateNgram)
+      case None => nearDeduped
+    }
+    // 4. quality annotation + filter
+    val scored = clean
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
+      .filter(col("quality") >= config.minQuality)
+    // 5. per-source mixing (attaches mix_step as the HT expansion weight)
+    val mixed =
+      if (config.mixSteps.isEmpty && config.mixDefaultStep == 1L) scored
+      else Mixing.corpusMix(scored, idCol, sourceCol, config.mixSteps,
+        config.mixDefaultStep)
+    // 6. deterministic split
+    Mixing.splitAssign(mixed, idCol, config.splitWeights)
+  }
+}

@@ -24,8 +24,18 @@ object TextAnalysis {
     size(filter(split(text, """(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}])"""),
       t => length(t) > 0))
 
-  /** Stopword hit count over a fixed lexicon (whitespace tokens). */
-  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+  /** Stopword hit count over a fixed lexicon (whitespace tokens). Runs as
+    * the native [[graft.functions.LexiconHits]] single-pass kernel;
+    * [[stopwordCountFold]] is the declarative twin it is spec-locked to. */
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.LexiconHits(
+      ColumnShim.expression(text), stopwords.toArray))
+  }
+
+  /** Interpreted higher-order form of [[stopwordCount]] (semantics
+    * statement; spec/equality use only). */
+  def stopwordCountFold(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*)))
 
   val defaultStopwords: Seq[String] =
@@ -78,23 +88,50 @@ object TextAnalysis {
   private def normalizeWs(text: Column): Column =
     lower(regexp_replace(trim(text), """\s+""", " "))
 
+  private val langLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "es" -> Seq("el", "la", "los", "las", "que", "de", "y", "una"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "une", "dans"))
+
   /** Language-ID via stopword/character heuristics: score each candidate
     * language by hits of its marker lexicon; best score wins, ties broken by
     * language code, docs with no hits → "und". The markers are the standard
-    * tell-tale function words / scripts for each language. Pure expression:
-    * a max over per-language hit counts. */
-  def langId(text: Column): Column = {
+    * tell-tale function words / scripts for each language.
+    *
+    * The lexicon scans and the Han-script count run as the native
+    * [[graft.functions.LexiconHits]] / [[graft.functions.HanCount]]
+    * kernels (one string pass each; the interpreted-filter form measured
+    * 4.2 s vs 0.27 s scan baseline at sf0.1 — this is a pass over EVERY
+    * document of a corpus). [[langIdFold]] is the declarative twin. */
+  def langId(text: Column): Column =
+    langIdFrom(text,
+      hits = words => {
+        import org.apache.spark.sql.graftshim.ColumnShim
+        ColumnShim.column(graft.functions.LexiconHits(
+          ColumnShim.expression(lower(text)), words.toArray)).cast("double")
+      },
+      cjk = {
+        import org.apache.spark.sql.graftshim.ColumnShim
+        ColumnShim.column(graft.functions.HanCount(
+          ColumnShim.expression(text)))
+      })
+
+  /** Interpreted higher-order form of [[langId]] (semantics statement;
+    * spec/equality use only). */
+  def langIdFold(text: Column): Column = {
     val toks = tokens(lower(text))
-    def hits(words: Seq[String]): Column =
-      size(filter(toks, t => t.isin(words: _*))).cast("double")
-    // CJK: classify by script, not lexicon
-    val cjkChars = length(regexp_replace(text, """[^\p{IsHan}]""", ""))
-    val scored: Seq[(String, Column)] = Seq(
-      "en" -> hits(Seq("the", "and", "of", "to", "is", "with", "that")),
-      "es" -> hits(Seq("el", "la", "los", "las", "que", "de", "y", "una")),
-      "de" -> hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein")),
-      "fr" -> hits(Seq("le", "les", "des", "est", "et", "une", "dans")),
-      "zh" -> cjkChars.cast("double") * lit(3.0))
+    langIdFrom(text,
+      hits = words => size(filter(toks, t => t.isin(words: _*))).cast("double"),
+      cjk = length(regexp_replace(text, """[^\p{IsHan}]""", "")))
+  }
+
+  /** Shared scoring/tiebreak structure over pluggable hit counters. */
+  private def langIdFrom(text: Column, hits: Seq[String] => Column,
+      cjk: Column): Column = {
+    val scored: Seq[(String, Column)] =
+      langLexicons.map { case (lang, words) => lang -> hits(words) } :+
+        ("zh" -> cjk.cast("double") * lit(3.0))
     val best = scored.map { case (lang, score) => struct(score.as("s"), lit(lang).as("l")) }
       .reduceLeft((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))

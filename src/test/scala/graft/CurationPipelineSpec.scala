@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CurationPipeline, Decontam, Dedup, Mixing, TextAnalysis}
+
+/** End-to-end composition: the full curation flow over the fixture, each
+  * stage's row accounting cross-checked against the operators run alone. */
+class CurationPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full pipeline: stage accounting matches the operators run alone") {
+    val docs = Tables.documents(spark, sf0001)
+    val eval = docs.filter(pmod($"doc_id", lit(50L)) === 0)
+      .select($"doc_id", $"text")
+    val train = docs.filter(pmod($"doc_id", lit(50L)) =!= 0)
+
+    val out = CurationPipeline.run(train, Some(eval), "doc_id", "text",
+      "source", CurationPipeline.Config(
+        minQuality = 0.3,
+        mixSteps = Map("src0" -> 2L),
+        splitWeights = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)))
+    out.cache()
+
+    // output schema carries the pipeline annotations
+    assert(Seq("quality", "n_tokens", "mix_step", "split")
+      .forall(out.columns.contains))
+
+    // no surviving near-dups above threshold and no eval contamination:
+    // re-running the detectors on the OUTPUT finds nothing
+    val residualPairs = Dedup.allPairsJaccard(
+      out.select($"doc_id", $"text"), "doc_id", "text", threshold = 0.8)
+    assert(residualPairs.count() === 0, "near-dups survived the pipeline")
+    val residualContam = Decontam.contamination(
+      out.select($"doc_id", $"text"), eval, "doc_id", "text", n = 3)
+    assert(residualContam.count() === 0, "contaminated docs survived")
+
+    // quality floor holds
+    assert(out.filter($"quality" < 0.3).count() === 0)
+
+    // mixing kept exactly the hash-selected src0 rows (verify against the
+    // same filter applied independently)
+    val src0 = out.filter($"source" === "src0")
+    val expectedSrc0 = Mixing.corpusMix(
+      out.drop("mix_step").filter($"source" === "src0"), "doc_id", "source",
+      Map("src0" -> 2L)).count()
+    assert(src0.count() === expectedSrc0)
+
+    // split is total and consistent with splitAssign run directly
+    val direct = Mixing.splitAssign(out.drop("split"), "doc_id",
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+      .select($"doc_id", $"split".as("s2"))
+    assert(out.join(direct, "doc_id").filter($"split" =!= $"s2").count() === 0)
+
+    // rows only ever drop through the pipeline, and something survives
+    assert(out.count() > 0 && out.count() <= train.count())
+    out.unpersist()
+  }
+
+  test("pipeline with everything off is identity plus annotations") {
+    val docs = Tables.documents(spark, sf0001).limit(20)
+      .select($"doc_id", $"text", $"source")
+    // fixture head: distinct texts, no near-dups above 0.99, no eval
+    val out = CurationPipeline.run(docs, None, "doc_id", "text", "source",
+      CurationPipeline.Config(nearDupThreshold = 0.999999))
+    // exact-dedup may still drop true exact dups; the head-20 has none
+    assert(out.count() === 20)
+    assert(out.select("doc_id").as[Long].collect().toSet ===
+      docs.select("doc_id").as[Long].collect().toSet)
+  }
+}

@@ -71,6 +71,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("native lexicon_hits / han_count are bit-identical to the HOF forms") {
+    val edge = Seq(
+      (900L, ""), (901L, "   "), (902L, "the the THE tHe the"),
+      (903L, " der  die das "), (904L, "汉字 mixed the 汉 text 字"),
+      (905L, "el la que de y una es"), (906L, "no stop words here"))
+      .toDF("doc_id", "text")
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+      .unionAll(edge)
+    val cmp = docs.select(
+      TextAnalysis.stopwordCount($"text").as("sw_fast"),
+      TextAnalysis.stopwordCountFold($"text").as("sw_slow"),
+      TextAnalysis.langId($"text").as("lang_fast"),
+      TextAnalysis.langIdFold($"text").as("lang_slow"))
+    assert(cmp.filter($"sw_fast" =!= $"sw_slow").count() === 0)
+    assert(cmp.filter($"lang_fast" =!= $"lang_slow").count() === 0)
+    // sanity: the planted rows classify as expected
+    val langs = edge.select($"doc_id", TextAnalysis.langId($"text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(langs(900L) === "und" && langs(902L) === "en" &&
+      langs(903L) === "de" && langs(904L) === "zh" && langs(905L) === "es")
+  }
+
   // -- tf-idf --------------------------------------------------------------
 
   test("tfidfTopTerms ranks a doc-unique term above corpus-wide terms") {
