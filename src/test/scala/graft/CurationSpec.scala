@@ -71,6 +71,35 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("native text kernels ≡ HOF twins on randomized inputs (property)") {
+    // fixed-seed fuzz over whitespace runs, empty tokens, CJK, combining
+    // marks, and astral code points (surrogate pairs) — the places a
+    // hand-rolled tokenizer/code-point walk could diverge from the
+    // regex-based declarative twins
+    val rng = new scala.util.Random(20260813L)
+    val alphabet = Vector("the", "la", "und", "汉", "字", "汉字", "x", "yz",
+      "a-b", "😀", "ü", "que", "", " ", "est")
+    def randomText(): String =
+      List.fill(rng.nextInt(30))(alphabet(rng.nextInt(alphabet.size)))
+        .mkString(" ")
+    val df = (1 to 300).map(i => (i.toLong, randomText()))
+      .toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3)) {
+      val fast = Decontam.docNgrams(df, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val slow = Decontam.docNgramsFold(df, "doc_id", "text", n)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(fast.toSeq === slow.toSeq, s"word_ngrams n=$n diverged")
+    }
+    val cmp = df.select(
+      TextAnalysis.stopwordCount($"text").as("a"),
+      TextAnalysis.stopwordCountFold($"text").as("b"),
+      TextAnalysis.langId($"text").as("c"),
+      TextAnalysis.langIdFold($"text").as("d"))
+    assert(cmp.filter($"a" =!= $"b").count() === 0, "lexicon_hits diverged")
+    assert(cmp.filter($"c" =!= $"d").count() === 0, "langId diverged")
+  }
+
   test("native lexicon_hits / han_count are bit-identical to the HOF forms") {
     val edge = Seq(
       (900L, ""), (901L, "   "), (902L, "the the THE tHe the"),
