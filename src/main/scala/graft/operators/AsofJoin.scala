@@ -56,7 +56,7 @@ object AsofJoin {
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
     matched.select(
-      (left.columns.map(c => col(s"__L_$c").as(c)) ++
+      (left.columns.toIndexedSeq.map(c => col(s"__L_$c").as(c)) ++
         rightCols.map(c => col("__m").getField(c).as(s"$prefix$c"))): _*)
   }
 }

@@ -38,7 +38,41 @@ object BloomJoin {
     val hashed = new XxHash64(Seq(ColumnShim.expression(build(key))))
     val agg = new BloomFilterAggregate(hashed,
       Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-    build.select(ColumnShim.column(agg).as("bf")).head.getAs[Array[Byte]](0)
+    build.select(ColumnShim.column(agg).as("bf")).head().getAs[Array[Byte]](0)
+  }
+
+  /** Persist a built Bloom sketch (e.g. the seen-corpus key set) so the
+    * next incremental run loads it instead of rescanning history — the
+    * operational loop of [[bloomPrunedAntiJoin]]: day N writes its merged
+    * sketch, day N+1 probes against it and unions in the day's new keys
+    * (Bloom OR-merge = byte-wise OR of equal-sized filters, which
+    * [[mergeBlooms]] provides). */
+  def saveBloom(bloom: Array[Byte], path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bloom): Unit
+
+  def loadBloom(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
+  /** OR-merge two serialized Bloom filters built with the SAME
+    * (expectedItems, numBits) parameters. Spark's sketch layout is a
+    * versioned header + bit array; equal parameters give equal layouts, so
+    * the merged filter is the byte-wise OR with the header kept verbatim
+    * (asserted identical). The result answers `mightContain` for the UNION
+    * of both key sets — how daily sketches roll up without rescans. */
+  def mergeBlooms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    require(a.length == b.length,
+      s"bloom layouts differ (${a.length} vs ${b.length} bytes); " +
+        "filters must be built with identical parameters")
+    // Spark BloomFilterImpl header: version int + numHashFunctions int +
+    // bit-array word count int (12 bytes) — must match exactly
+    val header = 12
+    require(a.take(header).sameElements(b.take(header)),
+      "bloom headers differ; filters must be built with identical parameters")
+    val out = new Array[Byte](a.length)
+    System.arraycopy(a, 0, out, 0, header)
+    var i = header
+    while (i < a.length) { out(i) = (a(i) | b(i)).toByte; i += 1 }
+    out
   }
 
   /** Codegen'd `might_contain(bloom, xxhash64(col))` predicate. */

@@ -34,13 +34,13 @@ object RangeJoin {
     // epoch-micro magnitudes): (x − pmod(x, band)) / band
     def bin(c: Column): Column = (c - pmod(c, lit(band))) / lit(band)
     val l = left.select(
-      (left.columns.map(c => col(c).as(s"l_$c")) :+
+      (left.columns.toIndexedSeq.map(c => col(c).as(s"l_$c")) :+
         bin(col(leftOrd)).as("__bin")): _*)
     val r0 = right.select(
-      (right.columns.map(c => col(c).as(s"r_$c")) :+
+      (right.columns.toIndexedSeq.map(c => col(c).as(s"r_$c")) :+
         bin(col(rightOrd)).as("__b")): _*)
     val r = r0.select(
-      (r0.columns.filter(_ != "__b").map(col) :+
+      (r0.columns.toIndexedSeq.filter(_ != "__b").map(col) :+
         explode(array(col("__b") - 1, col("__b"), col("__b") + 1)).as("__bin")): _*)
     // equi-join keys are EXPLICITLY (key, bin) so the hash partitioning
     // spreads hot bins across keys and hot keys across bins

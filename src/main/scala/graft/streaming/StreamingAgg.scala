@@ -158,7 +158,7 @@ object StreamingAgg {
               state.update(s)
               // close once the watermark passes the window end (clamped
               // forward: a timeout timestamp must exceed the watermark)
-              state.setTimeoutTimestamp(math.max(we, state.getCurrentWatermarkMs + 1))
+              state.setTimeoutTimestamp(math.max(we, state.getCurrentWatermarkMs() + 1))
               Iterator.empty
             } else emit(ws, we, s)
           }
@@ -228,7 +228,7 @@ object StreamingAgg {
                 // timestamp must not (Spark rejects it) — clamp forward so the
                 // session closes on the next watermark advance instead
                 state.setTimeoutTimestamp(
-                  math.max(s.lastSeen + gapMillis, state.getCurrentWatermarkMs + 1))
+                  math.max(s.lastSeen + gapMillis, state.getCurrentWatermarkMs() + 1))
               }
             } else {
               cur.foreach(s => closed += toOut(userId, s))

@@ -205,6 +205,28 @@ class CurationSpec extends SparkSpec {
     assert((all -- inClusters).forall(survivors.contains))
   }
 
+  test("bloom sketch roundtrip + OR-merge covers the union of key sets") {
+    import graft.operators.BloomJoin
+    val bits = 1L << 14
+    val dayA = (0L until 500L).toDF("k")
+    val dayB = (500L until 1000L).toDF("k")
+    val bA = BloomJoin.buildBloom(dayA, "k", 1000L, bits)
+    val bB = BloomJoin.buildBloom(dayB, "k", 1000L, bits)
+    // roundtrip through disk
+    val p = java.nio.file.Files.createTempFile("bloom", ".bin").toString
+    BloomJoin.saveBloom(bA, p)
+    assert(BloomJoin.loadBloom(p).toSeq === bA.toSeq)
+    // merged filter has no false negatives over EITHER day's keys
+    val merged = BloomJoin.mergeBlooms(bA, bB)
+    val all = (0L until 1000L).toDF("k")
+    val misses = all.filter(!BloomJoin.mightContain(merged, col("k"))).count()
+    assert(misses === 0L, "merged bloom must contain every inserted key")
+    // and still filters: far-away keys mostly miss
+    val far = (1000000L until 1001000L).toDF("k")
+    val fp = far.filter(BloomJoin.mightContain(merged, col("k"))).count()
+    assert(fp < 100, s"false-positive rate unexpectedly high: $fp/1000")
+  }
+
   // -- group centroids -----------------------------------------------------
 
   test("groupCentroids computes exact per-position means") {
