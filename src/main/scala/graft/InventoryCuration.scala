@@ -303,6 +303,38 @@ object InventoryCuration {
             sum(size(col("frame_ts_ms")).cast("long")).as("sum_frames"))
           .orderBy(col("kind"))
       },
-      Some("""WITH m AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST((doc_id % 4) * 160 + 320 AS INTEGER) AS width, CAST((doc_id % 4) * 90 + 180 AS INTEGER) AS height, n_chars * 10 AS duration_ms FROM documents), p AS (SELECT kind, CAST(floor(width * LEAST(1.0, 256.0 / CAST(GREATEST(width, height) AS DOUBLE))) AS BIGINT) AS tw, CAST(floor(height * LEAST(1.0, 256.0 / CAST(GREATEST(width, height) AS DOUBLE))) AS BIGINT) AS th, CASE WHEN kind = 'video' THEN duration_ms // 2000 + 1 ELSE 0 END AS nf FROM m) SELECT kind, COUNT(*) AS n_items, CAST(SUM(tw) AS BIGINT) AS sum_tw, CAST(SUM(th) AS BIGINT) AS sum_th, CAST(SUM(nf) AS BIGINT) AS sum_frames FROM p GROUP BY 1 ORDER BY 1"""))
+      Some("""WITH m AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind, CAST((doc_id % 4) * 160 + 320 AS INTEGER) AS width, CAST((doc_id % 4) * 90 + 180 AS INTEGER) AS height, n_chars * 10 AS duration_ms FROM documents), p AS (SELECT kind, CAST(floor(width * LEAST(1.0, 256.0 / CAST(GREATEST(width, height) AS DOUBLE))) AS BIGINT) AS tw, CAST(floor(height * LEAST(1.0, 256.0 / CAST(GREATEST(width, height) AS DOUBLE))) AS BIGINT) AS th, CASE WHEN kind = 'video' THEN duration_ms // 2000 + 1 ELSE 0 END AS nf FROM m) SELECT kind, COUNT(*) AS n_items, CAST(SUM(tw) AS BIGINT) AS sum_tw, CAST(SUM(th) AS BIGINT) AS sum_th, CAST(SUM(nf) AS BIGINT) AS sum_frames FROM p GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q82_rollup_corpus",
+      // hierarchical rollup (source → source×lang → grand total) in ONE
+      // aggregation pass — Spark's Expand feeds all grouping sets through
+      // the same partial/final HashAggregate, so subtotals cost one scan,
+      // not one scan per level (the reference has no grouping-sets surface
+      // at all; SURVEY §2.3)
+      (s, d) => documents(s, d)
+        .rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source").asc_nulls_first, col("lang").asc_nulls_first),
+      Some("""SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY ROLLUP (source, lang) ORDER BY source NULLS FIRST, lang NULLS FIRST""")),
+
+    QueryDef("q83_pivot_lang_tokens",
+      // wide-format corpus matrix: token totals per source × language via
+      // pivot with an EXPLICIT value list (never pivot on discovered values
+      // at scale — that is an extra distinct pass and a nondeterministic
+      // column order); unmatched cells are 0-filled for cross-engine
+      // stability
+      (s, d) => {
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        val toks = documents(s, d).select(col("source"), col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+        val wide = toks.groupBy(col("source")).pivot("lang", langs)
+          .agg(sum(col("nt")))
+        langs.foldLeft(wide)((df, l) =>
+            df.withColumn(l, coalesce(col(l), lit(0L))))
+          .orderBy(col("source"))
+      },
+      Some(s"""SELECT source, ${Seq("en", "es", "de", "fr", "zh").map(l =>
+        s"CAST(COALESCE(SUM(CASE WHEN lang = '$l' THEN len($dTok) END), 0) AS BIGINT) AS $l")
+        .mkString(", ")} FROM documents GROUP BY source ORDER BY source"""))
   )
 }
