@@ -86,6 +86,42 @@ object Bench {
       fileSf.df.agg(sum(col("l_extendedprice")) * lit(fileSf.scaleFactor))
         .collect(): Unit
     }
+    // Data-layout probe: the same rows written range-clustered on the
+    // filter column vs hash-scattered. Parquet row-group min/max stats +
+    // the pushed-down band predicate let the clustered read skip nearly
+    // every file/row group — the sort-on-write lever that turns a
+    // selective 100 TB scan into a few-GB one (zone-map pruning; the
+    // scattered layout must decode every row group). Probed at 60 M rows
+    // (built once, cached on disk): at 6 M the ~0.08 s fixed job overhead
+    // swamps the decode gap and the measured ratio undersells the pruning
+    // (1.3× there vs the true ~40-file skip — same overhead bound the
+    // file-sampling probe documents).
+    val liScatteredPath = "/tmp/graft_bench_li100_scattered.parquet"
+    if (!new java.io.File(liScatteredPath, "_SUCCESS").exists()) {
+      Seq.fill(10)(li10f).reduce(_ union _).repartition(80)
+        .write.mode("overwrite").parquet(liScatteredPath)
+    }
+    val liScattered = spark.read.parquet(liScatteredPath)
+    val liClusteredPath = "/tmp/graft_bench_li100_clustered.parquet"
+    if (!new java.io.File(liClusteredPath, "_SUCCESS").exists()) {
+      liScattered.repartitionByRange(80, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(liClusteredPath)
+    }
+    val liClustered = spark.read.parquet(liClusteredPath)
+    val maxKey = li10f.agg(max(col("l_orderkey"))).first.getLong(0)
+    val (bandLo, bandHi) = (maxKey / 2, maxKey / 2 + maxKey / 100) // ~1% band
+    // full-row retrieval (hash of every column ⇒ every column decodes):
+    // the point-lookup/band-fetch workload zone maps exist for — a
+    // narrow-projection agg is overhead-bound at sf0.1 and hides the win
+    def bandScan(df: org.apache.spark.sql.DataFrame): Unit =
+      df.filter(col("l_orderkey").between(bandLo, bandHi))
+        .agg(count(lit(1)),
+          sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
+            .cast("decimal(38,0)")))
+        .collect(): Unit
+    val tScanScattered = timeMedian(bandScan(liScattered))
+    val tScanClustered = timeMedian(bandScan(liClustered))
     // embedding near-dup over the full embeddings fixture: exercises the
     // native vec_dot codegen kernel (signature + verify) through the
     // multi-table LSH bucket-collect path
@@ -159,7 +195,11 @@ object Bench {
       "x10_filesample10_sum_sec" -> tFile,
       "x10_speedup_sys" -> (if (tSampled > 0) tExact / tSampled else -1.0),
       "x10_speedup_file" -> (if (tFile > 0) tExact / tFile else -1.0),
-      "x10_exact_mrows_per_sec" -> nRows / tExact / 1e6)
+      "x10_exact_mrows_per_sec" -> nRows / tExact / 1e6,
+      "x_layout_scattered_sec" -> tScanScattered,
+      "x_layout_clustered_sec" -> tScanClustered,
+      "x_layout_speedup" ->
+        (if (tScanClustered > 0) tScanScattered / tScanClustered else -1.0))
 
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
       extra.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })

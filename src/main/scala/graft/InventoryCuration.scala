@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorOps
-import graft.operators.{BloomJoin, Decontam, Mixing, Multimodal, Profiling, Sessionize, TextAnalysis}
+import graft.operators.{BloomJoin, Decontam, Dedup, Mixing, Multimodal, Profiling, Sessionize, Skew, TextAnalysis}
 
 /** Corpus-curation queries (round-2 widening): the remaining passes a
   * training-data pipeline runs that q30–q66 did not yet cover —
@@ -335,6 +335,28 @@ object InventoryCuration {
       },
       Some(s"""SELECT source, ${Seq("en", "es", "de", "fr", "zh").map(l =>
         s"CAST(COALESCE(SUM(CASE WHEN lang = '$l' THEN len($dTok) END), 0) AS BIGINT) AS $l")
-        .mkString(", ")} FROM documents GROUP BY source ORDER BY source"""))
+        .mkString(", ")} FROM documents GROUP BY source ORDER BY source""")),
+
+    QueryDef("q84_source_topn",
+      // per-source document cap (the RefinedWeb / C4 "top-N docs per
+      // domain" pass) via the skew-safe two-phase top-N: a plain window
+      // funnels a hot domain's every row through one task; Skew.topNPerKey
+      // spreads phase 1 over content-hash shards and ranks only the
+      // ≤ shards·n survivors. Ordering ends in doc_id ⇒ total order ⇒
+      // row-identical to the single-window form (SkewSpec).
+      (s, d) => Skew.topNPerKey(documents(s, d), Seq("source"),
+          Seq(col("n_chars").desc, col("doc_id").asc), n = 3)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("rank")),
+      Some("""SELECT source, rank, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank FROM documents) WHERE rank <= 3 ORDER BY source, rank""")),
+
+    QueryDef("q85_dup_ngram_stats",
+      // duplicated-span signal (exact-substring dedup, distributed): per
+      // doc, how many of its distinct trigrams appear in ≥1 other doc —
+      // exact integers end to end (Dedup.dupNgramStats scaladoc for the
+      // shuffle shape; suffix arrays don't shard, gram-frequency joins do)
+      (s, d) => Dedup.dupNgramStats(documents(s, d), "doc_id", "text", n = 3)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH g AS ($dTrigrams), c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1) SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM g JOIN c USING (gram) GROUP BY 1 ORDER BY doc_id"""))
   )
 }

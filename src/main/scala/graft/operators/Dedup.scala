@@ -412,4 +412,30 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // -- duplicated-span signal ---------------------------------------------
+
+  /** Per-document duplicated-n-gram statistics: `(idCol, n_grams, n_dup)`
+    * where `n_grams` is the doc's distinct word-n-gram count and `n_dup`
+    * how many of those appear in at least one OTHER document — the
+    * distributed stand-in for exact-substring dedup (suffix arrays don't
+    * shard; a corpus-wide n-gram frequency join does). Callers threshold on
+    * the exact integer ratio, e.g. drop when `n_dup * 10 >= 8 * n_grams`
+    * (≥80% duplicated span).
+    *
+    * Scale shape: one explode per doc (scan stage, native
+    * [[graft.functions.WordNgrams]] kernel), one partial-agg shuffle keyed
+    * on the gram to count carrying docs, one shuffle join of grams against
+    * those counts (AQE splits hot grams), one partial-agg shuffle back on
+    * the doc id. Nothing is ever all-pairs and no gram list is collected. */
+  def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val grams = Decontam.docNgrams(df, idCol, textCol, n)
+    // grams are distinct per doc, so count(*) per gram == carrying docs
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
+    grams.join(counts, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigation operators for hot keys (north-star scale concern; the
@@ -42,6 +42,35 @@ object Skew {
       .agg(countDistinct(col(distinctCol)).as("__partial"))
       .groupBy(g: _*)
       .agg(sum(col("__partial")).as(alias))
+  }
+
+  /** Exact top-`n` rows per key, shuffle-balanced for hot keys. A single
+    * `row_number` window shuffles EVERY row of a key into one task — a
+    * per-domain cap over a 100 TB corpus dies on the hottest domain. Here
+    * phase 1 takes the local top-n per (key, content-hash shard) — the hot
+    * key's stream spreads over `shards` window tasks — and phase 2 ranks
+    * the ≤ `shards`·n survivors per key. Row-for-row identical to the
+    * single-window form PROVIDED `orderCols` is a deterministic total
+    * order (e.g. ends in a unique id): any global top-n row is top-n
+    * within its shard, so phase 1 can never evict it.
+    *
+    * Output: input columns plus `rankCol` (1-based, BIGINT). */
+  def topNPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+      n: Int, shards: Int = 16, rankCol: String = "rank"): DataFrame = {
+    require(n >= 1 && shards >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val keys = keyCols.map(col)
+    val shard = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+      lit(shards.toLong))
+    val w1 = Window.partitionBy((keys :+ col("__shard")): _*)
+      .orderBy(orderCols: _*)
+    val survivors = df.withColumn("__shard", shard)
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= n)
+      .drop("__shard", "__rn")
+    val w2 = Window.partitionBy(keys: _*).orderBy(orderCols: _*)
+    survivors.withColumn(rankCol, row_number().over(w2).cast("long"))
+      .filter(col(rankCol) <= n)
   }
 
   /** Salted inner equi-join: `fact ⋈ build` on `key`, with the fact side

@@ -53,6 +53,23 @@ class CurationSpec extends SparkSpec {
       Seq("x y x", "y x y"))
   }
 
+  test("dupNgramStats: planted duplicates count, unique docs report zero") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // 3 trigrams, all shared w/ 2
+      (2L, "alpha beta gamma delta epsilon"),      // exact dup of 1
+      (3L, "alpha beta gamma zeta eta theta"),     // shares "alpha beta gamma"
+      (4L, "completely different words entirely here"), // unique
+      (5L, "ab"))                                  // < 3 tokens → no grams
+      .toDF("doc_id", "text")
+    val stats = graft.operators.Dedup.dupNgramStats(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats(1L) === ((3L, 3L)))  // every trigram also in doc 2
+    assert(stats(2L) === ((3L, 3L)))
+    assert(stats(3L) === ((4L, 1L)))  // only "alpha beta gamma" shared
+    assert(stats(4L) === ((3L, 0L)))  // unique doc: zero duplicated grams
+    assert(!stats.contains(5L))       // too short to have grams
+  }
+
   test("native word_ngrams kernel is bit-identical to the declarative fold") {
     val edge = Seq(
       (100L, "  leading and trailing  "), // empty tokens from split(\" +\")

@@ -34,6 +34,36 @@ class SkewSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("topNPerKey equals the single-window top-N, including on a hot key") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // one key holds 90% of rows; ties on v broken by the unique id
+    val hot = (0L until 9000L).map(i => ("hot", i % 100, i))
+    val cold = (0L until 1000L).map(i => (s"g${i % 20}", i % 50, 100000L + i))
+    val df = (hot ++ cold).toDF("k", "v", "id")
+    val order = Seq(col("v").desc, col("id").asc)
+    val plain = df.withColumn("rank",
+        row_number().over(Window.partitionBy(col("k")).orderBy(order: _*))
+          .cast("long"))
+      .filter(col("rank") <= 5)
+      .collect().map(_.toSeq).toSet
+    val twoPhase = Skew.topNPerKey(df, Seq("k"), order, n = 5, shards = 8)
+      .select(col("k"), col("v"), col("id"), col("rank"))
+      .collect().map(_.toSeq).toSet
+    assert(twoPhase === plain)
+    assert(plain.count(_.head == "hot") === 5)
+  }
+
+  test("topNPerKey keeps all rows of keys smaller than n") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 3L))
+      .toDF("k", "v", "id")
+    val got = Skew.topNPerKey(df, Seq("k"),
+      Seq(col("v").desc, col("id").asc), n = 10, shards = 4)
+    assert(got.count() === 3)
+    assert(got.filter(col("k") === "a").agg(max(col("rank"))).first.getLong(0) === 2L)
+  }
+
   test("saltedCountDistinct survives a deliberately hot group") {
     import spark.implicits._
     // one group holds 90% of rows with many distinct values
