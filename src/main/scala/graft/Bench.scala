@@ -104,24 +104,38 @@ object Bench {
     val liScattered = spark.read.parquet(liScatteredPath)
     val liClusteredPath = "/tmp/graft_bench_li100_clustered.parquet"
     if (!new java.io.File(liClusteredPath, "_SUCCESS").exists()) {
-      liScattered.repartitionByRange(80, col("l_orderkey"))
-        .sortWithinPartitions(col("l_orderkey"))
-        .write.mode("overwrite").parquet(liClusteredPath)
+      graft.sources.Layout.clusteredWrite(liScattered, liClusteredPath,
+        "l_orderkey", files = 80)
     }
     val liClustered = spark.read.parquet(liClusteredPath)
-    val maxKey = li10f.agg(max(col("l_orderkey"))).first.getLong(0)
-    val (bandLo, bandHi) = (maxKey / 2, maxKey / 2 + maxKey / 100) // ~1% band
+    // Z-order leg: interleave (l_orderkey, l_partkey) bin bits — a band on
+    // EITHER column prunes, where the linear layout prunes only l_orderkey
+    // bands and pays full price on l_partkey ones.
+    val liZorderPath = "/tmp/graft_bench_li100_zorder.parquet"
+    if (!new java.io.File(liZorderPath, "_SUCCESS").exists()) {
+      graft.sources.Layout.zorderWrite(liScattered, liZorderPath,
+        Seq("l_orderkey", "l_partkey"), files = 80)
+    }
+    val liZorder = spark.read.parquet(liZorderPath)
+    val keyStats = li10f.agg(max(col("l_orderkey")), max(col("l_partkey"))).first
+    val (maxKey, maxPart) = (keyStats.getLong(0), keyStats.getLong(1))
     // full-row retrieval (hash of every column ⇒ every column decodes):
     // the point-lookup/band-fetch workload zone maps exist for — a
     // narrow-projection agg is overhead-bound at sf0.1 and hides the win
-    def bandScan(df: org.apache.spark.sql.DataFrame): Unit =
-      df.filter(col("l_orderkey").between(bandLo, bandHi))
+    def bandScan(df: org.apache.spark.sql.DataFrame, c: String,
+        lo: Long, hi: Long): Unit =
+      df.filter(col(c).between(lo, hi))
         .agg(count(lit(1)),
           sum(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*))
             .cast("decimal(38,0)")))
         .collect(): Unit
-    val tScanScattered = timeMedian(bandScan(liScattered))
-    val tScanClustered = timeMedian(bandScan(liClustered))
+    val (kLo, kHi) = (maxKey / 2, maxKey / 2 + maxKey / 100)    // ~1% band
+    val (pLo, pHi) = (maxPart / 2, maxPart / 2 + maxPart / 100) // ~1% band
+    val tScanScattered = timeMedian(bandScan(liScattered, "l_orderkey", kLo, kHi))
+    val tScanClustered = timeMedian(bandScan(liClustered, "l_orderkey", kLo, kHi))
+    val tZorderKey = timeMedian(bandScan(liZorder, "l_orderkey", kLo, kHi))
+    val tLinearPart = timeMedian(bandScan(liClustered, "l_partkey", pLo, pHi))
+    val tZorderPart = timeMedian(bandScan(liZorder, "l_partkey", pLo, pHi))
     // embedding near-dup over the full embeddings fixture: exercises the
     // native vec_dot codegen kernel (signature + verify) through the
     // multi-table LSH bucket-collect path
@@ -199,7 +213,12 @@ object Bench {
       "x_layout_scattered_sec" -> tScanScattered,
       "x_layout_clustered_sec" -> tScanClustered,
       "x_layout_speedup" ->
-        (if (tScanClustered > 0) tScanScattered / tScanClustered else -1.0))
+        (if (tScanClustered > 0) tScanScattered / tScanClustered else -1.0),
+      "x_zorder_keyband_sec" -> tZorderKey,
+      "x_linear_partband_sec" -> tLinearPart,
+      "x_zorder_partband_sec" -> tZorderPart,
+      "x_zorder_partband_speedup" ->
+        (if (tZorderPart > 0) tLinearPart / tZorderPart else -1.0))
 
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
       extra.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })

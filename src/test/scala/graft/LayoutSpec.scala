@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference Morton interleave: bit j of value i → z-bit j*k + i. */
+  private def zRef(vals: Seq[Long], bits: Int): Long = {
+    val k = vals.size
+    var z = 0L
+    for (i <- 0 until bits; ci <- 0 until k)
+      z |= ((vals(ci) >> i) & 1L) << (i * k + ci)
+    z
+  }
+
+  test("zValue matches the reference interleave on randomized inputs") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((rnd.nextInt(1 << 16).toLong,
+      rnd.nextInt(1 << 16).toLong)) :+ ((0L, 0L)) :+ ((65535L, 65535L))
+    val df = rows.toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        Layout.zValue(Seq(col("x"), col("y")), bits = 16).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (x, y) =>
+      assert(got((x, y)) === zRef(Seq(x, y), 16), s"($x,$y)")
+    }
+  }
+
+  test("zValue three-column interleave and bit budget guard") {
+    val df = Seq((5L, 3L, 6L)).toDF("a", "b", "c")
+    val z = df.select(Layout.zValue(Seq(col("a"), col("b"), col("c")), 8))
+      .first().getLong(0)
+    assert(z === zRef(Seq(5L, 3L, 6L), 8))
+    intercept[IllegalArgumentException] {
+      Layout.zValue(Seq(col("a"), col("b"), col("c")), bits = 32)
+    }
+  }
+
+  test("rangeBin clamps to [0, 2^bits) and is monotone") {
+    val df = Seq(-5.0, 0.0, 50.0, 100.0, 250.0).toDF("v")
+    val bins = df.select(Layout.rangeBin(col("v"), 0.0, 100.0, 4).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bins.head === 0L)   // below min clamps to 0
+    assert(bins(1) === 0L)
+    assert(bins(3) === 15L)    // max maps to top bin
+    assert(bins(4) === 15L)    // above max clamps to top
+    assert(bins === bins.sorted)
+  }
+
+  test("zorderWrite: both columns' bands land in a small file subset") {
+    // 64×64 grid → every (x, y) combination; z-order written as 16 files.
+    // With linear clustering on x, a y-band touches EVERY file; z-order
+    // bounds either band to a strict subset of files.
+    val grid = for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder_spec").toString
+    val path = s"$dir/z.parquet"
+    Layout.zorderWrite(df, path, Seq("x", "y"), files = 16, bits = 6)
+    val re = spark.read.parquet(path)
+    assert(re.count() === 64L * 64L)
+    def filesTouched(c: String): Long = re
+      .filter(col(c).between(8L, 15L)) // one-eighth band
+      .select(input_file_name()).distinct().count()
+    // a perfect single-column sort would hit 2/16; scattered hits 16/16;
+    // z-order must bound BOTH dimensions well below the full file set
+    assert(filesTouched("x") <= 8L)
+    assert(filesTouched("y") <= 8L)
+  }
+}
