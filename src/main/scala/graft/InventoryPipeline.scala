@@ -417,6 +417,18 @@ object InventoryPipeline {
           k = 5, numCentroids = 32, nProbe = 8)
           .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
       },
+      None),
+
+    QueryDef("q86_semdedup_survivors",
+      // SemDeDup (k-means-bucketed semantic dedup): no oracle — cluster
+      // assignment is the native TopCentroids kernel over Lloyd-trained
+      // centroids, and cross-cluster pairs are missed by design (recall < 1,
+      // like q39/q46); PipelineSpec anchors pair recall ≥ 0.8 on planted
+      // twins and drop-safety (only docs with a true ≥-threshold neighbor
+      // are ever dropped)
+      (s, d) => Ann.semDedup(embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.4, numCentroids = 32)
+        .select(col("vec_id")).orderBy(col("vec_id")),
       None)
   )
 

@@ -192,16 +192,44 @@ object Ann {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
 
+    def topCentroidsCol(flat: Array[Double], nP: Int): Column =
+      ColumnShim.column(TopCentroids(
+        ColumnShim.expression(col(vecCol)), flat, numCentroids, nP))
+
+    val flat = lloydCentroids(corpus, idCol, vecCol, numCentroids,
+      lloydIters).flatten.toArray
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      topCentroidsCol(flat, 1).getItem(0).as("cid"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"),
+      explode(topCentroidsCol(flat, nProbe)).as("cid"))
+    val scored = c.join(broadcast(p), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("pvec"), col("cvec")).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k).drop("rank")
+  }
+
+  /** Deterministic mini-batch-free Lloyd training shared by [[ivfTopK]] and
+    * [[semDedupPairs]]: seeds = the `numCentroids` lowest-id vectors
+    * (deterministic, any engine), `lloydIters` rounds of
+    * assign-via-[[graft.functions.TopCentroids]] + exact decimal mean
+    * (shuffle ∝ centroids×dim partials, never rows). Returns l2-normalized
+    * centroid rows. */
+  private def lloydCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      numCentroids: Int, lloydIters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+
     def l2norm(a: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * a(i); i += 1 }
       val n = math.sqrt(s)
       if (n > 0) a.map(_ / n) else a
     }
-    def topCentroidsCol(flat: Array[Double], nP: Int): Column =
-      ColumnShim.column(TopCentroids(
-        ColumnShim.expression(col(vecCol)), flat, numCentroids, nP))
-
     val seeds = corpus
       .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
       .orderBy(col("__id")).limit(numCentroids).collect()
@@ -211,7 +239,9 @@ object Ann {
     var centroids = seeds.map(l2norm)
     val dim = centroids.head.length
     for (_ <- 0 until lloydIters) {
-      val assign = topCentroidsCol(centroids.flatten.toArray, 1).getItem(0)
+      val assign = ColumnShim.column(TopCentroids(
+        ColumnShim.expression(col(vecCol)), centroids.flatten.toArray,
+        numCentroids, 1)).getItem(0)
       val parts = corpus
         .select(assign.as("cid"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -229,20 +259,63 @@ object Ann {
         else l2norm(sums(c).map(_ / counts(c)))
       }
     }
-    val flat = centroids.flatten.toArray
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      topCentroidsCol(flat, 1).getItem(0).as("cid"))
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"),
-      explode(topCentroidsCol(flat, nProbe)).as("cid"))
-    val scored = c.join(broadcast(p), Seq("cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        VectorOps.cosine(col("pvec"), col("cvec")).as("cosine"))
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("query_id"))
-          .orderBy(col("cosine").desc, col("neighbor_id"))))
-      .filter(col("rank") <= k).drop("rank")
+    centroids
+  }
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * public): cluster embeddings with k-means, then search for cosine ≥
+    * `threshold` pairs ONLY within each cluster — all-pairs work shrinks
+    * from O(N²) to Σ O(|cluster|²), and `numCentroids` is the knob that
+    * bounds cluster size (the paper's recipe: pick k so clusters fit a
+    * worker; here, so the per-bucket pair fan-out stays shuffle-sized).
+    * Pairs that straddle a cluster boundary are missed by construction —
+    * recall < 1, like every bucketed dedup in this file; PipelineSpec
+    * anchors recall on planted clusters. Same bucket-collect shape as
+    * [[cosineNearDupPairs]], with the learned cid as the bucket key. */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 64,
+      lloydIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+    val flat = lloydCentroids(df, idCol, vecCol, numCentroids,
+      lloydIters).flatten.toArray
+    val cid = ColumnShim.column(TopCentroids(
+      ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
+    val pairs = df
+      .select(col(idCol), cid.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = df.select(col(idCol), col(vecCol))
+    val verified = pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.count() // eager verify → release candidates (no cache creep)
+    pairs.unpersist(blocking = false)
+    verified
+  }
+
+  /** End-to-end SemDeDup: drop every embedding that is not its semantic
+    * dup-cluster's min-id representative; singletons survive.
+    * [[semDedupPairs]] → [[Dedup.dupClusters]] → anti-join (AQE sizes it). */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numCentroids: Int = 64,
+      lloydIters: Int = 1): DataFrame = {
+    val pairs = semDedupPairs(df, idCol, vecCol, threshold, numCentroids,
+      lloydIters)
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Embedding near-duplicate pairs: cosine >= threshold, multi-table

@@ -342,6 +342,49 @@ class PipelineSpec extends SparkSpec {
     assert(ivf2 === ivf)
   }
 
+  test("semDedup catches planted twins and never drops a singleton") {
+    import spark.implicits._
+    // 10 planted clusters of near-identical points; every 5th id gets a
+    // twin (id+1000) with tiny noise → a true cosine≈1 near-dup pair
+    val rng = new scala.util.Random(11L)
+    val centers = Array.fill(10)(Array.fill(64)(rng.nextGaussian()))
+    val base = (0L until 200L).map { i =>
+      val c = centers((i % 10).toInt)
+      (i, c.map(x => (x + 0.15 * rng.nextGaussian()).toFloat))
+    }
+    val twins = base.filter(_._1 % 5 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(x => (x + 1e-4 * rng.nextGaussian()).toFloat))
+    }
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val t = 0.95
+    val exactPairs = Ann.allPairsCosine(df, "vec_id", "embedding", t)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.nonEmpty)
+    // k = the natural cluster count (ids 0–9 seed one center each);
+    // OVER-segmenting splits true clusters across centroids and loses
+    // their pairs — the paper's documented k tradeoff (recall drops to
+    // ~0.6 here at k=16)
+    val semPairs = Ann.semDedupPairs(df, "vec_id", "embedding", t,
+      numCentroids = 10).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // bucketed recall on clustered data; every found pair must be real
+    assert(semPairs.subsetOf(exactPairs))
+    val recall = exactPairs.intersect(semPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"semDedup pair recall $recall")
+    // end-to-end: dropped ids ⊆ ids with a true near-dup; min-id reps stay
+    val survivors = Ann.semDedup(df, "vec_id", "embedding", t,
+      numCentroids = 10).select("vec_id").as[Long].collect().toSet
+    val hasNeighbor = exactPairs.flatMap(p => Set(p._1, p._2))
+    val dropped = (base ++ twins).map(_._1).toSet -- survivors
+    assert(dropped.subsetOf(hasNeighbor))
+    assert(dropped.nonEmpty)
+    // a doc and its twin never BOTH survive when semDedup found the pair
+    semPairs.foreach { case (a, b) =>
+      assert(!(survivors(a) && survivors(b)), s"pair ($a,$b) both survived")
+    }
+  }
+
   test("LSH top-k recall vs brute force is usable") {
     val queries = embs.filter(col("vec_id") < 10)
     val bf = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
