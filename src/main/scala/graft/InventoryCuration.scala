@@ -357,6 +357,32 @@ object InventoryCuration {
       // shuffle shape; suffix arrays don't shard, gram-frequency joins do)
       (s, d) => Dedup.dupNgramStats(documents(s, d), "doc_id", "text", n = 3)
         .orderBy(col("doc_id")),
-      Some(s"""WITH g AS ($dTrigrams), c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1) SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM g JOIN c USING (gram) GROUP BY 1 ORDER BY doc_id"""))
+      Some(s"""WITH g AS ($dTrigrams), c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1) SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM g JOIN c USING (gram) GROUP BY 1 ORDER BY doc_id""")),
+
+    QueryDef("q87_moment_rollup",
+      // mergeable moment sketches: fine (source × lang) partials merged to
+      // per-source stats WITHOUT rescanning rows — the rollup-maintenance
+      // pattern (HLL/bloom siblings q79/q76) for exact mean/variance; the
+      // oracle computes per-source directly from rows, so a hash match
+      // proves merge-of-partials ≡ direct against an independent engine
+      (s, d) => {
+        val fine = graft.exec.Estimators.momentSketch(documents(s, d),
+          col("n_chars"), Seq("source", "lang"))
+        val merged = graft.exec.Estimators.mergeMoments(fine, Seq("source"))
+        graft.exec.Estimators.momentStats(merged).orderBy(col("source"))
+      },
+      Some("""WITH g AS (SELECT source, COUNT(*) AS n, SUM(CAST(n_chars AS DECIMAL(18,0))) AS s1, SUM(CAST(n_chars AS DECIMAL(18,0)) * CAST(n_chars AS DECIMAL(18,0))) AS s2 FROM documents GROUP BY 1) SELECT source, CAST(n AS BIGINT) AS n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, CASE WHEN n > 1 THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0) ELSE 0.0 END AS var_samp FROM g ORDER BY source""")),
+
+    QueryDef("q88_temperature_mix",
+      // α = 0.5 temperature rebalance (multilingual-LM recipe): draw
+      // ⌊3·√n_g⌋ docs per source by smallest hash priority — exact integer
+      // semantics, sqrt not pow (IEEE correctly-rounded in both engines);
+      // rollup proves the same rows are drawn everywhere
+      (s, d) => Mixing.temperatureMix(documents(s, d), "doc_id", "source",
+          alpha = 0.5, scale = 3.0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source")),
+      Some(s"""WITH sz AS (SELECT source, COUNT(*) AS gn FROM documents GROUP BY 1), t AS (SELECT source, GREATEST(1, CAST(FLOOR(3.0 * sqrt(CAST(gn AS DOUBLE))) AS BIGINT)) AS tg FROM sz), r AS (SELECT d.source, d.n_chars, tg, ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY ${Mixing.hashPrioritySql("doc_id")}, doc_id) AS rn FROM documents d JOIN t USING (source)) SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM r WHERE rn <= tg GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -210,6 +210,48 @@ object Estimators {
       m.cast("long").as(s"${alias}_m_blocks"))
   }
 
+  /** Mergeable moment sketch: per-group `(n, s1, s2)` with the sums as
+    * EXACT scale-0 decimals — the additive state behind COUNT/SUM/AVG/VAR
+    * and their CLT CIs. Like the HLL and bloom sketches, partials for any
+    * fine grouping (per day, per file, per source×lang) merge to any
+    * coarser one by plain addition ([[mergeMoments]]) with NO rescan and
+    * ZERO error — the maintenance pattern for 100 TB rollup tables where
+    * recomputing from rows is the cost that matters. `value` must be
+    * integer-valued (quantize money to cents first — house decimal rule);
+    * s2 = Σv² stays exact in decimal(38,0). */
+  def momentSketch(df: DataFrame, value: Column, groupCols: Seq[String]): DataFrame = {
+    val vd = value.cast("decimal(18,0)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(vd).cast("decimal(38,0)").as("s1"),
+        sum(vd * vd).cast("decimal(38,0)").as("s2"))
+  }
+
+  /** Merge moment sketches to a coarser grouping: component-wise addition
+    * (the sketch is a commutative monoid — order and partitioning of the
+    * partials cannot change the result). */
+  def mergeMoments(sketch: DataFrame, coarserCols: Seq[String]): DataFrame =
+    sketch.groupBy(coarserCols.map(col): _*)
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("s1")).cast("decimal(38,0)").as("s1"),
+        sum(col("s2")).cast("decimal(38,0)").as("s2"))
+
+  /** Project mean and sample variance out of a moment sketch — one double
+    * cast per exact sum (q65 rule), divisions guarded inside the
+    * expressions (ANSI + CSE). Emits the sketch's group columns plus
+    * `n, mean, var_samp`. */
+  def momentStats(sketch: DataFrame): DataFrame = {
+    val groupCols = sketch.columns.filterNot(Set("n", "s1", "s2"))
+    val nd = col("n").cast("double")
+    val s1d = col("s1").cast("double")
+    val s2d = col("s2").cast("double")
+    val varS = when(col("n") > 1,
+      (s2d - s1d * s1d / nd) / greatest(nd - lit(1.0), lit(1.0)))
+      .otherwise(lit(0.0))
+    sketch.select(groupCols.map(col) ++ Seq(col("n"),
+      (s1d / nd).as("mean"), varS.as("var_samp")): _*)
+  }
+
   /** Relative half-width of the CI in percent — the quantity the adaptive
     * executor compares against the error threshold. */
   def relativeMarginPct(value: Double, lower: Double, upper: Double): Double =

@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * itself tested):
   *
   *   1. exact dedup (normalized fingerprint, keep min-id)
-  *   2. near-dedup (MinHash-LSH pairs → clusters → keep representative)
+  *   2. near-dedup (MinHash-LSH pairs → clusters → keep representative),
+  *      optionally followed by SemDeDup over an embedding column
   *   3. test-set decontamination (broadcast eval n-gram probe)
   *   4. quality filter (heuristic score threshold)
   *   5. corpus mixing (per-source keep rates, HT weight attached)
@@ -23,7 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** Pipeline configuration; defaults mirror common pretraining settings. */
+  /** Pipeline configuration; defaults mirror common pretraining settings.
+    * `semanticDedup` (off by default — needs an embedding column) inserts
+    * an [[Ann.semDedup]] stage after the text near-dedup: (vecCol,
+    * cosine threshold, numCentroids). */
   case class Config(
       nearDupThreshold: Double = 0.8,
       decontaminateNgram: Int = 3,
@@ -31,7 +35,8 @@ object CurationPipeline {
       mixSteps: Map[String, Long] = Map.empty,
       mixDefaultStep: Long = 1L,
       splitWeights: Seq[(String, Long)] =
-        Seq("train" -> 98L, "val" -> 1L, "test" -> 1L))
+        Seq("train" -> 98L, "val" -> 1L, "test" -> 1L),
+      semanticDedup: Option[(String, Double, Int)] = None)
 
   /** Run the full curation flow over `docs(idCol, textCol, sourceCol, …)`;
     * `eval` is the held-out benchmark set to scrub against (pass an empty
@@ -52,11 +57,17 @@ object CurationPipeline {
     // 2. near-dedup via MinHash-LSH clustering
     val nearDeduped = Dedup.dropNearDups(exactDeduped, idCol, textCol,
       threshold = config.nearDupThreshold)
+    // 2b. optional semantic dedup over an embedding column (SemDeDup)
+    val semDeduped = config.semanticDedup match {
+      case Some((vecCol, threshold, k)) =>
+        Ann.semDedup(nearDeduped, idCol, vecCol, threshold, numCentroids = k)
+      case None => nearDeduped
+    }
     // 3. decontamination against the eval set
     val clean = eval match {
-      case Some(ev) => Decontam.decontaminate(nearDeduped, ev, idCol, textCol,
+      case Some(ev) => Decontam.decontaminate(semDeduped, ev, idCol, textCol,
         n = config.decontaminateNgram)
-      case None => nearDeduped
+      case None => semDeduped
     }
     // 4. quality annotation + filter
     val scored = clean

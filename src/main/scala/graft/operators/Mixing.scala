@@ -71,6 +71,41 @@ object Mixing {
   def exactNGlobal(df: DataFrame, idCol: String, n: Int): DataFrame =
     df.orderBy(hashPriority(col(idCol)), col(idCol)).limit(n)
 
+  /** Temperature (α) sampling across groups — the multilingual-pretraining
+    * rebalance: draw `t_g = max(1, ⌊scale · n_g^α⌋)` docs from each group
+    * of size `n_g`, so α = 1 keeps natural proportions, α → 0 flattens
+    * toward uniform, and 0 < α < 1 up-weights the tail (the public
+    * multilingual-LM recipe). The draw itself is [[exactNPerGroup]]'s
+    * deterministic smallest-hash-priority rule with a per-group n.
+    *
+    * Exactness notes: t_g derives from the group size alone (no cross-group
+    * float normalization — a Σ n^α over groups would sum in partition order
+    * and break bit-reproducibility; callers wanting a corpus-size budget
+    * pick `scale` from the group-count table, which is #groups-sized).
+    * α = 0.5 routes through `sqrt` (IEEE correctly-rounded in every
+    * engine) rather than `pow` (1-ulp licensed, engine-dependent).
+    *
+    * Scale shape: one tiny per-group count agg broadcast back, then the
+    * per-group top-t_g window — shuffle on the group key. Output adds
+    * `mix_target` (t_g). */
+  def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
+      alpha: Double, scale: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && scale > 0)
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__gn"))
+    val gn = col("__gn").cast("double")
+    val weighted = if (alpha == 0.5) sqrt(gn)
+      else if (alpha == 1.0) gn
+      else pow(gn, lit(alpha))
+    val t = greatest(lit(1L), floor(lit(scale) * weighted).cast("long"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashPriority(col(idCol)), col(idCol))
+    df.join(broadcast(sizes), groupCol)
+      .withColumn("mix_target", t)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= col("mix_target"))
+      .drop("__gn", "__rn")
+  }
+
   /** Deterministic train/val/test split: each row lands in the bucket whose
     * cumulative weight range contains `h(id) mod Σweights` — stable across
     * runs, engines, partitionings, and re-appends (a doc's split never

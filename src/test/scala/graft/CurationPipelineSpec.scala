@@ -57,6 +57,32 @@ class CurationPipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("optional semantic-dedup stage drops embedding twins, keeps the rest") {
+    // distinct texts (survive text dedup) but two docs share an embedding
+    // direction → only the semantic stage can catch the pair
+    val rng = new scala.util.Random(5L)
+    val vecA = Array.fill(64)(rng.nextGaussian().toFloat)
+    val vecTwin = vecA.map(x => x + 1e-4f)
+    val others = Seq.tabulate(12)(_ => Array.fill(64)(rng.nextGaussian().toFloat))
+    val docs = ((0 until 12).map(i =>
+        (i.toLong, s"unique document number $i with its own distinct words $i",
+          "src0", others(i))) ++ Seq(
+        (20L, "completely original text about embeddings", "src0", vecA),
+        (21L, "another fully different sentence entirely", "src0", vecTwin)))
+      .toDF("doc_id", "text", "source", "embedding")
+    val without = CurationPipeline.run(docs, None, "doc_id", "text", "source",
+      CurationPipeline.Config(nearDupThreshold = 0.999999))
+    val withSem = CurationPipeline.run(docs, None, "doc_id", "text", "source",
+      CurationPipeline.Config(nearDupThreshold = 0.999999,
+        semanticDedup = Some(("embedding", 0.99, 4))))
+    val keptWithout = without.select("doc_id").as[Long].collect().toSet
+    val keptWith = withSem.select("doc_id").as[Long].collect().toSet
+    assert(keptWithout.contains(20L) && keptWithout.contains(21L))
+    assert(keptWith.contains(20L) && !keptWith.contains(21L),
+      s"semantic twin should drop, rep should stay: $keptWith")
+    assert(keptWithout -- keptWith === Set(21L)) // nothing else dropped
+  }
+
   test("pipeline with everything off is identity plus annotations") {
     val docs = Tables.documents(spark, sf0001).limit(20)
       .select($"doc_id", $"text", $"source")

@@ -189,6 +189,28 @@ class CurationSpec extends SparkSpec {
 
   // -- profiling -----------------------------------------------------------
 
+  test("temperatureMix draws ⌊scale·n^α⌋ per group and flattens the tail") {
+    import org.apache.spark.sql.DataFrame
+    // group sizes 400 / 100 / 25 → 16:4:1 natural ratio
+    val rows = (0L until 400L).map(i => (i, "big")) ++
+      (400L until 500L).map(i => (i, "mid")) ++
+      (500L until 525L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "source")
+    def kept(alpha: Double): Map[String, Long] =
+      Mixing.temperatureMix(df, "doc_id", "source", alpha, scale = 1.0)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=0.5: √400=20, √100=10, √25=5 → 4:2:1 (flattened from 16:4:1)
+    assert(kept(0.5) === Map("big" -> 20L, "mid" -> 10L, "small" -> 5L))
+    // α=1: natural proportions back
+    assert(kept(1.0) === Map("big" -> 400L, "mid" -> 100L, "small" -> 25L))
+    // deterministic: the same ROWS, not just the same counts
+    def ids(d: DataFrame) = d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(Mixing.temperatureMix(df, "doc_id", "source", 0.5, 1.0))
+    val b = ids(Mixing.temperatureMix(df, "doc_id", "source", 0.5, 1.0))
+    assert(a === b && a.size === 35)
+  }
+
   test("profileNumeric counts nulls, exact distincts, and ranges in one pass") {
     val df = Seq[(java.lang.Long, java.lang.Double)](
       (1L, 1.5), (2L, null), (2L, 2.5), (null, 2.5))

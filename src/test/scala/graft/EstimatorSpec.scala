@@ -234,4 +234,28 @@ class EstimatorSpec extends SparkSpec {
     // every inclusion probability is in (0, 1]
     assert(sampled.filter(col("pps_p") <= 0 || col("pps_p") > 1).isEmpty)
   }
+
+  test("moment sketches merge exactly: fine partials ≡ direct coarse sketch") {
+    val docs = Tables.documents(spark, sf0001)
+    val fine = graft.exec.Estimators.momentSketch(docs, col("n_chars"),
+      Seq("source", "lang"))
+    val mergedOfFine = graft.exec.Estimators.mergeMoments(fine, Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2), r.getDecimal(3)))).toMap
+    val direct = graft.exec.Estimators.momentSketch(docs, col("n_chars"),
+      Seq("source"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2), r.getDecimal(3)))).toMap
+    assert(mergedOfFine === direct) // bit-exact, not approximate
+    assert(direct.nonEmpty)
+    // stats projection: mean matches plain avg on a group
+    val (src, (n, s1, _)) = direct.head
+    val stats = graft.exec.Estimators.momentStats(
+        graft.exec.Estimators.mergeMoments(fine, Seq("source")))
+      .filter(col("source") === src).head()
+    assert(stats.getLong(1) === n)
+    assert(math.abs(stats.getDouble(2) - s1.doubleValue / n) < 1e-12)
+    // variance is non-negative and zero only for constant groups
+    assert(stats.getDouble(3) >= 0.0)
+  }
 }
