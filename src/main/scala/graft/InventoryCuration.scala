@@ -348,7 +348,8 @@ object InventoryCuration {
           Seq(col("n_chars").desc, col("doc_id").asc), n = 3)
         .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
         .orderBy(col("source"), col("rank")),
-      Some("""SELECT source, rank, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank FROM documents) WHERE rank <= 3 ORDER BY source, rank""")),
+      Some("""SELECT source, rank, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank FROM documents) WHERE rank <= 3 ORDER BY source, rank"""),
+      headline = true),
 
     QueryDef("q85_dup_ngram_stats",
       // duplicated-span signal (exact-substring dedup, distributed): per
@@ -357,7 +358,8 @@ object InventoryCuration {
       // shuffle shape; suffix arrays don't shard, gram-frequency joins do)
       (s, d) => Dedup.dupNgramStats(documents(s, d), "doc_id", "text", n = 3)
         .orderBy(col("doc_id")),
-      Some(s"""WITH g AS ($dTrigrams), c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1) SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM g JOIN c USING (gram) GROUP BY 1 ORDER BY doc_id""")),
+      Some(s"""WITH g AS ($dTrigrams), c AS (SELECT gram, COUNT(*) AS n_docs FROM g GROUP BY 1) SELECT doc_id, COUNT(*) AS n_grams, CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup FROM g JOIN c USING (gram) GROUP BY 1 ORDER BY doc_id"""),
+      headline = true),
 
     QueryDef("q87_moment_rollup",
       // mergeable moment sketches: fine (source × lang) partials merged to

@@ -63,6 +63,28 @@ object StreamingAgg {
         col("window.end").as("window_end"),
         col("n_distinct_est"), col("n_events"))
 
+  /** Per-window mergeable moment sketch — the streaming PRODUCER of the
+    * batch rollup-maintenance pattern ([[graft.exec.Estimators.momentSketch]]
+    * / `mergeMoments`, q87): emits `(window, n, s1, s2)` with the sums as
+    * exact scale-0 decimals, so downstream jobs merge closed-window
+    * partials to any coarser rollup (hourly → daily → total) by plain
+    * addition, no rescan, zero error. The aggregation is algebraic, so
+    * state per open window is three numbers regardless of rate. `value`
+    * must be integer-valued (quantize money to cents first — house rule). */
+  def windowedMoments(events: DataFrame, windowDur: String,
+      value: org.apache.spark.sql.Column,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val vd = value.cast("decimal(18,0)")
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(count(lit(1)).as("n"),
+        sum(vd).cast("decimal(38,0)").as("s1"),
+        sum(vd * vd).cast("decimal(38,0)").as("s2"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n"), col("s1"), col("s2"))
+  }
+
   /** Streaming exact dedup on `keyCols` within the watermark horizon —
     * the ingest-side twin of batch `Dedup.dropExactDups`: state holds one
     * entry per key only until the watermark passes, so memory is bounded by

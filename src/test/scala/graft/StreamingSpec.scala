@@ -67,6 +67,37 @@ class StreamingSpec extends SparkSpec {
       s"${gotDedup.count()} deduped vs ${batchEvents.count()} source events")
   }
 
+  test("streaming moment sketch is bit-identical to the batch sketch per window") {
+    val batchEvents = Tables.events(spark, sf0001)
+    val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
+    val dir = java.nio.file.Files.createTempDirectory("events_stream_mom")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(sf0001, "events")),
+      dir.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // integer-valued input per the cents rule: value quantized to cents
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val got = StreamingAgg.runToMemory(spark,
+      StreamingAgg.windowedMoments(streamed, "1 hour", cents), "moments_stream")
+      .collect().map(r => r.getTimestamp(0) ->
+        ((r.getLong(2), r.getDecimal(3), r.getDecimal(4)))).toMap
+    val batch = graft.exec.Estimators.momentSketch(
+        batchEvents.withColumn("hour", date_trunc("hour", col("ts")))
+          .withColumn("c", cents),
+        col("c"), Seq("hour"))
+      .collect().map(r => r.getTimestamp(0) ->
+        ((r.getLong(1), r.getDecimal(2), r.getDecimal(3)))).toMap
+    assert(got.nonEmpty)
+    // every CLOSED window's sketch equals the batch sketch bit-for-bit —
+    // merged downstream partials therefore equal the batch rollup too
+    got.foreach { case (w, sk) => assert(sk === batch(w), s"window $w") }
+    assert(got.size >= batch.size - 1) // only the trailing open window may lag
+  }
+
   test("stream-stream interval join matches the batch band join") {
     val batchEvents = Tables.events(spark, sf0001)
     val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
