@@ -44,15 +44,19 @@ object Skew {
       .agg(sum(col("__partial")).as(alias))
   }
 
-  /** Exact top-`n` rows per key, shuffle-balanced for hot keys. A single
-    * `row_number` window shuffles EVERY row of a key into one task — a
-    * per-domain cap over a 100 TB corpus dies on the hottest domain. Here
-    * phase 1 takes the local top-n per (key, content-hash shard) — the hot
-    * key's stream spreads over `shards` window tasks — and phase 2 ranks
-    * the ≤ `shards`·n survivors per key. Row-for-row identical to the
-    * single-window form PROVIDED `orderCols` is a deterministic total
-    * order (e.g. ends in a unique id): any global top-n row is top-n
-    * within its shard, so phase 1 can never evict it.
+  /** Exact top-`n` rows per key, shuffle-balanced for hot keys. Spark's
+    * own rank-limit pushdown (`WindowGroupLimit`, since 3.5) already
+    * prunes each MAP partition to its local top-n before the exchange, so
+    * a plain window ships ≤ n·M rows for a hot key (M = input
+    * partitions) — but still merges all of them in ONE reducer task,
+    * and at 100 TB a hot domain spans 10⁴–10⁵ input partitions. Phase 1
+    * here windows over (key, content-hash shard) — the hot key's merge
+    * spreads over `shards` tasks — and phase 2 ranks the ≤ `shards`·n
+    * survivors, so no task ever sees more than max(shards·n, n·M/shards)
+    * rows of one key. Row-for-row identical to the single-window form
+    * PROVIDED `orderCols` is a deterministic total order (e.g. ends in a
+    * unique id): any global top-n row is top-n within its shard, so
+    * phase 1 can never evict it.
     *
     * Output: input columns plus `rankCol` (1-based, BIGINT). */
   def topNPerKey(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
