@@ -106,6 +106,36 @@ object Mixing {
       .drop("__gn", "__rn")
   }
 
+  /** Solve for the [[temperatureMix]] `scale` that draws ≈ `targetTotal`
+    * rows in aggregate: bisection over the collected per-group count table
+    * (#groups rows — tens, not millions; this is the one legitimately
+    * driver-side step). Because Σ max(1, ⌊scale·n^α⌋) is a monotone step
+    * function, the returned scale draws at least `targetTotal` and
+    * overshoots by at most one row per group. */
+  def temperatureScaleForBudget(df: DataFrame, groupCol: String,
+      alpha: Double, targetTotal: Long): Double = {
+    val counts = df.groupBy(col(groupCol)).count()
+      .collect().map(_.getLong(1))
+    require(counts.nonEmpty && targetTotal >= counts.length,
+      s"budget $targetTotal < one row per ${counts.length} groups")
+    // same weighting branch as temperatureMix (pow(x, 0.5) may differ
+    // from sqrt(x) by 1 ulp — enough to flip a floor at a boundary)
+    def w(n: Long): Double =
+      if (alpha == 0.5) math.sqrt(n.toDouble)
+      else if (alpha == 1.0) n.toDouble
+      else math.pow(n.toDouble, alpha)
+    def drawn(scale: Double): Long =
+      counts.map(n => math.max(1L, math.floor(scale * w(n)).toLong)).sum
+    var lo = 0.0
+    var hi = 1.0
+    while (drawn(hi) < targetTotal) hi *= 2
+    for (_ <- 0 until 60) {
+      val mid = (lo + hi) / 2
+      if (drawn(mid) >= targetTotal) hi = mid else lo = mid
+    }
+    hi
+  }
+
   /** Deterministic train/val/test split: each row lands in the bucket whose
     * cumulative weight range contains `h(id) mod Σweights` — stable across
     * runs, engines, partitionings, and re-appends (a doc's split never

@@ -209,6 +209,12 @@ class CurationSpec extends SparkSpec {
     val a = ids(Mixing.temperatureMix(df, "doc_id", "source", 0.5, 1.0))
     val b = ids(Mixing.temperatureMix(df, "doc_id", "source", 0.5, 1.0))
     assert(a === b && a.size === 35)
+    // budget solver: lands within [target, target + #groups) and the mix
+    // at that scale draws exactly the solver's own prediction
+    val target = 40L
+    val scale = Mixing.temperatureScaleForBudget(df, "source", 0.5, target)
+    val drawn = Mixing.temperatureMix(df, "doc_id", "source", 0.5, scale).count()
+    assert(drawn >= target && drawn < target + 3, s"drawn=$drawn")
   }
 
   test("profileNumeric counts nulls, exact distincts, and ranges in one pass") {

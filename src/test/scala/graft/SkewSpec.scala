@@ -54,6 +54,29 @@ class SkewSpec extends SparkSpec {
     assert(plain.count(_.head == "hot") === 5)
   }
 
+  test("topNPerKey ≡ single window on randomized zipf-ish data (fuzz)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(31L)
+    // skewed key draw: key frequency ∝ 1/rank, values with many ties
+    val rows = (0L until 5000L).map { id =>
+      val k = s"k${(5000.0 / (1 + rnd.nextInt(70))).toInt}"
+      (k, rnd.nextInt(7).toLong, id)
+    }
+    val df = rows.toDF("k", "v", "id")
+    for (n <- Seq(1, 4); shards <- Seq(3, 16)) {
+      val order = Seq(col("v").desc, col("id").asc)
+      val plain = df.withColumn("rank",
+          row_number().over(Window.partitionBy(col("k")).orderBy(order: _*))
+            .cast("long"))
+        .filter(col("rank") <= n).collect().map(_.toSeq).toSet
+      val two = Skew.topNPerKey(df, Seq("k"), order, n = n, shards = shards)
+        .select(col("k"), col("v"), col("id"), col("rank"))
+        .collect().map(_.toSeq).toSet
+      assert(two === plain, s"n=$n shards=$shards")
+    }
+  }
+
   test("topNPerKey keeps all rows of keys smaller than n") {
     import spark.implicits._
     val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 3L))
