@@ -136,6 +136,29 @@ object Bench {
     val tZorderKey = timeMedian(bandScan(liZorder, "l_orderkey", kLo, kHi))
     val tLinearPart = timeMedian(bandScan(liClustered, "l_partkey", pLo, pHi))
     val tZorderPart = timeMedian(bandScan(liZorder, "l_partkey", pLo, pHi))
+    // Hive-style directory partitioning by ship month: pruning happens at
+    // PLANNING time from the directory listing (PartitionFilters — zero
+    // footers read for excluded months), the coarse complement of the
+    // row-group zone maps above. Same one-month retrieval against the
+    // hash-scattered files must open every footer and decode every row
+    // group's date column.
+    val liMonthPath = "/tmp/graft_bench_li10_bymonth.parquet"
+    if (!new java.io.File(liMonthPath, "_SUCCESS").exists()) {
+      li10f.withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .repartition(col("ship_month"))
+        .write.partitionBy("ship_month").mode("overwrite").parquet(liMonthPath)
+    }
+    val liMonth = spark.read.parquet(liMonthPath)
+    def monthHash(df: org.apache.spark.sql.DataFrame,
+        cond: org.apache.spark.sql.Column): Unit =
+      df.filter(cond).agg(count(lit(1)),
+        sum(xxhash64(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
+          .cast("decimal(38,0)"))).collect(): Unit
+    val tMonthPruned = timeMedian(monthHash(liMonth,
+      col("ship_month") === "1998-06"))
+    val tMonthScattered = timeMedian(monthHash(li10f,
+      col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-07-01").cast("timestamp")))
     // embedding near-dup over the full embeddings fixture: exercises the
     // native vec_dot codegen kernel (signature + verify) through the
     // multi-table LSH bucket-collect path
@@ -218,7 +241,11 @@ object Bench {
       "x_linear_partband_sec" -> tLinearPart,
       "x_zorder_partband_sec" -> tZorderPart,
       "x_zorder_partband_speedup" ->
-        (if (tZorderPart > 0) tLinearPart / tZorderPart else -1.0))
+        (if (tZorderPart > 0) tLinearPart / tZorderPart else -1.0),
+      "x_hivepart_scattered_sec" -> tMonthScattered,
+      "x_hivepart_pruned_sec" -> tMonthPruned,
+      "x_hivepart_speedup" ->
+        (if (tMonthPruned > 0) tMonthScattered / tMonthPruned else -1.0))
 
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
       extra.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })

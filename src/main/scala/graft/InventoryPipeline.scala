@@ -61,6 +61,65 @@ object InventoryPipeline {
       Some("""SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
       headline = true),
 
+    QueryDef("q89_unshipped_orders",
+      // TPC-H Q3 shape: top-10 highest-revenue orders taken before the
+      // cutoff but not yet shipped by it. Plan: segment filter prunes
+      // customer BEFORE its broadcast; orders date filter is scan-stage;
+      // the revenue agg shuffles on l_orderkey with map-side combine; the
+      // top-10 runs as TakeOrderedAndProject (per-partition heaps — only
+      // 10 rows per partition ever move). Ties broken by l_orderkey so the
+      // LIMIT set is deterministic in any engine.
+      (s, d) => {
+        val cutoff = "1998-06-01"
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        lineitem(s, d).filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+          .join(orders(s, d).filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+              .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)
+              .filter(col("c_mktsegment") === "BUILDING")
+              .select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"))
+          .agg(sum(round(rev, 4).cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01' GROUP BY l_orderkey, o_orderdate ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    QueryDef("q90_local_supplier_volume",
+      // TPC-H Q5 shape: revenue by nation where supplier and customer
+      // share the nation, one region, one order-year. All four dims
+      // broadcast; the only shuffles are the fact-side lineitem⋈orders
+      // equi-join (AQE's call at scale) and the final 5-row nation agg.
+      // The c_nationkey = s_nationkey correlation is a post-join filter —
+      // Catalyst pushes it into the join condition.
+      (s, d) => {
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        lineitem(s, d)
+          .join(orders(s, d)
+              .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+              .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+            col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation(s, d).select(col("n_nationkey"), col("n_name"),
+              col("n_regionkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")
+              .select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(round(rev, 4).cast("decimal(18,4)")).cast("double").as("revenue"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY n_name"""),
+      headline = true),
+
     QueryDef("q21_approx_join_sum_sys10",
       // sampled fact side scaled x10; dims joined AFTER sampling (join on a
       // 10x smaller stream), broadcast by size
