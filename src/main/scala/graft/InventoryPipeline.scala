@@ -120,6 +120,26 @@ object InventoryPipeline {
       Some("""SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY n_name"""),
       headline = true),
 
+    QueryDef("q91_dormant_customers",
+      // TPC-H Q22 flavor — the anti-join shape: customers with NO order
+      // above the threshold, rolled up by segment. The probe side shrinks
+      // to the filtered big-order key set (scan-stage pushdown), so AQE
+      // broadcasts it and the anti-join never shuffles the customer side;
+      // at 100 TB the same plan holds because the filter, not the table,
+      // sizes the build side.
+      (s, d) => {
+        val big = orders(s, d).filter(col("o_totalprice") > 350000.0)
+          .select(col("o_custkey"))
+        customer(s, d)
+          .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+              .as("sum_acctbal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_customers, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 350000.0) GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     QueryDef("q21_approx_join_sum_sys10",
       // sampled fact side scaled x10; dims joined AFTER sampling (join on a
       // 10x smaller stream), broadcast by size

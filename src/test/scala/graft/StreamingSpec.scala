@@ -157,6 +157,39 @@ class StreamingSpec extends SparkSpec {
     assert(gotMap === exact)
   }
 
+  test("streaming upsert sink converges to latest-per-key across batches") {
+    import spark.implicits._
+    import graft.streaming.UpsertSink
+    import graft.operators.Packing
+    // two input files → two micro-batches; keys overlap across them, so
+    // the second batch must UPDATE rows the first batch inserted
+    val in = java.nio.file.Files.createTempDirectory("upsert_in")
+    val table = java.nio.file.Files.createTempDirectory("upsert_table").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsert_ckpt").toString
+    val fileA = Seq((1L, 10L, "a0"), (2L, 10L, "b0"), (3L, 10L, "c0"))
+      .toDF("key", "version", "payload")
+    val fileB = Seq((2L, 20L, "b1"), (3L, 5L, "c_stale"), (4L, 20L, "d0"))
+      .toDF("key", "version", "payload")
+    fileA.coalesce(1).write.parquet(s"$in/f1")
+    fileB.coalesce(1).write.parquet(s"$in/f2")
+    val schema = fileA.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/f*")
+    UpsertSink.upsertToParquet(stream, table, ckpt,
+      keyCols = Seq("key"), orderCols = Seq("version", "payload"))
+    val got = UpsertSink.readSnapshot(spark, table).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // regardless of which file formed which batch, the snapshot must equal
+    // latest-per-key over ALL input (merge is order-independent given the
+    // deterministic total order)
+    val want = Packing.latestPerKey(fileA.unionByName(fileB),
+        Seq("key"), Seq("version", "payload"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got === want)
+    assert(got === Set((1L, 10L, "a0"), (2L, 20L, "b1"), (3L, 10L, "c0"),
+      (4L, 20L, "d0"))) // stale c_stale (version 5) must NOT win
+  }
+
   test("sessionize closes sessions and sums values") {
     import spark.implicits._
     val evs = Tables.events(spark, sf0001)
