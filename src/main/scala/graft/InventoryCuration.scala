@@ -375,6 +375,23 @@ object InventoryCuration {
       },
       Some("""WITH g AS (SELECT source, COUNT(*) AS n, SUM(CAST(n_chars AS DECIMAL(18,0))) AS s1, SUM(CAST(n_chars AS DECIMAL(18,0)) * CAST(n_chars AS DECIMAL(18,0))) AS s2 FROM documents GROUP BY 1) SELECT source, CAST(n AS BIGINT) AS n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, CASE WHEN n > 1 THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0) ELSE 0.0 END AS var_samp FROM g ORDER BY source""")),
 
+    QueryDef("q92_group_examples",
+      // deterministic grouped collect — the "k example rows per label"
+      // export every dataset card needs. collect_list is partition-order
+      // nondeterministic, which is why no other gated query uses it; the
+      // reproducible pattern is collect → sort_array → slice → serialize,
+      // making the result a pure function of the group's SET. Shuffle
+      // carries the full id list per group — bounded here; at corpus scale
+      // cap the fan-in first with Skew.topNPerKey (q84) and collect the
+      // ≤ n survivors instead.
+      (s, d) => documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          concat_ws(",", slice(sort_array(collect_list(col("doc_id"))), 1, 3))
+            .as("example_ids"))
+        .orderBy(col("source")),
+      Some("""SELECT source, COUNT(*) AS n_docs, array_to_string(list_sort(list(doc_id))[1:3], ',') AS example_ids FROM documents GROUP BY source ORDER BY source""")),
+
     QueryDef("q88_temperature_mix",
       // α = 0.5 temperature rebalance (multilingual-LM recipe): draw
       // ⌊3·√n_g⌋ docs per source by smallest hash priority — exact integer

@@ -31,13 +31,18 @@ import org.apache.spark.sql.types.{StringType, StructType}
 object TextIngest {
 
   /** Parsed/quarantined pair. `good` has exactly `schema`'s columns;
-    * `bad` is `(raw_line, source_file)`. */
-  final case class Ingested(good: DataFrame, bad: DataFrame)
+    * `bad` is `(raw_line, source_file)`. Call [[Ingested.unpersist]] once
+    * both sides are consumed — the split shares one persisted scan. */
+  final case class Ingested(good: DataFrame, bad: DataFrame,
+      private[sources] val raw: DataFrame) {
+    /** Release the shared scan cache (no-op if already released). */
+    def unpersist(): Unit = { raw.unpersist(blocking = false); () }
+  }
 
   /** Read JSONL under `path` against the caller's `schema`; every line
     * parses into `good` or lands raw in `bad` — never both, never
-    * neither. The one scan is persisted until both outputs are consumed
-    * (caller may `unpersist` via `good.sparkSession.catalog`). */
+    * neither. The one scan is persisted until both outputs are consumed;
+    * release it with [[Ingested.unpersist]]. */
   def jsonl(spark: SparkSession, path: String, schema: StructType): Ingested = {
     val corruptCol = "_graft_corrupt"
     val raw = spark.read
@@ -51,7 +56,7 @@ object TextIngest {
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     val bad = raw.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"), col("_graft_file").as("source_file"))
-    Ingested(good, bad)
+    Ingested(good, bad, raw)
   }
 
   /** Ingest-quality gate: fail (throw) when the corrupt fraction exceeds
