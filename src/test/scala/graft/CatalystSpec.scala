@@ -92,6 +92,30 @@ class CatalystSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("plan-shape contracts: the PLANS.md invariants hold in executed plans") {
+    // q10: the sampling predicate is a scan-stage Filter, never a shuffle;
+    // exactly one exchange (the single-partition partial-agg merge)
+    val q10 = Inventory.byName("q10_approx_sum_sys10").run(spark, sf0001)
+    val p10 = q10.queryExecution.executedPlan.toString
+    assert(p10.contains("Filter") && p10.contains("HashAggregate"))
+    assert(!p10.contains("SortMergeJoin"))
+    // q84: Spark's rank-limit pushdown must stay active — WindowGroupLimit
+    // prunes each map partition before BOTH two-phase exchanges
+    val q84 = Inventory.byName("q84_source_topn").run(spark, sf0001)
+    assert(q84.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank-limit pushdown disappeared from the top-N plan")
+    // q89: LIMIT compiles to TakeOrderedAndProject (bounded heaps), never
+    // a global Sort + CollectLimit
+    val q89 = Inventory.byName("q89_unshipped_orders").run(spark, sf0001)
+    assert(q89.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "top-k no longer plans as TakeOrderedAndProject")
+    // q67: decontamination's gram explode runs the native kernel, not the
+    // interpreted fold
+    val q67 = Inventory.byName("q67_decontaminate").run(spark, sf0001)
+    assert(q67.queryExecution.executedPlan.toString.contains("word_ngrams"),
+      "native word_ngrams kernel missing from the decontamination plan")
+  }
+
   test("fused hyperplane_sig matches the declarative per-plane signature") {
     import graft.functions.VectorOps
     val emb = Tables.embeddings(spark, sf0001)
