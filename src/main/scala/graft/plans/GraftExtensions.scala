@@ -22,8 +22,48 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ScaleSampledAggregates)
+    GraftFunctions.registrations.foreach(ext.injectFunction)
+  }
+}
+
+/** SQL registration of the native codegen kernels, so `spark.sql` users
+  * reach them without the Scala API: `word_ngrams(text, 3)`,
+  * `vec_dot(a, b)`, `han_count(s)`, `string_fold_hash(s)`,
+  * `lexicon_hits(s, 'the,a,an')`. Static arguments (n, lexicon) must be
+  * foldable literals — they compile into the generated code. */
+object GraftFunctions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+  import graft.functions.{FloatVecDot, HanCount, LexiconHits, StringFoldHash, WordNgrams}
+
+  private def lit[T](e: Expression, what: String): T = e match {
+    case Literal(v, _) => v.asInstanceOf[T]
+    case other => throw new IllegalArgumentException(
+      s"$what must be a literal, got $other")
+  }
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] =
+    Seq(
+      (FunctionIdentifier("word_ngrams"),
+        new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+        (args: Seq[Expression]) => WordNgrams(args(0),
+          lit[Int](args(1), "word_ngrams n"))),
+      (FunctionIdentifier("vec_dot"),
+        new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot"),
+        (args: Seq[Expression]) => FloatVecDot(args(0), args(1))),
+      (FunctionIdentifier("han_count"),
+        new ExpressionInfo(classOf[HanCount].getName, "han_count"),
+        (args: Seq[Expression]) => HanCount(args(0))),
+      (FunctionIdentifier("string_fold_hash"),
+        new ExpressionInfo(classOf[StringFoldHash].getName, "string_fold_hash"),
+        (args: Seq[Expression]) => StringFoldHash(args(0))),
+      (FunctionIdentifier("lexicon_hits"),
+        new ExpressionInfo(classOf[LexiconHits].getName, "lexicon_hits"),
+        (args: Seq[Expression]) => LexiconHits(args(0),
+          lit[org.apache.spark.unsafe.types.UTF8String](args(1), "lexicon")
+            .toString.split(",").map(_.trim))))
 }
 
 object ScaleSampledAggregates extends Rule[LogicalPlan] {

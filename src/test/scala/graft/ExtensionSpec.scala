@@ -34,4 +34,30 @@ class ExtensionSpec extends SparkSpec {
     assert(math.abs(viaUnion - exact).toDouble / exact < 0.05,
       s"est=$viaUnion exact=$exact")
   }
+
+  test("native kernels are callable from SQL via the extension registry") {
+    val row = spark.sql(
+      """SELECT word_ngrams('a b c d', 2) AS g,
+                han_count('中文ab') AS h,
+                lexicon_hits('the cat and the hat', 'the,and') AS lx,
+                string_fold_hash('abc') AS fh,
+                vec_dot(array(float(1.0), float(2.0)),
+                        array(float(3.0), float(4.0))) AS d""").head
+    assert(row.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(row.getInt(1) === 2)
+    assert(row.getInt(2) === 3) // 'the' ×2 + 'and' ×1
+    assert(row.getDouble(4) === 11.0)
+    // the SQL fold hash must equal the Scala-API kernel on the same input
+    import spark.implicits._
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val viaApi = Seq("abc").toDF("s")
+      .select(ColumnShim.column(
+        graft.functions.StringFoldHash(ColumnShim.expression(col("s")))))
+      .head.getLong(0)
+    assert(row.getLong(3) === viaApi)
+    // static args must be literals: they compile into the generated code
+    intercept[Exception] {
+      spark.sql("SELECT word_ngrams('a b', cast(rand() * 2 AS INT))").collect()
+    }
+  }
 }
