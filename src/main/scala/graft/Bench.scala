@@ -167,6 +167,22 @@ object Bench {
       graft.operators.Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4).count(): Unit
     }
+    // ANN accuracy probe: recall of the two scale paths vs exact brute
+    // force on the same probes — the accuracy half of the ANN speed story
+    // (specs pin recall floors on planted clusters; this measures it on
+    // the real fixture each round)
+    val annProbes = emb.filter(col("vec_id") < 10)
+    def nnSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactNN = nnSet(graft.operators.Ann.bruteForceTopKFast(
+      emb, annProbes, "vec_id", "embedding", 5))
+    val ivfRecall = nnSet(graft.operators.Ann.ivfTopK(emb, annProbes,
+      "vec_id", "embedding", k = 5, numCentroids = 32, nProbe = 8))
+      .intersect(exactNN).size.toDouble / exactNN.size
+    val lshRecall = nnSet(graft.operators.Ann.lshTopK(emb, annProbes,
+      "vec_id", "embedding", k = 5, bitsPerTable = 8, numTables = 8,
+      probeRadius = 1)).intersect(exactNN).size.toDouble / exactNN.size
     // Bucketed co-located join probe: both sides bucketed+sorted on the
     // join key -> SortMergeJoin with ZERO exchanges and no sort, vs the
     // plain shuffle join (broadcast disabled for the probe so the exchange
@@ -222,6 +238,8 @@ object Bench {
     }
     val extra = Seq(
       "x_embed_neardup_sec" -> tEmbedDedup,
+      "x_ann_ivf_recall" -> ivfRecall,
+      "x_ann_lsh_recall" -> lshRecall,
       "x_join_plain_sec" -> tJoinPlain,
       "x_join_bucketed_sec" -> tJoinBucketed,
       "x_bucketed_join_speedup" ->

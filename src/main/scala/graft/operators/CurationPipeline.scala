@@ -27,7 +27,9 @@ object CurationPipeline {
   /** Pipeline configuration; defaults mirror common pretraining settings.
     * `semanticDedup` (off by default — needs an embedding column) inserts
     * an [[Ann.semDedup]] stage after the text near-dedup: (vecCol,
-    * cosine threshold, numCentroids). */
+    * cosine threshold, numCentroids). `temperature` = (α, scale) replaces
+    * step-based mixing with [[Mixing.temperatureMix]] — mutually exclusive
+    * with `mixSteps`. */
   case class Config(
       nearDupThreshold: Double = 0.8,
       decontaminateNgram: Int = 3,
@@ -36,7 +38,8 @@ object CurationPipeline {
       mixDefaultStep: Long = 1L,
       splitWeights: Seq[(String, Long)] =
         Seq("train" -> 98L, "val" -> 1L, "test" -> 1L),
-      semanticDedup: Option[(String, Double, Int)] = None)
+      semanticDedup: Option[(String, Double, Int)] = None,
+      temperature: Option[(Double, Double)] = None)
 
   /** Run the full curation flow over `docs(idCol, textCol, sourceCol, …)`;
     * `eval` is the held-out benchmark set to scrub against (pass an empty
@@ -74,11 +77,20 @@ object CurationPipeline {
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .filter(col("quality") >= config.minQuality)
-    // 5. per-source mixing (attaches mix_step as the HT expansion weight)
-    val mixed =
-      if (config.mixSteps.isEmpty && config.mixDefaultStep == 1L) scored
-      else Mixing.corpusMix(scored, idCol, sourceCol, config.mixSteps,
-        config.mixDefaultStep)
+    // 5. per-source mixing: explicit per-source steps (HT weight attached),
+    //    or α-temperature rebalance when configured — not both
+    require(config.temperature.isEmpty ||
+      (config.mixSteps.isEmpty && config.mixDefaultStep == 1L),
+      "configure mixSteps or temperature, not both")
+    val mixed = config.temperature match {
+      case Some((alpha, scale)) =>
+        Mixing.temperatureMix(scored, idCol, sourceCol, alpha, scale)
+      case None if config.mixSteps.isEmpty && config.mixDefaultStep == 1L =>
+        scored
+      case None =>
+        Mixing.corpusMix(scored, idCol, sourceCol, config.mixSteps,
+          config.mixDefaultStep)
+    }
     // 6. deterministic split
     Mixing.splitAssign(mixed, idCol, config.splitWeights)
   }

@@ -83,6 +83,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(keptWithout -- keptWith === Set(21L)) // nothing else dropped
   }
 
+  test("temperature config draws the α-sampling targets per source") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text", $"source")
+    val out = CurationPipeline.run(docs, None, "doc_id", "text", "source",
+      CurationPipeline.Config(nearDupThreshold = 0.999999,
+        temperature = Some((0.5, 1.0))))
+    // after upstream dedup stages, each source keeps ⌊√n_survivors⌋ docs
+    // (mix_target column carries the per-group target)
+    val byTarget = out.groupBy($"source")
+      .agg(count(lit(1)).as("n"), max($"mix_target").as("t"))
+      .collect()
+    assert(byTarget.nonEmpty)
+    byTarget.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"source ${r.getString(0)} kept ${r.getLong(1)} != target ${r.getLong(2)}"))
+    intercept[IllegalArgumentException] {
+      CurationPipeline.run(docs, None, "doc_id", "text", "source",
+        CurationPipeline.Config(mixSteps = Map("src0" -> 2L),
+          temperature = Some((0.5, 1.0))))
+    }
+  }
+
   test("pipeline with everything off is identity plus annotations") {
     val docs = Tables.documents(spark, sf0001).limit(20)
       .select($"doc_id", $"text", $"source")
