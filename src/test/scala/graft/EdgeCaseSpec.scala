@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exec.Estimators
+import graft.operators.{Dedup, Mixing, Skew}
+
+/** Degenerate-input behavior of the session's newer operators: empty
+  * frames, single rows, and all-rows-one-group must flow through without
+  * throwing and with the right (usually empty) answer — at 100 TB these
+  * shapes show up as empty partitions and filtered-to-nothing branches of
+  * larger jobs, where an exception kills the whole pipeline. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+
+  test("empty input: topN, dup-span, moments, temperature all yield empty") {
+    assert(Skew.topNPerKey(emptyDocs, Seq("source"),
+      Seq(col("doc_id").asc), n = 3).count() === 0)
+    assert(Dedup.dupNgramStats(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Estimators.momentSketch(emptyDocs, col("doc_id"),
+      Seq("source")).count() === 0)
+    assert(Mixing.temperatureMix(emptyDocs, "doc_id", "source",
+      alpha = 0.5, scale = 2.0).count() === 0)
+  }
+
+  test("single row: survives every per-group path with sane values") {
+    val one = Seq((7L, "only one document here", "src")).toDF("doc_id", "text", "source")
+    val top = Skew.topNPerKey(one, Seq("source"), Seq(col("doc_id").asc), n = 3)
+    assert(top.count() === 1 && top.head.getAs[Long]("rank") === 1L)
+    // a lone doc shares no grams with others: n_dup must be 0
+    val span = Dedup.dupNgramStats(one, "doc_id", "text").head
+    assert(span.getLong(2) === 0L)
+    // n = 1 group: variance must be the guarded 0.0, not NaN/throw
+    val stats = Estimators.momentStats(
+      Estimators.momentSketch(one, col("doc_id"), Seq("source"))).head
+    assert(stats.getLong(1) === 1L && stats.getDouble(3) === 0.0)
+    // temperature draw of a 1-row group keeps the row (max(1, ...) floor)
+    assert(Mixing.temperatureMix(one, "doc_id", "source", 0.5, 0.001)
+      .count() === 1)
+  }
+
+  test("all rows in one group: top-N bounded, moments match direct agg") {
+    val df = (0L until 1000L).map(i => (i, s"doc $i", "only"))
+      .toDF("doc_id", "text", "source")
+    assert(Skew.topNPerKey(df, Seq("source"),
+      Seq(col("doc_id").desc), n = 5, shards = 4).count() === 5)
+    val m = Estimators.momentStats(
+      Estimators.momentSketch(df, col("doc_id"), Seq("source"))).head
+    assert(m.getLong(1) === 1000L)
+    assert(math.abs(m.getDouble(2) - 499.5) < 1e-9) // mean of 0..999
+  }
+}
