@@ -565,6 +565,17 @@ object InventoryPipeline {
       },
       Some("""SELECT user_id, event_id, prev_n, CAST(prev_sum AS BIGINT) AS prev_sum, win_n, CAST(win_sum AS BIGINT) AS win_sum FROM (SELECT user_id, event_id, COUNT(cents) OVER wr AS prev_n, COALESCE(SUM(cents) OVER wr, 0) AS prev_sum, COUNT(cents) OVER wt AS win_n, COALESCE(SUM(cents) OVER wt, 0) AS win_sum FROM (SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(floor(value * 100) AS BIGINT) AS cents FROM events WHERE user_id % 10 = 7) WINDOW wr AS (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), wt AS (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)) ORDER BY user_id, event_id""")),
 
+    QueryDef("q93_resample_ffill",
+      // gap-filling resample: irregular per-user events onto an hourly
+      // grid, last-observation-carried-forward. Values are PICKED, never
+      // summed, so raw doubles cross engines exactly; the in-bucket winner
+      // is ranked by the composite epoch·10⁸+event_id (deterministic).
+      (s, d) => Rolling.resampleFill(
+          events(s, d).filter(col("user_id") < 20),
+          "user_id", "ts", col("value"), "event_id", stepSec = 3600L)
+        .orderBy(col("user_id"), col("bucket")),
+      Some("""WITH obs AS (SELECT user_id, CAST(date_part('epoch', ts) AS BIGINT) AS es, value, event_id FROM events WHERE user_id < 20), b AS (SELECT user_id, es - es % 3600 AS bucket, arg_max(value, es * 100000000 + event_id) AS v FROM obs GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket FROM bounds), j AS (SELECT s.user_id, s.bucket, b.v FROM spine s LEFT JOIN b USING (user_id, bucket)) SELECT user_id, bucket, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM j ORDER BY user_id, bucket""")),
+
     QueryDef("q61_top_terms",
       // TF vocabulary inspection: top-5 terms per source; the shuffle after
       // the explode carries one row per distinct (source, term) — partial

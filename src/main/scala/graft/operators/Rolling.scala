@@ -44,4 +44,41 @@ object Rolling {
     df.withColumn("win_n", count(value).over(w))
       .withColumn("win_sum", coalesce(sum(value).over(w), lit(0L)))
   }
+
+  /** Resample an irregular per-key event stream onto a fixed `stepSec`
+    * grid with forward-fill — the gap-filling pass before any
+    * constant-rate model input or join-on-time. Per key: bucket each
+    * observation (last one in a bucket wins, ranked by the composite
+    * `epoch·10⁸ + tieCol` so the winner is deterministic), span the grid
+    * from the key's first to last bucket (`sequence` + explode — no
+    * driver loop), left-join observations, and carry the last non-null
+    * value forward (`last(..., ignoreNulls)` over an unbounded-preceding
+    * frame — Spark evaluates it incrementally, one pass per key).
+    *
+    * Scale shape: one shuffle on the key for the bucket aggregate and one
+    * for the fill window; spine size = keys × (horizon/stepSec), a
+    * planned, bounded blow-up (pick stepSec accordingly). The first
+    * bucket of every key holds an observation by construction, so no
+    * leading nulls. Output: (keyCol, bucket — epoch seconds, filled). */
+  def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
+      value: Column, tieCol: String, stepSec: Long): DataFrame = {
+    require(stepSec >= 1)
+    val es = col(tsCol).cast("long")
+    val obs = df.select(col(keyCol), es.as("__es"), value.as("__v"),
+      col(tieCol).cast("long").as("__tie"))
+    val buckets = obs
+      .withColumn("bucket", col("__es") - pmod(col("__es"), lit(stepSec)))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(max_by(col("__v"),
+        col("__es") * lit(100000000L) + col("__tie")).as("__bv"))
+    val spine = buckets.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select(col(keyCol),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepSec))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(buckets, Seq(keyCol, "bucket"), "left")
+      .withColumn("filled", last(col("__bv"), ignoreNulls = true).over(w))
+      .drop("__bv")
+  }
 }

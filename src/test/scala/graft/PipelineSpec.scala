@@ -385,6 +385,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("resampleFill: gaps carry the prior value, last-in-bucket wins") {
+    import spark.implicits._
+    import graft.operators.Rolling
+    // user 1: obs at t=0 (two in-bucket, later one wins), gap at t=10,
+    // fresh obs at t=20; grid step 10
+    val df = Seq(
+      (1L, 3L, 1.0, 100L), (1L, 7L, 2.0, 101L), // same bucket 0 → 2.0 wins
+      (1L, 25L, 9.0, 102L),                     // bucket 20
+      (2L, 10L, 5.0, 200L))                     // single-obs key
+      .toDF("user_id", "ts", "value", "event_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val got = Rolling.resampleFill(df, "user_id", "ts", col("value"),
+        "event_id", stepSec = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 0L)) === 2.0)   // later in-bucket observation wins
+    assert(got((1L, 10L)) === 2.0)  // gap bucket forward-filled
+    assert(got((1L, 20L)) === 9.0)  // fresh observation replaces the fill
+    assert(got((2L, 10L)) === 5.0)
+    assert(got.size === 4)          // spine spans first..last bucket only
+  }
+
   test("LSH top-k recall vs brute force is usable") {
     val queries = embs.filter(col("vec_id") < 10)
     val bf = Ann.bruteForceTopK(embs, queries, "vec_id", "embedding", 5)
