@@ -62,6 +62,47 @@ object Rolling {
     * leading nulls. Output: (keyCol, bucket — epoch seconds, filled). */
   def resampleFill(df: DataFrame, keyCol: String, tsCol: String,
       value: Column, tieCol: String, stepSec: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gridJoin(df, keyCol, tsCol, value, tieCol, stepSec)
+      .withColumn("filled", last(col("__bv"), ignoreNulls = true).over(w))
+      .drop("__bv")
+  }
+
+  /** Linear-interpolation resample — [[resampleFill]]'s smooth sibling:
+    * grid points between two observations take the lerp of their
+    * surrounding values; before the first / after the last observation the
+    * nearest one is held. Two extra unbounded window passes (backward
+    * carry of (v₀,t₀), forward first of (v₁,t₁)) — still one keyed sort,
+    * both frames evaluate incrementally. The lerp is written in the exact
+    * operation order `v0 + (v1−v0)·((t−t0)/(t1−t0))` so any IEEE engine
+    * reproduces it bit-for-bit. Output: (keyCol, bucket, interp). */
+  def resampleInterp(df: DataFrame, keyCol: String, tsCol: String,
+      value: Column, tieCol: String, stepSec: Long): DataFrame = {
+    val w0 = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w1 = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsBucket = when(col("__bv").isNotNull, col("bucket"))
+    val withEnds = gridJoin(df, keyCol, tsCol, value, tieCol, stepSec)
+      .withColumn("__v0", last(col("__bv"), ignoreNulls = true).over(w0))
+      .withColumn("__t0", last(obsBucket, ignoreNulls = true).over(w0))
+      .withColumn("__v1", first(col("__bv"), ignoreNulls = true).over(w1))
+      .withColumn("__t1", first(obsBucket, ignoreNulls = true).over(w1))
+    val frac = (col("bucket") - col("__t0")).cast("double") /
+      (col("__t1") - col("__t0")).cast("double")
+    withEnds.withColumn("interp",
+        when(col("__bv").isNotNull, col("__bv"))
+          .when(col("__t1").isNull, col("__v0"))
+          .when(col("__t0").isNull, col("__v1"))
+          .otherwise(col("__v0") + (col("__v1") - col("__v0")) * frac))
+      .select(col(keyCol), col("bucket"), col("interp"))
+  }
+
+  /** Shared by the resamplers: deterministic last-in-bucket aggregate,
+    * per-key first..last grid spine, left-join of observations. */
+  private def gridJoin(df: DataFrame, keyCol: String, tsCol: String,
+      value: Column, tieCol: String, stepSec: Long): DataFrame = {
     require(stepSec >= 1)
     val es = col(tsCol).cast("long")
     val obs = df.select(col(keyCol), es.as("__es"), value.as("__v"),
@@ -75,10 +116,6 @@ object Rolling {
       .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
       .select(col(keyCol),
         explode(sequence(col("__lo"), col("__hi"), lit(stepSec))).as("bucket"))
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(buckets, Seq(keyCol, "bucket"), "left")
-      .withColumn("filled", last(col("__bv"), ignoreNulls = true).over(w))
-      .drop("__bv")
   }
 }

@@ -404,6 +404,12 @@ class PipelineSpec extends SparkSpec {
     assert(got((1L, 20L)) === 9.0)  // fresh observation replaces the fill
     assert(got((2L, 10L)) === 5.0)
     assert(got.size === 4)          // spine spans first..last bucket only
+    // lerp sibling: the gap bucket midway between 2.0@0 and 9.0@20 → 5.5
+    val li = Rolling.resampleInterp(df, "user_id", "ts", col("value"),
+        "event_id", stepSec = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(li((1L, 10L)) === 5.5)
+    assert(li((1L, 0L)) === 2.0 && li((1L, 20L)) === 9.0) // obs pass through
   }
 
   test("LSH top-k recall vs brute force is usable") {
