@@ -574,7 +574,7 @@ object InventoryPipeline {
           events(s, d).filter(col("user_id") < 20),
           "user_id", "ts", col("value"), "event_id", stepSec = 3600L)
         .orderBy(col("user_id"), col("bucket")),
-      Some("""WITH obs AS (SELECT user_id, CAST(date_part('epoch', ts) AS BIGINT) AS es, value, event_id FROM events WHERE user_id < 20), b AS (SELECT user_id, es - es % 3600 AS bucket, arg_max(value, es * 100000000 + event_id) AS v FROM obs GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket FROM bounds), j AS (SELECT s.user_id, s.bucket, b.v FROM spine s LEFT JOIN b USING (user_id, bucket)) SELECT user_id, bucket, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM j ORDER BY user_id, bucket""")),
+      Some("""WITH obs AS (SELECT user_id, CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS es, value, event_id FROM events WHERE user_id < 20), b AS (SELECT user_id, es - es % 3600 AS bucket, arg_max(value, es * 100000000 + event_id) AS v FROM obs GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket FROM bounds), j AS (SELECT s.user_id, s.bucket, b.v FROM spine s LEFT JOIN b USING (user_id, bucket)) SELECT user_id, bucket, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM j ORDER BY user_id, bucket""")),
 
     QueryDef("q94_resample_interp",
       // linear-interpolation resample (q93's smooth sibling): grid points
@@ -584,7 +584,7 @@ object InventoryPipeline {
           events(s, d).filter(col("user_id") < 20),
           "user_id", "ts", col("value"), "event_id", stepSec = 3600L)
         .orderBy(col("user_id"), col("bucket")),
-      Some("""WITH obs AS (SELECT user_id, CAST(date_part('epoch', ts) AS BIGINT) AS es, value, event_id FROM events WHERE user_id < 20), b AS (SELECT user_id, es - es % 3600 AS bucket, arg_max(value, es * 100000000 + event_id) AS v FROM obs GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket FROM bounds), j AS (SELECT s.user_id, s.bucket, b.v FROM spine s LEFT JOIN b USING (user_id, bucket)), k AS (SELECT user_id, bucket, v, last_value(v IGNORE NULLS) OVER w0 AS v0, last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER w0 AS t0, first_value(v IGNORE NULLS) OVER w1 AS v1, first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER w1 AS t1 FROM j WINDOW w0 AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w1 AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) SELECT user_id, bucket, CASE WHEN v IS NOT NULL THEN v WHEN t1 IS NULL THEN v0 WHEN t0 IS NULL THEN v1 ELSE v0 + (v1 - v0) * (CAST(bucket - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) END AS interp FROM k ORDER BY user_id, bucket""")),
+      Some("""WITH obs AS (SELECT user_id, CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS es, value, event_id FROM events WHERE user_id < 20), b AS (SELECT user_id, es - es % 3600 AS bucket, arg_max(value, es * 100000000 + event_id) AS v FROM obs GROUP BY 1, 2), bounds AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1), spine AS (SELECT user_id, unnest(range(lo, hi + 3600, 3600)) AS bucket FROM bounds), j AS (SELECT s.user_id, s.bucket, b.v FROM spine s LEFT JOIN b USING (user_id, bucket)), k AS (SELECT user_id, bucket, v, last_value(v IGNORE NULLS) OVER w0 AS v0, last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER w0 AS t0, first_value(v IGNORE NULLS) OVER w1 AS v1, first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS) OVER w1 AS t1 FROM j WINDOW w0 AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), w1 AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) SELECT user_id, bucket, CASE WHEN v IS NOT NULL THEN v WHEN t1 IS NULL THEN v0 WHEN t0 IS NULL THEN v1 ELSE v0 + (v1 - v0) * (CAST(bucket - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) END AS interp FROM k ORDER BY user_id, bucket""")),
 
     QueryDef("q61_top_terms",
       // TF vocabulary inspection: top-5 terms per source; the shuffle after
