@@ -143,6 +143,23 @@ object InventoryCuration {
       },
       Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE user_id % 10 = 3), f AS (SELECT user_id, event_id, ts_us, CASE WHEN LAG(ts_us) OVER w IS NULL OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nf FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), g AS (SELECT user_id, ts_us, CAST(SUM(nf) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session FROM f) SELECT user_id, session, COUNT(*) AS n_events, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us, MAX(ts_us) - MIN(ts_us) AS span_us FROM g GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("q95_session_window_native",
+      // Spark's BUILT-IN session_window aggregation, gated against the
+      // same lag/gap-flag/running-sum SQL that oracles the hand-rolled
+      // q73 sessionizer — proving the native operator and the custom
+      // flatMapGroupsWithState path agree. Only semantic daylight is an
+      // exact-gap tie (built-in closes at diff >= gap, q73 at >); the
+      // fixtures contain none at any scale (checked 0.001/0.01/0.1).
+      (s, d) => events(s, d)
+        .filter(pmod(col("user_id"), lit(10L)) === 3)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_us")),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE user_id % 10 = 3), f AS (SELECT user_id, ts_us, CASE WHEN LAG(ts_us) OVER w IS NULL OR ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS nf FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)), g AS (SELECT user_id, ts_us, SUM(nf) OVER (PARTITION BY user_id ORDER BY ts_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM f) SELECT user_id, MIN(ts_us) AS start_us, COUNT(*) AS n_events FROM g GROUP BY user_id, session ORDER BY user_id, start_us""")),
+
     QueryDef("q74_mad_outliers",
       // robust outlier detection: median + MAD (median absolute deviation),
       // flag |x − med| > 3·1.4826·MAD — the heavy-tail-safe alternative to
