@@ -292,7 +292,8 @@ object Inventory {
 
   val all: Seq[QueryDef] =
     exactQueries ++ approxQueries ++ ciQueries ++ designQueries ++
-      InventoryPipeline.all ++ InventoryExtensions.all ++ InventoryCuration.all
+      InventoryPipeline.all ++ InventoryExtensions.all ++ InventoryCuration.all ++
+      InventoryOps.all
 
   def byName(name: String): QueryDef = all.find(_.name == name)
     .getOrElse(throw new NoSuchElementException(name))

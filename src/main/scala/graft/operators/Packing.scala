@@ -48,4 +48,25 @@ object Packing {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Single-pass argmax: the row that is maximal by `orderCols`
+    * (lexicographic, descending) per key, as ONE `max(struct(...))`
+    * aggregate. Same winner as [[latestPerKey]] when the order columns
+    * form a total order (make the last one a unique id), but the plan is
+    * an aggregation, not a window: partial aggregation collapses each map
+    * task to one candidate row per key BEFORE the exchange, so the shuffle
+    * moves |keys| structs instead of every row, and nothing is sorted.
+    * At 100 TB this is the difference between shuffling the corpus and
+    * shuffling the key space. Order columns must be non-null (null field
+    * ordering inside struct comparison would make the winner engine-
+    * specific); only `orderCols ++ payloadCols` survive into the output. */
+  def argmaxPerKey(df: DataFrame, keyCols: Seq[String],
+      orderCols: Seq[String], payloadCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val carried = orderCols ++ payloadCols
+    val best = df.groupBy(keyCols.map(col): _*)
+      .agg(max(struct(carried.map(col): _*)).as("__best"))
+    best.select(keyCols.map(col) ++
+      carried.map(c => col(s"__best.$c").as(c)): _*)
+  }
 }

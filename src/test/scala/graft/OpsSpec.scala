@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.exec.HistQuantile
+import graft.functions.CountMin
+import graft.operators.{Cdc, Packing, Validation}
+import graft.operators.Validation.Check
+
+/** Pipeline-maintenance operators: CountMin (mergeable, overestimate-only),
+  * HistQuantile (merge ≡ direct, bin-width error bound), Cdc classification,
+  * Validation one-pass checks, argmaxPerKey ≡ window latestPerKey.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li: DataFrame = Tables.lineitem(spark, sf0001)
+
+  // --- CountMin ----------------------------------------------------------
+
+  test("CountMin estimates are >= true counts, exact for absent keys") {
+    val sketch = CountMin.build(li, col("l_suppkey"), width = 256)
+    val truth = li.groupBy(col("l_suppkey").as("probe_key"))
+      .agg(count(lit(1)).as("true_cnt"))
+    val probes = li.select(col("l_suppkey"))
+      .unionAll(spark.range(1).select(lit(987654321L).as("l_suppkey")))
+    val est = CountMin.estimate(sketch, probes, col("l_suppkey"), width = 256)
+    val joined = est.join(truth, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("est"), coalesce(col("true_cnt"), lit(0L)).as("true_cnt"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), s"underestimate for key ${r.getLong(0)}")
+    }
+    val absent = joined.find(_.getLong(0) == 987654321L).get
+    assert(absent.getLong(2) == 0L)
+  }
+
+  test("CountMin sketches over disjoint halves merge to the whole-data sketch") {
+    val first = li.filter(pmod(col("l_orderkey"), lit(2L)) === 0)
+    val second = li.filter(pmod(col("l_orderkey"), lit(2L)) === 1)
+    val merged = CountMin.merge(Seq(
+        CountMin.build(first, col("l_suppkey"), width = 64),
+        CountMin.build(second, col("l_suppkey"), width = 64)))
+      .orderBy(col("hash_idx"), col("bucket")).collect()
+    val direct = CountMin.build(li, col("l_suppkey"), width = 64)
+      .orderBy(col("hash_idx"), col("bucket")).collect()
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  // --- HistQuantile ------------------------------------------------------
+
+  test("histogram halves merge to the direct histogram; quantiles agree") {
+    val x = col("l_extendedprice")
+    val first = li.filter(pmod(col("l_orderkey"), lit(2L)) === 0)
+    val second = li.filter(pmod(col("l_orderkey"), lit(2L)) === 1)
+    val merged = HistQuantile.merge(Seq(
+      HistQuantile.histogram(first, x, 0.0, 2000.0, 64),
+      HistQuantile.histogram(second, x, 0.0, 2000.0, 64)))
+    val direct = HistQuantile.histogram(li, x, 0.0, 2000.0, 64)
+    assert(merged.orderBy("bin").collect().toSeq ==
+      direct.orderBy("bin").collect().toSeq)
+    val qm = HistQuantile.quantiles(merged, 0.0, 2000.0, Seq(0.5)).collect()
+    val qd = HistQuantile.quantiles(direct, 0.0, 2000.0, Seq(0.5)).collect()
+    assert(qm.toSeq == qd.toSeq)
+  }
+
+  test("histogram quantile is within one bin width of the exact percentile") {
+    val hist = HistQuantile.histogram(li, col("l_extendedprice"), 0.0, 2000.0, 64)
+    val est = HistQuantile.quantiles(hist, 0.0, 2000.0, Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = li.agg(
+        percentile(col("l_extendedprice"), lit(0.25)),
+        percentile(col("l_extendedprice"), lit(0.5)),
+        percentile(col("l_extendedprice"), lit(0.75)))
+      .collect().head
+    Seq(0.25 -> exact.getDouble(0), 0.5 -> exact.getDouble(1),
+        0.75 -> exact.getDouble(2)).foreach { case (p, ex) =>
+      assert(math.abs(est(p) - ex) <= 2000.0, s"p=$p est=${est(p)} exact=$ex")
+    }
+  }
+
+  test("histogram clamps out-of-domain values into edge bins") {
+    val df = Seq(-5.0, 0.5, 1.5, 99.0).toDF("x")
+    val bins = HistQuantile.histogram(df, col("x"), 0.0, 1.0, 3)
+      .orderBy("bin").as[(Long, Long)].collect().toSeq
+    assert(bins == Seq((0L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
+  // --- Cdc ---------------------------------------------------------------
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; null-safe compare") {
+    val oldDf = Seq((1L, Some(10.0), "a"), (2L, Some(20.0), "b"),
+      (3L, None: Option[Double], "c"), (4L, Some(40.0), "d"))
+      .toDF("k", "v", "s")
+    val newDf = Seq((2L, Some(21.0), "b"), (3L, None: Option[Double], "c"),
+      (4L, Some(40.0), "d"), (5L, Some(50.0), "e"))
+      .toDF("k", "v", "s")
+    val out = Cdc.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v", "s"))
+      .select("k", "change_type").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "removed", 2L -> "changed",
+      3L -> "unchanged", 4L -> "unchanged", 5L -> "added"))
+  }
+
+  // --- Validation --------------------------------------------------------
+
+  test("validate compiles all checks into one pass and counts violations") {
+    val df = Seq(
+      (Some(1L), Some(5.0)), (Some(1L), Some(-2.0)),
+      (None: Option[Long], Some(3.0)), (Some(2L), None: Option[Double]))
+      .toDF("id", "x")
+    val out = Validation.validate(df, Seq(
+        Check.NotNull("x"),
+        Check.InRange("x", 0.0, 10.0),
+        Check.Unique(Seq("id")),
+        Check.Satisfies("x_positive", col("x") > 0)))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("not_null(x)", 1L, 4L),
+      ("in_range(x)", 1L, 4L),     // -2 out of range; null x passes range
+      ("unique(id)", 1L, 4L),      // id=1 twice -> 1 excess row
+      ("satisfies(x_positive)", 2L, 4L))) // -2 fails, null-x is a violation
+  }
+
+  test("referentialIntegrity counts orphans, passes null FKs") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = Validation.referentialIntegrity(
+        child, Seq("fk"), parent, Seq("pk"), "fk")
+      .as[(String, Long, Long)].collect().head
+    assert(out == (("foreign_key(fk)", 1L, 4L)))
+  }
+
+  // --- argmaxPerKey ------------------------------------------------------
+
+  test("argmaxPerKey matches the window-based latestPerKey winner") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val viaAgg = Packing.argmaxPerKey(ev, Seq("user_id"),
+        Seq("value", "ts_us", "event_id"), Nil)
+      .orderBy("user_id").collect().toSeq
+    val viaWindow = Packing.latestPerKey(ev, Seq("user_id"),
+        Seq("value", "ts_us", "event_id"))
+      .select("user_id", "value", "ts_us", "event_id")
+      .orderBy("user_id").collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+
+  test("argmaxPerKey plans as aggregation with partial combine, not a window sort") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("value"), col("event_id"))
+    val plan = Packing.argmaxPerKey(ev, Seq("user_id"),
+      Seq("value", "event_id"), Nil).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+}
