@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.exec.HistQuantile
+import graft.exec.{Estimators, HistQuantile}
 import graft.functions.CountMin
-import graft.operators.{Cdc, Packing, Validation}
+import graft.operators.{Cdc, Packing, Skew, Validation}
 import graft.operators.Validation.Check
 
 /** Pipeline-maintenance operators (round-2, third widening): the
@@ -120,6 +120,60 @@ object InventoryOps {
           .orderBy(col("change_type"))
       },
       Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st FROM orders WHERE o_orderkey % 97 <> 3), nw AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS p, o_orderstatus AS st FROM orders WHERE o_orderkey % 89 <> 7), d AS (SELECT COALESCE(o.k, nw.k) AS k, CASE WHEN o.k IS NULL THEN 'added' WHEN nw.k IS NULL THEN 'removed' WHEN (o.p IS DISTINCT FROM nw.p) OR (o.st IS DISTINCT FROM nw.st) THEN 'changed' ELSE 'unchanged' END AS change_type FROM o FULL OUTER JOIN nw ON o.k = nw.k) SELECT change_type, COUNT(*) AS cnt, MIN(k) AS min_key, MAX(k) AS max_key FROM d GROUP BY 1 ORDER BY 1"""),
-      headline = true)
+      headline = true),
+
+    QueryDef("q102_inverted_index",
+      // posting-list construction: per-term document frequency + the first
+      // 20 doc ids, serialized deterministically (q92's sort→slice→join
+      // pattern). Scale shape: doc-frequency is a plain hash-groupBy;
+      // postings are capped BEFORE any collect via Skew.topNPerKey (the
+      // two-phase sharded window), so a stopword term never funnels its
+      // full posting list through one task — the collect sees ≤ 20 rows
+      // per term by construction.
+      (s, d) => {
+        val pairs = documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " +"))).as("term"))
+          .filter(length(col("term")) > 0)
+        val counts = pairs.groupBy(col("term"))
+          .agg(count(lit(1)).as("doc_freq"))
+          .filter(col("doc_freq") >= 50)
+        val scoped = pairs.join(counts.select(col("term")), Seq("term"), "left_semi")
+        val heads = Skew.topNPerKey(scoped, Seq("term"),
+            Seq(col("doc_id").asc), n = 20)
+          .groupBy(col("term"))
+          .agg(concat_ws(",", sort_array(collect_list(col("doc_id"))))
+            .as("postings_head"))
+        counts.join(heads, Seq("term")).orderBy(col("term"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split_regex(text, ' +'))) AS term FROM documents), t2 AS (SELECT doc_id, term FROM t WHERE length(term) > 0), k AS (SELECT term, COUNT(*) AS doc_freq FROM t2 GROUP BY 1 HAVING COUNT(*) >= 50), r AS (SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM t2 WHERE term IN (SELECT term FROM k)), h AS (SELECT term, array_to_string(list_sort(list(doc_id)), ',') AS postings_head FROM r WHERE rn <= 20 GROUP BY 1) SELECT term, doc_freq, postings_head FROM k JOIN h USING (term) ORDER BY term""")),
+
+    QueryDef("q103_incremental_rollup",
+      // incremental rollup maintenance: yesterday's per-source moment
+      // sketch + the SIGNED delta from snapshotDiff (deltaRows: +new for
+      // added/changed, −old for removed/changed) reproduces today's
+      // rollup WITHOUT rescanning the snapshot — work ∝ change volume.
+      // The oracle computes today's stats directly from rows, so a hash
+      // match proves old ⊕ Δ ≡ rebuild, cross-engine and bit-exact
+      // (the moment sketch is a group, not just a monoid — Estimators.
+      // signedMomentSketch scaladoc).
+      (s, d) => {
+        val docs = documents(s, d)
+        val oldSnap = docs.filter(pmod(col("doc_id"), lit(83L)) =!= 2)
+        val newSnap = docs.filter(pmod(col("doc_id"), lit(79L)) =!= 5)
+          .withColumn("n_chars",
+            when(pmod(col("doc_id"), lit(13L)) === 0, col("n_chars") + lit(7L))
+              .otherwise(col("n_chars")))
+        val oldSketch = Estimators.momentSketch(oldSnap, col("n_chars"), Seq("source"))
+        val diff = Cdc.snapshotDiff(oldSnap, newSnap,
+          Seq("doc_id"), Seq("n_chars", "source"))
+        val delta = Estimators.signedMomentSketch(
+          Cdc.deltaRows(diff, Nil, Seq("n_chars", "source")),
+          col("n_chars"), col("sign"), Seq("source"))
+        val maintained = Estimators.mergeMoments(
+          oldSketch.unionByName(delta), Seq("source"))
+        Estimators.momentStats(maintained).orderBy(col("source"))
+      },
+      Some("""WITH nw AS (SELECT source, CASE WHEN doc_id % 13 = 0 THEN n_chars + 7 ELSE n_chars END AS v FROM documents WHERE doc_id % 79 <> 5), g AS (SELECT source, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,0))) AS s1, SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS s2 FROM nw GROUP BY 1) SELECT source, CAST(n AS BIGINT) AS n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, CASE WHEN n > 1 THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0) ELSE 0.0 END AS var_samp FROM g ORDER BY source"""))
   )
 }

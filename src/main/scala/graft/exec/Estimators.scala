@@ -227,6 +227,22 @@ object Estimators {
         sum(vd * vd).cast("decimal(38,0)").as("s2"))
   }
 
+  /** [[momentSketch]] over SIGNED rows (sign ∈ {+1, −1}): the moment sketch
+    * is not just a monoid but a GROUP — (n, s1, s2) subtract as exactly as
+    * they add — so a CDC delta stream ([[graft.operators.Cdc.deltaRows]])
+    * summed here and merged onto yesterday's sketch maintains a rollup
+    * incrementally, bit-identical to rebuilding from the new snapshot.
+    * Decimal products stay exact for |value| < 1e9 (s2 term ≤ 38 digits). */
+  def signedMomentSketch(df: DataFrame, value: Column, sign: Column,
+      groupCols: Seq[String]): DataFrame = {
+    val vd = value.cast("decimal(18,0)")
+    val sd = sign.cast("decimal(18,0)")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sum(sign.cast("long")).as("n"),
+        sum(sd * vd).cast("decimal(38,0)").as("s1"),
+        sum(sd * vd * vd).cast("decimal(38,0)").as("s2"))
+  }
+
   /** Merge moment sketches to a coarser grouping: component-wise addition
     * (the sketch is a commutative monoid — order and partitioning of the
     * partials cannot change the result). */

@@ -43,4 +43,28 @@ object Cdc {
           valueCols.flatMap(c =>
             Seq(col(s"__old_$c").as(s"old_$c"), col(s"__new_$c").as(s"new_$c")))): _*)
   }
+
+  /** Explode a [[snapshotDiff]] output into SIGNED delta rows for
+    * incremental aggregate maintenance: `sign = +1` rows carry the new
+    * version of each `versionedCol` (added + changed), `sign = -1` rows the
+    * old version (removed + changed); unchanged keys are dropped before the
+    * explode, so the delta stream is proportional to the CHANGE volume, not
+    * the snapshot. Feed this to a group-structured (subtractable) sketch —
+    * e.g. [[graft.exec.Estimators.signedMomentSketch]] — and adding the
+    * result to yesterday's rollup reproduces today's rebuild exactly. */
+  def deltaRows(diff: DataFrame, keyCols: Seq[String],
+      versionedCols: Seq[String]): DataFrame = {
+    require(versionedCols.nonEmpty, "versionedCols must be non-empty")
+    val newer = struct(versionedCols.map(c => col(s"new_$c").as(c)) :+
+      lit(1L).as("sign"): _*)
+    val older = struct(versionedCols.map(c => col(s"old_$c").as(c)) :+
+      lit(-1L).as("sign"): _*)
+    diff.filter(col("change_type") =!= "unchanged")
+      .select(keyCols.map(col) :+ explode(array(
+        when(col("change_type").isin("added", "changed"), newer),
+        when(col("change_type").isin("removed", "changed"), older))).as("__r"): _*)
+      .filter(col("__r").isNotNull)
+      .select(keyCols.map(col) ++ versionedCols.map(c => col(s"__r.$c")) :+
+        col("__r.sign").as("sign"): _*)
+  }
 }

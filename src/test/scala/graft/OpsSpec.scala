@@ -103,6 +103,32 @@ class OpsSpec extends SparkSpec {
       3L -> "unchanged", 4L -> "unchanged", 5L -> "added"))
   }
 
+  test("deltaRows emits +new for added/changed, -old for removed/changed, skips unchanged") {
+    val oldDf = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b")).toDF("k", "v", "g")
+    val newDf = Seq((2L, 25L, "a"), (3L, 30L, "b"), (4L, 40L, "b")).toDF("k", "v", "g")
+    val diff = Cdc.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v", "g"))
+    val delta = Cdc.deltaRows(diff, Seq("k"), Seq("v", "g"))
+      .as[(Long, Long, String, Long)].collect().toSet
+    assert(delta == Set(
+      (1L, 10L, "a", -1L),            // removed: -old
+      (2L, 25L, "a", 1L), (2L, 20L, "a", -1L), // changed: +new, -old
+      (4L, 40L, "b", 1L)))            // added: +new; k=3 unchanged -> absent
+  }
+
+  test("old sketch + signed delta reproduces the rebuilt sketch bit-exactly") {
+    val oldDf = Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 30L, "b")).toDF("k", "v", "g")
+    val newDf = Seq((2L, 25L, "a"), (3L, 30L, "b"), (4L, 40L, "b")).toDF("k", "v", "g")
+    val diff = Cdc.snapshotDiff(oldDf, newDf, Seq("k"), Seq("v", "g"))
+    val delta = graft.exec.Estimators.signedMomentSketch(
+      Cdc.deltaRows(diff, Nil, Seq("v", "g")), col("v"), col("sign"), Seq("g"))
+    val oldSketch = graft.exec.Estimators.momentSketch(oldDf, col("v"), Seq("g"))
+    val maintained = graft.exec.Estimators.mergeMoments(
+      oldSketch.unionByName(delta), Seq("g")).orderBy("g").collect().toSeq
+    val rebuilt = graft.exec.Estimators.momentSketch(newDf, col("v"), Seq("g"))
+      .orderBy("g").collect().toSeq
+    assert(maintained == rebuilt)
+  }
+
   // --- Validation --------------------------------------------------------
 
   test("validate compiles all checks into one pass and counts violations") {
