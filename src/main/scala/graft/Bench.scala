@@ -247,7 +247,27 @@ object Bench {
         (med(pairs.map(_._1)), med(pairs.map(_._2)))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+    // argmax-vs-window probe at 6 M rows: latest-per-supplier via the
+    // window sort (shuffles + sorts every row) vs max(struct(...))
+    // aggregation (partial agg ships one candidate per task×key). The
+    // ratio is the q97 scale story, measured.
+    val argmaxIn = li10f.select(col("l_suppkey"), col("l_extendedprice"),
+      col("l_orderkey"), col("l_linenumber"))
+    val tLatestWindow = timeMedian {
+      graft.operators.Packing.latestPerKey(argmaxIn, Seq("l_suppkey"),
+          Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .agg(count(lit(1))).collect(): Unit
+    }
+    val tLatestAgg = timeMedian {
+      graft.operators.Packing.argmaxPerKey(argmaxIn, Seq("l_suppkey"),
+          Seq("l_extendedprice", "l_orderkey", "l_linenumber"), Nil)
+        .agg(count(lit(1))).collect(): Unit
+    }
     val extra = Seq(
+      "x_argmax_window_sec" -> tLatestWindow,
+      "x_argmax_agg_sec" -> tLatestAgg,
+      "x_argmax_speedup" ->
+        (if (tLatestAgg > 0) tLatestWindow / tLatestAgg else -1.0),
       "x_embed_neardup_sec" -> tEmbedDedup,
       "x_ann_ivf_recall" -> ivfRecall,
       "x_ann_lsh_recall" -> lshRecall,

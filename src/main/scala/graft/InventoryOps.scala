@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.exec.{Estimators, HistQuantile}
 import graft.functions.CountMin
-import graft.operators.{Cdc, Packing, Skew, Validation}
+import graft.operators.{Cdc, Packing, Profiling, Skew, Validation}
 import graft.operators.Validation.Check
 
 /** Pipeline-maintenance operators (round-2, third widening): the
@@ -174,6 +174,15 @@ object InventoryOps {
           oldSketch.unionByName(delta), Seq("source"))
         Estimators.momentStats(maintained).orderBy(col("source"))
       },
-      Some("""WITH nw AS (SELECT source, CASE WHEN doc_id % 13 = 0 THEN n_chars + 7 ELSE n_chars END AS v FROM documents WHERE doc_id % 79 <> 5), g AS (SELECT source, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,0))) AS s1, SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS s2 FROM nw GROUP BY 1) SELECT source, CAST(n AS BIGINT) AS n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, CASE WHEN n > 1 THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0) ELSE 0.0 END AS var_samp FROM g ORDER BY source"""))
+      Some("""WITH nw AS (SELECT source, CASE WHEN doc_id % 13 = 0 THEN n_chars + 7 ELSE n_chars END AS v FROM documents WHERE doc_id % 79 <> 5), g AS (SELECT source, COUNT(*) AS n, SUM(CAST(v AS DECIMAL(18,0))) AS s1, SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))) AS s2 FROM nw GROUP BY 1) SELECT source, CAST(n AS BIGINT) AS n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, CASE WHEN n > 1 THEN (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / GREATEST(CAST(n AS DOUBLE) - 1.0, 1.0) ELSE 0.0 END AS var_samp FROM g ORDER BY source""")),
+
+    QueryDef("q104_skew_report",
+      // shuffle-key skew diagnosis: per-key count quantiles + hot-key
+      // share for a prospective join/groupBy key — the report that decides
+      // plain shuffle vs AQE skew split vs explicit salting (Profiling.
+      // keySkew scaladoc). percentile ≡ DuckDB quantile_cont bit-for-bit;
+      // everything else is integer or one fixed double expression.
+      (s, d) => Profiling.keySkew(lineitem(s, d), Seq("l_suppkey")),
+      Some("""WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt, quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt, CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS skew_ratio FROM c"""))
   )
 }

@@ -37,4 +37,24 @@ object Profiling {
     wide.selectExpr(s"stack(${cols.size}, $stacked) AS " +
       "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
   }
+
+  /** One-row skew diagnosis for a prospective shuffle/join key: key count,
+    * row count, the hot key's size, p50/p99 of per-key counts, and
+    * `skew_ratio` = max/mean — the number that decides between a plain
+    * hash shuffle (≈1), AQE skew splitting (moderate), or explicit salting
+    * via [[Skew.saltedJoin]]/[[Skew.topNPerKey]] (pathological). Two
+    * aggregations: per-key counts (map-side combined), then a constant-size
+    * reduce over one row per key. */
+  def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      percentile(col("cnt"), lit(0.5)).as("p50_cnt"),
+      percentile(col("cnt"), lit(0.99)).as("p99_cnt"),
+      (max(col("cnt")).cast("double") /
+        (sum(col("cnt")).cast("double") / count(lit(1)).cast("double")))
+        .as("skew_ratio"))
+  }
 }

@@ -57,6 +57,62 @@ object Layout {
     df.repartitionByRange(files, col(c)).sortWithinPartitions(col(c))
       .write.mode("overwrite").parquet(path)
 
+  /** First-fit-decreasing bin-packing of part-files into compaction
+    * groups. Files are sorted by (size desc, path) — fully deterministic —
+    * and each is placed in the first bin with room; a file at or above
+    * `targetBytes` gets a bin of its own. Pure metadata: driver-side,
+    * O(files × bins) on the file LISTING — at 100 TB that is the file
+    * count (the small-file problem this exists to fix), never the data.
+    * Returns (path, size, bin). */
+  def compactionPlan(files: Seq[(String, Long)],
+      targetBytes: Long): Seq[(String, Long, Int)] = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val sorted = files.sortBy { case (p, sz) => (-sz, p) }
+    val binFree = scala.collection.mutable.ArrayBuffer.empty[Long]
+    sorted.map { case (p, sz) =>
+      val fit = binFree.indexWhere(_ >= sz)
+      val bin = if (fit >= 0) {
+        binFree(fit) -= sz; fit
+      } else {
+        binFree += (targetBytes - sz).max(0L); binFree.size - 1
+      }
+      (p, sz, bin)
+    }
+  }
+
+  /** Data files (name, bytes) under a parquet output directory, via the
+    * Hadoop FS API (local, HDFS, object stores alike); `_SUCCESS`/metadata
+    * files excluded, ordered by path. */
+  def listDataFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, Long)] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(s => s.getPath.toString -> s.getLen)
+      .sortBy(_._1)
+  }
+
+  /** Compact the small files of `dir` (strictly below `smallThreshold`
+    * bytes) into ~`targetBytes` outputs under `outDir`, leaving large
+    * files where they are. All small files are read in ONE multi-path job
+    * and repartitioned to the planned bin count — compaction cares how
+    * many output files exist, not which rows land in which, so a plain
+    * round-robin repartition is the cheapest correct move (no sort, one
+    * shuffle of only the small-file rows). Returns (files rewritten,
+    * output files written); the caller swaps directories atomically the
+    * way [[graft.streaming.UpsertSink]] versions its snapshots. */
+  def compactSmallFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+      outDir: String, targetBytes: Long, smallThreshold: Long): (Int, Int) = {
+    val small = listDataFiles(spark, dir).filter(_._2 < smallThreshold)
+    if (small.isEmpty) return (0, 0)
+    val nBins = compactionPlan(small, targetBytes).map(_._3).max + 1
+    spark.read.parquet(small.map(_._1): _*)
+      .repartition(nBins)
+      .write.mode("overwrite").parquet(outDir)
+    (small.size, nBins)
+  }
+
   /** Write `df` Z-ordered on `cols` (numeric): one min/max pre-pass, bin
     * each column to `bits` bits, range-partition + sort on the interleaved
     * z-value. Band predicates on ANY of `cols` prune row groups; none is

@@ -70,4 +70,42 @@ class LayoutSpec extends SparkSpec {
     assert(filesTouched("x") <= 8L)
     assert(filesTouched("y") <= 8L)
   }
+
+  test("compactionPlan packs first-fit-decreasing, deterministically") {
+    val files = Seq("a" -> 70L, "b" -> 50L, "c" -> 40L, "d" -> 30L,
+      "e" -> 10L, "f" -> 250L)
+    val plan = Layout.compactionPlan(files, targetBytes = 100L)
+    // FFD on sizes (250, 70, 50, 40, 30, 10): f alone in an oversize bin,
+    // then {a=70, d=30}, then {b=50, c=40, e=10}
+    assert(plan.map(t => t._1 -> t._3).toMap ==
+      Map("f" -> 0, "a" -> 1, "d" -> 1, "b" -> 2, "c" -> 2, "e" -> 2))
+    // invariants that must hold regardless of exact packing: every
+    // non-singleton bin fits the target; plan is a permutation of input
+    val byBin = plan.groupBy(_._3).values
+    byBin.foreach { grp =>
+      assert(grp.size == 1 || grp.map(_._2).sum <= 100L)
+    }
+    assert(plan.map(p => p._1 -> p._2).toSet == files.toSet)
+    assert(plan == Layout.compactionPlan(files, 100L)) // deterministic
+  }
+
+  test("compactSmallFiles rewrites only small files and preserves rows") {
+    val dir = "/tmp/graft_test_compact_in"
+    val out = "/tmp/graft_test_compact_out"
+    // 2000 rows scattered over 20 tiny files
+    spark.range(2000).toDF("id").repartition(20)
+      .write.mode("overwrite").parquet(dir)
+    val before = Layout.listDataFiles(spark, dir)
+    assert(before.size == 20)
+    val totalBytes = before.map(_._2).sum
+    val (rewritten, bins) = Layout.compactSmallFiles(spark, dir, out,
+      targetBytes = totalBytes / 2 + 1, smallThreshold = Long.MaxValue)
+    assert(rewritten == 20)
+    assert(bins >= 2 && bins <= 3)
+    assert(Layout.listDataFiles(spark, out).size == bins)
+    assert(spark.read.parquet(out).count() == 2000L)
+    // nothing below the threshold -> no-op
+    assert(Layout.compactSmallFiles(spark, dir, out + "2",
+      targetBytes = 1L << 20, smallThreshold = 1L) == ((0, 0)))
+  }
 }
