@@ -323,6 +323,30 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDups]] with an explicit survivor POLICY: within each
+    * near-dup cluster keep the member maximizing `qualityCol` (ties broken
+    * by highest id — a total order, so the survivor set is deterministic).
+    * This is the policy curation pipelines actually want — "keep the best
+    * copy", not "keep the lowest id". Plan shape is unchanged except the
+    * representative pick, which is ONE `max(struct(quality, id))`
+    * aggregate over cluster members ([[graft.operators.Packing
+    * .argmaxPerKey]] semantics) — shuffle ∝ documents that HAVE a
+    * near-dup, never the corpus. */
+  def dropNearDupsKeepBest(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: Column, threshold: Double, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleN,
+      numHashes, bands)
+    val members = dupClusters(pairs)
+      .join(df.select(col(idCol).as("id"), qualityCol.as("__q")), Seq("id"))
+    val winners = members.groupBy(col("cluster"))
+      .agg(max(struct(col("__q"), col("id"))).as("__best"))
+      .select(col("__best.id").as("id"))
+    val losers = members.join(winners, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Oracle twin of [[nearDupPairs]]: exact all-pairs Jaccard — O(N²),
     * small-data correctness baseline only. */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,

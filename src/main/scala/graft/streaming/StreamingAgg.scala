@@ -85,6 +85,30 @@ object StreamingAgg {
         col("window.end").as("window_end"), col("n"), col("s1"), col("s2"))
   }
 
+  /** Per-window Count-Min sketch — the streaming PRODUCER of the
+    * mergeable-frequency pattern ([[graft.functions.CountMin]], q98):
+    * emits `(window, hash_idx, bucket, cnt)` rows whose counts ADD across
+    * windows, so closed windows roll up to any coarser grain (or into a
+    * serving CMS via [[UpsertSink]]-style merges) without reprocessing the
+    * stream. State per open window is bounded by depth × width cells
+    * regardless of event rate — the aggregation is algebraic (a count per
+    * cell), never a per-key map. Keys must be non-negative longs
+    * (CountMin's cross-engine hashing contract). */
+  def windowedCountMin(events: DataFrame, windowDur: String,
+      key: org.apache.spark.sql.Column, width: Int,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), posexplode(array(
+        graft.functions.CountMin.params.map { case (a, b) =>
+          graft.functions.CountMin.bucket(key, a, b, width)
+        }: _*)).as(Seq("hash_idx", "bucket")))
+      .groupBy(window(col("ts"), windowDur), col("hash_idx"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("hash_idx"), col("bucket"), col("cnt"))
+
   /** Streaming exact dedup on `keyCols` within the watermark horizon —
     * the ingest-side twin of batch `Dedup.dropExactDups`: state holds one
     * entry per key only until the watermark passes, so memory is bounded by

@@ -250,6 +250,32 @@ class CurationSpec extends SparkSpec {
     assert((all -- inClusters).forall(survivors.contains))
   }
 
+  test("dropNearDupsKeepBest keeps the highest-quality cluster member") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("quality", col("n_chars").cast("double"))
+    val survivors = Dedup.dropNearDupsKeepBest(docs, "doc_id", "text",
+        col("quality"), threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val members = Dedup.dupClusters(
+        Dedup.allPairsJaccard(docs, "doc_id", "text", threshold = 0.8))
+      .join(docs.select(col("doc_id").as("id"), col("quality")), Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(members.nonEmpty, "fixture has planted near-dups")
+    // per cluster: exactly the (quality, id)-max member survives
+    members.groupBy(_._2).foreach { case (cluster, grp) =>
+      val best = grp.maxBy(m => (m._3, m._1))._1
+      grp.foreach { case (id, _, _) =>
+        if (id == best) assert(survivors.contains(id), s"best $id of $cluster dropped")
+        else assert(!survivors.contains(id), s"non-best $id of $cluster kept")
+      }
+    }
+    // docs in no cluster survive untouched
+    val inClusters = members.map(_._1).toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert((all -- inClusters).forall(survivors.contains))
+  }
+
   test("bloom sketch roundtrip + OR-merge covers the union of key sets") {
     import graft.operators.BloomJoin
     val bits = 1L << 14

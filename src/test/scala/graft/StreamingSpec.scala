@@ -98,6 +98,37 @@ class StreamingSpec extends SparkSpec {
     assert(got.size >= batch.size - 1) // only the trailing open window may lag
   }
 
+  test("streaming Count-Min windows merge to the batch sketch of the same rows") {
+    val batchEvents = Tables.events(spark, sf0001)
+    val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
+    val dir = java.nio.file.Files.createTempDirectory("events_stream_cms")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(sf0001, "events")),
+      dir.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val perWindow = StreamingAgg.runToMemory(spark,
+      StreamingAgg.windowedCountMin(streamed, "1 hour", col("user_id"),
+        width = 64), "cms_stream")
+    // merge the closed windows' sketches (counts add) and compare against
+    // the batch CMS built from exactly the rows of those windows
+    val closed = perWindow.select(col("window_start"), col("hash_idx"),
+      col("bucket"), col("cnt"))
+    val mergedStream = closed.groupBy(col("hash_idx"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val coveredHours = closed.select(col("window_start")).distinct()
+    val batchScope = batchEvents
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .join(coveredHours, Seq("window_start"), "left_semi")
+    val batchCms = graft.functions.CountMin.build(batchScope,
+      col("user_id"), width = 64)
+    assert(mergedStream.orderBy("hash_idx", "bucket").collect().toSeq ==
+      batchCms.orderBy("hash_idx", "bucket").collect().toSeq)
+  }
+
   test("stream-stream interval join matches the batch band join") {
     val batchEvents = Tables.events(spark, sf0001)
     val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
