@@ -183,6 +183,63 @@ object InventoryOps {
       // keySkew scaladoc). percentile ≡ DuckDB quantile_cont bit-for-bit;
       // everything else is integer or one fixed double expression.
       (s, d) => Profiling.keySkew(lineitem(s, d), Seq("l_suppkey")),
-      Some("""WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt, quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt, CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS skew_ratio FROM c"""))
+      Some("""WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1) SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows, MAX(cnt) AS max_cnt, quantile_cont(cnt, 0.5) AS p50_cnt, quantile_cont(cnt, 0.99) AS p99_cnt, CAST(MAX(cnt) AS DOUBLE) / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS skew_ratio FROM c""")),
+
+    QueryDef("q105_set_ops",
+      // relational set algebra surface: INTERSECT / EXCEPT / UNION with
+      // SET semantics. Spark compiles intersect → left-semi + distinct and
+      // except → left-anti + distinct — both key-only shuffles with
+      // partial-distinct map-side, never a full-row comparison pass.
+      (s, d) => {
+        val a = customer(s, d).select(col("c_custkey").as("k"))
+        val b = orders(s, d).select(col("o_custkey").as("k"))
+        val inter = a.intersect(b).agg(count(lit(1)).as("n"))
+          .select(lit("intersect").as("set_op"), col("n"))
+        val exc = a.except(b).agg(count(lit(1)).as("n"))
+          .select(lit("except").as("set_op"), col("n"))
+        val uni = a.union(b).distinct().agg(count(lit(1)).as("n"))
+          .select(lit("union").as("set_op"), col("n"))
+        exc.unionAll(inter).unionAll(uni).orderBy(col("set_op"))
+      },
+      Some("""SELECT 'except' AS set_op, COUNT(*) AS n FROM (SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey FROM orders) UNION ALL SELECT 'intersect', COUNT(*) FROM (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) UNION ALL SELECT 'union', COUNT(*) FROM (SELECT c_custkey FROM customer UNION SELECT o_custkey FROM orders) ORDER BY 1""")),
+
+    QueryDef("q106_window_family",
+      // the full ranking/navigation window surface in one keyed pass:
+      // rank / dense_rank / row_number / percent_rank / cume_dist /
+      // ntile / lag / lead share ONE Exchange + Sort on (custkey,
+      // price desc, orderkey) — Spark fuses same-window functions into a
+      // single Window operator. The unique orderkey tail totalizes the
+      // order, so every output (incl. ntile edges) is engine-reproducible;
+      // percent_rank/cume_dist are exact small-integer divisions.
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        orders(s, d).filter(pmod(col("o_custkey"), lit(100L)) === 7)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            row_number().over(w).cast("long").as("rn"),
+            percent_rank().over(w).as("prnk"),
+            cume_dist().over(w).as("cdist"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(w).as("next_price"))
+          .orderBy(col("o_custkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk, ROW_NUMBER() OVER w AS rn, PERCENT_RANK() OVER w AS prnk, CUME_DIST() OVER w AS cdist, NTILE(4) OVER w AS quartile, LAG(o_totalprice, 1) OVER w AS prev_price, LEAD(o_totalprice, 1) OVER w AS next_price FROM orders WHERE o_custkey % 100 = 7 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) ORDER BY o_custkey, rn""")),
+
+    QueryDef("q107_cube_corpus",
+      // full CUBE (source × lang, both marginals, grand total) in ONE
+      // Expand-fed aggregation pass — the q82 rollup's 2^k sibling;
+      // grouping() flags distinguish a real NULL dim from a rolled-up one
+      (s, d) => documents(s, d)
+        .cube(col("source"), col("lang"))
+        .agg(grouping(col("source")).cast("long").as("gs"),
+          grouping(col("lang")).cast("long").as("gl"),
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("gs"), col("gl"),
+          col("source").asc_nulls_first, col("lang").asc_nulls_first),
+      Some("""SELECT source, lang, CAST(GROUPING(source) AS BIGINT) AS gs, CAST(GROUPING(lang) AS BIGINT) AS gl, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY CUBE (source, lang) ORDER BY gs, gl, source NULLS FIRST, lang NULLS FIRST"""))
   )
 }
