@@ -109,6 +109,25 @@ object StreamingAgg {
         col("window.end").as("window_end"),
         col("hash_idx"), col("bucket"), col("cnt"))
 
+  /** Per-window equi-width histogram — the streaming PRODUCER for
+    * [[graft.exec.HistQuantile]] (q100): emits `(window, bin, cnt)` whose
+    * exact integer counts ADD across windows, so closed windows roll up to
+    * any grain and `HistQuantile.quantiles` reads percentiles off the
+    * merged sketch with zero reprocessing. State per open window ≤ nBins
+    * cells. Completes the mergeable trio: moments ([[windowedMoments]]),
+    * frequencies ([[windowedCountMin]]), quantiles (this). */
+  def windowedHistogram(events: DataFrame, windowDur: String,
+      value: org.apache.spark.sql.Column, lo: Double, width: Double,
+      nBins: Int, watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        graft.exec.HistQuantile.binOf(value, lo, width, nBins).as("bin"))
+      .groupBy(window(col("ts"), windowDur), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("bin"), col("cnt"))
+
   /** Streaming exact dedup on `keyCols` within the watermark horizon —
     * the ingest-side twin of batch `Dedup.dropExactDups`: state holds one
     * entry per key only until the watermark passes, so memory is bounded by

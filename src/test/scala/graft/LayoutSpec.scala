@@ -71,6 +71,27 @@ class LayoutSpec extends SparkSpec {
     assert(filesTouched("y") <= 8L)
   }
 
+  test("manifest pruning opens only intersecting files, same rows as full scan") {
+    import graft.sources.Manifest
+    val dir = "/tmp/graft_test_manifest"
+    // clustered layout -> disjoint file ranges -> pruning can bite
+    Layout.clusteredWrite(spark.range(10000).toDF("id")
+      .withColumn("v", col("id").cast("double")), dir, "v", files = 10)
+    val manifest = Manifest.build(spark, dir, "v")
+    assert(manifest.count() == 10)
+    val pruned = Manifest.prunedRead(spark, dir, manifest, "v", 2500.0, 3499.0)
+    val full = spark.read.parquet(dir)
+      .filter(col("v").between(2500.0, 3499.0))
+    assert(pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      full.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    // ~1000 of 10000 rows -> at most 3 of 10 range-partitioned files
+    val opened = pruned.select(input_file_name()).distinct().count()
+    assert(opened <= 3, s"opened $opened files")
+    // empty band -> empty result, correct schema, no files opened
+    val none = Manifest.prunedRead(spark, dir, manifest, "v", 1e9, 2e9)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "v"))
+  }
+
   test("compactionPlan packs first-fit-decreasing, deterministically") {
     val files = Seq("a" -> 70L, "b" -> 50L, "c" -> 40L, "d" -> 30L,
       "e" -> 10L, "f" -> 250L)

@@ -75,4 +75,45 @@ class PropertySpec extends SparkSpec {
     assert(math.abs(meanEst - want) / want < 0.15,
       s"mean of 20 seeded estimates $meanEst vs $want")
   }
+
+  test("CountMin never underestimates, any key distribution (property)") {
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      // skewed: ~half the rows land on one hot key
+      val keys = List.fill(100 + rng.nextInt(300))(
+        if (rng.nextBoolean()) 7L else rng.nextInt(1000).toLong)
+      val df = keys.toDF("k")
+      val est = graft.functions.CountMin.estimate(
+          graft.functions.CountMin.build(df, col("k"), width = 32),
+          df, col("k"), width = 32)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val truth = keys.groupBy(identity).view.mapValues(_.size.toLong)
+      truth.foreach { case (k, n) =>
+        assert(est(k) >= n, s"CMS under-counts key $k: ${est(k)} < $n")
+      }
+    }
+  }
+
+  test("histogram quantile brackets every p for any data and bin width (property)") {
+    import spark.implicits._
+    (1 to 3).foreach { _ =>
+      val vs = randomValues()
+      val df = vs.toDF("x")
+      val (lo, width, nBins) = (-1000.0, 125.0, 16)
+      val hist = graft.exec.HistQuantile.histogram(df, col("x"), lo, width, nBins)
+      val ps = Seq(0.1, 0.5, 0.9, 1.0)
+      val est = graft.exec.HistQuantile.quantiles(hist, lo, width, ps)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      val sorted = vs.sorted
+      ps.foreach { p =>
+        // the true p-quantile's bin and the estimate's bin are one apart
+        // at most (estimate is exact within-bin interpolation)
+        val exact = sorted(math.ceil(p * vs.size).toInt - 1)
+        assert(math.abs(est(p) - exact) <= 2 * width,
+          s"p=$p est=${est(p)} exact=$exact")
+      }
+      // p=1.0 lands at the top of the last non-empty bin, never beyond
+      assert(est(1.0) <= lo + width * nBins)
+    }
+  }
 }

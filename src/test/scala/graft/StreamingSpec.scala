@@ -129,6 +129,39 @@ class StreamingSpec extends SparkSpec {
       batchCms.orderBy("hash_idx", "bucket").collect().toSeq)
   }
 
+  test("streaming histogram windows merge to the batch histogram; quantiles read off") {
+    val batchEvents = Tables.events(spark, sf0001)
+    val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
+    val dir = java.nio.file.Files.createTempDirectory("events_stream_hist")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(sf0001, "events")),
+      dir.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val perWindow = StreamingAgg.runToMemory(spark,
+      StreamingAgg.windowedHistogram(streamed, "1 hour", col("value"),
+        lo = 0.0, width = 10.0, nBins = 64), "hist_stream")
+    val closed = perWindow.select(col("window_start"), col("bin"), col("cnt"))
+    val merged = closed.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val coveredHours = closed.select(col("window_start")).distinct()
+    val batchScope = batchEvents
+      .withColumn("window_start", date_trunc("hour", col("ts")))
+      .join(coveredHours, Seq("window_start"), "left_semi")
+    val batchHist = graft.exec.HistQuantile.histogram(batchScope,
+      col("value"), 0.0, 10.0, 64)
+    assert(merged.orderBy("bin").collect().toSeq ==
+      batchHist.orderBy("bin").collect().toSeq)
+    // quantiles read directly off the merged streaming sketch
+    val q = graft.exec.HistQuantile.quantiles(merged, 0.0, 10.0, Seq(0.5))
+      .collect().head.getDouble(1)
+    val exact = batchScope.agg(percentile(col("value"), lit(0.5)))
+      .collect().head.getDouble(0)
+    assert(math.abs(q - exact) <= 10.0, s"hist p50 $q vs exact $exact")
+  }
+
   test("stream-stream interval join matches the batch band join") {
     val batchEvents = Tables.events(spark, sf0001)
     val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
