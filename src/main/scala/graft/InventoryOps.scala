@@ -240,6 +240,53 @@ object InventoryOps {
           count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy(col("gs"), col("gl"),
           col("source").asc_nulls_first, col("lang").asc_nulls_first),
-      Some("""SELECT source, lang, CAST(GROUPING(source) AS BIGINT) AS gs, CAST(GROUPING(lang) AS BIGINT) AS gl, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY CUBE (source, lang) ORDER BY gs, gl, source NULLS FIRST, lang NULLS FIRST"""))
+      Some("""SELECT source, lang, CAST(GROUPING(source) AS BIGINT) AS gs, CAST(GROUPING(lang) AS BIGINT) AS gl, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM documents GROUP BY CUBE (source, lang) ORDER BY gs, gl, source NULLS FIRST, lang NULLS FIRST""")),
+
+    QueryDef("q108_time_weighted_avg",
+      // time-weighted average over an IRREGULAR series: each observation
+      // holds until the next one, so its weight is the gap to its
+      // successor (the last observation spans nothing and drops out).
+      // One keyed window (lead) + one aggregation; value quantized to
+      // exact cents and weighted in scale-0 decimals — no cross-row double
+      // sum anywhere, so the doubles emerge bit-identical cross-engine.
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+        val ev = events(s, d)
+          .filter(pmod(col("user_id"), lit(10L)) === 4)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            (col("value").cast("decimal(18,2)") * 100)
+              .cast("decimal(18,0)").as("cents"))
+        ev.withColumn("dt_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+          .filter(col("dt_us").isNotNull)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_segments"),
+            sum(col("dt_us")).as("span_us"),
+            (sum(col("cents") * col("dt_us").cast("decimal(18,0)"))
+              .cast("double") / sum(col("dt_us")).cast("double") / 100.0)
+              .as("twa"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS cents FROM events WHERE user_id % 10 = 4), f AS (SELECT user_id, cents, LEAD(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us AS dt_us FROM e) SELECT user_id, COUNT(*) AS n_segments, CAST(SUM(dt_us) AS BIGINT) AS span_us, CAST(SUM(cents * CAST(dt_us AS DECIMAL(18,0))) AS DOUBLE) / CAST(SUM(dt_us) AS DOUBLE) / 100.0 AS twa FROM f WHERE dt_us IS NOT NULL GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q109_join_size_estimate",
+      // pre-join shuffle sizing: the AMS inner-product estimate of
+      // |lineitem ⋈ urgent-orders| from two Count-Min sketches, next to
+      // the true size — the planner consults the ≤4×256-row sketches, not
+      // the fact table. Estimate ≥ truth always (collisions inflate;
+      // OpsSpec pins the bound); the oracle rebuilds both sketches in SQL,
+      // so even the ESTIMATE hash-matches cross-engine.
+      (s, d) => {
+        val a = lineitem(s, d).select(col("l_orderkey").as("k"))
+        val b = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey").as("k"))
+        val est = CountMin.joinSizeEstimate(
+          CountMin.build(a, col("k"), width = 256),
+          CountMin.build(b, col("k"), width = 256))
+        val truth = a.join(b, Seq("k")).agg(count(lit(1)).as("join_size_true"))
+        est.crossJoin(truth)
+      },
+      Some("""WITH params AS (SELECT * FROM (VALUES (0, 1103515245, 12345), (1, 69069, 362437), (2, 214013, 2531011), (3, 134775813, 19)) AS t(i, a, b)), ca AS (SELECT i, ((l_orderkey % 2147483647) * a + b) % 2147483647 % 256 AS bucket, COUNT(*) AS cnt FROM lineitem CROSS JOIN params GROUP BY 1, 2), cb AS (SELECT i, ((o_orderkey % 2147483647) * a + b) % 2147483647 % 256 AS bucket, COUNT(*) AS cnt FROM orders CROSS JOIN params WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2), ip AS (SELECT ca.i, SUM(ca.cnt * cb.cnt) AS p FROM ca JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket GROUP BY 1), est AS (SELECT CAST(MIN(p) AS BIGINT) AS join_size_est FROM ip), tr AS (SELECT COUNT(*) AS join_size_true FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT') SELECT join_size_est, join_size_true FROM est CROSS JOIN tr"""))
   )
 }

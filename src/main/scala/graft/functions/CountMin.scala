@@ -55,6 +55,21 @@ object CountMin {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from two sketches over the join key
+    * (AMS-style inner product, Alon–Matias–Szegedy 1996): per hash row,
+    * Σ_buckets cntA·cntB ≥ the true join size (collisions only inflate);
+    * the min over rows is the estimate. This is the sketch a planner
+    * consults to size a shuffle BEFORE running the join — both sketches
+    * are ≤ depth×width rows, so the estimate itself costs nothing.
+    * Products accumulate in decimal(38,0): no overflow at any scale. */
+  def joinSizeEstimate(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.join(sketchB.withColumnRenamed("cnt", "cnt_b"),
+        Seq("hash_idx", "bucket"))
+      .groupBy(col("hash_idx"))
+      .agg(sum(col("cnt").cast("decimal(18,0)") *
+        col("cnt_b").cast("decimal(18,0)")).as("ip"))
+      .agg(min(col("ip")).cast("long").as("join_size_est"))
+
   /** Estimated frequency of each distinct probe key: min over hash rows of
     * its bucket count (0 when a bucket is empty — key definitely absent). */
   def estimate(sketch: DataFrame, probes: DataFrame, key: Column,

@@ -49,6 +49,23 @@ class OpsSpec extends SparkSpec {
     assert(merged.toSeq == direct.toSeq)
   }
 
+  test("joinSizeEstimate upper-bounds the true join size; exact when collision-free") {
+    val a = li.select(col("l_orderkey").as("k"))
+    val b = Tables.orders(spark, sf0001).select(col("o_orderkey").as("k"))
+    val truth = a.join(b, Seq("k")).count()
+    val est = CountMin.joinSizeEstimate(
+        CountMin.build(a, col("k"), width = 128),
+        CountMin.build(b, col("k"), width = 128))
+      .collect().head.getLong(0)
+    assert(est >= truth, s"AMS estimate $est under true $truth")
+    // a huge width separates every key at sf0.001 -> estimate is exact
+    val estWide = CountMin.joinSizeEstimate(
+        CountMin.build(a, col("k"), width = 1 << 20),
+        CountMin.build(b, col("k"), width = 1 << 20))
+      .collect().head.getLong(0)
+    assert(estWide == truth, s"collision-free estimate $estWide != $truth")
+  }
+
   // --- HistQuantile ------------------------------------------------------
 
   test("histogram halves merge to the direct histogram; quantiles agree") {
