@@ -55,9 +55,12 @@ object Packing {
     * form a total order (make the last one a unique id), but the plan is
     * an aggregation, not a window: partial aggregation collapses each map
     * task to one candidate row per key BEFORE the exchange, so the shuffle
-    * moves |keys| structs instead of every row, and nothing is sorted.
-    * At 100 TB this is the difference between shuffling the corpus and
-    * shuffling the key space. Order columns must be non-null (null field
+    * moves |keys| structs instead of every row. (Struct buffers are not
+    * hash-aggregable, so Spark plans a SortAggregate — a LOCAL per-task
+    * sort on the group key only, vs the window's post-shuffle sort of the
+    * whole data by key AND order columns.) At 100 TB this is the
+    * difference between shuffling the corpus and shuffling the key space.
+    * Order columns must be non-null (null field
     * ordering inside struct comparison would make the winner engine-
     * specific); only `orderCols ++ payloadCols` survive into the output. */
   def argmaxPerKey(df: DataFrame, keyCols: Seq[String],
