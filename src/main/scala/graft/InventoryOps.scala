@@ -287,6 +287,41 @@ object InventoryOps {
         val truth = a.join(b, Seq("k")).agg(count(lit(1)).as("join_size_true"))
         est.crossJoin(truth)
       },
-      Some("""WITH params AS (SELECT * FROM (VALUES (0, 1103515245, 12345), (1, 69069, 362437), (2, 214013, 2531011), (3, 134775813, 19)) AS t(i, a, b)), ca AS (SELECT i, ((l_orderkey % 2147483647) * a + b) % 2147483647 % 256 AS bucket, COUNT(*) AS cnt FROM lineitem CROSS JOIN params GROUP BY 1, 2), cb AS (SELECT i, ((o_orderkey % 2147483647) * a + b) % 2147483647 % 256 AS bucket, COUNT(*) AS cnt FROM orders CROSS JOIN params WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2), ip AS (SELECT ca.i, SUM(ca.cnt * cb.cnt) AS p FROM ca JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket GROUP BY 1), est AS (SELECT CAST(MIN(p) AS BIGINT) AS join_size_est FROM ip), tr AS (SELECT COUNT(*) AS join_size_true FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT') SELECT join_size_est, join_size_true FROM est CROSS JOIN tr"""))
+      Some("""WITH params AS (SELECT * FROM (VALUES (0, 1103515245, 12345), (1, 69069, 362437), (2, 214013, 2531011), (3, 134775813, 19)) AS t(i, a, b)), ca AS (SELECT i, ((l_orderkey % 2147483647) * a + b) % 2147483647 % 256 AS bucket, COUNT(*) AS cnt FROM lineitem CROSS JOIN params GROUP BY 1, 2), cb AS (SELECT i, ((o_orderkey % 2147483647) * a + b) % 2147483647 % 256 AS bucket, COUNT(*) AS cnt FROM orders CROSS JOIN params WHERE o_orderpriority = '1-URGENT' GROUP BY 1, 2), ip AS (SELECT ca.i, SUM(ca.cnt * cb.cnt) AS p FROM ca JOIN cb ON ca.i = cb.i AND ca.bucket = cb.bucket GROUP BY 1), est AS (SELECT CAST(MIN(p) AS BIGINT) AS join_size_est FROM ip), tr AS (SELECT COUNT(*) AS join_size_true FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE o_orderpriority = '1-URGENT') SELECT join_size_est, join_size_true FROM est CROSS JOIN tr""")),
+
+    QueryDef("q110_group_trend",
+      // per-group OLS trend (is each event type's value drifting over
+      // time?): five exact decimal moments in ONE pass, closed-form
+      // slope/intercept in a fixed IEEE expression over them — the
+      // momentStats discipline, so doubles match cross-engine
+      // (Profiling.groupTrend scaladoc). x = epoch day, y = exact cents.
+      (s, d) => {
+        val ev = events(s, d).select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("x"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("decimal(18,0)").as("y"))
+        Profiling.groupTrend(ev, Seq("event_type"), col("x"), col("y"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS x, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(18,0)) AS y FROM events), m AS (SELECT event_type, COUNT(*) AS n, SUM(CAST(x AS DECIMAL(18,0))) AS sx, SUM(y) AS sy, SUM(CAST(x AS DECIMAL(18,0)) * y) AS sxy, SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx FROM e GROUP BY 1) SELECT event_type, n, CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) ELSE NULL END AS slope, CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) ELSE NULL END AS intercept FROM m ORDER BY 1""")),
+
+    QueryDef("q111_snapshot_drift",
+      // distribution-drift gate between the q101 snapshot pair: total
+      // variation distance of the o_totalprice histograms, computed
+      // ENTIRELY in integers (Σ|cnt_n·N_old − cnt_o·N_new|, one final
+      // division) — TV instead of PSI/KL precisely because ln() bits are
+      // not engine-portable (Profiling.histDrift scaladoc)
+      (s, d) => {
+        val ord = orders(s, d)
+        val oldSnap = ord.filter(pmod(col("o_orderkey"), lit(97L)) =!= 3)
+        val newSnap = ord.filter(pmod(col("o_orderkey"), lit(89L)) =!= 7)
+          .withColumn("o_totalprice",
+            when(pmod(col("o_orderkey"), lit(11L)) === 0,
+              col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")))
+        Profiling.histDrift(oldSnap, newSnap, col("o_totalprice"),
+          lo = 0.0, width = 8192.0, nBins = 64)
+      },
+      Some("""WITH o AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 97 <> 3), nw AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS v FROM orders WHERE o_orderkey % 89 <> 7), ho AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 8192.0) AS BIGINT), 0), 63) AS bin, COUNT(*) AS cnt_o FROM o GROUP BY 1), hn AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 8192.0) AS BIGINT), 0), 63) AS bin, COUNT(*) AS cnt_n FROM nw GROUP BY 1), no AS (SELECT CAST(SUM(cnt_o) AS BIGINT) AS n_old FROM ho), nn AS (SELECT CAST(SUM(cnt_n) AS BIGINT) AS n_new FROM hn), j AS (SELECT COALESCE(cnt_o, 0) AS cnt_o, COALESCE(cnt_n, 0) AS cnt_n FROM ho FULL OUTER JOIN hn USING (bin)), ag AS (SELECT CAST(SUM(ABS(CAST(cnt_n AS DECIMAL(18,0)) * CAST((SELECT n_old FROM no) AS DECIMAL(18,0)) - CAST(cnt_o AS DECIMAL(18,0)) * CAST((SELECT n_new FROM nn) AS DECIMAL(18,0)))) AS DECIMAL(38,0)) AS num FROM j) SELECT (SELECT n_old FROM no) AS n_old, (SELECT n_new FROM nn) AS n_new, CAST(num AS DOUBLE) / (2.0 * CAST((SELECT n_old FROM no) AS DOUBLE) * CAST((SELECT n_new FROM nn) AS DOUBLE)) AS tv_distance FROM ag"""))
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the per-column statistics pass (null counts, exact
@@ -45,6 +45,70 @@ object Profiling {
     * via [[Skew.saltedJoin]]/[[Skew.topNPerKey]] (pathological). Two
     * aggregations: per-key counts (map-side combined), then a constant-size
     * reduce over one row per key. */
+  /** Per-group least-squares trend (slope + intercept of y on x) from the
+    * five OLS moments — ONE aggregation pass, exact scale-0 decimal sums
+    * (x and y must be integer-valued: days, cents, counts), closed form
+    * evaluated in a fixed IEEE expression over the exact moments (the
+    * [[graft.exec.Estimators.momentStats]] discipline) so results are
+    * engine-reproducible. The drift detector for "is this source's
+    * quality/length/rate trending?" — moments also merge by addition if a
+    * rollup needs coarser groups later. Degenerate groups (all x equal)
+    * get null slope/intercept rather than a divide-by-zero. */
+  def groupTrend(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column): DataFrame = {
+    val xd = x.cast("decimal(18,0)")
+    val yd = y.cast("decimal(18,0)")
+    val m = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(xd).cast("decimal(38,0)").as("sx"),
+        sum(yd).cast("decimal(38,0)").as("sy"),
+        sum(xd * yd).cast("decimal(38,0)").as("sxy"),
+        sum(xd * xd).cast("decimal(38,0)").as("sxx"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val sxyd = col("sxy").cast("double")
+    val sxxd = col("sxx").cast("double")
+    val den = nd * sxxd - sxd * sxd
+    val slope = when(den =!= 0.0, (nd * sxyd - sxd * syd) / den)
+    m.select(groupCols.map(col) ++ Seq(col("n"),
+      slope.as("slope"),
+      when(den =!= 0.0, (syd - ((nd * sxyd - sxd * syd) / den) * sxd) / nd)
+        .as("intercept")): _*)
+  }
+
+  /** Distribution drift between two snapshots of a column, as the total
+    * variation distance between their equi-width histograms:
+    * TV = Σ_bins |p_new − p_old| / 2 ∈ [0, 1]. Computed ENTIRELY in
+    * integers — Σ |cnt_n·N_old − cnt_o·N_new| as exact decimals, ONE
+    * final division — so the score is bit-reproducible anywhere (no
+    * transcendentals: TV instead of the traditional PSI/KL precisely
+    * because ln() bits differ across engines). Each side is one bounded
+    * histogram aggregation ([[graft.exec.HistQuantile]]); the bin join is
+    * ≤ nBins rows. The monitoring gate between yesterday's corpus and
+    * today's. */
+  def histDrift(oldDf: DataFrame, newDf: DataFrame, x: Column, lo: Double,
+      width: Double, nBins: Int): DataFrame = {
+    val ho = graft.exec.HistQuantile.histogram(oldDf, x, lo, width, nBins)
+      .withColumnRenamed("cnt", "cnt_o")
+    val hn = graft.exec.HistQuantile.histogram(newDf, x, lo, width, nBins)
+      .withColumnRenamed("cnt", "cnt_n")
+    val no = ho.agg(sum(col("cnt_o")).as("n_old"))
+    val nn = hn.agg(sum(col("cnt_n")).as("n_new"))
+    val joined = ho.join(hn, Seq("bin"), "full_outer")
+      .select(coalesce(col("cnt_o"), lit(0L)).as("cnt_o"),
+        coalesce(col("cnt_n"), lit(0L)).as("cnt_n"))
+      .crossJoin(no).crossJoin(nn)
+    joined.agg(max(col("n_old")).as("n_old"), max(col("n_new")).as("n_new"),
+        sum(abs(col("cnt_n").cast("decimal(18,0)") * col("n_old").cast("decimal(18,0)") -
+          col("cnt_o").cast("decimal(18,0)") * col("n_new").cast("decimal(18,0)")))
+          .cast("decimal(38,0)").as("num"))
+      .select(col("n_old"), col("n_new"),
+        (col("num").cast("double") /
+          (lit(2.0) * col("n_old").cast("double") * col("n_new").cast("double")))
+          .as("tv_distance"))
+  }
+
   def keySkew(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("cnt"))
     counts.agg(

@@ -175,6 +175,34 @@ class OpsSpec extends SparkSpec {
     assert(out == (("foreign_key(fk)", 1L, 4L)))
   }
 
+  test("groupTrend recovers an exact planted line; degenerate x gives null slope") {
+    import graft.operators.Profiling
+    // y = 3x + 10 exactly, plus a one-x group (degenerate)
+    val rows = (0L until 20L).map(x => ("lin", x, 3 * x + 10)) ++
+      Seq(("flat", 5L, 1L), ("flat", 5L, 9L))
+    val df = rows.toDF("g", "x", "y")
+    val out = Profiling.groupTrend(df, Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("lin") == ((Some(3.0), Some(10.0))))
+    assert(out("flat") == ((None, None)))
+  }
+
+  test("histDrift is 0 for identical snapshots, 1 for disjoint, monotone in between") {
+    import graft.operators.Profiling
+    val a = (0 until 1000).map(_.toDouble).toDF("v")
+    val b = (0 until 1000).map(i => 5000.0 + i).toDF("v")
+    def tv(x: DataFrame, y: DataFrame): Double =
+      Profiling.histDrift(x, y, col("v"), lo = 0.0, width = 100.0, nBins = 64)
+        .collect().head.getDouble(2)
+    assert(tv(a, a) == 0.0)
+    assert(tv(a, b) == 1.0)
+    val mixed = a.unionAll(b) // half mass where a is, half where b is
+    val mid = tv(a, mixed)
+    assert(mid > 0.0 && mid < 1.0)
+  }
+
   // --- argmaxPerKey ------------------------------------------------------
 
   test("argmaxPerKey matches the window-based latestPerKey winner") {
