@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.exec.{Estimators, HistQuantile}
 import graft.functions.CountMin
-import graft.operators.{Cdc, Packing, Profiling, Skew, Validation}
+import graft.operators.{Cdc, Mixing, Packing, Profiling, Skew, Validation}
 import graft.operators.Validation.Check
 
 /** Pipeline-maintenance operators (round-2, third widening): the
@@ -322,6 +322,20 @@ object InventoryOps {
         Profiling.histDrift(oldSnap, newSnap, col("o_totalprice"),
           lo = 0.0, width = 8192.0, nBins = 64)
       },
-      Some("""WITH o AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 97 <> 3), nw AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS v FROM orders WHERE o_orderkey % 89 <> 7), ho AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 8192.0) AS BIGINT), 0), 63) AS bin, COUNT(*) AS cnt_o FROM o GROUP BY 1), hn AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 8192.0) AS BIGINT), 0), 63) AS bin, COUNT(*) AS cnt_n FROM nw GROUP BY 1), no AS (SELECT CAST(SUM(cnt_o) AS BIGINT) AS n_old FROM ho), nn AS (SELECT CAST(SUM(cnt_n) AS BIGINT) AS n_new FROM hn), j AS (SELECT COALESCE(cnt_o, 0) AS cnt_o, COALESCE(cnt_n, 0) AS cnt_n FROM ho FULL OUTER JOIN hn USING (bin)), ag AS (SELECT CAST(SUM(ABS(CAST(cnt_n AS DECIMAL(18,0)) * CAST((SELECT n_old FROM no) AS DECIMAL(18,0)) - CAST(cnt_o AS DECIMAL(18,0)) * CAST((SELECT n_new FROM nn) AS DECIMAL(18,0)))) AS DECIMAL(38,0)) AS num FROM j) SELECT (SELECT n_old FROM no) AS n_old, (SELECT n_new FROM nn) AS n_new, CAST(num AS DOUBLE) / (2.0 * CAST((SELECT n_old FROM no) AS DOUBLE) * CAST((SELECT n_new FROM nn) AS DOUBLE)) AS tv_distance FROM ag"""))
+      Some("""WITH o AS (SELECT o_totalprice AS v FROM orders WHERE o_orderkey % 97 <> 3), nw AS (SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS v FROM orders WHERE o_orderkey % 89 <> 7), ho AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 8192.0) AS BIGINT), 0), 63) AS bin, COUNT(*) AS cnt_o FROM o GROUP BY 1), hn AS (SELECT LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 8192.0) AS BIGINT), 0), 63) AS bin, COUNT(*) AS cnt_n FROM nw GROUP BY 1), no AS (SELECT CAST(SUM(cnt_o) AS BIGINT) AS n_old FROM ho), nn AS (SELECT CAST(SUM(cnt_n) AS BIGINT) AS n_new FROM hn), j AS (SELECT COALESCE(cnt_o, 0) AS cnt_o, COALESCE(cnt_n, 0) AS cnt_n FROM ho FULL OUTER JOIN hn USING (bin)), ag AS (SELECT CAST(SUM(ABS(CAST(cnt_n AS DECIMAL(18,0)) * CAST((SELECT n_old FROM no) AS DECIMAL(18,0)) - CAST(cnt_o AS DECIMAL(18,0)) * CAST((SELECT n_new FROM nn) AS DECIMAL(18,0)))) AS DECIMAL(38,0)) AS num FROM j) SELECT (SELECT n_old FROM no) AS n_old, (SELECT n_new FROM nn) AS n_new, CAST(num AS DOUBLE) / (2.0 * CAST((SELECT n_old FROM no) AS DOUBLE) * CAST((SELECT n_new FROM nn) AS DOUBLE)) AS tv_distance FROM ag""")),
+
+    QueryDef("q112_dense_ids",
+      // distributed zipWithIndex: contiguous 0-based ids in doc_id order
+      // WITHOUT the single-task global row_number window — range-partition,
+      // per-partition counts → driver prefix sums (P numbers), rank within
+      // partitions + broadcast offsets (Mixing.denseIds scaladoc). The
+      // oracle is the very global ROW_NUMBER the implementation refuses to
+      // run at scale — a hash match proves the two are row-identical.
+      (s, d) => Mixing.denseIds(
+          documents(s, d).select(col("doc_id"), col("source")),
+          col("doc_id"), partitions = 8)
+        .select(col("rid"), col("doc_id"), col("source"))
+        .orderBy(col("rid")),
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, doc_id, source FROM documents ORDER BY rid"""))
   )
 }

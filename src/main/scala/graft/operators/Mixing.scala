@@ -165,4 +165,48 @@ object Mixing {
     }
     s"CASE$cases END"
   }
+
+  /** Contiguous 0-based global row ids in `idCol` order — the distributed
+    * zipWithIndex. A global `row_number()` window funnels the whole table
+    * through ONE task; this instead (1) slices the key's [min, max] into
+    * `partitions` fixed integer-width ranges (one min/max pre-pass — NOT
+    * `repartitionByRange`, whose sampled boundaries are seeded by RDD id
+    * and can differ between the two jobs below, silently duplicating
+    * ids), (2) counts rows per slice and prefix-sums the counts into
+    * offsets on the driver (≤ P numbers), (3) ranks WITHIN each slice
+    * and adds its offset via a broadcast join. Parallelism = occupied
+    * slices; no task ever sorts more than its slice. `idCol` must be a
+    * unique integer key (the usual case: a surrogate/document id); a
+    * skewed key just means uneven slices — raise `partitions`.
+    * The training-shard id / example-numbering primitive. */
+  def denseIds(df: DataFrame, idCol: Column, partitions: Int,
+      idName: String = "rid"): DataFrame = {
+    require(partitions >= 1)
+    val mm = df.agg(min(idCol.cast("long")).as("mn"),
+      max(idCol.cast("long")).as("mx")).collect().head
+    if (mm.isNullAt(0)) return df.withColumn(idName, lit(0L)).limit(0)
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val width = ((mx - mn) / partitions.toLong) + 1L // ≥ 1, covers mx
+    // `div` (exact integer division) — `/` on longs is DOUBLE division,
+    // which loses exactness past 2^53
+    val parted = df
+      .withColumn("__k", idCol.cast("long") - lit(mn))
+      .withColumn("__pid", expr(s"__k div ${width}L"))
+      .drop("__k")
+    val counts = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (p, n) =>
+      val o = (p, acc); acc += n; o
+    }
+    val offsetDf = df.sparkSession
+      .createDataFrame(offsets.toIndexedSeq)
+      .toDF("__pid", "__offset")
+    val w = Window.partitionBy(col("__pid")).orderBy(idCol)
+    parted.join(broadcast(offsetDf), Seq("__pid"))
+      .withColumn(idName,
+        col("__offset") + row_number().over(w).cast("long") - lit(1L))
+      .drop("__pid", "__offset")
+  }
 }

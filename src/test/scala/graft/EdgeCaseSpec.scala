@@ -2,8 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.exec.Estimators
-import graft.operators.{Dedup, Mixing, Skew}
+import graft.exec.{Estimators, HistQuantile}
+import graft.functions.CountMin
+import graft.operators.{Cdc, Dedup, Mixing, Profiling, Skew, Validation}
 
 /** Degenerate-input behavior of the session's newer operators: empty
   * frames, single rows, and all-rows-one-group must flow through without
@@ -51,5 +52,33 @@ class EdgeCaseSpec extends SparkSpec {
       Estimators.momentSketch(df, col("doc_id"), Seq("source"))).head
     assert(m.getLong(1) === 1000L)
     assert(math.abs(m.getDouble(2) - 499.5) < 1e-9) // mean of 0..999
+  }
+
+  test("empty input: CMS, histogram, CDC, validation, trend all degrade sanely") {
+    val empty = Seq.empty[(Long, Long)].toDF("k", "v")
+    val some = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    // empty sketch: estimates against it are 0 (key definitely absent)
+    val est = CountMin.estimate(CountMin.build(empty, col("k"), 32),
+      some, col("k"), 32).collect()
+    assert(est.length == 2 && est.forall(_.getLong(1) == 0L))
+    // empty histogram: no bins; quantiles over it return no rows
+    val h = HistQuantile.histogram(empty, col("v"), 0.0, 10.0, 8)
+    assert(h.count() == 0)
+    assert(HistQuantile.quantiles(h, 0.0, 10.0, Seq(0.5)).count() == 0)
+    // CDC against an empty old side: everything is 'added' (and back)
+    val d1 = Cdc.snapshotDiff(empty, some, Seq("k"), Seq("v"))
+    assert(d1.count() == 2 &&
+      d1.filter(col("change_type") === "added").count() == 2)
+    val d2 = Cdc.snapshotDiff(some, empty, Seq("k"), Seq("v"))
+    assert(d2.filter(col("change_type") === "removed").count() == 2)
+    assert(Cdc.deltaRows(d1, Seq("k"), Seq("v")).count() == 2)
+    // validation on an empty frame: 0 violations of 0 rows, never a throw
+    val v = Validation.validate(empty,
+      Seq(Validation.Check.NotNull("v"), Validation.Check.Unique(Seq("k"))))
+      .collect()
+    assert(v.length == 2 && v.forall(r => r.getLong(1) == 0L && r.getLong(2) == 0L))
+    // trend of an empty frame: no groups, no rows
+    assert(Profiling.groupTrend(empty.withColumn("g", lit("a")),
+      Seq("g"), col("k"), col("v")).count() == 0)
   }
 }

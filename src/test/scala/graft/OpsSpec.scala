@@ -175,6 +175,23 @@ class OpsSpec extends SparkSpec {
     assert(out == (("foreign_key(fk)", 1L, 4L)))
   }
 
+  test("denseIds is the contiguous 0..n-1 enumeration in key order, gaps and all") {
+    import graft.operators.Mixing
+    // sparse, clustered, shuffled keys — ids must still be 0..n-1 in order
+    val keys = (Seq(5L, 1000000L, 7L, 999999L, 500L) ++
+      (100L until 150L)).reverse
+    val df = keys.toDF("k")
+    val out = Mixing.denseIds(df, col("k"), partitions = 4)
+      .orderBy("rid").as[(Long, Long)].collect()
+    val sortedKeys = keys.sorted
+    out.zipWithIndex.foreach { case ((k, rid), i) =>
+      assert(rid == i.toLong && k == sortedKeys(i), s"row $i: ($k, $rid)")
+    }
+    // empty input -> empty output, schema intact
+    val none = Mixing.denseIds(spark.range(0).toDF("k"), col("k"), 4)
+    assert(none.count() == 0 && none.columns.toSeq == Seq("k", "rid"))
+  }
+
   test("groupTrend recovers an exact planted line; degenerate x gives null slope") {
     import graft.operators.Profiling
     // y = 3x + 10 exactly, plus a one-x group (degenerate)
