@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.exec.{Estimators, HistQuantile}
 import graft.functions.CountMin
-import graft.operators.{Cdc, Mixing, Packing, Profiling, Skew, Validation}
+import graft.operators.{Cdc, Dedup, Mixing, Packing, Profiling, Skew, Validation}
 import graft.operators.Validation.Check
 
 /** Pipeline-maintenance operators (round-2, third widening): the
@@ -336,6 +336,23 @@ object InventoryOps {
           col("doc_id"), partitions = 8)
         .select(col("rid"), col("doc_id"), col("source"))
         .orderBy(col("rid")),
-      Some("""SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, doc_id, source FROM documents ORDER BY rid"""))
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rid, doc_id, source FROM documents ORDER BY rid""")),
+
+    QueryDef("q113_fuzzy_pairs",
+      // entity resolution: part names within edit distance 2, via trigram
+      // blocking (bucketed self-join on shared character 3-grams — never a
+      // cross product) + levenshtein verify on candidates only. The
+      // blocking condition is part of the operator definition, so DuckDB
+      // computes the identical pair set (Dedup.editDistancePairs scaladoc).
+      // (rolled up per distance — the raw pair list is quadratic in the
+      // fixture's tiny name vocabulary; the rollup still hashes every pair
+      // through count/min/max while keeping the gated result 3 rows)
+      (s, d) => Dedup.editDistancePairs(part(s, d), "p_partkey", "p_name",
+          maxDist = 2)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("id_a")).as("min_id_a"), max(col("id_b")).as("max_id_b"))
+        .orderBy(col("dist")),
+      Some("""WITH s AS (SELECT p_partkey AS id, p_name AS str FROM part), g AS (SELECT DISTINCT id, unnest([substring(str, i, 3) for i in range(1, greatest(length(str) - 2, 1) + 1)]) AS gr FROM s), c AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id), v AS (SELECT id_a, id_b, CAST(levenshtein(sa.str, sb.str) AS BIGINT) AS dist FROM c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b WHERE abs(length(sa.str) - length(sb.str)) <= 2) SELECT dist, COUNT(*) AS n_pairs, MIN(id_a) AS min_id_a, MAX(id_b) AS max_id_b FROM v WHERE dist <= 2 GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -347,6 +347,41 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Fuzzy-match (edit-distance) pair join — entity resolution over short
+    * strings (names, titles, skus): pairs sharing at least one character
+    * TRIGRAM, within `maxDist` length difference, verified by
+    * `levenshtein ≤ maxDist`. Trigram blocking is the candidate
+    * generator: a bucketed self-equi-join (shuffle on the gram), never a
+    * cross product; candidates ∝ Σ bucket², so at corpus scale cap or
+    * rarest-gram-filter the hot grams (q49's prefix-filter machinery) —
+    * the verify step is already scoped to candidates only. Recall note:
+    * k edits destroy ≤ 3k trigrams, so any lev≤k pair of length
+    * ≥ 3k+3 shares a surviving trigram — exact for short-string k=2 at
+    * len ≥ 9, and the shared-trigram condition is part of the operator's
+    * DEFINITION (the DuckDB oracle computes the identical candidate set,
+    * so the gate is bit-exact, not recall-approximate). */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist >= 0)
+    val s = df.select(col(idCol).as("id"), col(strCol).as("str"))
+    val grams = s.select(col("id"),
+        explode(expr(
+          "transform(sequence(1, greatest(length(str) - 2, 1)), i -> substring(str, i, 3))"))
+          .as("gr"))
+      .distinct()
+    val cand = grams.select(col("gr"), col("id").as("id_a"))
+      .join(grams.select(col("gr"), col("id").as("id_b")), Seq("gr"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sa = s.select(col("id").as("id_a"), col("str").as("str_a"))
+    val sb = s.select(col("id").as("id_b"), col("str").as("str_b"))
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("str_a"), col("str_b")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Oracle twin of [[nearDupPairs]]: exact all-pairs Jaccard — O(N²),
     * small-data correctness baseline only. */
   def allPairsJaccard(df: DataFrame, idCol: String, textCol: String,

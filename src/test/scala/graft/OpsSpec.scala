@@ -175,6 +175,21 @@ class OpsSpec extends SparkSpec {
     assert(out == (("foreign_key(fk)", 1L, 4L)))
   }
 
+  test("editDistancePairs finds planted typos, excludes far strings, dist-0 = exact dups") {
+    import graft.operators.Dedup
+    val names = Seq(
+      (1L, "small ring"), (2L, "small rings"),   // dist 1
+      (3L, "small ring"),                        // dist 0 vs 1
+      (4L, "blue bolt"), (5L, "blue belt"),      // dist 1
+      (6L, "completely different")).toDF("id", "name")
+    val pairs = Dedup.editDistancePairs(names, "id", "name", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 1L)))
+    assert(pairs.contains((1L, 3L, 0L)))
+    assert(pairs.contains((4L, 5L, 1L)))
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
   test("denseIds is the contiguous 0..n-1 enumeration in key order, gaps and all") {
     import graft.operators.Mixing
     // sparse, clustered, shuffled keys — ids must still be 0..n-1 in order
