@@ -59,6 +59,31 @@ object TextIngest {
     Ingested(good, bad, raw)
   }
 
+  /** CSV twin of [[jsonl]] — same totality contract (explicit schema,
+    * PERMISSIVE + corrupt-record quarantine, one persisted scan feeding
+    * both outputs). `header=false` by default: at corpus scale files are
+    * produced by machines, and a header option that guesses per-file is
+    * another silent-skew source; pass `header = true` only for
+    * hand-curated drops. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = false, delimiter: String = ","): Ingested = {
+    val corruptCol = "_graft_corrupt"
+    val raw = spark.read
+      .schema(schema.add(corruptCol, StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("header", header.toString)
+      .option("sep", delimiter)
+      .csv(path)
+      .withColumn("_graft_file", input_file_name())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val good = raw.filter(col(corruptCol).isNull)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val bad = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"), col("_graft_file").as("source_file"))
+    Ingested(good, bad, raw)
+  }
+
   /** Ingest-quality gate: fail (throw) when the corrupt fraction exceeds
     * `maxBadFraction` — the circuit breaker between "a few mangled lines"
     * (quarantine and continue) and "the schema is wrong / the files are

@@ -114,6 +114,25 @@ class CatalystSpec extends SparkSpec {
     val q67 = Inventory.byName("q67_decontaminate").run(spark, sf0001)
     assert(q67.queryExecution.executedPlan.toString.contains("word_ngrams"),
       "native word_ngrams kernel missing from the decontamination plan")
+    // q96: explicit-schema from_json keeps the scan pruned to the two
+    // referenced columns — no inference widened the read
+    val q96 = Inventory.byName("q96_json_extract").run(spark, sf0001)
+    val s96 = q96.queryExecution.executedPlan.toString
+    assert(s96.contains("event_type") && s96.contains("props") &&
+      !s96.contains("ReadSchema: struct<event_id"),
+      "q96 scan no longer pruned to event_type+props")
+    // q101: CDC is a single full-outer SortMergeJoin on the key — a
+    // broadcast or nested-loop here would break at snapshot scale
+    val q101 = Inventory.byName("q101_snapshot_diff").run(spark, sf0001)
+    val s101 = q101.queryExecution.executedPlan.toString
+    assert(s101.contains("SortMergeJoin") && s101.contains("FullOuter"),
+      "snapshot diff stopped planning as full-outer SortMergeJoin")
+    // q97 is pinned in OpsSpec (no Window); q112's slice ranks must ALSO
+    // never collapse to a global single-partition window
+    val q112 = Inventory.byName("q112_dense_ids").run(spark, sf0001)
+    assert(!q112.queryExecution.executedPlan.toString
+        .matches("(?s).*Window.*SinglePartition.*Window.*"),
+      "dense-id ranking degraded to a single-partition window")
   }
 
   test("fused hyperplane_sig matches the declarative per-plane signature") {

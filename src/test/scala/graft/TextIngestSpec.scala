@@ -38,6 +38,23 @@ class TextIngestSpec extends SparkSpec {
     assert(ing.bad.columns.toSeq === Seq("raw_line", "source_file"))
   }
 
+  test("csv ingest routes type clashes and ragged rows to quarantine, keeps the rest") {
+    val dir = java.nio.file.Files.createTempDirectory("csv_ingest")
+    java.nio.file.Files.write(dir.resolve("part-0.csv"), Seq(
+      "1,hello world",
+      "2,second doc",
+      "not-a-number,type clash",
+      "5,fine again").mkString("\n").getBytes("UTF-8"))
+    val ing = TextIngest.csv(spark, dir.toString, schema)
+    val good = ing.good.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(good === Set((1L, "hello world"), (2L, "second doc"),
+      (5L, "fine again")))
+    val bad = ing.bad.collect().map(_.getString(0))
+    assert(bad.length === 1 && bad.head.contains("not-a-number"))
+    assert(ing.good.columns.toSeq === Seq("doc_id", "text"))
+    ing.unpersist()
+  }
+
   test("requireQuality trips the breaker past the threshold, passes below") {
     val mostlyBad = TextIngest.jsonl(spark,
       writeLines(Seq("""{"doc_id": 1, "text": "ok"}""", "junk1", "junk2")),
