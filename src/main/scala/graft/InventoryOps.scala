@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.exec.{Estimators, HistQuantile}
 import graft.functions.CountMin
-import graft.operators.{Cdc, Dedup, Mixing, Packing, Profiling, Skew, Validation}
+import graft.operators.{Cdc, Dedup, Mixing, Packing, Profiling, Skew, TextAnalysis, Validation}
 import graft.operators.Validation.Check
 
 /** Pipeline-maintenance operators (round-2, third widening): the
@@ -353,6 +353,42 @@ object InventoryOps {
         .agg(count(lit(1)).as("n_pairs"),
           min(col("id_a")).as("min_id_a"), max(col("id_b")).as("max_id_b"))
         .orderBy(col("dist")),
-      Some("""WITH s AS (SELECT p_partkey AS id, p_name AS str FROM part), g AS (SELECT DISTINCT id, unnest([substring(str, i, 3) for i in range(1, greatest(length(str) - 2, 1) + 1)]) AS gr FROM s), c AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id), v AS (SELECT id_a, id_b, CAST(levenshtein(sa.str, sb.str) AS BIGINT) AS dist FROM c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b WHERE abs(length(sa.str) - length(sb.str)) <= 2) SELECT dist, COUNT(*) AS n_pairs, MIN(id_a) AS min_id_a, MAX(id_b) AS max_id_b FROM v WHERE dist <= 2 GROUP BY 1 ORDER BY 1"""))
+      Some("""WITH s AS (SELECT p_partkey AS id, p_name AS str FROM part), g AS (SELECT DISTINCT id, unnest([substring(str, i, 3) for i in range(1, greatest(length(str) - 2, 1) + 1)]) AS gr FROM s), c AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM g a JOIN g b ON a.gr = b.gr AND a.id < b.id), v AS (SELECT id_a, id_b, CAST(levenshtein(sa.str, sb.str) AS BIGINT) AS dist FROM c JOIN s sa ON sa.id = c.id_a JOIN s sb ON sb.id = c.id_b WHERE abs(length(sa.str) - length(sb.str)) <= 2) SELECT dist, COUNT(*) AS n_pairs, MIN(id_a) AS min_id_a, MAX(id_b) AS max_id_b FROM v WHERE dist <= 2 GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q114_bm25_search",
+      // ranked retrieval: BM25 top-20 for a fixed term bag, with the
+      // RATIONAL idf (the log's argument, not the log — the same
+      // ln()-portability rule as q68/q111; TextAnalysis.bm25Search scaladoc
+      // for the per-term conditional-sum float discipline). The isin()
+      // filter runs scan-stage, so only queried-term postings shuffle.
+      (s, d) => TextAnalysis.bm25Search(documents(s, d), "doc_id", "text",
+        queryTerms = Seq("join", "scan", "vector"), topK = 20),
+      Some("""WITH d AS (SELECT doc_id, [t for t in string_split_regex(lower(text), ' +') if length(t) > 0] AS toks FROM documents), b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM d), g AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM b), tok AS (SELECT doc_id, dl, unnest(toks) AS term FROM b), tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM tok WHERE term IN ('join', 'scan', 'vector') GROUP BY 1, 2, 3), dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1), sc AS (SELECT doc_id, dl, term, ((CAST((SELECT n FROM g) - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / (CAST((SELECT sumdl FROM g) AS DOUBLE) / CAST((SELECT n FROM g) AS DOUBLE)))))) AS s FROM tf JOIN dfq USING (term)), p AS (SELECT doc_id, dl, SUM(CASE WHEN term = 'join' THEN s ELSE 0.0 END) AS s0, SUM(CASE WHEN term = 'scan' THEN s ELSE 0.0 END) AS s1, SUM(CASE WHEN term = 'vector' THEN s ELSE 0.0 END) AS s2 FROM sc GROUP BY 1, 2) SELECT doc_id, dl, s0 + s1 + s2 AS score FROM p ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    QueryDef("q115_scd2_intervals",
+      // type-2 SCD build from the event log: collapse per-user runs of the
+      // same event_type, emit effective intervals in exact epoch MICROS
+      // (integer end to end — the q93/q94 float-epoch trap never opens;
+      // Cdc.scd2 scaladoc for the one-exchange window shape). The oracle
+      // is the same collapse written as LAG/LEAD CTEs.
+      (s, d) => Cdc.scd2(events(s, d), Seq("user_id"), col("event_type"),
+          expr("unix_micros(ts)"), col("event_id"))
+        .select(col("user_id"), col("version"),
+          col("attr").as("event_type"), col("valid_from_us"),
+          col("valid_to_us"), col("is_current"))
+        .orderBy(col("user_id"), col("version")),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events), o AS (SELECT user_id, event_type, ts_us, event_id, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev FROM e), c AS (SELECT user_id, event_type, ts_us, event_id FROM o WHERE prev IS DISTINCT FROM event_type), v AS (SELECT user_id, event_type, ts_us AS valid_from_us, LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS BIGINT) AS version FROM c) SELECT user_id, version, event_type, valid_from_us, valid_to_us, valid_to_us IS NULL AS is_current FROM v ORDER BY user_id, version""")),
+
+    QueryDef("q116_winsorized_stats",
+      // outlier-robust location per group: winsorized + trimmed means at
+      // the [p05, p95] clip. Interior sum rides the exact DECIMAL twin
+      // (order-independent); each tail contributes count×bound — ONE
+      // multiply, never a float sum over rows
+      // (Profiling.winsorizedStats scaladoc).
+      (s, d) => Profiling.winsorizedStats(lineitem(s, d),
+          Seq("l_returnflag"), col("l_extendedprice"),
+          col("l_extendedprice").cast("decimal(18,2)"), 0.05, 0.95)
+        .orderBy(col("l_returnflag")),
+      Some("""WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1), j AS (SELECT l.l_returnflag, l.l_extendedprice AS v, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vd, b.lo, b.hi FROM lineitem l JOIN b USING (l_returnflag)), a AS (SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, MIN(lo) AS lo2, MIN(hi) AS hi2, SUM(CASE WHEN v >= lo AND v <= hi THEN vd END) AS sum_in, COUNT(CASE WHEN v >= lo AND v <= hi THEN 1 END) AS n_in FROM j GROUP BY 1) SELECT l_returnflag, n, n_lo, n_hi, lo2 AS lo, hi2 AS hi, CAST(n_in AS BIGINT) AS n_in, (CAST(sum_in AS DOUBLE) + CAST(n_lo AS DOUBLE) * lo2 + CAST(n_hi AS DOUBLE) * hi2) / CAST(n AS DOUBLE) AS winsorized_mean, CAST(sum_in AS DOUBLE) / CAST(n_in AS DOUBLE) AS trimmed_mean FROM a ORDER BY l_returnflag"""))
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot differencing — change-data-capture between two versions of a
@@ -66,5 +67,39 @@ object Cdc {
       .filter(col("__r").isNotNull)
       .select(keyCols.map(col) ++ versionedCols.map(c => col(s"__r.$c")) :+
         col("__r.sign").as("sign"): _*)
+  }
+
+  /** Type-2 slowly-changing-dimension build from an append-only change
+    * log: per key, collapse consecutive rows whose tracked attribute did
+    * not change, then emit one row per surviving state with its effective
+    * interval — `valid_from_us` (inclusive), `valid_to_us` (exclusive; null
+    * while current), a 1-based `version`, and `is_current`. `tsUs` must be
+    * an exact integer timestamp (epoch micros — never float seconds, the
+    * q93/q94 rounding trap); `tie` breaks equal timestamps so the state
+    * sequence is a total order.
+    *
+    * Null-safe change detection (`IS DISTINCT FROM`): a null attribute is a
+    * state like any other, not a row-dropper.
+    *
+    * Scale shape: both windows share one hash partition on the key and one
+    * sort by (ts, tie) — a single exchange + sort pass, no self-join
+    * against the snapshot (the usual SCD2 MERGE formulation) and nothing
+    * driver-side. Output size is the number of state CHANGES, not the log
+    * length. */
+  def scd2(log: DataFrame, keyCols: Seq[String], attr: Column,
+      tsUs: Column, tie: Column): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val keyCs = keyCols.map(col)
+    val w = Window.partitionBy(keyCs: _*)
+      .orderBy(col("__ts_us").asc, col("__tie").asc)
+    log.select(keyCs ++ Seq(attr.as("attr"), tsUs.as("__ts_us"),
+        tie.as("__tie")): _*)
+      .withColumn("__prev", lag(col("attr"), 1).over(w))
+      .filter(!(col("__prev") <=> col("attr")))
+      .withColumn("valid_from_us", col("__ts_us"))
+      .withColumn("valid_to_us", lead(col("__ts_us"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .drop("__prev", "__ts_us", "__tie")
   }
 }

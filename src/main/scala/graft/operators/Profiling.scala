@@ -121,4 +121,52 @@ object Profiling {
         (sum(col("cnt")).cast("double") / count(lit(1)).cast("double")))
         .as("skew_ratio"))
   }
+
+  /** Per-group winsorized/robust statistics: clip `v` at its group's
+    * [`pLo`, `pHi`] percentiles and report `n`, tail counts, the bounds,
+    * the winsorized mean (tails replaced by the bounds) and the trimmed
+    * mean (tails dropped) — the outlier-robust location estimates a
+    * cleaning pass gates on before trusting a column.
+    *
+    * Cross-engine float discipline: the interior sum runs on `vDec`, the
+    * caller-supplied EXACT decimal twin of `v` (order-independent); the
+    * clipped tails contribute `count × bound` — one multiply each, never a
+    * float sum over rows. The only roundings are the final fixed-order
+    * add chain and divisions, identical expression text in any engine.
+    * (Decimal→double stays one-rounding as long as the per-group sum in
+    * minor units fits 2^53 — at scale keep `vDec` at scale ≤ 2.)
+    *
+    * Scale shape: two passes over the group — an exact-percentile
+    * aggregate producing one bounds row per group (small: broadcast back),
+    * then one counting/summing aggregate. Exact group percentiles
+    * fundamentally need the group's values; for a one-pass approximate
+    * variant feed [[graft.exec.HistQuantile]] bounds in instead. */
+  def winsorizedStats(df: DataFrame, groupCols: Seq[String], v: Column,
+      vDec: Column, pLo: Double, pHi: Double): DataFrame = {
+    require(groupCols.nonEmpty && pLo >= 0.0 && pHi <= 1.0 && pLo < pHi)
+    val keyCs = groupCols.map(col)
+    val bounds = df.groupBy(keyCs: _*).agg(
+      percentile(v, lit(pLo)).as("lo"),
+      percentile(v, lit(pHi)).as("hi"))
+    val inside = col("__v") >= col("lo") && col("__v") <= col("hi")
+    df.select(keyCs ++ Seq(v.as("__v"), vDec.as("__vd")): _*)
+      .join(broadcast(bounds), groupCols)
+      .groupBy(keyCs: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("__v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        sum(when(inside, col("__vd"))).as("__sum_in"),
+        count(when(inside, lit(1))).as("n_in"))
+      .withColumn("winsorized_mean",
+        (col("__sum_in").cast("double")
+          + col("n_lo").cast("double") * col("lo")
+          + col("n_hi").cast("double") * col("hi"))
+          / col("n").cast("double"))
+      .withColumn("trimmed_mean",
+        col("__sum_in").cast("double") / col("n_in").cast("double"))
+      .drop("__sum_in")
+  }
 }

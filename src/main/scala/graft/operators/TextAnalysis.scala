@@ -264,6 +264,63 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** BM25 ranked retrieval: top-`topK` documents for a fixed bag of query
+    * terms. Uses the *rational* idf variant `(N − df + 0.5)/(df + 0.5)`
+    * (the argument of BM25's log, without the log) — monotone-identical
+    * ranking to log-idf for single terms and bit-reproducible in any
+    * engine, the same ln()-avoidance rule as [[tfidfTopTerms]] and
+    * `Profiling.histDrift`. The tf saturation term is classic BM25:
+    * `tf·(k1+1) / (tf + k1·((1−b) + b·dl/avgdl))`.
+    *
+    * Cross-engine float discipline: idf and avgdl are computed from exact
+    * integer aggregates with a fixed cast/op order; each document's score
+    * is a per-term conditional sum (at most one non-zero addend per term,
+    * so group order can't change the bits) followed by one fixed-order
+    * add chain over the sorted term list.
+    *
+    * Scale shape: the `isin(queryTerms)` filter runs in the scan stage, so
+    * only postings of the queried terms are ever shuffled — the exchange is
+    * O(matching docs × |query|), not O(corpus tokens). Corpus stats (N,
+    * Σdl) are one scalar aggregate; per-term document frequencies collect
+    * ≤ |query| rows to the driver to become literals (bounded by query
+    * size, never by data). Final top-k plans as TakeOrderedAndProject —
+    * per-partition heaps, one singleton merge. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], topK: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && topK >= 1)
+    val terms = queryTerms.distinct.sorted
+    val toks = filter(split(lower(col(textCol)), " +"), t => length(t) > 0)
+    val base = df.select(col(idCol), toks.as("__toks"))
+      .withColumn("dl", size(col("__toks")).cast("long"))
+    val g = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
+    val n = g.getLong(0)
+    val avgdl = g.getLong(1).toDouble / n.toDouble
+    val tf = base
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perTerm = terms.map { t =>
+      val dfT = dfreq.getOrElse(t, 0L)
+      val idf = ((n - dfT).toDouble + 0.5) / (dfT.toDouble + 0.5)
+      val tfd = col("tf").cast("double")
+      val s = lit(idf) * ((tfd * lit(k1 + 1.0)) /
+        (tfd + lit(k1) * ((lit(1.0) - lit(b)) +
+          lit(b) * (col("dl").cast("double") / lit(avgdl)))))
+      sum(when(col("term") === t, s).otherwise(lit(0.0))).as(s"__s_$t")
+    }
+    val scored = tf.groupBy(col(idCol), col("dl"))
+      .agg(perTerm.head, perTerm.tail: _*)
+    val total = terms.map(t => col(s"__s_$t")).reduceLeft(_ + _)
+    scored.withColumn("score", total)
+      .select(col(idCol), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Sliding-window document chunking — split each document into
     * `chunkTokens`-token windows whose starts step by `strideTokens`
     * (overlapping when stride < chunk, the standard long-context

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.exec.HistQuantile
 import graft.functions.CountMin
-import graft.operators.{Cdc, Packing, Validation}
+import graft.operators.{Cdc, Packing, Profiling, TextAnalysis, Validation}
 import graft.operators.Validation.Check
 
 /** Pipeline-maintenance operators: CountMin (mergeable, overestimate-only),
@@ -258,5 +258,95 @@ class OpsSpec extends SparkSpec {
       Seq("value", "event_id"), Nil).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"))
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+  }
+
+  // --- scd2 --------------------------------------------------------------
+
+  test("scd2 collapses runs, emits contiguous intervals, flags the current row") {
+    val log = Seq(
+      (1L, "a", 100L, 1L), (1L, "a", 200L, 2L), (1L, "b", 300L, 3L),
+      (1L, "a", 400L, 4L), // back to a state seen before — a NEW version
+      (2L, "x", 50L, 5L)
+    ).toDF("k", "attr0", "ts", "id")
+    val out = Cdc.scd2(log, Seq("k"), col("attr0"), col("ts"), col("id"))
+      .orderBy("k", "version")
+      .select("k", "version", "attr", "valid_from_us", "valid_to_us", "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, "a", 100L, 300L, false),
+      (1L, 2L, "b", 300L, 400L, false),
+      (1L, 3L, "a", 400L, -1L, true),
+      (2L, 1L, "x", 50L, -1L, true)))
+  }
+
+  test("scd2 treats null as a state (null-safe change detection)") {
+    val log = Seq((1L, Some("a"), 10L, 1L), (1L, None, 20L, 2L),
+      (1L, None, 30L, 3L), (1L, Some("a"), 40L, 4L))
+      .toDF("k", "attr0", "ts", "id")
+    val out = Cdc.scd2(log, Seq("k"), col("attr0"), col("ts"), col("id"))
+      .orderBy("version")
+      .collect().map(r => (r.getLong(r.fieldIndex("version")),
+        Option(r.getString(r.fieldIndex("attr")))))
+    assert(out.toSeq === Seq((1L, Some("a")), (2L, None), (3L, Some("a"))))
+  }
+
+  // --- winsorizedStats ----------------------------------------------------
+
+  test("winsorizedStats clips tails and is robust to one huge outlier") {
+    // 1..99 plus one 1e9 outlier; p05/p95 over 100 values
+    val vals = ((1 to 99).map(_.toDouble) :+ 1e9).map(v => ("g", v))
+    val df = vals.toDF("g", "v")
+    val out = Profiling.winsorizedStats(df, Seq("g"), col("v"),
+      col("v").cast("decimal(18,2)"), 0.05, 0.95).collect().head
+    assert(out.getAs[Long]("n") === 100L)
+    assert(out.getAs[Long]("n_lo") + out.getAs[Long]("n_hi")
+      + out.getAs[Long]("n_in") === 100L)
+    // the outlier is clipped to ~p95: winsorized mean stays near 50, the
+    // raw mean would be ~1e7
+    assert(out.getAs[Double]("winsorized_mean") < 100.0)
+    assert(out.getAs[Double]("trimmed_mean") > 40.0 &&
+      out.getAs[Double]("trimmed_mean") < 60.0)
+  }
+
+  // --- bm25Search ---------------------------------------------------------
+
+  test("bm25 ranks higher-tf docs first and normalizes by document length") {
+    val docs = Seq(
+      (1L, "join join join pad pad pad pad pad"),
+      (2L, "join pad pad pad pad pad pad pad"),
+      (3L, "join " * 4 + "pad " * 28), // same tf density as 1 but 4x longer
+      (4L, "pad pad pad pad pad pad pad pad")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("join"), topK = 10).collect()
+    val ids = out.map(_.getLong(0)).toSeq
+    // doc 4 has no query term — absent entirely
+    assert(!ids.contains(4L) && ids.length === 3)
+    // tf=3 beats tf=1 at equal length; length normalization demotes doc 3
+    // below doc 1 (same tf/dl ratio, longer doc ⇒ saturation term smaller)
+    assert(ids.head === 1L)
+    val score = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(score(1L) > score(3L) && score(1L) > score(2L))
+  }
+
+  test("bm25 multi-term score is the fixed-order sum of per-term scores") {
+    val docs = Seq(
+      (1L, "alpha beta gap gap"), (2L, "alpha gap gap gap"),
+      (3L, "beta gap gap gap")
+    ).toDF("doc_id", "text")
+    val both = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("alpha", "beta"), topK = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val a = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("alpha"), topK = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val b = TextAnalysis.bm25Search(docs, "doc_id", "text",
+      Seq("beta"), topK = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 1 carries both terms: its combined score is exactly s_a + s_b
+    assert(both(1L) === a(1L) + b(1L))
+    // single-term docs keep their single-term score in the combined query
+    assert(both(2L) === a(2L) && both(3L) === b(3L))
   }
 }
