@@ -389,6 +389,16 @@ object InventoryOps {
           Seq("l_returnflag"), col("l_extendedprice"),
           col("l_extendedprice").cast("decimal(18,2)"), 0.05, 0.95)
         .orderBy(col("l_returnflag")),
-      Some("""WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1), j AS (SELECT l.l_returnflag, l.l_extendedprice AS v, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vd, b.lo, b.hi FROM lineitem l JOIN b USING (l_returnflag)), a AS (SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, MIN(lo) AS lo2, MIN(hi) AS hi2, SUM(CASE WHEN v >= lo AND v <= hi THEN vd END) AS sum_in, COUNT(CASE WHEN v >= lo AND v <= hi THEN 1 END) AS n_in FROM j GROUP BY 1) SELECT l_returnflag, n, n_lo, n_hi, lo2 AS lo, hi2 AS hi, CAST(n_in AS BIGINT) AS n_in, (CAST(sum_in AS DOUBLE) + CAST(n_lo AS DOUBLE) * lo2 + CAST(n_hi AS DOUBLE) * hi2) / CAST(n AS DOUBLE) AS winsorized_mean, CAST(sum_in AS DOUBLE) / CAST(n_in AS DOUBLE) AS trimmed_mean FROM a ORDER BY l_returnflag"""))
+      Some("""WITH b AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.05) AS lo, quantile_cont(l_extendedprice, 0.95) AS hi FROM lineitem GROUP BY 1), j AS (SELECT l.l_returnflag, l.l_extendedprice AS v, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS vd, b.lo, b.hi FROM lineitem l JOIN b USING (l_returnflag)), a AS (SELECT l_returnflag, COUNT(*) AS n, CAST(SUM(CASE WHEN v < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, CAST(SUM(CASE WHEN v > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, MIN(lo) AS lo2, MIN(hi) AS hi2, SUM(CASE WHEN v >= lo AND v <= hi THEN vd END) AS sum_in, COUNT(CASE WHEN v >= lo AND v <= hi THEN 1 END) AS n_in FROM j GROUP BY 1) SELECT l_returnflag, n, n_lo, n_hi, lo2 AS lo, hi2 AS hi, CAST(n_in AS BIGINT) AS n_in, (CAST(sum_in AS DOUBLE) + CAST(n_lo AS DOUBLE) * lo2 + CAST(n_hi AS DOUBLE) * hi2) / CAST(n AS DOUBLE) AS winsorized_mean, CAST(sum_in AS DOUBLE) / CAST(n_in AS DOUBLE) AS trimmed_mean FROM a ORDER BY l_returnflag""")),
+
+    QueryDef("q117_collocations",
+      // corpus phrase discovery: adjacent-bigram lift (the log-free core
+      // of PMI — ln is monotone, so the ranking is PMI's, and the rational
+      // form is bit-portable; TextAnalysis.collocations scaladoc). Bigrams
+      // are a per-row zip_with of two slices — no shuffle until the
+      // vocabulary-sized count aggregations.
+      (s, d) => TextAnalysis.collocations(documents(s, d), "text",
+        minCount = 5L, topK = 50),
+      Some("""WITH d AS (SELECT [t for t in string_split_regex(lower(text), ' +') if length(t) > 0] AS toks FROM documents), ux AS (SELECT w, COUNT(*) AS n FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1), nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tok FROM ux), bg AS (SELECT u['w1'] AS w1, u['w2'] AS w2 FROM (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS u FROM d WHERE len(toks) >= 2)), nb AS (SELECT COUNT(*) AS n_bi FROM bg), bx AS (SELECT w1, w2, COUNT(*) AS n_xy FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5), j AS (SELECT bx.w1, bx.w2, bx.n_xy, x1.n AS n_x, x2.n AS n_y FROM bx JOIN ux x1 ON bx.w1 = x1.w JOIN ux x2 ON bx.w2 = x2.w) SELECT w1, w2, n_xy, n_x, n_y, ((CAST(n_xy AS DOUBLE) * CAST((SELECT n_tok FROM nt) AS DOUBLE)) * CAST((SELECT n_tok FROM nt) AS DOUBLE)) / ((CAST((SELECT n_bi FROM nb) AS DOUBLE) * CAST(n_x AS DOUBLE)) * CAST(n_y AS DOUBLE)) AS lift FROM j ORDER BY lift DESC, w1, w2 LIMIT 50"""))
   )
 }

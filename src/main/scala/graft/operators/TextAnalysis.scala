@@ -321,6 +321,53 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Corpus-level collocation mining: adjacent-bigram counts joined to
+    * unigram counts, ranked by *lift* — `P(w1 w2) / (P(w1)·P(w2))` =
+    * `(n_xy · N²) / (N_bi · n_x · n_y)` — the log-free core of PMI (PMI is
+    * its ln; ranking is identical because ln is monotone, and the rational
+    * form is bit-reproducible cross-engine — same rule as q68/q111/q114).
+    * The phrase-discovery pass a tokenizer/vocab build runs over a corpus.
+    *
+    * Scale shape: bigrams come from a per-row `zip_with` of two array
+    * slices (no shuffle, no self-join); unigram and bigram counts are
+    * map-side-combined hash aggregations shuffled on the term — vocabulary-
+    * sized exchanges, not corpus-sized. The two corpus totals are scalar
+    * aggregates. The final unigram joins are vocabulary×vocabulary-count
+    * equi-joins AQE is free to broadcast; top-k plans as
+    * TakeOrderedAndProject. All counts exact integers; lift is a fixed-
+    * order double expression over them. */
+  def collocations(df: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    require(minCount >= 1L && topK >= 1)
+    val toks = filter(split(lower(col(textCol)), " +"), t => length(t) > 0)
+    val base = df.select(toks.as("__toks"))
+    val bigrams = base.select(explode(when(size(col("__toks")) >= 2,
+      zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array())).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+    val uni = base.select(explode(col("__toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val nTok = uni.agg(sum(col("n"))).head().getLong(0)
+    val nBi = bigrams.count()
+    val bi = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= minCount)
+    val lift = ((col("n_xy").cast("double") * lit(nTok.toDouble))
+        * lit(nTok.toDouble)) /
+      ((lit(nBi.toDouble) * col("n_x").cast("double"))
+        * col("n_y").cast("double"))
+    bi.join(uni.select(col("w").as("w1"), col("n").as("n_x")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_y")), "w2")
+      .withColumn("lift", lift)
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Sliding-window document chunking — split each document into
     * `chunkTokens`-token windows whose starts step by `strideTokens`
     * (overlapping when stride < chunk, the standard long-context

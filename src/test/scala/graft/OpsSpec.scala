@@ -349,4 +349,34 @@ class OpsSpec extends SparkSpec {
     // single-term docs keep their single-term score in the combined query
     assert(both(2L) === a(2L) && both(3L) === b(3L))
   }
+
+  // --- collocations -------------------------------------------------------
+
+  test("collocations rank a planted phrase above independent co-occurrence") {
+    // "new york" always adjacent; "red" and "blue" frequent but never
+    // adjacent to each other; filler varies the contexts
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"new york f$i red g$i blue h$i new york red k$i blue")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 5L,
+      topK = 10).collect()
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) === ("new", "york"))
+    assert(top.getAs[Double]("lift") > 1.0)
+    val pairs = out.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("red", "blue")) && !pairs.contains(("blue", "red")))
+  }
+
+  test("collocations tolerate sub-bigram docs and respect minCount") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "rare pair"),
+      (4L, "common duo common duo common duo common duo common duo"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_xy")))
+    // "rare pair" occurs once (< minCount) — only the duo→common back-edge
+    // and common→duo survive
+    assert(out.forall(_._3 >= 5L))
+    assert(out.map(t => (t._1, t._2)).contains(("common", "duo")))
+    assert(!out.map(t => (t._1, t._2)).contains(("rare", "pair")))
+  }
 }
