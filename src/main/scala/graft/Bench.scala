@@ -65,9 +65,12 @@ object Bench {
       ts(1)
     }
     val nRows = li10.count()
+    // fixture caches are keyed on the scale factor: a bare _SUCCESS check
+    // would silently reuse files built from a different SPARK_GRAFT_SF_DIR
+    val sfTag = new java.io.File(sfDir).getName
     // materialize once as a 40-file dataset so file-level sampling has
     // files to skip (the fixtures are single-file)
-    val li10Path = "/tmp/graft_bench_li10.parquet"
+    val li10Path = s"/tmp/graft_bench_li10_$sfTag.parquet"
     if (!new java.io.File(li10Path, "_SUCCESS").exists()) {
       li10.repartition(40).write.mode("overwrite").parquet(li10Path)
     }
@@ -107,13 +110,13 @@ object Bench {
     // swamps the decode gap and the measured ratio undersells the pruning
     // (1.3× there vs the true ~40-file skip — same overhead bound the
     // file-sampling probe documents).
-    val liScatteredPath = "/tmp/graft_bench_li100_scattered.parquet"
+    val liScatteredPath = s"/tmp/graft_bench_li100_scattered_$sfTag.parquet"
     if (!new java.io.File(liScatteredPath, "_SUCCESS").exists()) {
       Seq.fill(10)(li10f).reduce(_ union _).repartition(80)
         .write.mode("overwrite").parquet(liScatteredPath)
     }
     val liScattered = spark.read.parquet(liScatteredPath)
-    val liClusteredPath = "/tmp/graft_bench_li100_clustered.parquet"
+    val liClusteredPath = s"/tmp/graft_bench_li100_clustered_$sfTag.parquet"
     if (!new java.io.File(liClusteredPath, "_SUCCESS").exists()) {
       graft.sources.Layout.clusteredWrite(liScattered, liClusteredPath,
         "l_orderkey", files = 80)
@@ -122,7 +125,7 @@ object Bench {
     // Z-order leg: interleave (l_orderkey, l_partkey) bin bits — a band on
     // EITHER column prunes, where the linear layout prunes only l_orderkey
     // bands and pays full price on l_partkey ones.
-    val liZorderPath = "/tmp/graft_bench_li100_zorder.parquet"
+    val liZorderPath = s"/tmp/graft_bench_li100_zorder_$sfTag.parquet"
     if (!new java.io.File(liZorderPath, "_SUCCESS").exists()) {
       graft.sources.Layout.zorderWrite(liScattered, liZorderPath,
         Seq("l_orderkey", "l_partkey"), files = 80)
@@ -153,7 +156,7 @@ object Bench {
     // row-group zone maps above. Same one-month retrieval against the
     // hash-scattered files must open every footer and decode every row
     // group's date column.
-    val liMonthPath = "/tmp/graft_bench_li10_bymonth.parquet"
+    val liMonthPath = s"/tmp/graft_bench_li10_bymonth_$sfTag.parquet"
     if (!new java.io.File(liMonthPath, "_SUCCESS").exists()) {
       li10f.withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
         .repartition(col("ship_month"))

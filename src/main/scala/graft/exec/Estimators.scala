@@ -255,7 +255,10 @@ object Estimators {
   /** Project mean and sample variance out of a moment sketch — one double
     * cast per exact sum (q65 rule), divisions guarded inside the
     * expressions (ANSI + CSE). Emits the sketch's group columns plus
-    * `n, mean, var_samp`. */
+    * `n, mean, var_samp`. A group whose rows all vanished between
+    * snapshots survives in a merged signed sketch as (n=0, s1=0, s2=0);
+    * the rebuild-from-rows twin emits no row for it, so those rows are
+    * dropped here to keep the `old ⊕ Δ ≡ rebuild` contract exact. */
   def momentStats(sketch: DataFrame): DataFrame = {
     val groupCols = sketch.columns.filterNot(Set("n", "s1", "s2"))
     val nd = col("n").cast("double")
@@ -264,8 +267,9 @@ object Estimators {
     val varS = when(col("n") > 1,
       (s2d - s1d * s1d / nd) / greatest(nd - lit(1.0), lit(1.0)))
       .otherwise(lit(0.0))
-    sketch.select(groupCols.map(col) ++ Seq(col("n"),
-      (s1d / nd).as("mean"), varS.as("var_samp")): _*)
+    sketch.filter(col("n") =!= 0)
+      .select(groupCols.map(col) ++ Seq(col("n"),
+        (s1d / nd).as("mean"), varS.as("var_samp")): _*)
   }
 
   /** Relative half-width of the CI in percent — the quantity the adaptive

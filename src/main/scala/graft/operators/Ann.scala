@@ -301,6 +301,9 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verified.count() // eager verify → release candidates (no cache creep)
     pairs.unpersist(blocking = false)
+    // Contract: the RETURNED frame is persisted (it is consumed more than
+    // once by every caller); the caller must unpersist it when done —
+    // [[semDedup]] does so after the cluster labels are checkpointed.
     verified
   }
 
@@ -312,7 +315,11 @@ object Ann {
       lloydIters: Int = 1): DataFrame = {
     val pairs = semDedupPairs(df, idCol, vecCol, threshold, numCentroids,
       lloydIters)
-    val losers = Dedup.dupClusters(pairs)
+    // dupClusters returns eagerly-checkpointed labels, so the persisted
+    // pairs frame is no longer reachable from the result — release it.
+    val clusters = Dedup.dupClusters(pairs)
+    pairs.unpersist(blocking = false)
+    val losers = clusters
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -295,6 +295,9 @@ object TextAnalysis {
       .withColumn("dl", size(col("__toks")).cast("long"))
     val g = base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl")).head()
     val n = g.getLong(0)
+    if (n == 0L) // empty corpus: sumdl is NULL and avgdl would be 0/0
+      return df.select(col(idCol), lit(0L).as("dl"), lit(0.0).as("score"))
+        .limit(0)
     val avgdl = g.getLong(1).toDouble / n.toDouble
     val tf = base
       .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
@@ -336,6 +339,11 @@ object TextAnalysis {
     * equi-joins AQE is free to broadcast; top-k plans as
     * TakeOrderedAndProject. All counts exact integers; lift is a fixed-
     * order double expression over them. */
+  /** Empty collocation result with the [[collocations]] schema. */
+  private def bi0(df: DataFrame): DataFrame =
+    df.select(lit("").as("w1"), lit("").as("w2"), lit(0L).as("n_xy"),
+      lit(0L).as("n_x"), lit(0L).as("n_y"), lit(0.0).as("lift")).limit(0)
+
   def collocations(df: DataFrame, textCol: String,
       minCount: Long = 5L, topK: Int = 50): DataFrame = {
     require(minCount >= 1L && topK >= 1)
@@ -350,8 +358,13 @@ object TextAnalysis {
       .select(col("bg.w1"), col("bg.w2"))
     val uni = base.select(explode(col("__toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-    val nTok = uni.agg(sum(col("n"))).head().getLong(0)
+    val nTokRow = uni.agg(sum(col("n"))).head()
+    if (nTokRow.isNullAt(0)) // empty corpus (or all-blank docs): no tokens
+      return bi0(df)
+    val nTok = nTokRow.getLong(0)
     val nBi = bigrams.count()
+    if (nBi == 0L) // single-token docs only: lift would divide by zero
+      return bi0(df)
     val bi = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_xy"))
       .filter(col("n_xy") >= minCount)

@@ -51,17 +51,27 @@ object UpsertSink {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+        val version = s"v$batchId"
+        val m = markerPath(tableDir)
+        // Replay guard: the marker is written strictly AFTER the version
+        // directory is complete, so marker == v$batchId proves this batch
+        // already committed (crash landed between marker write and
+        // checkpoint commit). Re-running the merge would overwrite the
+        // very directory the snapshot read resolves to — Spark refuses
+        // ("Cannot overwrite a path that is also being read from").
+        // Skipping is the idempotent replay.
+        val alreadyCommitted = Files.exists(m) &&
+          new String(Files.readAllBytes(m), UTF_8).trim == version
+        if (!alreadyCommitted && !batch.isEmpty) {
           val spark = batch.sparkSession
           val unioned = readSnapshot(spark, tableDir)
             .map(_.unionByName(batch)).getOrElse(batch)
-          val version = s"v$batchId"
           Packing.latestPerKey(unioned, keyCols, orderCols)
             .write.mode("overwrite").parquet(s"$tableDir/$version")
           // swap AFTER the full write: readers resolve the marker to an
           // immutable, complete directory or the previous one — never a
           // partial write
-          Files.write(markerPath(tableDir), version.getBytes(UTF_8))
+          Files.write(m, version.getBytes(UTF_8))
         }
         ()
       }

@@ -81,4 +81,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Profiling.groupTrend(empty.withColumn("g", lit("a")),
       Seq("g"), col("k"), col("v")).count() == 0)
   }
+
+  test("empty corpus: bm25 and collocations return empty, never NPE") {
+    import graft.operators.TextAnalysis
+    val bm = TextAnalysis.bm25Search(emptyDocs, "doc_id", "text",
+      Seq("hello"), topK = 3)
+    assert(bm.columns.toSeq === Seq("doc_id", "dl", "score"))
+    assert(bm.count() === 0)
+    val co = TextAnalysis.collocations(emptyDocs, "text")
+    assert(co.columns.toSeq ===
+      Seq("w1", "w2", "n_xy", "n_x", "n_y", "lift"))
+    assert(co.count() === 0)
+    // single-token docs: unigrams exist but zero bigrams — the lift
+    // denominator (bigram total) is 0, which must yield empty, not ÷0
+    val singles = Seq((1L, "alpha", "s"), (2L, "beta", "s"))
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.collocations(singles, "text").count() === 0)
+  }
+
+  test("vanished group: merged signed sketch drops it, matching a rebuild") {
+    // day-0 snapshot has group b; the delta removes BOTH its rows, so the
+    // merged sketch holds (n=0, s1=0, s2=0) for b — momentStats must drop
+    // that row exactly like a rebuild-from-rows (which never emits b)
+    val day0 = Seq(("a", 10L), ("b", 5L), ("b", 7L)).toDF("g", "v")
+    val base = Estimators.signedMomentSketch(
+      day0.withColumn("sign", lit(1)), col("v"), col("sign"), Seq("g"))
+    val delta = Estimators.signedMomentSketch(
+      Seq(("b", 5L, -1), ("b", 7L, -1)).toDF("g", "v", "sign"),
+      col("v"), col("sign"), Seq("g"))
+    val merged = Estimators.mergeMoments(base.union(delta), Seq("g"))
+    val stats = Estimators.momentStats(merged).collect()
+    assert(stats.length === 1 && stats.head.getString(0) === "a")
+    assert(!stats.head.anyNull && !stats.head.getDouble(2).isNaN)
+  }
 }

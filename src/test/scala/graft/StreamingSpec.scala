@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingAgg
@@ -252,6 +254,27 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
     assert(got === Set((1L, 10L, "a0"), (2L, 20L, "b1"), (3L, 10L, "c0"),
       (4L, 20L, "d0"))) // stale c_stale (version 5) must NOT win
+
+    // Replay after crash-between-marker-and-checkpoint-commit: delete the
+    // last batch's commit marker so the restarted query re-runs that batch.
+    // The sink must recognize the already-written version (marker ==
+    // v$batchId) and skip — a naive re-merge reads the snapshot directory
+    // it is about to overwrite and Spark aborts the write.
+    val commits = java.nio.file.Paths.get(ckpt, "commits")
+    val last = java.nio.file.Files.list(commits).iterator().asScala
+      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+      .map(_.toLong).max
+    java.nio.file.Files.delete(commits.resolve(last.toString))
+    // local ChecksumFs keeps a shadow .N.crc; leaving it behind makes the
+    // replayed commit's rename fail for a reason unrelated to the sink
+    java.nio.file.Files.deleteIfExists(commits.resolve(s".$last.crc"))
+    val stream2 = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/f*")
+    UpsertSink.upsertToParquet(stream2, table, ckpt,
+      keyCols = Seq("key"), orderCols = Seq("version", "payload"))
+    val afterReplay = UpsertSink.readSnapshot(spark, table).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(afterReplay === want) // idempotent: same snapshot, no throw
   }
 
   test("sessionize closes sessions and sums values") {
