@@ -195,7 +195,7 @@ object Bench {
       "vec_id", "embedding", k = 5, numCentroids = 32, nProbe = 8))
       .intersect(exactNN).size.toDouble / exactNN.size
     val lshRecall = nnSet(graft.operators.Ann.lshTopK(emb, annProbes,
-      "vec_id", "embedding", k = 5, bitsPerTable = 8, numTables = 8,
+      "vec_id", "embedding", k = 5, bitsPerTable = 6, numTables = 16,
       probeRadius = 1)).intersect(exactNN).size.toDouble / exactNN.size
     // Bucketed co-located join probe: both sides bucketed+sorted on the
     // join key -> SortMergeJoin with ZERO exchanges and no sort, vs the

@@ -482,7 +482,7 @@ object InventoryPipeline {
       (s, d) => {
         val emb = embeddings(s, d)
         Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, bitsPerTable = 8, numTables = 8, probeRadius = 1)
+          k = 5, bitsPerTable = 6, numTables = 16, probeRadius = 1)
           .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
       },
       None),

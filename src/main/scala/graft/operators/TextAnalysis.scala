@@ -410,6 +410,127 @@ object TextAnalysis {
       .drop("__toks", "__start", "__ctoks")
   }
 
+  // --- PII redaction ------------------------------------------------------
+
+  /** Regexes deliberately restricted to syntax with identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB, the oracle): no backreferences, no
+    * lookaround, ASCII classes and `\b` only. Order of application matters
+    * and is part of the contract: emails first (their local part contains
+    * digit runs), then dotted quads, then bare digit runs — each later
+    * pattern sees the earlier placeholders, never raw earlier PII. */
+  val emailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Regex = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val digitRunRegex = "\\d{6,}"
+
+  /** PII scrub for a text corpus: replace emails / IPv4 addresses / long
+    * digit runs (ids, phone-ish) with typed placeholders and count each —
+    * the audit trail a privacy pass needs. Pure per-row projection (three
+    * codegen'd regexp_replace + three regexp_count), so at 100 TB the cost
+    * is one scan and the redacted column writes straight back out; no
+    * shuffle, no UDF. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val afterEmail = regexp_replace(t, emailRegex, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, ipv4Regex, "<IP>")
+    df.withColumn("n_email", regexp_count(t, lit(emailRegex)).cast("long"))
+      .withColumn("n_ipv4",
+        regexp_count(afterEmail, lit(ipv4Regex)).cast("long"))
+      .withColumn("n_digit_run",
+        regexp_count(afterIp, lit(digitRunRegex)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(afterIp, digitRunRegex, "<NUM>"))
+  }
+
+  // --- Repetition / quality (Gopher-style) --------------------------------
+
+  /** Per-document repetition profile — the Gopher/C4 repetition filters:
+    * `top_token_frac` (most frequent token's share; boilerplate and
+    * keyword-stuffed docs score high) and `dup_bigram_frac` (share of
+    * adjacent bigrams that are repeats; templated/looping text scores
+    * high). Emits `doc_id, n_tokens, n_unique, top_n, top_token_frac,
+    * n_bigrams, n_dup_bigrams, dup_bigram_frac` for docs with ≥ 1 token.
+    *
+    * Scale shape: bigram metrics are per-row array expressions (no
+    * shuffle); token mode needs one explode + two hash aggregations keyed
+    * on (doc, term) then doc — every token of a doc lives in that doc's
+    * row, so the map-side partial agg collapses duplicates before the
+    * exchange and the shuffle carries unique (doc, term) pairs, not corpus
+    * tokens. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " +"), t => length(t) > 0)
+    val base = df.select(col(idCol), toks.as("__toks"))
+    val uni = base
+      .select(col(idCol), explode(col("__toks")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_unique"),
+        max(col("__n")).cast("long").as("top_n"))
+    val bg = base.select(col(idCol),
+      when(size(col("__toks")) >= 2,
+        zip_with(
+          slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+          slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array()).as("__bgs"))
+      .select(col(idCol),
+        size(col("__bgs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("__bgs"))).cast("long").as("n_unique_bigrams"))
+    uni.join(bg, Seq(idCol))
+      .select(col(idCol), col("n_tokens"), col("n_unique"), col("top_n"),
+        (col("top_n").cast("double") / col("n_tokens").cast("double"))
+          .as("top_token_frac"),
+        col("n_bigrams"),
+        (col("n_bigrams") - col("n_unique_bigrams")).as("n_dup_bigrams"),
+        when(col("n_bigrams") > 0,
+          (col("n_bigrams") - col("n_unique_bigrams")).cast("double") /
+            col("n_bigrams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+  }
+
+  // --- Distribution drift per source --------------------------------------
+
+  /** Total-variation distance between each source's token distribution and
+    * the whole corpus — the "did one slice of the corpus go off-vocabulary"
+    * monitor (TV not KL/PSI: no ln(), so the statistic is bit-reproducible
+    * in any engine — same rule as `Profiling.histDrift`).
+    *
+    * Exactness: with integer counts, Σ_t |p_st − q_t| over the FULL
+    * vocabulary reduces to terms the source actually contains:
+    * Σ_t |p−q| = 1 + Σ_{t∈source} (|n_st·N − n_t·N_s| − n_t·N_s)/(N_s·N),
+    * so the per-term numerators are exact integers (DECIMAL(38,0) — no
+    * float sum to reorder) and ONE double division happens at the end.
+    *
+    * Scale shape: two hash aggregations (source×term, term) shuffled on
+    * vocabulary-sized keys, one broadcastable join term→corpus-count, one
+    * scalar total. Nothing is ever per-row on the driver. */
+  def sourceTokenDrift(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), " +"), t => length(t) > 0)
+    val tok = df.select(col(sourceCol), explode(toks).as("__t"))
+    val bySrcTerm = tok.groupBy(col(sourceCol), col("__t"))
+      .agg(count(lit(1)).as("n_st"))
+    val byTerm = tok.groupBy(col("__t")).agg(count(lit(1)).as("n_t"))
+    val nTotRow = byTerm.agg(sum(col("n_t"))).head()
+    if (nTotRow.isNullAt(0))
+      return df.select(col(sourceCol), lit(0L).as("n_s"),
+        lit(0.0).as("tv_distance")).limit(0)
+    val nTot = nTotRow.getLong(0)
+    val bySrc = bySrcTerm.groupBy(col(sourceCol))
+      .agg(sum(col("n_st")).cast("long").as("n_s"))
+    val term = col("n_t").cast("decimal(38,0)") * col("n_s")
+    val perSrc = bySrcTerm
+      .join(byTerm, Seq("__t"))
+      .join(bySrc, Seq(sourceCol)) // sources are few: AQE broadcasts
+      .groupBy(col(sourceCol), col("n_s"))
+      .agg(sum(abs(col("n_st").cast("decimal(38,0)") * lit(nTot) - term)
+        - term).cast("decimal(38,0)").as("s_num"))
+    perSrc.select(col(sourceCol), col("n_s"),
+      (lit(0.5) * (lit(1.0) + col("s_num").cast("double") /
+        (col("n_s").cast("double") * lit(nTot.toDouble))))
+        .as("tv_distance"))
+  }
+
   /** One-scan document profile: all metrics as extra columns. */
   def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
