@@ -250,6 +250,35 @@ object Bench {
         (med(pairs.map(_._1)), med(pairs.map(_._2)))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+    // Skew probe at 6 M rows: ~30% of fact rows forced onto ONE supplier
+    // key, broadcast disabled (at 100 TB the build side may be too big to
+    // broadcast and the hot key pins a reducer). Measures the plain
+    // shuffle join (AQE's skew-split gets its honest shot — it only helps
+    // when the skewed partition exceeds its size thresholds) against
+    // Skew.saltedJoin's 8-way content-hash scatter of the same join.
+    val (tSkewPlain, tSkewSalted) = {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val skewedFact = li10f.select(
+          when(pmod(key, lit(10L)) < 3, lit(1L)).otherwise(col("l_suppkey"))
+            .as("l_suppkey"),
+          col("l_extendedprice"))
+        val buildSide = Tables.supplier(spark, sfDir)
+          .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+        def agged(j: org.apache.spark.sql.DataFrame) = j
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)), sum(col("l_extendedprice")))
+        val plain = timeMedian {
+          agged(skewedFact.join(buildSide, "l_suppkey")).collect(): Unit
+        }
+        val salted = timeMedian {
+          agged(graft.operators.Skew.saltedJoin(skewedFact, buildSide,
+            "l_suppkey", salts = 8)).collect(): Unit
+        }
+        (plain, salted)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
     // argmax-vs-window probe at 6 M rows: latest-per-supplier via the
     // window sort (shuffles + sorts every row) vs max(struct(...))
     // aggregation (partial agg ships one candidate per task×key). The
@@ -267,6 +296,10 @@ object Bench {
         .agg(count(lit(1))).collect(): Unit
     }
     val extra = Seq(
+      "x_skew_plain_sec" -> tSkewPlain,
+      "x_skew_salted_sec" -> tSkewSalted,
+      "x_skew_speedup" ->
+        (if (tSkewSalted > 0) tSkewPlain / tSkewSalted else -1.0),
       "x_argmax_window_sec" -> tLatestWindow,
       "x_argmax_agg_sec" -> tLatestAgg,
       "x_argmax_speedup" ->

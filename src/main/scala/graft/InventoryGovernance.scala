@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, Skew, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Profiling, Skew, TextAnalysis}
 
 /** Round-3 widening: corpus governance (PII scrubbing, repetition-quality
   * filters, per-source distribution drift), skew-mitigated joins, and
@@ -87,6 +87,65 @@ object InventoryGovernance {
       // "reached at least stage i".
       (s, d) => Funnel.stageCounts(events(s, d), "user_id", "ts",
         "event_type", Seq("view", "click", "purchase")),
-      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events), w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (PARTITION BY user_id) AS t1 FROM e), w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL AND tsu > t1 THEN tsu END) OVER (PARTITION BY user_id) AS t2 FROM w1), w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL AND tsu > t2 THEN tsu END) OVER (PARTITION BY user_id) AS t3 FROM w2), u AS (SELECT user_id, MAX(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS stage_reached FROM w3 GROUP BY 1) SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(CASE WHEN stage_reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stage1, CAST(SUM(CASE WHEN stage_reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stage2, CAST(SUM(CASE WHEN stage_reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stage3 FROM u"""))
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_type FROM events), w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tsu END) OVER (PARTITION BY user_id) AS t1 FROM e), w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND t1 IS NOT NULL AND tsu > t1 THEN tsu END) OVER (PARTITION BY user_id) AS t2 FROM w1), w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL AND tsu > t2 THEN tsu END) OVER (PARTITION BY user_id) AS t3 FROM w2), u AS (SELECT user_id, MAX(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS stage_reached FROM w3 GROUP BY 1) SELECT CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(CASE WHEN stage_reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_stage1, CAST(SUM(CASE WHEN stage_reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stage2, CAST(SUM(CASE WHEN stage_reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_stage3 FROM u""")),
+
+    QueryDef("q123_mad_outliers",
+      // robust outlier census: |x − median| > 3·MAD per group — the
+      // 50%-breakdown alternative to z-scores (Profiling.madOutliers
+      // scaladoc for the two-percentile plan shape). Spark `percentile`
+      // and DuckDB `quantile_cont` are bit-identical; all comparisons are
+      // single double ops, no accumulation.
+      (s, d) => Profiling.madOutliers(lineitem(s, d), Seq("l_returnflag"),
+          col("l_extendedprice"), k = 3.0)
+        .orderBy(col("l_returnflag")),
+      Some("""WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med FROM lineitem GROUP BY 1), dev AS (SELECT l.l_returnflag, ABS(CAST(l.l_extendedprice AS DOUBLE) - m.med) AS dv, m.med FROM lineitem l JOIN m USING (l_returnflag)), a AS (SELECT l_returnflag, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY 1) SELECT dev.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, MIN(dev.med) AS med, MIN(a.mad) AS mad, CAST(SUM(CASE WHEN dv > 3.0 * a.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM dev JOIN a USING (l_returnflag) GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q124_canonical_dedup",
+      // cosmetic-variant dedup: both engines union the corpus with a
+      // deterministically defaced copy (case flip, punctuation, padding)
+      // and recover every pair under canonicalText equality. One
+      // hash-aggregate on the canonical string (Dedup.canonicalDupGroups
+      // scaladoc notes the xxhash64 key swap at 100 TB).
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val noisy = docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"))
+        Dedup.canonicalDupGroups(docs.unionByName(noisy), "doc_id", "text")
+          .orderBy(col("rep_id"))
+      },
+      Some("""WITH a AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id + 1000000, '  ' || upper(text) || ' !! ' FROM documents), c AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS canon FROM a) SELECT CAST(MIN(doc_id) AS BIGINT) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_copies FROM c GROUP BY canon HAVING COUNT(*) > 1 ORDER BY rep_id""")),
+
+    QueryDef("q125_rate_limit",
+      // ingest throttling: first 3 events per (user, hour) in event-time
+      // order — rides Skew.topNPerKey's two-phase sharded window, so one
+      // hot user in one hot hour cannot pin a reducer (shard pre-prune
+      // bounds any partition at shards×n rows before the final per-key
+      // window).
+      (s, d) => {
+        val e = events(s, d).select(col("user_id"),
+          unix_micros(date_trunc("hour", col("ts"))).as("hour_us"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        Skew.topNPerKey(e, Seq("user_id", "hour_us"),
+            Seq(col("ts_us").asc, col("event_id").asc), n = 3)
+          .select(col("user_id"), col("hour_us"), col("ts_us"),
+            col("event_id"), col("rank"))
+          .orderBy(col("user_id"), col("hour_us"), col("rank"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us, epoch_us(ts) AS ts_us, event_id FROM events), r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id, hour_us ORDER BY ts_us, event_id) AS BIGINT) AS rank FROM e) SELECT user_id, hour_us, ts_us, event_id, rank FROM r WHERE rank <= 3 ORDER BY user_id, hour_us, rank""")),
+
+    QueryDef("q126_rank_normalize",
+      // distribution-free feature transform: percent_rank within group —
+      // (rank−1)/(n−1) is the same closed form in every engine, one
+      // double division per row. Sliced to one supplier so the per-row
+      // output stays dump-sized; the plan (one exchange + per-group sort)
+      // is scale-independent.
+      (s, d) => Profiling.rankNormalize(
+          lineitem(s, d).filter(col("l_suppkey") === 1L)
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_returnflag"), col("l_extendedprice")),
+          Seq("l_returnflag"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"), col("pct_rank"), col("l_orderkey"),
+          col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice, percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS pct_rank FROM lineitem WHERE l_suppkey = 1 ORDER BY l_returnflag, pct_rank, l_orderkey, l_linenumber"""))
   )
 }

@@ -52,6 +52,22 @@ object Dedup {
   def dropExactDups(df: DataFrame, keyCols: String*): DataFrame =
     df.dropDuplicates(keyCols)
 
+  /** Dup groups under [[TextAnalysis.canonicalText]] equality — exact
+    * dedup made robust to cosmetic edits (case, punctuation, whitespace).
+    * Emits one row per group with >1 member: `rep_id` (min id) and
+    * `n_copies`. Same scale shape as [[exactDupGroups]]: a per-row
+    * canonical projection then one hash-aggregate keyed on the canonical
+    * string (map-side combine collapses copies before the exchange); at
+    * 100 TB swap the raw canonical string key for its xxhash64 to shrink
+    * the shuffle — kept as the string here so the oracle can replay it. */
+  def canonicalDupGroups(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol), TextAnalysis.canonicalText(col(textCol)).as("__canon"))
+      .groupBy(col("__canon"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("rep_id"), col("n_copies"))
+
   /** Dedup on the normalized rolling-hash fingerprint
     * (TextAnalysis.fingerprint): catches case/whitespace-only variants. */
   def fingerprintDedup(df: DataFrame, textCol: String = "text"): DataFrame = {

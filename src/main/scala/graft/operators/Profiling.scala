@@ -169,4 +169,48 @@ object Profiling {
         col("__sum_in").cast("double") / col("n_in").cast("double"))
       .drop("__sum_in")
   }
+
+  /** Robust per-group outlier census via MAD (median absolute deviation):
+    * a row is an outlier when |x − median| > k·MAD — the estimator that
+    * survives the contamination that wrecks mean/stddev z-scores (a 50%
+    * breakdown point vs 0%). Emits `group…, n, med, mad, n_outliers`.
+    *
+    * Scale shape: two exact-percentile aggregations (median needs the
+    * group's values by definition — same cost class as
+    * [[winsorizedStats]]), each followed by a broadcast join of the
+    * one-row-per-group bounds back onto the fact side; the fact side never
+    * reshuffles. All comparisons are double-exact (subtract + compare, no
+    * accumulation), so any engine reproduces the counts bit-for-bit. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], value: Column,
+      k: Double = 3.0): DataFrame = {
+    val keyCs = groupCols.map(col)
+    val v = value.cast("double")
+    val med = df.groupBy(keyCs: _*)
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val withDev = df.select(keyCs :+ v.as("__v"): _*)
+      .join(broadcast(med), groupCols)
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = withDev.groupBy(keyCs: _*)
+      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+    withDev
+      .join(broadcast(mad), groupCols)
+      .groupBy(keyCs: _*)
+      .agg(count(lit(1)).as("n"), first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
+  /** Rank-normalize a value within each group: adds `pct_rank` =
+    * percent_rank (0 for the group minimum, 1 for the maximum, (rank−1)/
+    * (n−1) between — the distribution-free feature transform). Ties share
+    * a rank; a 1-row group maps to 0.0 in every engine.
+    *
+    * Scale shape: one hash exchange on the group key + a per-group sort —
+    * the same cost as any windowed transform; nothing is driver-side. */
+  def rankNormalize(df: DataFrame, groupCols: Seq[String],
+      value: Column): DataFrame =
+    df.withColumn("pct_rank", percent_rank().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(groupCols.map(col): _*).orderBy(value)))
 }

@@ -441,6 +441,15 @@ object TextAnalysis {
         regexp_replace(afterIp, digitRunRegex, "<NUM>"))
   }
 
+  /** Aggressive canonical form for exact-dedup after cosmetic edits (the
+    * C4-style cleanup): ASCII casefold, every non-alphanumeric run becomes
+    * one space, trimmed. Catches case/punctuation/whitespace variants that
+    * byte-equality misses while staying a pure codegen'd projection (and
+    * in the Java-regex ∩ RE2 dialect, so the oracle replays it). */
+  def canonicalText(t: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(t), "[^a-z0-9 ]", " "),
+      " +", " "))
+
   // --- Repetition / quality (Gopher-style) --------------------------------
 
   /** Per-document repetition profile — the Gopher/C4 repetition filters:

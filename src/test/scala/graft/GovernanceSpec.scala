@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Funnel, TextAnalysis}
+import graft.operators.{Dedup, Funnel, Profiling, TextAnalysis}
 
 /** Round-3 governance operators: PII redaction, repetition quality,
   * source drift, ordered funnels — planted-input semantics the oracle
@@ -117,5 +117,47 @@ class GovernanceSpec extends SparkSpec {
     assert(r.getAs[Long]("t_step1") === 100L)
     assert(r.getAs[Long]("t_step2") === 150L)
     assert(r.getAs[Long]("t_step3") === 250L)
+  }
+
+  test("madOutliers flags exactly the planted contamination, robustly") {
+    // 99 values in [0, 98] plus one wild outlier; the mean/stddev z-score
+    // would be dragged by the outlier itself — MAD must not be
+    val vals = (0 until 99).map(i => ("g", i.toDouble)) :+ (("g", 1e9))
+    val df = vals.toDF("g", "v")
+    val r = Profiling.madOutliers(df, Seq("g"), col("v"), k = 3.0).head
+    assert(r.getAs[Long]("n") === 100L)
+    assert(r.getAs[Double]("med") === 49.5)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    // all-identical group: MAD = 0, nothing flagged (0 > 0 is false)
+    val flat = Seq(("h", 5.0), ("h", 5.0), ("h", 5.0)).toDF("g", "v")
+    assert(Profiling.madOutliers(flat, Seq("g"), col("v"))
+      .head.getAs[Long]("n_outliers") === 0L)
+  }
+
+  test("canonicalText collapses case/punct/whitespace; dup groups found") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "  hello   world  "), (3L, "hello world"),
+      (4L, "different text"))
+      .toDF("doc_id", "text")
+    val canon = df.select(TextAnalysis.canonicalText(col("text")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon.take(3).toSet === Set("hello world"))
+    val groups = Dedup.canonicalDupGroups(df, "doc_id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups.head.getAs[Long]("rep_id") === 1L)
+    assert(groups.head.getAs[Long]("n_copies") === 3L)
+  }
+
+  test("rankNormalize: min→0, max→1, singleton group→0, ties share rank") {
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 20.0), ("a", 40.0),
+      ("b", 7.0)).toDF("g", "v")
+    val out = Profiling.rankNormalize(df, Seq("g"), col("v"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    assert(a(0)._3 === 0.0)
+    assert(a(1)._3 === a(2)._3) // tie: same pct_rank
+    assert(a(1)._3 === (2.0 - 1.0) / 3.0)
+    assert(a(3)._3 === 1.0)
+    assert(out.find(_._1 == "b").get._3 === 0.0) // 1-row group
   }
 }
