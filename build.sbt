@@ -14,8 +14,14 @@ run / fork := true
 // Forked run output normally passes through sbt's logger, which prefixes
 // every line with "[info] " — that breaks any consumer grepping for the
 // one-line JSON that Bench/Verify print. StdoutOutput pipes the child's
-// stdout/stderr straight through untouched.
+// stdout/stderr straight through untouched. `run` and `runMain` are
+// DIFFERENT task scopes in sbt, so set the strategy for both (and bare,
+// as the delegation fallback) — scoping only `run` leaves `sbt "runMain
+// graft.Bench"` prefixed.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
