@@ -295,6 +295,13 @@ object Bench {
           Seq("l_extendedprice", "l_orderkey", "l_linenumber"), Nil)
         .agg(count(lit(1))).collect(): Unit
     }
+    // broadcast-join argmax: hash-agg per-key max (no sort), broadcast it
+    // back, tie-break only the survivors — zero full-data shuffle/sort
+    val tLatestJoin = timeMedian {
+      graft.operators.Packing.argmaxViaJoin(argmaxIn, Seq("l_suppkey"),
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
+        .agg(count(lit(1))).collect(): Unit
+    }
     val extra = Seq(
       "x_skew_plain_sec" -> tSkewPlain,
       "x_skew_salted_sec" -> tSkewSalted,
@@ -302,8 +309,11 @@ object Bench {
         (if (tSkewSalted > 0) tSkewPlain / tSkewSalted else -1.0),
       "x_argmax_window_sec" -> tLatestWindow,
       "x_argmax_agg_sec" -> tLatestAgg,
+      "x_argmax_join_sec" -> tLatestJoin,
       "x_argmax_speedup" ->
         (if (tLatestAgg > 0) tLatestWindow / tLatestAgg else -1.0),
+      "x_argmax_join_speedup" ->
+        (if (tLatestJoin > 0) tLatestWindow / tLatestJoin else -1.0),
       "x_embed_neardup_sec" -> tEmbedDedup,
       "x_ann_ivf_recall" -> ivfRecall,
       "x_ann_lsh_recall" -> lshRecall,

@@ -12,8 +12,22 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  /** Load a fixture, normalizing any `timestamp[us]`-without-zone column
+    * (Spark: TIMESTAMP_NTZ) to session-zoned TIMESTAMP. Every session here
+    * pins `spark.sql.session.timeZone=UTC`, so the cast is a wall-clock
+    * identity and agrees with DuckDB's naive reading of the same file —
+    * while letting the rest of the engine use the zoned timestamp
+    * functions (`unix_micros`, window(), date arithmetic vs TIMESTAMP
+    * literals) uniformly, whichever physical type the generator wrote. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(dir, name))
+    df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name,
+          org.apache.spark.sql.functions.col(f.name).cast("timestamp"))
+      }
+  }
 
   /** Register every fixture table as a temp view so `spark.sql` can see the
     * same names the DuckDB oracle uses. */
@@ -30,21 +44,30 @@ object Tables {
   def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized reader rejects; sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so it arrives as a long,
-    * and we truncate ns -> us here (exactly what DuckDB's reader does, so
-    * oracle timestamps agree). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val df = load(spark, dir, "events")
+  /** Normalize the fixture's `ts` column to session-zoned TIMESTAMP,
+    * whatever physical type the generator wrote:
+    *  - INT64 TIMESTAMP(NANOS) arrives as a long (under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`) → truncate ns→us,
+    *    exactly what DuckDB's reader does, so oracle timestamps agree;
+    *  - `timestamp[us]` without a zone arrives as TIMESTAMP_NTZ → cast to
+    *    TIMESTAMP; sessions pin `spark.sql.session.timeZone=UTC`, so the
+    *    wall-clock reinterpretation is the identity and matches DuckDB's
+    *    naive-timestamp reading;
+    *  - already TIMESTAMP → no-op.
+    * Works on batch and streaming frames (pure projection). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

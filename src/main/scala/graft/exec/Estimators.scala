@@ -210,6 +210,74 @@ object Estimators {
       m.cast("long").as(s"${alias}_m_blocks"))
   }
 
+  /** Delete-a-group jackknife CI for a scaled SUM (Kott 2001's DAGJK; the
+    * replication-based alternative to the closed-form CLT interval —
+    * design-agnostic, so it stays honest for estimators whose analytic
+    * variance is awkward, e.g. post-stratified or ratio-adjusted sums).
+    *
+    * The sample is cut into `k` deterministic random groups by
+    * `groupIndexCol` (0..k−1, derived from the sampling key so any engine
+    * forms identical groups). With ST = Σ_S v and s_j the group-j sum, the
+    * delete-one replicate is θ_(j) = scale·(k/(k−1))·(ST − s_j); since
+    * θ_(j) is linear in s_j, the spread Σ_j (θ_(j) − θ̄)² collapses
+    * algebraically to scale²·(k/(k−1))²·(Σs² − (Σs)²/k), giving
+    *
+    *   v_JK = ((k−1)/k)·Σ(θ_(j) − θ̄)² = scale²·(k/(k−1))·(Σs² − (Σs)²/k)
+    *
+    * computed from EXACT decimal group sums (Σs and Σs² sum decimals, not
+    * doubles → order-independent, oracle-matchable). Two aggregations:
+    * group sums (shuffle ∝ k) then a scalar pass. Emits `alias`,
+    * `{alias}_jk_se`, `{alias}_ci_lower/upper`, `{alias}_k`. */
+  def jackknifeSum(sampledDf: DataFrame, groupIndexCol: Column, value: Column,
+      scale: Double, k: Int, alias: String,
+      confidence: Double = 0.95): DataFrame = {
+    require(k > 1, "jackknife needs at least 2 groups")
+    val z = zScore(confidence)
+    val groups = sampledDf.groupBy(groupIndexCol.as("__jk"))
+      .agg(sum(value.cast("decimal(18,2)")).cast("decimal(18,2)").as("s"))
+    val moments = groups.agg(
+      sum(col("s")).cast("double").as("st"),
+      sum(col("s") * col("s")).cast("double").as("st2"))
+    val kd = lit(k.toDouble)
+    val est = col("st") * lit(scale)
+    val vjk = lit(scale * scale) * (kd / (kd - lit(1.0))) *
+      (col("st2") - col("st") * col("st") / kd)
+    val se = sqrt(greatest(vjk, lit(0.0)))
+    moments.select(
+      est.as(alias),
+      se.as(s"${alias}_jk_se"),
+      (est - lit(z) * se).as(s"${alias}_ci_lower"),
+      (est + lit(z) * se).as(s"${alias}_ci_upper"),
+      lit(k).cast("long").as(s"${alias}_k"))
+  }
+
+  /** Ratio estimator for a population SUM using an auxiliary variable with
+    * a known population total (Cochran ch. 6 — the classic survey-sampling
+    * upgrade over plain expansion): T̂_ratio = (Σ_S y / Σ_S x) · X. When y
+    * and x are positively correlated (price vs quantity), the ratio
+    * estimate inherits the auxiliary's certainty and its variance shrinks
+    * by ≈(1−ρ²) vs Horvitz-Thompson. X comes from an exact single-column
+    * scan of the population (column pruning makes that the cheap pass at
+    * 100 TB — or free when X is carried by table metadata).
+    *
+    * Emits both estimators so the caller can see the adjustment:
+    * `{alias}_ht` (scale·Σy), `{alias}` (ratio), `{alias}_r` (Σy/Σx),
+    * `{alias}_x_total`. Decimal sums → scalar double ops only
+    * (deterministic, oracle-matchable). */
+  def ratioSum(sampledDf: DataFrame, population: DataFrame, y: Column,
+      x: Column, scale: Double, alias: String): DataFrame = {
+    val sAgg = sampledDf.agg(
+      sum(y.cast("decimal(18,2)")).cast("double").as("__sy"),
+      sum(x.cast("decimal(18,2)")).cast("double").as("__sx"))
+    val xTot = population.agg(
+      sum(x.cast("decimal(18,2)")).cast("double").as("__xt"))
+    sAgg.crossJoin(xTot).select(
+      (col("__sy") / col("__sx") * col("__xt")).as(alias),
+      (col("__sy") * lit(scale)).as(s"${alias}_ht"),
+      (col("__sy") / col("__sx")).as(s"${alias}_r"),
+      col("__xt").as(s"${alias}_x_total"))
+  }
+
   /** Mergeable moment sketch: per-group `(n, s1, s2)` with the sums as
     * EXACT scale-0 decimals — the additive state behind COUNT/SUM/AVG/VAR
     * and their CLT CIs. Like the HLL and bloom sketches, partials for any

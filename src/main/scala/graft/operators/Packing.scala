@@ -55,12 +55,17 @@ object Packing {
     * form a total order (make the last one a unique id), but the plan is
     * an aggregation, not a window: partial aggregation collapses each map
     * task to one candidate row per key BEFORE the exchange, so the shuffle
-    * moves |keys| structs instead of every row. (Struct buffers are not
-    * hash-aggregable, so Spark plans a SortAggregate — a LOCAL per-task
-    * sort on the group key only, vs the window's post-shuffle sort of the
-    * whole data by key AND order columns.) At 100 TB this is the
-    * difference between shuffling the corpus and shuffling the key space.
-    * Order columns must be non-null (null field
+    * moves |keys| structs instead of every row.
+    *
+    * Measured caveat (BENCH x_argmax_*): struct buffers are not
+    * hash-aggregable, so Spark plans a SortAggregate whose PARTIAL stage
+    * locally sorts every row by the group key — at 6 M rows × 32 cores
+    * that double sort makes this path comparable to or slower than the
+    * window despite the smaller exchange. The shuffle-volume win only pays
+    * off when the exchange (not the local sort) is the bottleneck — i.e.
+    * on a real multi-node cluster with network-bound shuffle. For the
+    * plan that wins on BOTH axes when the key space is modest, use
+    * [[argmaxViaJoin]]. Order columns must be non-null (null field
     * ordering inside struct comparison would make the winner engine-
     * specific); only `orderCols ++ payloadCols` survive into the output. */
   def argmaxPerKey(df: DataFrame, keyCols: Seq[String],
@@ -71,5 +76,38 @@ object Packing {
       .agg(max(struct(carried.map(col): _*)).as("__best"))
     best.select(keyCols.map(col) ++
       carried.map(c => col(s"__best.$c").as(c)): _*)
+  }
+
+  /** Argmax with NO full-data shuffle and NO full-data sort — the plan to
+    * reach for when the key space is modest (fits a broadcast, i.e. up to
+    * tens of millions of keys):
+    *
+    *  1. hash-aggregate `max(orderCol)` per key — primitive buffer, so the
+    *     partial stage is a codegen'd HashAggregate (no sort), and the
+    *     exchange carries |keys| rows;
+    *  2. broadcast the per-key maxima back onto the fact and keep rows
+    *     whose `orderCol` equals their key's max — a broadcast hash join,
+    *     so the fact is scanned a second time but never shuffled;
+    *  3. break ties among the (few) surviving rows with a window ordered
+    *     by `tieBreakCols` — input is at most |keys| × ties rows.
+    *
+    * At 100 TB: scan 1 reads only `keyCols + orderCol` (column pruning),
+    * scan 2 streams the fact through a broadcast join — total network
+    * traffic is 2 × |keys| rows instead of the corpus. The window paths
+    * shuffle the corpus; [[argmaxPerKey]] sorts it twice locally.
+    *
+    * Groups whose `orderCol` is entirely NULL are dropped (max() is null,
+    * and `null == null` joins false) — same "order columns must be
+    * non-null" contract as [[argmaxPerKey]]. */
+  def argmaxViaJoin(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieBreakCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val maxes = df.groupBy(keyCols.map(col): _*)
+      .agg(max(col(orderCol)).as("__max_ord"))
+    val survivors = df.join(broadcast(maxes), keyCols)
+      .filter(col(orderCol) === col("__max_ord"))
+      .drop("__max_ord")
+    if (tieBreakCols.isEmpty) survivors
+    else latestPerKey(survivors, keyCols, tieBreakCols)
   }
 }

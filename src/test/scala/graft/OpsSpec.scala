@@ -251,6 +251,34 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("argmaxViaJoin matches the window winner and plans a broadcast join, no full shuffle") {
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+    val viaJoin = Packing.argmaxViaJoin(ev, Seq("user_id"), "value",
+        Seq("ts_us", "event_id"))
+      .select("user_id", "value", "ts_us", "event_id")
+      .orderBy("user_id").collect().toSeq
+    val viaWindow = Packing.latestPerKey(ev, Seq("user_id"),
+        Seq("value", "ts_us", "event_id"))
+      .select("user_id", "value", "ts_us", "event_id")
+      .orderBy("user_id").collect().toSeq
+    assert(viaJoin == viaWindow)
+    // plan shape: the fact side reaches the join via broadcast, not an
+    // exchange-of-everything; the only window runs on the tiny survivor set
+    val plan = Packing.argmaxViaJoin(ev, Seq("user_id"), "value",
+      Seq("ts_us", "event_id")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("argmaxViaJoin without tie-break keeps all tied rows") {
+    val df = Seq((1L, 10.0, "a"), (1L, 10.0, "b"), (1L, 5.0, "c"),
+      (2L, 1.0, "d")).toDF("k", "v", "tag")
+    val out = Packing.argmaxViaJoin(df, Seq("k"), "v", Nil)
+      .orderBy("k", "tag").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(out.toSeq == Seq((1L, "a"), (1L, "b"), (2L, "d")))
+  }
+
   test("argmaxPerKey plans as aggregation with partial combine, not a window sort") {
     val ev = Tables.events(spark, sf0001)
       .select(col("user_id"), col("value"), col("event_id"))

@@ -11,8 +11,8 @@ class StreamingSpec extends SparkSpec {
   test("windowed approx agg over a streamed events fixture tracks the batch answer") {
     val batchEvents = Tables.events(spark, sf0001)
     // stream the same parquet through a file source with one-file batches;
-    // schema must be the RAW on-disk schema (ts as long nanos under
-    // nanosAsLong), converted after read like Tables.events does
+    // schema must be the RAW on-disk schema (ts physical type varies by
+    // generator version), normalized after read like Tables.events does
     val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
     // file-source streaming needs a DIRECTORY; stage the single parquet file
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
@@ -23,7 +23,7 @@ class StreamingSpec extends SparkSpec {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val approx = StreamingAgg.windowedApproxAgg(streamed, "1 hour", step = 5L)
     val got = StreamingAgg.runToMemory(spark, approx, "approx_hourly")
 
@@ -45,7 +45,7 @@ class StreamingSpec extends SparkSpec {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     // HLL distinct per window tracks exact batch distinct within sketch error
     val approx = StreamingAgg.windowedApproxDistinct(streamed, "1 hour")
     val got = StreamingAgg.runToMemory(spark, approx, "approx_distinct")
@@ -80,7 +80,7 @@ class StreamingSpec extends SparkSpec {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     // integer-valued input per the cents rule: value quantized to cents
     val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
     val got = StreamingAgg.runToMemory(spark,
@@ -111,7 +111,7 @@ class StreamingSpec extends SparkSpec {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val perWindow = StreamingAgg.runToMemory(spark,
       StreamingAgg.windowedCountMin(streamed, "1 hour", col("user_id"),
         width = 64), "cms_stream")
@@ -142,7 +142,7 @@ class StreamingSpec extends SparkSpec {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val perWindow = StreamingAgg.runToMemory(spark,
       StreamingAgg.windowedHistogram(streamed, "1 hour", col("value"),
         lo = 0.0, width = 10.0, nBins = 64), "hist_stream")
@@ -175,7 +175,7 @@ class StreamingSpec extends SparkSpec {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val sel = Seq("event_id", "user_id", "ts")
     val clicks = streamed.filter(col("event_type") === "click")
       .selectExpr(sel: _*)
@@ -209,7 +209,7 @@ class StreamingSpec extends SparkSpec {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .transform(Tables.normalizeEventTs)
     val dim = batchEvents.select(col("user_id")).distinct()
       .withColumn("cohort", pmod(col("user_id"), lit(5L)))
     val enriched = streamed.join(broadcast(dim), Seq("user_id"))
