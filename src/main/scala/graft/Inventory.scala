@@ -293,7 +293,7 @@ object Inventory {
   val all: Seq[QueryDef] =
     exactQueries ++ approxQueries ++ ciQueries ++ designQueries ++
       InventoryPipeline.all ++ InventoryExtensions.all ++ InventoryCuration.all ++
-      InventoryOps.all ++ InventoryGovernance.all
+      InventoryOps.all ++ InventoryGovernance.all ++ InventoryAnalytics.all
 
   def byName(name: String): QueryDef = all.find(_.name == name)
     .getOrElse(throw new NoSuchElementException(name))

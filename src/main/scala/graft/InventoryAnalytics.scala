@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exec.Estimators
+import graft.operators.{EventAnalytics, Packing, TextAnalysis}
+
+/** Round-3 widening: replication/auxiliary-variable estimators (the
+  * survey-sampling depth beyond closed-form CLT), corpus language-model
+  * scoring, and the product-analytics trio (transitions, retention,
+  * gaps). Oracle discipline as everywhere else: exact decimal/integer
+  * moments, fixed-order IEEE scalar math, full ORDER BY, identical
+  * aliases in both engines.
+  */
+object InventoryAnalytics {
+  import graft.Tables._
+
+  private val liKeySql = "(l_orderkey * 8191 + l_linenumber * 131)"
+  private def liKey = expr(liKeySql)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q127_argmax_join_best_event",
+      // the broadcast-join argmax plan (Packing.argmaxViaJoin): per-key
+      // max via codegen'd HashAggregate (shuffle ∝ |users|), broadcast the
+      // maxima back, window only the handful of survivors — the fact is
+      // never shuffled or sorted, unlike q97's SortAggregate / a window.
+      (s, d) => {
+        val ev = events(s, d).select(col("user_id"), col("value"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        Packing.argmaxViaJoin(ev, Seq("user_id"), "value",
+            Seq("ts_us", "event_id"))
+          .select(col("user_id"), col("value").as("best_value"),
+            col("ts_us").as("best_ts_us"), col("event_id").as("best_event_id"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH r AS (SELECT user_id, value, epoch_us(ts) AS ts_us, event_id, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, epoch_us(ts) DESC, event_id DESC) AS rn FROM events) SELECT user_id, value AS best_value, ts_us AS best_ts_us, event_id AS best_event_id FROM r WHERE rn = 1 ORDER BY user_id""")),
+
+    QueryDef("q128_jackknife_sum",
+      // delete-a-group jackknife CI for the 10% systematic SUM: 8 random
+      // groups cut from the sampling key, replicate spread collapsed to
+      // exact decimal moments (Estimators.jackknifeSum scaladoc derives
+      // the algebra) — the replication CI that stays valid for estimators
+      // with awkward analytic variance.
+      (s, d) => Estimators.jackknifeSum(
+        lineitem(s, d).filter(pmod(liKey, lit(10L)) === 0),
+        pmod(expr(s"$liKeySql div 10"), lit(8L)),
+        col("l_extendedprice"), scale = 10.0, k = 8, alias = "sum_est"),
+      Some(s"""WITH s AS (SELECT l_extendedprice, $liKeySql AS k FROM lineitem WHERE $liKeySql % 10 = 0), g AS (SELECT (k // 10) % 8 AS jk, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS s2 FROM s GROUP BY 1), m AS (SELECT CAST(SUM(s2) AS DOUBLE) AS st, CAST(SUM(CAST(s2 AS DECIMAL(28,2)) * s2) AS DOUBLE) AS st2 FROM g) SELECT st * 10.0 AS sum_est, sqrt(greatest((100.0 * (8.0 / 7.0)) * (st2 - st * st / 8.0), 0.0)) AS sum_est_jk_se, st * 10.0 - 1.96 * sqrt(greatest((100.0 * (8.0 / 7.0)) * (st2 - st * st / 8.0), 0.0)) AS sum_est_ci_lower, st * 10.0 + 1.96 * sqrt(greatest((100.0 * (8.0 / 7.0)) * (st2 - st * st / 8.0), 0.0)) AS sum_est_ci_upper, CAST(8 AS BIGINT) AS sum_est_k FROM m""")),
+
+    QueryDef("q129_ratio_sum",
+      // ratio estimator: adjust the sampled price total by the known
+      // exact quantity total (Cochran ch. 6) — price and quantity are
+      // positively correlated, so the ratio estimate beats plain
+      // expansion; emits both so the adjustment is visible.
+      (s, d) => {
+        val li = lineitem(s, d)
+        Estimators.ratioSum(li.filter(pmod(liKey, lit(10L)) === 0), li,
+          col("l_extendedprice"), col("l_quantity"), scale = 10.0,
+          alias = "sum_ratio")
+      },
+      Some(s"""WITH s AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx FROM lineitem WHERE $liKeySql % 10 = 0), x AS (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS xt FROM lineitem) SELECT (sy / sx) * xt AS sum_ratio, sy * 10.0 AS sum_ratio_ht, sy / sx AS sum_ratio_r, xt AS sum_ratio_x_total FROM s CROSS JOIN x""")),
+
+    QueryDef("q130_unigram_rarity",
+      // corpus-trained unigram LM scoring (integer-rarity form — the
+      // KenLM-style quality signal; TextAnalysis.unigramRarity scaladoc
+      // explains the div-for-log substitution)
+      (s, d) => TextAnalysis.unigramRarity(documents(s, d), "doc_id", "text"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS term FROM documents), t AS (SELECT doc_id, term FROM tok WHERE length(term) > 0), c AS (SELECT term, COUNT(*) AS n_t FROM t GROUP BY 1), tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM c) SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(n_total // n_t) AS BIGINT) AS rarity_sum, CAST(CAST(SUM(n_total // n_t) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_rarity FROM t JOIN c USING (term) CROSS JOIN tot GROUP BY doc_id ORDER BY doc_id"""),
+      headline = true),
+
+    QueryDef("q131_head_coverage",
+      // Zipf-head coverage per source: share of tokens in the corpus
+      // top-100 vocabulary — register/drift signal; head is broadcast so
+      // the token stream never shuffles
+      (s, d) => TextAnalysis.headCoverage(documents(s, d), "source", "text",
+        k = 100),
+      Some("""WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), ' +')) AS term FROM documents), t AS (SELECT source, term FROM tok WHERE length(term) > 0), c AS (SELECT term, COUNT(*) AS n_t FROM t GROUP BY 1), h AS (SELECT term, CAST(1 AS BIGINT) AS is_head FROM c ORDER BY n_t DESC, term LIMIT 100) SELECT source, COUNT(*) AS n_tokens, CAST(SUM(COALESCE(is_head, 0)) AS BIGINT) AS head_tokens, CAST(CAST(SUM(COALESCE(is_head, 0)) AS BIGINT) AS DOUBLE) / COUNT(*) AS head_coverage FROM t LEFT JOIN h USING (term) GROUP BY source ORDER BY source""")),
+
+    QueryDef("q132_event_transitions",
+      // first-order Markov transition matrix over each user's event
+      // sequence: one window shuffle on user, |types|² result; p_next is
+      // a single exact-integer division
+      (s, d) => EventAnalytics.transitions(events(s, d), "user_id", "ts",
+        "event_type", "event_id"),
+      Some("""WITH o AS (SELECT user_id, event_type, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), c AS (SELECT prev AS prev_type, event_type AS next_type, COUNT(*) AS cnt FROM o WHERE prev IS NOT NULL GROUP BY 1, 2) SELECT prev_type, next_type, cnt, CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER (PARTITION BY prev_type) AS BIGINT) AS p_next FROM c ORDER BY prev_type, next_type""")),
+
+    QueryDef("q133_retention_cohorts",
+      // weekly retention triangle: cohort by ISO week of first event,
+      // count active users per (cohort, offset); date_trunc('week') pins
+      // Mondays in both engines so offsets are exact integers
+      (s, d) => EventAnalytics.retentionCohorts(events(s, d), "user_id", "ts"),
+      Some("""WITH fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY 1), aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events) SELECT cohort_week, CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) // 7 AS BIGINT) AS week_offset, COUNT(*) AS n_users FROM aw JOIN fw USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q134_event_gaps",
+      // per-user inactivity audit: gaps over 6 h between consecutive
+      // events — exact integer microsecond arithmetic, one user-keyed
+      // window shuffle
+      (s, d) => EventAnalytics.timeGaps(events(s, d), "user_id", "ts",
+        "event_id", gapMicros = 21600000000L),
+      Some("""WITH o AS (SELECT user_id, epoch_us(ts) AS us, LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pus FROM events), g AS (SELECT user_id, us - pus AS gap FROM o WHERE pus IS NOT NULL) SELECT user_id, COUNT(*) AS n_intervals, CAST(SUM(CASE WHEN gap > 21600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, MAX(gap) AS max_gap_us FROM g GROUP BY 1 HAVING SUM(CASE WHEN gap > 21600000000 THEN 1 ELSE 0 END) > 0 ORDER BY 1"""))
+  )
+}

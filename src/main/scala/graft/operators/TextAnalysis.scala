@@ -551,4 +551,64 @@ object TextAnalysis {
       .withColumn("fingerprint", fingerprint(t))
       .withColumn("lang_pred", langId(t))
   }
+
+  /** Corpus-trained unigram language-model score per document — the
+    * KenLM-style "how surprising is this text under the corpus
+    * distribution" quality signal, in deterministic integer form: each
+    * token contributes `N div n_t` (corpus tokens over the token's corpus
+    * frequency — the reciprocal of its unigram probability, integer
+    * division instead of `-log p` for bit-reproducibility across engines,
+    * same trick as [[tfidfTopTerms]]'s div-IDF). High average rarity =
+    * rare/misspelled/garbage tokens; low = common fluent text.
+    *
+    * Scale shape: explode → vocabulary counts (shuffle ∝ vocab, map-side
+    * combined) → token-stream join back on term (the same
+    * vocabulary-keyed exchange as TF-IDF; AQE broadcasts the counts side
+    * when the vocab is small) → per-doc aggregation. The 1-row corpus
+    * total rides a broadcast cross join. Nothing quadratic. */
+  def unigramRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(split(lower(col(textCol)), " +")).as("term"))
+      .filter(length(col("term")) > 0)
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+    val total = counts.agg(sum(col("n_t")).as("n_total"))
+    tok.join(counts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("__rarity", expr("n_total div n_t"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__rarity")).as("rarity_sum"))
+      .withColumn("avg_rarity",
+        col("rarity_sum").cast("double") / col("n_tokens"))
+      .orderBy(col(idCol))
+  }
+
+  /** Head-vocabulary coverage per group: the fraction of a group's tokens
+    * that fall in the corpus-wide top-`k` terms. A drift/quality signal —
+    * fluent natural text is dominated by the head (Zipf), while boilerplate
+    * and garbage push mass into the tail; a source whose coverage moves
+    * between snapshots changed its register. Deterministic: head ties
+    * break on term text; coverage is one BIGINT/BIGINT division.
+    *
+    * Scale shape: vocabulary counts (shuffle ∝ vocab) → top-k head via a
+    * single small sort (k rows survive) → broadcast LEFT join of the
+    * token stream against the head (no shuffle of the stream) → per-group
+    * counts. */
+  def headCoverage(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val tok = df.select(col(groupCol),
+        explode(split(lower(col(textCol)), " +")).as("term"))
+      .filter(length(col("term")) > 0)
+    val head = tok.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      .orderBy(col("n_t").desc, col("term")).limit(k)
+      .select(col("term"), lit(1L).as("is_head"))
+    tok.join(broadcast(head), Seq("term"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("is_head"), lit(0L))).as("head_tokens"))
+      .withColumn("head_coverage",
+        col("head_tokens").cast("double") / col("n_tokens"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -36,6 +36,32 @@ class EstimatorSpec extends SparkSpec {
     assert(math.abs(got - exactSum) / exactSum < 0.10, s"got $got vs $exactSum")
   }
 
+  test("jackknife CI is centered on the expansion estimate and covers truth") {
+    val samp = li.filter(pmod(liKey, lit(10L)) === 0)
+    val r = Estimators.jackknifeSum(samp,
+      pmod(expr("(l_orderkey * 8191 + l_linenumber * 131) div 10"), lit(8L)),
+      col("l_extendedprice"), scale = 10.0, k = 8, alias = "s").head
+    val (est, se, lo, hi) = (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))
+    assert(se > 0.0)
+    assert(math.abs((lo + hi) / 2 - est) < 1e-6 * math.abs(est))
+    assert(lo <= exactSum && exactSum <= hi,
+      s"95% jackknife CI [$lo, $hi] misses truth $exactSum")
+  }
+
+  test("ratio estimator beats plain expansion on correlated price/quantity") {
+    val samp = li.filter(pmod(liKey, lit(10L)) === 0)
+    val r = Estimators.ratioSum(samp, li, col("l_extendedprice"),
+      col("l_quantity"), scale = 10.0, alias = "s").head
+    val (ratioEst, htEst) = (r.getDouble(0), r.getDouble(1))
+    // both estimates are consistent; the ratio-adjusted one should sit at
+    // least as close to truth given the positive price/quantity correlation
+    assert(math.abs(ratioEst - exactSum) / exactSum < 0.10)
+    assert(math.abs(htEst - exactSum) / exactSum < 0.10)
+    assert(math.abs(ratioEst - exactSum) <= math.abs(htEst - exactSum) * 1.5,
+      s"ratio $ratioEst vs ht $htEst vs truth $exactSum")
+  }
+
   test("systematic scaled COUNT within 10% of exact at step=10") {
     val sf = Sampling.systematic(li, liKey, step = 10L)
     val got = Estimators.scaledAgg(sf, AggKind.Count, col("l_extendedprice"), "c")
