@@ -92,6 +92,97 @@ object InventoryAnalytics {
       (s, d) => EventAnalytics.retentionCohorts(events(s, d), "user_id", "ts"),
       Some("""WITH fw AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY 1), aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events) SELECT cohort_week, CAST(date_diff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) // 7 AS BIGINT) AS week_offset, COUNT(*) AS n_users FROM aw JOIN fw USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("q135_regression_sum",
+      // GREG model-assisted estimator: OLS slope of price on quantity
+      // from the sample, mean corrected by the known auxiliary mean
+      // (Estimators.regressionSum) — the estimator family ratio → GREG
+      // completed; all moments exact decimals
+      (s, d) => {
+        val li = lineitem(s, d)
+        Estimators.regressionSum(li.filter(pmod(liKey, lit(10L)) === 0), li,
+          col("l_extendedprice"), col("l_quantity"), scale = 10.0,
+          alias = "sum_greg")
+      },
+      Some(s"""WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx, CAST(SUM(CAST(l_quantity AS DECIMAL(28,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx, CAST(SUM(CAST(l_quantity AS DECIMAL(28,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy FROM lineitem WHERE $liKeySql % 10 = 0), p AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS xt FROM lineitem) SELECT nn * ((sy / n) + (CASE WHEN (n * sxx - sx * sx) <> 0.0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END) * ((xt / nn) - (sx / n))) AS sum_greg, sy * 10.0 AS sum_greg_ht, CASE WHEN (n * sxx - sx * sx) <> 0.0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) ELSE 0.0 END AS sum_greg_b FROM s CROSS JOIN p""")),
+
+    QueryDef("q136_poststratified_sum",
+      // post-stratification: per-stratum expansion anchored on KNOWN
+      // stratum counts (count-only scan — free from table stats at
+      // scale); emitted per stratum because a cross-stratum double sum
+      // would be summation-order-dependent across engines
+      (s, d) => {
+        val li = lineitem(s, d)
+        val sAgg = li.filter(pmod(liKey, lit(10L)) === 0)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_samp"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sy"))
+        val pAgg = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_g"))
+        pAgg.join(sAgg, Seq("l_returnflag"))
+          .select(col("l_returnflag"), col("n_g"), col("n_samp"),
+            (col("n_g").cast("double") * (col("sy") / col("n_samp")))
+              .as("t_post"),
+            (col("sy") * lit(10.0)).as("t_ht"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some(s"""WITH sa AS (SELECT l_returnflag, COUNT(*) AS n_samp, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy FROM lineitem WHERE $liKeySql % 10 = 0 GROUP BY 1), pa AS (SELECT l_returnflag, COUNT(*) AS n_g FROM lineitem GROUP BY 1) SELECT l_returnflag, n_g, n_samp, CAST(n_g AS DOUBLE) * (sy / n_samp) AS t_post, sy * 10.0 AS t_ht FROM pa JOIN sa USING (l_returnflag) ORDER BY 1""")),
+
+    QueryDef("q137_sampled_median",
+      // order statistics under sampling: the 10% systematic sample's
+      // exact interpolated median vs the population's, plus the relative
+      // error — quantifies what the percentile-sketch family (q27) only
+      // bounds; percentile ↔ quantile_cont share the h = p·(n−1)
+      // interpolation bit-for-bit (q52 precedent)
+      (s, d) => {
+        val li = lineitem(s, d)
+        val sMed = li.filter(pmod(liKey, lit(10L)) === 0)
+          .agg(percentile(col("l_extendedprice"), lit(0.5)).as("median_samp"))
+        val pMed = li
+          .agg(percentile(col("l_extendedprice"), lit(0.5)).as("median_exact"))
+        sMed.crossJoin(pMed)
+          .select(col("median_samp"), col("median_exact"),
+            (abs(col("median_samp") - col("median_exact")) /
+              col("median_exact") * lit(100.0)).as("rel_err_pct"))
+      },
+      Some(s"""WITH s AS (SELECT quantile_cont(l_extendedprice, 0.5) AS median_samp FROM lineitem WHERE $liKeySql % 10 = 0), p AS (SELECT quantile_cont(l_extendedprice, 0.5) AS median_exact FROM lineitem) SELECT median_samp, median_exact, abs(median_samp - median_exact) / median_exact * 100.0 AS rel_err_pct FROM s CROSS JOIN p""")),
+
+    QueryDef("q138_hybrid_groupby",
+      // the reference's size-based method router
+      // (enhanced_aqe_cli.py:116-131) made per-group: big groups answered
+      // from the in-scan sample, small groups topped up exactly via a
+      // semi-join-scoped second pass (Estimators.hybridGroupSum)
+      (s, d) => Estimators.hybridGroupSum(lineitem(s, d), "l_suppkey",
+        col("l_extendedprice"), liKey, step = 5L, minGroupSize = 600L),
+      Some(s"""WITH b AS (SELECT l_suppkey, COUNT(*) AS n_rows, SUM(CASE WHEN $liKeySql % 5 = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS s_samp FROM lineitem GROUP BY 1), e AS (SELECT l_suppkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_exact FROM lineitem WHERE l_suppkey IN (SELECT l_suppkey FROM b WHERE n_rows < 600) GROUP BY 1) SELECT b.l_suppkey, n_rows, CASE WHEN n_rows < 600 THEN 'exact' ELSE 'sampled' END AS method, CASE WHEN n_rows < 600 THEN s_exact ELSE COALESCE(CAST(s_samp AS DOUBLE), 0.0) * 5.0 END AS sum_est FROM b LEFT JOIN e ON b.l_suppkey = e.l_suppkey ORDER BY b.l_suppkey""")),
+
+    QueryDef("q139_fraction_sweep",
+      // the error→fraction policy table, measured instead of assumed: one
+      // scan evaluates the 5/10/20% nested systematic estimates (key-mod
+      // samples refine each other) and their signed relative errors —
+      // the empirical backing for ApproxPlanner's compat table
+      (s, d) => {
+        val dec = col("l_extendedprice").cast("decimal(18,2)")
+        lineitem(s, d).agg(
+            sum(dec).cast("double").as("exact_sum"),
+            sum(when(pmod(liKey, lit(20L)) === 0, dec)).cast("double")
+              .as("__s20"),
+            sum(when(pmod(liKey, lit(10L)) === 0, dec)).cast("double")
+              .as("__s10"),
+            sum(when(pmod(liKey, lit(5L)) === 0, dec)).cast("double")
+              .as("__s5"))
+          .select(col("exact_sum"),
+            (col("__s20") * lit(20.0)).as("est_f05"),
+            (col("__s10") * lit(10.0)).as("est_f10"),
+            (col("__s5") * lit(5.0)).as("est_f20"),
+            ((col("__s20") * lit(20.0) - col("exact_sum")) /
+              col("exact_sum") * lit(100.0)).as("err_f05_pct"),
+            ((col("__s10") * lit(10.0) - col("exact_sum")) /
+              col("exact_sum") * lit(100.0)).as("err_f10_pct"),
+            ((col("__s5") * lit(5.0) - col("exact_sum")) /
+              col("exact_sum") * lit(100.0)).as("err_f20_pct"))
+      },
+      Some(s"""WITH m AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_sum, CAST(SUM(CASE WHEN $liKeySql % 20 = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s20, CAST(SUM(CASE WHEN $liKeySql % 10 = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s10, CAST(SUM(CASE WHEN $liKeySql % 5 = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s5 FROM lineitem) SELECT exact_sum, s20 * 20.0 AS est_f05, s10 * 10.0 AS est_f10, s5 * 5.0 AS est_f20, (s20 * 20.0 - exact_sum) / exact_sum * 100.0 AS err_f05_pct, (s10 * 10.0 - exact_sum) / exact_sum * 100.0 AS err_f10_pct, (s5 * 5.0 - exact_sum) / exact_sum * 100.0 AS err_f20_pct FROM m""")),
+
     QueryDef("q134_event_gaps",
       // per-user inactivity audit: gaps over 6 h between consecutive
       // events — exact integer microsecond arithmetic, one user-keyed

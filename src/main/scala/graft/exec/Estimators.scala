@@ -278,6 +278,82 @@ object Estimators {
       col("__xt").as(s"${alias}_x_total"))
   }
 
+  /** Generalized regression (GREG) estimator for a population SUM — the
+    * model-assisted upgrade over [[ratioSum]] (Särndal et al., ch. 6): fit
+    * the sample OLS slope B of y on x, then correct the sample mean by the
+    * known auxiliary mean,
+    *
+    *   T̂_greg = N · (ȳ_s + B · (X̄ − x̄_s)),
+    *   B = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *
+    * Unlike the ratio estimator it tolerates a nonzero intercept in the
+    * y–x relation; with B=0 it degenerates to post-stratified expansion.
+    * N and X̄ come from a count + one-column scan of the population (or
+    * table stats). Every moment is an exact decimal sum cast to double
+    * once, so the whole expression is deterministic and oracle-matchable.
+    * Emits `alias` (GREG), `{alias}_ht`, `{alias}_b` (slope). */
+  def regressionSum(sampledDf: DataFrame, population: DataFrame, y: Column,
+      x: Column, scale: Double, alias: String): DataFrame = {
+    val yd = y.cast("decimal(18,2)")
+    val xd = x.cast("decimal(18,2)")
+    val sAgg = sampledDf.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(yd).cast("double").as("__sy"),
+      sum(xd).cast("double").as("__sx"),
+      sum(xd * xd).cast("double").as("__sxx"),
+      sum(xd * yd).cast("double").as("__sxy"))
+    val pAgg = population.agg(
+      count(lit(1)).cast("double").as("__nn"),
+      sum(xd).cast("double").as("__xt"))
+    val n = col("__n")
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    val b = when(den =!= 0.0,
+      (n * col("__sxy") - col("__sx") * col("__sy")) / den).otherwise(lit(0.0))
+    val ybar = col("__sy") / n
+    val xbar = col("__sx") / n
+    val xbarPop = col("__xt") / col("__nn")
+    sAgg.crossJoin(pAgg).select(
+      (col("__nn") * (ybar + b * (xbarPop - xbar))).as(alias),
+      (col("__sy") * lit(scale)).as(s"${alias}_ht"),
+      b.as(s"${alias}_b"))
+  }
+
+  /** Hybrid exact/sampled GROUP BY — the reference's size-based method
+    * router (enhanced_aqe_cli.py:116-131: small input → exact, large →
+    * sampled) made per-group and distributed:
+    *
+    *  - pass 1: ONE scan computes each group's exact count and its
+    *    sampled sum (a conditional aggregate over the key-mod sample) —
+    *    big groups are finished here;
+    *  - pass 2: only the rows of small groups (below `minGroupSize`) are
+    *    re-aggregated exactly, scoped by a broadcast semi-join, because
+    *    a 1/step sample of a tiny group is noise.
+    *
+    * At 100 TB the second pass streams a sliver of the fact (the small
+    * groups) and the big-group estimates never touch the data again —
+    * strictly better than either all-exact or all-sampled. Deterministic:
+    * the sample is key-mod, the routing rule is an exact count. Emits
+    * (key, n_rows, method, sum_est). */
+  def hybridGroupSum(df: DataFrame, keyCol: String, value: Column,
+      sampleKey: Column, step: Long, minGroupSize: Long): DataFrame = {
+    val vd = value.cast("decimal(18,2)")
+    val base = df.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(pmod(sampleKey, lit(step)) === 0, vd)).as("__s_samp"))
+    val small = base.filter(col("n_rows") < minGroupSize).select(col(keyCol))
+    val exactSmall = df.join(broadcast(small), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol)).agg(sum(vd).as("__s_exact"))
+    base.join(exactSmall, Seq(keyCol), "left")
+      .select(col(keyCol), col("n_rows"),
+        when(col("n_rows") < minGroupSize, lit("exact"))
+          .otherwise(lit("sampled")).as("method"),
+        when(col("n_rows") < minGroupSize,
+            col("__s_exact").cast("double"))
+          .otherwise(coalesce(col("__s_samp").cast("double"), lit(0.0)) *
+            lit(step.toDouble)).as("sum_est"))
+      .orderBy(col(keyCol))
+  }
+
   /** Mergeable moment sketch: per-group `(n, s1, s2)` with the sums as
     * EXACT scale-0 decimals — the additive state behind COUNT/SUM/AVG/VAR
     * and their CLT CIs. Like the HLL and bloom sketches, partials for any

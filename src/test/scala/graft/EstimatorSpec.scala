@@ -62,6 +62,41 @@ class EstimatorSpec extends SparkSpec {
       s"ratio $ratioEst vs ht $htEst vs truth $exactSum")
   }
 
+  test("GREG regression estimator is consistent and fits a finite slope") {
+    val samp = li.filter(pmod(liKey, lit(10L)) === 0)
+    val r = Estimators.regressionSum(samp, li, col("l_extendedprice"),
+      col("l_quantity"), scale = 10.0, alias = "s").head
+    val (greg, ht, b) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    // the synthetic fixture's price is nearly independent of quantity, so
+    // the slope's SIGN is data, not contract — only finiteness is
+    assert(!b.isNaN && !b.isInfinite)
+    assert(math.abs(greg - exactSum) / exactSum < 0.10, s"greg $greg")
+    assert(math.abs(ht - exactSum) / exactSum < 0.10)
+  }
+
+  test("hybrid group sum routes by size and is exact for small groups") {
+    // suppkey groups at sf0.001 are ~50-70 rows: threshold above forces
+    // all-exact; threshold 1 forces all-sampled
+    val allExact = Estimators.hybridGroupSum(li, "l_suppkey",
+      col("l_extendedprice"), liKey, step = 5L, minGroupSize = 1000000L)
+    assert(allExact.filter(col("method") =!= "exact").count() == 0)
+    val truth = li.groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+        .as("t")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    allExact.collect().foreach { r =>
+      assert(math.abs(r.getDouble(3) - truth(r.getLong(0))) < 1e-6)
+    }
+    val allSampled = Estimators.hybridGroupSum(li, "l_suppkey",
+      col("l_extendedprice"), liKey, step = 5L, minGroupSize = 1L)
+    assert(allSampled.filter(col("method") =!= "sampled").count() == 0)
+    // 20% sample scaled by 5: each group's estimate lands near truth
+    val offs = allSampled.collect().map { r =>
+      math.abs(r.getDouble(3) - truth(r.getLong(0))) / truth(r.getLong(0))
+    }
+    assert(offs.sum / offs.length < 0.25, "mean per-group rel error too big")
+  }
+
   test("systematic scaled COUNT within 10% of exact at step=10") {
     val sf = Sampling.systematic(li, liKey, step = 10L)
     val got = Estimators.scaledAgg(sf, AggKind.Count, col("l_extendedprice"), "c")
