@@ -183,6 +183,61 @@ object InventoryAnalytics {
       },
       Some(s"""WITH m AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS exact_sum, CAST(SUM(CASE WHEN $liKeySql % 20 = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s20, CAST(SUM(CASE WHEN $liKeySql % 10 = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s10, CAST(SUM(CASE WHEN $liKeySql % 5 = 0 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s5 FROM lineitem) SELECT exact_sum, s20 * 20.0 AS est_f05, s10 * 10.0 AS est_f10, s5 * 5.0 AS est_f20, (s20 * 20.0 - exact_sum) / exact_sum * 100.0 AS err_f05_pct, (s10 * 10.0 - exact_sum) / exact_sum * 100.0 AS err_f10_pct, (s5 * 5.0 - exact_sum) / exact_sum * 100.0 AS err_f20_pct FROM m""")),
 
+    QueryDef("q140_chao_distinct",
+      // distinct-count estimation FROM A SAMPLE (famously harder than
+      // sketching the full stream): Chao1 lower-bound estimator
+      // d̂ = d_samp + f1²/(2·f2) from the sample's singleton/doubleton
+      // frequency-of-frequencies — complements the HLL family (q25/q79),
+      // which needs a full pass; this needs only the 10% sample plus an
+      // exact audit column. Integer f-statistics → deterministic.
+      (s, d) => {
+        val li = lineitem(s, d)
+        val freq = li.filter(pmod(liKey, lit(10L)) === 0)
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        val fstats = freq.agg(
+          count(lit(1)).as("d_samp"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("f1"),
+          sum(when(col("n") === 2, 1L).otherwise(0L)).as("f2"))
+        val exact = li.agg(countDistinct(col("l_partkey")).as("d_exact"))
+        fstats.crossJoin(exact).select(
+          col("d_samp"), col("f1"), col("f2"), col("d_exact"),
+          (col("d_samp") +
+            when(col("f2") > 0,
+              (col("f1") * col("f1")).cast("double") /
+                (lit(2L) * col("f2")))
+              .otherwise((col("f1") * (col("f1") - lit(1L))).cast("double") /
+                lit(2.0))).as("d_chao1"))
+      },
+      Some(s"""WITH s AS (SELECT l_partkey FROM lineitem WHERE $liKeySql % 10 = 0), c AS (SELECT l_partkey, COUNT(*) AS n FROM s GROUP BY 1), f AS (SELECT COUNT(*) AS d_samp, CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1, CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2 FROM c), e AS (SELECT COUNT(DISTINCT l_partkey) AS d_exact FROM lineitem) SELECT d_samp, f1, f2, d_exact, d_samp + CASE WHEN f2 > 0 THEN CAST(f1 * f1 AS DOUBLE) / (2 * f2) ELSE CAST(f1 * (f1 - 1) AS DOUBLE) / 2.0 END AS d_chao1 FROM f CROSS JOIN e""")),
+
+    QueryDef("q141_median_ci",
+      // distribution-free CI for the sampled median (Woodruff / binomial
+      // order-statistic bounds): ranks r = n/2 ± z·√(n/4), CI = the
+      // sample's r-th order statistics. The global rank window sorts THE
+      // SAMPLE only (documented in PLANS.md; production path at 100 TB is
+      // the mergeable histogram CI, q100 — this is its exact-gated anchor)
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val samp = lineitem(s, d).filter(pmod(liKey, lit(10L)) === 0)
+          .select(col("l_extendedprice").as("v"), liKey.as("k"))
+        val nDf = samp.agg(count(lit(1)).as("n_samp"))
+        val mDf = samp.agg(percentile(col("v"), lit(0.5)).as("median_samp"))
+        val ranked = samp.withColumn("rn",
+          row_number().over(Window.orderBy(col("v"), col("k"))))
+        val rlo = greatest(lit(1L),
+          floor(lit(0.5) * col("n_samp") -
+            lit(1.96) * sqrt(col("n_samp") * lit(0.25))).cast("long"))
+        val rhi = least(col("n_samp"),
+          ceil(lit(0.5) * col("n_samp") +
+            lit(1.96) * sqrt(col("n_samp") * lit(0.25))).cast("long"))
+        ranked.crossJoin(broadcast(nDf)).crossJoin(broadcast(mDf))
+          .groupBy(col("n_samp"), rlo.as("r_lo"), rhi.as("r_hi"),
+            col("median_samp"))
+          .agg(max(when(col("rn") === rlo, col("v"))).as("median_ci_lower"),
+            max(when(col("rn") === rhi, col("v"))).as("median_ci_upper"))
+      },
+      Some(s"""WITH s AS (SELECT l_extendedprice AS v, $liKeySql AS k FROM lineitem WHERE $liKeySql % 10 = 0), nn AS (SELECT COUNT(*) AS n_samp FROM s), m AS (SELECT quantile_cont(v, 0.5) AS median_samp FROM s), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, k) AS rn FROM s) SELECT n_samp, GREATEST(1, CAST(FLOOR(0.5 * n_samp - 1.96 * SQRT(n_samp * 0.25)) AS BIGINT)) AS r_lo, LEAST(n_samp, CAST(CEIL(0.5 * n_samp + 1.96 * SQRT(n_samp * 0.25)) AS BIGINT)) AS r_hi, median_samp, MAX(CASE WHEN rn = GREATEST(1, CAST(FLOOR(0.5 * n_samp - 1.96 * SQRT(n_samp * 0.25)) AS BIGINT)) THEN v END) AS median_ci_lower, MAX(CASE WHEN rn = LEAST(n_samp, CAST(CEIL(0.5 * n_samp + 1.96 * SQRT(n_samp * 0.25)) AS BIGINT)) THEN v END) AS median_ci_upper FROM r CROSS JOIN nn CROSS JOIN m GROUP BY 1, 2, 3, 4""")),
+
     QueryDef("q134_event_gaps",
       // per-user inactivity audit: gaps over 6 h between consecutive
       // events — exact integer microsecond arithmetic, one user-keyed

@@ -96,6 +96,13 @@ object Packing {
     * traffic is 2 × |keys| rows instead of the corpus. The window paths
     * shuffle the corpus; [[argmaxPerKey]] sorts it twice locally.
     *
+    * Measured caveat (BENCH x_argmax_join_*): on local[32] the fact scan
+    * itself is the bottleneck (shuffle is an in-memory copy), so paying
+    * TWO scans measures ~0.5× the window — the trade only pays where it
+    * is aimed: network-bound shuffles (real clusters) or a cached/
+    * pre-projected input. Pick by deployment: window/argmaxPerKey when
+    * scans dominate, this when the exchange does.
+    *
     * Groups whose `orderCol` is entirely NULL are dropped (max() is null,
     * and `null == null` joins false) — same "order columns must be
     * non-null" contract as [[argmaxPerKey]]. */
