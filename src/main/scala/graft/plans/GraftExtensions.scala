@@ -24,6 +24,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ScaleSampledAggregates)
+    ext.injectOptimizerRule(_ => ApproxAggregateRewrite)
     GraftFunctions.registrations.foreach(ext.injectFunction)
   }
 }
@@ -93,5 +94,62 @@ object ScaleSampledAggregates extends Rule[LogicalPlan] {
   private def hasBareScalable(exprs: Seq[NamedExpression]): Boolean = exprs.exists {
     case Alias(ae: AggregateExpression, _) => isScalable(ae)
     case _ => false
+  }
+}
+
+/** Opt-in "approximate mode": rewrite EXACT aggregates the user wrote into
+  * their sketch counterparts at the optimizer level — the engine-native
+  * generalization of the reference's CLI-level approximation toggle
+  * (enhanced_aqe_cli.py routes a query to an approximate path; here the
+  * PLAN is rewritten, so every surface — SQL, DataFrame, BI tool — gets
+  * the speedup without changing a line of query text).
+  *
+  *  - `COUNT(DISTINCT x)` → HyperLogLog++ (`approx_count_distinct`) when
+  *    `spark.graft.approx.countDistinct.enabled=true`; rsd from
+  *    `spark.graft.approx.countDistinct.rsd` (default 0.05). Kills the
+  *    Expand + double-shuffle exact-distinct plan: the HLL buffer is a
+  *    fixed few KB per group and merges map-side — at 100 TB this is the
+  *    difference between shuffling every distinct value and shuffling one
+  *    sketch per group.
+  *  - `PERCENTILE(x, p)` → `ApproximatePercentile` (KLL-like quantile
+  *    summary) when `spark.graft.approx.percentile.enabled=true`;
+  *    accuracy from `spark.graft.approx.percentile.accuracy` (default
+  *    10000). Replaces the full sorted-values buffer (OOM-prone per
+  *    group) with a bounded summary.
+  *
+  * Both default OFF: a silently-approximate exact query is a correctness
+  * surprise; the flags are the explicit user contract (the reference's
+  * `--use-sampling`, lifted to session scope). Distinct-count rewrites
+  * skip multi-arg COUNT(DISTINCT a, b) — HLL++ takes one child; wrap in
+  * `struct()` upstream if needed. */
+object ApproxAggregateRewrite extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{
+    AggregateExpression, ApproximatePercentile, Count, HyperLogLogPlusPlus,
+    Percentile}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val cdOn = conf.getConfString(
+      "spark.graft.approx.countDistinct.enabled", "false").toBoolean
+    val pctOn = conf.getConfString(
+      "spark.graft.approx.percentile.enabled", "false").toBoolean
+    if (!cdOn && !pctOn) return plan
+    val rsd = conf.getConfString(
+      "spark.graft.approx.countDistinct.rsd", "0.05").toDouble
+    val accuracy = conf.getConfString(
+      "spark.graft.approx.percentile.accuracy", "10000").toInt
+    plan.transformUp {
+      case agg: Aggregate => agg.transformExpressions {
+        case ae @ AggregateExpression(c: Count, _, true, _, _)
+            if cdOn && c.children.size == 1 =>
+          ae.copy(
+            aggregateFunction = new HyperLogLogPlusPlus(c.children.head, rsd),
+            isDistinct = false)
+        case ae @ AggregateExpression(p: Percentile, _, false, _, _)
+            if pctOn && p.frequencyExpression == Literal(1L) =>
+          ae.copy(aggregateFunction = new ApproximatePercentile(
+            p.child, p.percentageExpression,
+            Literal(accuracy)))
+      }
+    }
   }
 }

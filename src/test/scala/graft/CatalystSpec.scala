@@ -175,4 +175,41 @@ class CatalystSpec extends SparkSpec {
       assert(raw < exact * 0.5, "disabled rule must NOT scale the sampled sum")
     } finally spark.conf.set("spark.graft.autoscale.enabled", "true")
   }
+
+  test("approx mode rewrites COUNT(DISTINCT) to HLL; off by default") {
+    Tables.registerAll(spark, sf0001)
+    val q = "SELECT COUNT(DISTINCT o_custkey) AS d FROM orders"
+    // default: exact plan (Expand-based distinct), exact answer
+    val exactDf = spark.sql(q)
+    val exact = exactDf.head.getLong(0)
+    assert(!exactDf.queryExecution.executedPlan.toString.contains("hllsketch")
+      && !exactDf.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"),
+      "rewrite must be off by default")
+    spark.conf.set("spark.graft.approx.countDistinct.enabled", "true")
+    try {
+      val apxDf = spark.sql(q)
+      assert(apxDf.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"), "plan not rewritten")
+      val est = apxDf.head.getLong(0)
+      assert(math.abs(est - exact).toDouble / exact < 0.10,
+        s"est=$est exact=$exact")
+    } finally
+      spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
+  }
+
+  test("approx mode rewrites PERCENTILE to the bounded quantile summary") {
+    Tables.registerAll(spark, sf0001)
+    val q = "SELECT percentile(l_extendedprice, 0.5) AS p50 FROM lineitem"
+    val exact = spark.sql(q).head.getDouble(0)
+    spark.conf.set("spark.graft.approx.percentile.enabled", "true")
+    try {
+      val apxDf = spark.sql(q)
+      assert(apxDf.queryExecution.optimizedPlan.toString
+        .contains("percentile_approx"), "plan not rewritten")
+      val est = apxDf.head.getDouble(0)
+      assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+    } finally
+      spark.conf.set("spark.graft.approx.percentile.enabled", "false")
+  }
 }
