@@ -302,7 +302,35 @@ object Bench {
           "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
         .agg(count(lit(1))).collect(): Unit
     }
+    // Approx-mode rewrite probe: the same COUNT(DISTINCT) SQL text, exact
+    // vs plan-rewritten to HLL (ApproxAggregateRewrite, attached here via
+    // experimental.extraOptimizations — same rule object the extension
+    // injects; getOrCreate would hand back this session and silently skip
+    // spark.sql.extensions). The exact plan Expands + double-shuffles
+    // every distinct value; the sketch plan shuffles one few-KB buffer
+    // per partition — the gap grows with distinct cardinality, which at
+    // 100 TB is the whole game.
+    val (tCdExact, tCdApprox, cdErrPct) = {
+      Tables.registerAll(spark, sfDir)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxAggregateRewrite
+      val q = "SELECT COUNT(DISTINCT l_partkey) AS d FROM lineitem"
+      spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
+      val exactV = spark.sql(q).first.getLong(0)
+      val tEx = timeMedian { spark.sql(q).collect(): Unit }
+      spark.conf.set("spark.graft.approx.countDistinct.enabled", "true")
+      val apxV = spark.sql(q).first.getLong(0)
+      val tAp = timeMedian { spark.sql(q).collect(): Unit }
+      spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
+      (tEx, tAp, 100.0 * math.abs(apxV - exactV).toDouble / exactV)
+    }
     val extra = Seq(
+      "x_cd_exact_sec" -> tCdExact,
+      "x_cd_hll_sec" -> tCdApprox,
+      "x_cd_rewrite_speedup" ->
+        (if (tCdApprox > 0) tCdExact / tCdApprox else -1.0),
+      "x_cd_rewrite_err_pct" -> cdErrPct,
       "x_skew_plain_sec" -> tSkewPlain,
       "x_skew_salted_sec" -> tSkewSalted,
       "x_skew_speedup" ->
