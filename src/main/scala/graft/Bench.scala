@@ -155,10 +155,13 @@ object Bench {
     // footers read for excluded months), the coarse complement of the
     // row-group zone maps above. Same one-month retrieval against the
     // hash-scattered files must open every footer and decode every row
-    // group's date column.
-    val liMonthPath = s"/tmp/graft_bench_li10_bymonth_$sfTag.parquet"
+    // group's date column. Probed at 60 M rows (the li100 fixture): at
+    // 6 M both sides sat at the ~0.1 s job-overhead floor and the probe
+    // read as noise (a measured 0.87× "speedup" in one round).
+    val liMonthPath = s"/tmp/graft_bench_li100_bymonth_$sfTag.parquet"
     if (!new java.io.File(liMonthPath, "_SUCCESS").exists()) {
-      li10f.withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      liScattered
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
         .repartition(col("ship_month"))
         .write.partitionBy("ship_month").mode("overwrite").parquet(liMonthPath)
     }
@@ -170,7 +173,7 @@ object Bench {
           .cast("decimal(38,0)"))).collect(): Unit
     val tMonthPruned = timeMedian(monthHash(liMonth,
       col("ship_month") === "1998-06"))
-    val tMonthScattered = timeMedian(monthHash(li10f,
+    val tMonthScattered = timeMedian(monthHash(liScattered,
       col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-07-01").cast("timestamp")))
     // embedding near-dup over the full embeddings fixture: exercises the

@@ -238,6 +238,25 @@ object InventoryAnalytics {
       },
       Some(s"""WITH s AS (SELECT l_extendedprice AS v, $liKeySql AS k FROM lineitem WHERE $liKeySql % 10 = 0), nn AS (SELECT COUNT(*) AS n_samp FROM s), m AS (SELECT quantile_cont(v, 0.5) AS median_samp FROM s), r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, k) AS rn FROM s) SELECT n_samp, GREATEST(1, CAST(FLOOR(0.5 * n_samp - 1.96 * SQRT(n_samp * 0.25)) AS BIGINT)) AS r_lo, LEAST(n_samp, CAST(CEIL(0.5 * n_samp + 1.96 * SQRT(n_samp * 0.25)) AS BIGINT)) AS r_hi, median_samp, MAX(CASE WHEN rn = GREATEST(1, CAST(FLOOR(0.5 * n_samp - 1.96 * SQRT(n_samp * 0.25)) AS BIGINT)) THEN v END) AS median_ci_lower, MAX(CASE WHEN rn = LEAST(n_samp, CAST(CEIL(0.5 * n_samp + 1.96 * SQRT(n_samp * 0.25)) AS BIGINT)) THEN v END) AS median_ci_upper FROM r CROSS JOIN nn CROSS JOIN m GROUP BY 1, 2, 3, 4""")),
 
+    QueryDef("q142_wav_decode",
+      // REAL multimodal decode, oracle-proven: every doc becomes a
+      // spec-valid PCM WAV whose parameters are pure doc_id arithmetic;
+      // Spark decodes the actual RIFF bytes (Multimodal.decodeWavMeta
+      // walks chunks like any standalone tool), DuckDB predicts the
+      // metadata arithmetically — a hash match proves the byte-level
+      // encode→decode roundtrip, not just the plumbing
+      (s, d) => {
+        val wav = graft.operators.Multimodal.syntheticWav(documents(s, d))
+        graft.operators.Multimodal.decodeWavMeta(wav).toDF()
+          .groupBy(col("sample_rate").cast("bigint").as("sample_rate"),
+            col("channels").cast("bigint").as("channels"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("n_samples")).as("sum_samples"),
+            sum(col("duration_ms")).as("sum_duration_ms"))
+          .orderBy(col("sample_rate"), col("channels"))
+      },
+      Some("""SELECT 8000 + (doc_id % 4) * 4000 AS sample_rate, 1 + doc_id % 2 AS channels, COUNT(*) AS n_files, CAST(SUM(50 + doc_id % 100) AS BIGINT) AS sum_samples, CAST(SUM((50 + doc_id % 100) * 1000 // (8000 + (doc_id % 4) * 4000)) AS BIGINT) AS sum_duration_ms FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("q134_event_gaps",
       // per-user inactivity audit: gaps over 6 h between consecutive
       // events — exact integer microsecond arithmetic, one user-keyed

@@ -86,4 +86,100 @@ object Multimodal {
       when(col("kind") === "video",
         sequence(lit(0L), col("duration_ms"), lit(everyMs)))
         .otherwise(array().cast("array<bigint>")))
+
+  // ------------------------------------------------------------------
+  // REAL decode path: WAV/RIFF. No codec library needed — the container
+  // format is a 44-byte little-endian header + chunk list, so this is the
+  // one modality whose decoder can be fully real in this sandbox. The
+  // encoder below emits spec-valid PCM WAV bytes; the parser walks RIFF
+  // chunks like any standalone tool would and works on real-world PCM
+  // files, not just these. Together they upgrade the multimodal story
+  // from "stub decode" to "real decode for audio containers, stub for
+  // codec-bound modalities (JPEG/MP4)".
+  // ------------------------------------------------------------------
+
+  /** Spec-valid PCM WAV bytes: RIFF header, fmt chunk (PCM), data chunk
+    * with a deterministic sawtooth payload. */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      numSamples: Int): Array[Byte] = {
+    val bytesPerSample = bitsPerSample / 8
+    val dataSize = numSamples * channels * bytesPerSample
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bytesPerSample)
+      .putShort((channels * bytesPerSample).toShort)
+      .putShort(bitsPerSample.toShort)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) { buf.put((i % 251 - 125).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** Synthetic WAV corpus: one valid audio file per document, parameters
+    * a pure function of `doc_id` — so an oracle can predict the decoded
+    * metadata ARITHMETICALLY and a hash-match proves the byte-level
+    * encode→decode roundtrip end-to-end. */
+  def syntheticWav(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val sampleRate = 8000 + (id % 4).toInt * 4000
+      val channels = 1 + (id % 2).toInt
+      val numSamples = 50 + (id % 100).toInt
+      (id, wavBytes(sampleRate, channels, 16, numSamples))
+    }.toDF("media_id", "bytes")
+  }
+
+  case class WavMeta(media_id: Long, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long)
+
+  /** REAL RIFF/WAV metadata decoder: validates the RIFF/WAVE magics and
+    * walks the chunk list (fmt → format fields, data → payload size; odd
+    * sizes padded per spec). Non-WAV/corrupt bytes are dropped, not
+    * thrown — at 100 TB a poisoned blob must quarantine, never kill the
+    * job. Partition-parallel `mapPartitions`; no library, no shuffle. */
+  def decodeWavMeta(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): Dataset[WavMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseWav(id, bytes) })
+  }
+
+  private[graft] def parseWav(id: Long,
+      bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes == null || bytes.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = -1; var sampleRate = -1; var bits = -1
+    var dataSize = -1L
+    while (off + 8 <= bytes.length) {
+      val id4 = tag(off)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None
+      if (id4 == "fmt " && size >= 16) {
+        channels = buf.getShort(off + 10).toInt
+        sampleRate = buf.getInt(off + 12)
+        bits = buf.getShort(off + 22).toInt
+      } else if (id4 == "data") {
+        dataSize = size.toLong
+      }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits <= 0 || dataSize < 0)
+      return None
+    val frameBytes = channels * (bits / 8)
+    if (frameBytes == 0) return None
+    val nSamples = dataSize / frameBytes
+    Some(WavMeta(id, channels, sampleRate, bits, nSamples,
+      nSamples * 1000L / sampleRate))
+  }
 }

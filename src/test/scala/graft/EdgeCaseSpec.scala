@@ -114,4 +114,39 @@ class EdgeCaseSpec extends SparkSpec {
     assert(stats.length === 1 && stats.head.getString(0) === "a")
     assert(!stats.head.anyNull && !stats.head.getDouble(2).isNaN)
   }
+
+  test("round-3 ops: empty and single-row inputs flow through") {
+    import graft.operators.{EventAnalytics, Packing, TextAnalysis}
+    val emptyEv = Seq.empty[(Long, Long, String, Long)]
+      .toDF("user_id", "us", "event_type", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(EventAnalytics.transitions(emptyEv, "user_id", "ts",
+      "event_type", "event_id").count() === 0)
+    assert(EventAnalytics.retentionCohorts(emptyEv, "user_id", "ts")
+      .count() === 0)
+    assert(EventAnalytics.timeGaps(emptyEv, "user_id", "ts", "event_id",
+      1000L).count() === 0)
+    // one event: no transition pairs, no gaps, one cohort cell at offset 0
+    val one = Seq((1L, 1000000L, "view", 1L))
+      .toDF("user_id", "us", "event_type", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    assert(EventAnalytics.transitions(one, "user_id", "ts", "event_type",
+      "event_id").count() === 0)
+    assert(EventAnalytics.timeGaps(one, "user_id", "ts", "event_id", 1L)
+      .count() === 0)
+    val coh = EventAnalytics.retentionCohorts(one, "user_id", "ts").collect()
+    assert(coh.length === 1 && coh.head.getLong(1) === 0L &&
+      coh.head.getLong(2) === 1L)
+    // empty corpus: LM scorers and head coverage return empty, not throw
+    assert(TextAnalysis.unigramRarity(emptyDocs, "doc_id", "text")
+      .count() === 0)
+    assert(TextAnalysis.headCoverage(emptyDocs, "source", "text", 10)
+      .count() === 0)
+    assert(Packing.argmaxViaJoin(emptyEv.select(col("user_id"), col("us")),
+      Seq("user_id"), "us", Nil).count() === 0)
+    // jackknife over an empty sample: scalar pass yields null/0, no throw
+    val jk = Estimators.jackknifeSum(emptyDocs, pmod(col("doc_id"), lit(4L)),
+      col("doc_id"), scale = 10.0, k = 4, alias = "s").head
+    assert(jk.isNullAt(0) || jk.getDouble(0) === 0.0)
+  }
 }

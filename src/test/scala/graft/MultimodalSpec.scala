@@ -46,4 +46,41 @@ class MultimodalSpec extends SparkSpec {
       } else assert(frames.isEmpty)
     }
   }
+
+  test("WAV roundtrip: real parser recovers the encoder's parameters") {
+    for ((sr, ch, bits, n) <- Seq((8000, 1, 16, 50), (16000, 2, 16, 149),
+        (44100, 1, 8, 33))) {
+      val meta = Multimodal.parseWav(7L, Multimodal.wavBytes(sr, ch, bits, n))
+      assert(meta.isDefined, s"($sr,$ch,$bits,$n) failed to parse")
+      val m = meta.get
+      assert(m.sample_rate == sr && m.channels == ch &&
+        m.bits_per_sample == bits && m.n_samples == n)
+      assert(m.duration_ms == n * 1000L / sr)
+    }
+  }
+
+  test("WAV parser quarantines garbage instead of throwing") {
+    assert(Multimodal.parseWav(1L, null).isEmpty)
+    assert(Multimodal.parseWav(1L, Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.parseWav(1L,
+      Array.fill[Byte](100)(0x41)).isEmpty) // "AAAA..." — wrong magic
+    val valid = Multimodal.wavBytes(8000, 1, 16, 10)
+    assert(Multimodal.parseWav(1L, valid.take(30)).isEmpty) // truncated
+    // declared chunk size overruns the buffer -> reject, not read OOB
+    val lying = valid.clone()
+    lying(40) = 0x7F.toByte; lying(41) = 0x7F.toByte
+    lying(42) = 0x7F.toByte; lying(43) = 0x7F.toByte
+    assert(Multimodal.parseWav(1L, lying).isEmpty)
+  }
+
+  test("distributed decode: every synthetic WAV parses, none quarantined") {
+    val docs = Tables.documents(spark, sf0001)
+    val wav = Multimodal.syntheticWav(docs)
+    val decoded = Multimodal.decodeWavMeta(wav)
+    assert(decoded.count() === docs.count())
+    // spot-check one row against the generator arithmetic
+    val r = decoded.filter(col("media_id") === 7L).head()
+    assert(r.sample_rate == 8000 + (7 % 4) * 4000 && r.channels == 1 + 7 % 2)
+    assert(r.n_samples == 50 + 7 % 100)
+  }
 }
