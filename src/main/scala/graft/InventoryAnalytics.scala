@@ -257,6 +257,22 @@ object InventoryAnalytics {
       },
       Some("""SELECT 8000 + (doc_id % 4) * 4000 AS sample_rate, 1 + doc_id % 2 AS channels, COUNT(*) AS n_files, CAST(SUM(50 + doc_id % 100) AS BIGINT) AS sum_samples, CAST(SUM((50 + doc_id % 100) * 1000 // (8000 + (doc_id % 4) * 4000)) AS BIGINT) AS sum_duration_ms FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    QueryDef("q143_bmp_decode",
+      // image twin of q142: spec-valid 24-bit BMPs generated from doc_id
+      // arithmetic, decoded by the real BITMAPINFOHEADER parser, oracle
+      // predicts dimensions arithmetically — hash match proves the
+      // image-container roundtrip
+      (s, d) => {
+        val bmp = graft.operators.Multimodal.syntheticBmp(documents(s, d))
+        graft.operators.Multimodal.decodeBmpMeta(bmp).toDF()
+          .groupBy(col("width").cast("bigint").as("width"),
+            col("height").cast("bigint").as("height"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("n_pixels")).as("sum_pixels"))
+          .orderBy(col("width"), col("height"))
+      },
+      Some("""SELECT 16 + (doc_id % 7) * 8 AS width, 9 + (doc_id % 5) * 6 AS height, COUNT(*) AS n_files, CAST(SUM((16 + (doc_id % 7) * 8) * (9 + (doc_id % 5) * 6)) AS BIGINT) AS sum_pixels FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("q134_event_gaps",
       // per-user inactivity audit: gaps over 6 h between consecutive
       // events — exact integer microsecond arithmetic, one user-keyed

@@ -150,6 +150,67 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) => parseWav(id, bytes) })
   }
 
+  /** Spec-valid 24-bit uncompressed BMP bytes (BITMAPINFOHEADER): 54-byte
+    * header + bottom-up pixel rows padded to 4-byte boundaries. */
+  def bmpBytes(width: Int, height: Int): Array[Byte] = {
+    val rowBytes = (width * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * height
+    val fileSize = 54 + dataSize
+    val buf = java.nio.ByteBuffer.allocate(fileSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(fileSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel offset
+    buf.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(dataSize) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // ppm, palette
+    var i = 0
+    while (i < dataSize) { buf.put(((i * 7) % 256 - 128).toByte); i += 1 }
+    buf.array()
+  }
+
+  /** Synthetic BMP corpus, parameters pure doc_id arithmetic (oracle can
+    * predict the decoded dimensions without touching bytes). */
+  def syntheticBmp(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].map { id =>
+      val w = 16 + (id % 7).toInt * 8
+      val h = 9 + (id % 5).toInt * 6
+      (id, bmpBytes(w, h))
+    }.toDF("media_id", "bytes")
+  }
+
+  case class BmpMeta(media_id: Long, width: Int, height: Int,
+      bits_per_pixel: Int, n_pixels: Long)
+
+  /** REAL BMP metadata decoder: magic + BITMAPINFOHEADER fields, size
+    * cross-checked against the buffer; corrupt bytes quarantined. Handles
+    * top-down (negative height) files. */
+  def decodeBmpMeta(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): Dataset[BmpMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => parseBmp(id, bytes) })
+  }
+
+  private[graft] def parseBmp(id: Long,
+      bytes: Array[Byte]): Option[BmpMeta] = {
+    if (bytes == null || bytes.length < 54) return None
+    if (bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fileSize = buf.getInt(2)
+    val headerSize = buf.getInt(14)
+    if (fileSize != bytes.length || headerSize < 40) return None
+    val width = buf.getInt(18)
+    val rawHeight = buf.getInt(22)
+    val height = math.abs(rawHeight) // negative = top-down row order
+    val bpp = buf.getShort(28).toInt
+    if (width <= 0 || height == 0 || bpp <= 0) return None
+    Some(BmpMeta(id, width, height, bpp, width.toLong * height))
+  }
+
   private[graft] def parseWav(id: Long,
       bytes: Array[Byte]): Option[WavMeta] = {
     if (bytes == null || bytes.length < 44) return None

@@ -73,6 +73,26 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(1L, lying).isEmpty)
   }
 
+  test("BMP roundtrip: parser recovers dimensions incl. row padding and top-down") {
+    for ((w, h) <- Seq((16, 9), (33, 21), (1, 1), (640, 480))) {
+      val m = Multimodal.parseBmp(3L, Multimodal.bmpBytes(w, h))
+      assert(m.isDefined, s"($w,$h) failed")
+      assert(m.get.width == w && m.get.height == h &&
+        m.get.bits_per_pixel == 24 && m.get.n_pixels == w.toLong * h)
+    }
+    // top-down BMP (negative height) decodes to |height|
+    val td = Multimodal.bmpBytes(8, 4)
+    val buf = java.nio.ByteBuffer.wrap(td).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(22, -4)
+    assert(Multimodal.parseBmp(1L, td).get.height == 4)
+    // garbage and size-lying headers quarantine
+    assert(Multimodal.parseBmp(1L, Array[Byte]('B', 'M', 0)).isEmpty)
+    val lying = Multimodal.bmpBytes(8, 4)
+    java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(2, 123456)
+    assert(Multimodal.parseBmp(1L, lying).isEmpty)
+  }
+
   test("distributed decode: every synthetic WAV parses, none quarantined") {
     val docs = Tables.documents(spark, sf0001)
     val wav = Multimodal.syntheticWav(docs)
