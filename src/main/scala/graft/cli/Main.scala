@@ -14,6 +14,7 @@ import graft.exec.{ApproxPlanner, SpecExecutor}
   *     [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
   *     [--method random|clt|block|adaptive|parallel|revolutionary|systematic]
   *     [--seed N] [--compat] [--compare] [--count-exact-compat]
+  *     [--approx-mode] [--sql]
   *
   * `--compat` reproduces the reference's fixed policy tables
   * (error→fraction, size router — ApproxPlanner scaladoc); without it,
@@ -33,10 +34,30 @@ object Main {
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // --approx-mode: session-wide sketch substitution (the optimizer
+    // rewrites exact COUNT(DISTINCT)/percentile to HLL / quantile
+    // summaries — ApproxAggregateRewrite scaladoc); an explicit opt-in,
+    // like the reference's --use-sampling but at plan level
+    if (opts.contains("approx-mode")) {
+      spark.conf.set("spark.graft.approx.countDistinct.enabled", "true")
+      spark.conf.set("spark.graft.approx.percentile.enabled", "true")
+    }
     Tables.registerAll(spark, dataDir)
+
+    // --sql: full-Spark-SQL passthrough (anything Catalyst parses —
+    // joins, windows, COUNT(DISTINCT), ...) instead of the reference's
+    // one-aggregate dialect; composes with --approx-mode's plan rewrites
+    if (opts.contains("sql")) {
+      val t0 = System.nanoTime()
+      spark.sql(sql).show(100, truncate = false)
+      println(f"elapsed: ${(System.nanoTime() - t0) / 1000000}ms")
+      spark.stop()
+      return
+    }
 
     val spec0 = QueryParser.parse(sql,
       samplePercent = opts.get("sample").map(_.toDouble),
@@ -88,6 +109,6 @@ object Main {
     """usage: graft.cli.Main "<SELECT agg(col) FROM table [WHERE ..] [GROUP BY g]>"
       |  [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
       |  [--method random|clt|block|adaptive|parallel|revolutionary|systematic]
-      |  [--seed N] [--compat] [--compare] [--count-exact-compat]
+      |  [--seed N] [--compat] [--compare] [--count-exact-compat] [--approx-mode] [--sql]
       |APPROX(agg(col)) embedded syntax is also accepted.""".stripMargin
 }

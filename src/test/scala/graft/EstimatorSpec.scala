@@ -97,6 +97,29 @@ class EstimatorSpec extends SparkSpec {
     assert(offs.sum / offs.length < 0.25, "mean per-group rel error too big")
   }
 
+  test("estimator ladder offset sweep: jackknife covers, ratio/GREG stay consistent") {
+    // every offset of the 10% systematic design is an equally-valid
+    // sample; sweeping all 10 turns one anecdote into a coverage check
+    val results = (0L until 10L).map { off =>
+      val samp = li.filter(pmod(liKey, lit(10L)) === off)
+      val jk = Estimators.jackknifeSum(samp,
+        pmod(expr("(l_orderkey * 8191 + l_linenumber * 131) div 10"), lit(8L)),
+        col("l_extendedprice"), scale = 10.0, k = 8, alias = "s").head
+      val ratio = Estimators.ratioSum(samp, li, col("l_extendedprice"),
+        col("l_quantity"), scale = 10.0, alias = "s").head.getDouble(0)
+      val greg = Estimators.regressionSum(samp, li, col("l_extendedprice"),
+        col("l_quantity"), scale = 10.0, alias = "s").head.getDouble(0)
+      (jk.getDouble(2), jk.getDouble(3), ratio, greg)
+    }
+    val covered = results.count { case (lo, hi, _, _) =>
+      lo <= exactSum && exactSum <= hi }
+    assert(covered >= 8, s"jackknife 95% CI covered only $covered/10 offsets")
+    results.foreach { case (_, _, ratio, greg) =>
+      assert(math.abs(ratio - exactSum) / exactSum < 0.10)
+      assert(math.abs(greg - exactSum) / exactSum < 0.10)
+    }
+  }
+
   test("systematic scaled COUNT within 10% of exact at step=10") {
     val sf = Sampling.systematic(li, liKey, step = 10L)
     val got = Estimators.scaledAgg(sf, AggKind.Count, col("l_extendedprice"), "c")
