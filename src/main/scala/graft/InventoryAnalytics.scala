@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.exec.Estimators
-import graft.operators.{EventAnalytics, Packing, TextAnalysis}
+import graft.operators.{Cdc, EventAnalytics, Packing, TextAnalysis}
 
 /** Round-3 widening: replication/auxiliary-variable estimators (the
   * survey-sampling depth beyond closed-form CLT), corpus language-model
@@ -272,6 +272,45 @@ object InventoryAnalytics {
           .orderBy(col("width"), col("height"))
       },
       Some("""SELECT 16 + (doc_id % 7) * 8 AS width, 9 + (doc_id % 5) * 6 AS height, COUNT(*) AS n_files, CAST(SUM((16 + (doc_id % 7) * 8) * (9 + (doc_id % 5) * 6)) AS BIGINT) AS sum_pixels FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q144_incremental_join",
+      // incremental JOIN-view maintenance (IVM): the per-status revenue
+      // view over lineitem⋈orders is maintained from CHANGE DELTAS only —
+      // A1⋈B1 = A0⋈B0 ⊕ ΔA⋈B0 ⊕ A1⋈ΔB (Cdc.signedJoinAgg scaladoc) —
+      // and the oracle recomputes the new join from scratch; the hash
+      // match proves maintained ≡ rebuilt. Both sides get inserts AND
+      // deletes. Maintenance cost ∝ change volume, never the corpus.
+      (s, d) => {
+        val li = lineitem(s, d).select(col("l_orderkey"),
+          col("l_extendedprice"))
+        val or = orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderstatus"))
+        val k = col("l_orderkey")
+        val a0 = li.filter(pmod(k, lit(7L)) =!= 0)
+        val a1 = li.filter(pmod(k, lit(7L)) =!= 1)
+        val dA = li.filter(pmod(k, lit(7L)) === 0).withColumn("sign", lit(1))
+          .unionByName(
+            li.filter(pmod(k, lit(7L)) === 1).withColumn("sign", lit(-1)))
+        val b0 = or.filter(pmod(k, lit(10L)) =!= 0)
+        val dB = or.filter(pmod(k, lit(10L)) === 0).withColumn("sign", lit(1))
+          .unionByName(
+            or.filter(pmod(k, lit(10L)) === 1).withColumn("sign", lit(-1)))
+        val j0 = a0.join(b0, "l_orderkey").groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("dn"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("decimal(18,2)").as("dsum"))
+        val d1 = Cdc.signedJoinAgg(dA, b0.withColumn("sign", lit(1)),
+          "l_orderkey", Seq("o_orderstatus"), col("l_extendedprice"))
+        val d2 = Cdc.signedJoinAgg(a1.withColumn("sign", lit(1)), dB,
+          "l_orderkey", Seq("o_orderstatus"), col("l_extendedprice"))
+        j0.unionByName(d1).unionByName(d2)
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("dn")).as("n_rows"),
+            sum(col("dsum")).cast("double").as("sum_price"))
+          .filter(col("n_rows") > 0)
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_rows, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_orderkey % 7 <> 1 AND o_orderkey % 10 <> 1 GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("q134_event_gaps",
       // per-user inactivity audit: gaps over 6 h between consecutive

@@ -102,4 +102,34 @@ object Cdc {
       .withColumn("is_current", col("valid_to_us").isNull)
       .drop("__prev", "__ts_us", "__tie")
   }
+
+  /** Signed join-aggregate — the delta term of incremental JOIN-view
+    * maintenance (classic IVM algebra):
+    *
+    *   A1 ⋈ B1 = A0 ⋈ B0  ⊕  ΔA ⋈ B0  ⊕  A1 ⋈ ΔB
+    *
+    * so a maintained aggregate over a join view needs only the two
+    * delta-joins, whose cost is ∝ |ΔA|·sel + |ΔB|·sel — change volume,
+    * never the corpus. Inputs carry a ±1 `sign` column (inserts +1,
+    * deletes −1, an update = delete ⊕ insert); the join multiplies signs,
+    * and the grouped aggregate sums `sign` (count delta) and
+    * `sign · value` (sum delta) as EXACT integer/decimal — the same
+    * subtractable-sketch discipline as [[graft.exec.Estimators.signedMomentSketch]]
+    * (q103), extended across a join. Apply the delta to the old per-group
+    * (n, sum) state by plain addition and drop groups whose n reaches 0.
+    *
+    * `left`/`right` must expose `sign`; value is taken from the left
+    * (fact) side. One equi-join shuffle on the key — deltas are small, so
+    * AQE broadcasts them against the big side. */
+  def signedJoinAgg(left: DataFrame, right: DataFrame, key: String,
+      groupCols: Seq[String], value: Column): DataFrame = {
+    val l = left.withColumnRenamed("sign", "__sl")
+    val r = right.withColumnRenamed("sign", "__sr")
+    l.join(r, key)
+      .withColumn("__s", col("__sl") * col("__sr"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__s")).as("dn"),
+        sum(col("__s") * value.cast("decimal(18,2)")).cast("decimal(18,2)")
+          .as("dsum"))
+  }
 }

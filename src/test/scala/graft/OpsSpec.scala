@@ -288,6 +288,41 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
   }
 
+  // --- signedJoinAgg (incremental join maintenance) ----------------------
+
+  test("signedJoinAgg: maintained join aggregate equals a from-scratch rebuild") {
+    // facts (k, v), dims (k, g); delta adds fact k=3 and deletes k=1,
+    // adds dim k=3/g=y and deletes dim k=2
+    val a0 = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    val a1 = Seq((2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val dA = Seq((3L, 30.0, 1), (1L, 10.0, -1)).toDF("k", "v", "sign")
+    val b0 = Seq((1L, "x"), (2L, "x")).toDF("k", "g")
+    val b1 = Seq((1L, "x"), (3L, "y")).toDF("k", "g") // k=2 deleted, k=3 added
+    val dB = Seq((3L, "y", 1), (2L, "x", -1)).toDF("k", "g", "sign")
+    val j0 = a0.join(b0, "k").groupBy(col("g"))
+      .agg(count(lit(1)).as("dn"),
+        sum(col("v").cast("decimal(18,2)")).cast("decimal(18,2)").as("dsum"))
+    val d1 = Cdc.signedJoinAgg(dA, b0.withColumn("sign", lit(1)), "k",
+      Seq("g"), col("v"))
+    val d2 = Cdc.signedJoinAgg(a1.withColumn("sign", lit(1)), dB, "k",
+      Seq("g"), col("v"))
+    val maintained = j0.unionByName(d1).unionByName(d2)
+      .groupBy(col("g"))
+      .agg(sum(col("dn")).as("n"), sum(col("dsum")).cast("double").as("s"))
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val direct = a1.join(b1, "k").groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,2)")).cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(maintained == direct)
+    // group x vanished entirely (its only surviving pair was deleted on
+    // both sides) — the n>0 filter must have dropped it, like the rebuild
+    assert(!maintained.exists(_._1 == "x") || direct.exists(_._1 == "x"))
+  }
+
   // --- scd2 --------------------------------------------------------------
 
   test("scd2 collapses runs, emits contiguous intervals, flags the current row") {
