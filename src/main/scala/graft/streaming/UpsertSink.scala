@@ -78,4 +78,59 @@ object UpsertSink {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming incremental view maintenance for a JOIN-view aggregate
+    * ([[graft.operators.Cdc.signedJoinAgg]] made continuous): the input
+    * is a CDC stream of SIGNED fact rows (insert +1, delete −1; an update
+    * = delete ⊕ insert), `dim` is the static/broadcast side, and the
+    * maintained state is the per-group `(n, sum)` of `fact ⋈ dim`.
+    *
+    * Each micro-batch computes `signedJoinAgg(batch, dim)` — cost ∝ batch
+    * size, never the accumulated fact — adds it onto the snapshot's exact
+    * long/decimal state, drops groups whose `n` reaches 0, and commits
+    * through the same versioned-directory + marker swap (and replay
+    * guard) as [[upsertToParquet]]. The snapshot is group-cardinality
+    * sized, so the rewrite-per-batch is small regardless of stream
+    * volume. State columns: `groupCols`, `n` (long), `sum`
+    * (decimal(18,2) — bit-exact, subtractable).
+    *
+    * Ordering contract: deltas must arrive in commit order (a delete
+    * never precedes its insert) — which ordered CDC sources provide and
+    * foreachBatch's serial batches preserve; then `n` never goes
+    * negative and the `n > 0` drop is exactly "group vanished". */
+  def maintainJoinAggToParquet(stream: DataFrame, dim: DataFrame,
+      key: String, groupCols: Seq[String], value: String, tableDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): Unit = {
+    import org.apache.spark.sql.functions._
+    Files.createDirectories(Paths.get(tableDir))
+    val dimSigned = dim.withColumn("sign", lit(1))
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val version = s"v$batchId"
+        val m = markerPath(tableDir)
+        val alreadyCommitted = Files.exists(m) &&
+          new String(Files.readAllBytes(m), UTF_8).trim == version
+        if (!alreadyCommitted && !batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delta = graft.operators.Cdc.signedJoinAgg(batch, dimSigned,
+              key, groupCols, col(value))
+            .select(groupCols.map(col) :+ col("dn").as("n") :+
+              col("dsum").as("sum"): _*)
+          val merged = readSnapshot(spark, tableDir)
+            .map(_.unionByName(delta)).getOrElse(delta)
+            .groupBy(groupCols.map(col): _*)
+            .agg(sum(col("n")).as("n"),
+              sum(col("sum")).cast("decimal(18,2)").as("sum"))
+            .filter(col("n") > 0)
+          merged.write.mode("overwrite").parquet(s"$tableDir/$version")
+          Files.write(m, version.getBytes(UTF_8))
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -223,6 +223,31 @@ class StreamingSpec extends SparkSpec {
     assert(gotMap === exact)
   }
 
+  test("streaming IVM sink maintains a join-view aggregate across batches") {
+    import spark.implicits._
+    import graft.streaming.UpsertSink
+    val in = java.nio.file.Files.createTempDirectory("ivm_in")
+    val table = java.nio.file.Files.createTempDirectory("ivm_table").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ivm_ckpt").toString
+    val dim = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("k", "g")
+    // batch 1: inserts; batch 2: one more insert + a DELETE of (1L, 10.0)
+    val fileA = Seq((1L, 10.0, 1), (2L, 20.0, 1), (3L, 30.0, 1))
+      .toDF("k", "v", "sign")
+    val fileB = Seq((3L, 40.0, 1), (1L, 10.0, -1)).toDF("k", "v", "sign")
+    fileA.coalesce(1).write.parquet(s"$in/f1")
+    fileB.coalesce(1).write.parquet(s"$in/f2")
+    val stream = spark.readStream.schema(fileA.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/f*")
+    UpsertSink.maintainJoinAggToParquet(stream, dim, "k", Seq("g"), "v",
+      table, ckpt)
+    val got = UpsertSink.readSnapshot(spark, table).get
+      .select(col("g"), col("n"), col("sum").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // net fact rows after the delete: (2,20) in x; (3,30),(3,40) in y
+    assert(got === Set(("x", 1L, 20.0), ("y", 2L, 70.0)))
+  }
+
   test("streaming upsert sink converges to latest-per-key across batches") {
     import spark.implicits._
     import graft.streaming.UpsertSink
