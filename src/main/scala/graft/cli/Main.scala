@@ -14,7 +14,7 @@ import graft.exec.{ApproxPlanner, SpecExecutor}
   *     [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
   *     [--method random|clt|block|adaptive|parallel|revolutionary|systematic]
   *     [--seed N] [--compat] [--compare] [--count-exact-compat]
-  *     [--approx-mode] [--sql]
+  *     [--approx-mode] [--sql] [--explain]
   *
   * `--compat` reproduces the reference's fixed policy tables
   * (error→fraction, size router — ApproxPlanner scaladoc); without it,
@@ -52,8 +52,10 @@ object Main {
     // joins, windows, COUNT(DISTINCT), ...) instead of the reference's
     // one-aggregate dialect; composes with --approx-mode's plan rewrites
     if (opts.contains("sql")) {
+      val df = spark.sql(sql)
+      if (opts.contains("explain")) df.explain("formatted")
       val t0 = System.nanoTime()
-      spark.sql(sql).show(100, truncate = false)
+      df.show(100, truncate = false)
       println(f"elapsed: ${(System.nanoTime() - t0) / 1000000}ms")
       spark.stop()
       return
@@ -77,6 +79,7 @@ object Main {
 
     val t0 = System.nanoTime()
     val result = SpecExecutor.run(spark, spec)
+    if (opts.contains("explain")) result.explain("formatted")
     result.show(100, truncate = false)
     val approxMs = (System.nanoTime() - t0) / 1000000
 
@@ -109,6 +112,6 @@ object Main {
     """usage: graft.cli.Main "<SELECT agg(col) FROM table [WHERE ..] [GROUP BY g]>"
       |  [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
       |  [--method random|clt|block|adaptive|parallel|revolutionary|systematic]
-      |  [--seed N] [--compat] [--compare] [--count-exact-compat] [--approx-mode] [--sql]
+      |  [--seed N] [--compat] [--compare] [--count-exact-compat] [--approx-mode] [--sql] [--explain]
       |APPROX(agg(col)) embedded syntax is also accepted.""".stripMargin
 }
