@@ -225,7 +225,9 @@ object Multimodal {
     while (off + 8 <= bytes.length) {
       val id4 = tag(off)
       val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return None
+      // long arithmetic: a crafted size near Int.MaxValue must fail the
+      // bound check, not wrap negative and walk out of the buffer
+      if (size < 0 || off.toLong + 8L + size > bytes.length) return None
       if (id4 == "fmt " && size >= 16) {
         channels = buf.getShort(off + 10).toInt
         sampleRate = buf.getInt(off + 12)

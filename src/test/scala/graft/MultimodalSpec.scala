@@ -71,6 +71,12 @@ class MultimodalSpec extends SparkSpec {
     lying(40) = 0x7F.toByte; lying(41) = 0x7F.toByte
     lying(42) = 0x7F.toByte; lying(43) = 0x7F.toByte
     assert(Multimodal.parseWav(1L, lying).isEmpty)
+    // size crafted so off+8+size wraps negative in int arithmetic — the
+    // long-bound check must quarantine, not walk out of the buffer
+    val wrap = valid.clone()
+    java.nio.ByteBuffer.wrap(wrap).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, Int.MaxValue - 20)
+    assert(Multimodal.parseWav(1L, wrap).isEmpty)
   }
 
   test("BMP roundtrip: parser recovers dimensions incl. row padding and top-down") {
