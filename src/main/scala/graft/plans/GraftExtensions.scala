@@ -140,9 +140,23 @@ object ApproxAggregateRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg: Aggregate => agg.transformExpressions {
         case ae @ AggregateExpression(c: Count, _, true, _, _)
-            if cdOn && c.children.size == 1 =>
+            if cdOn && c.children.nonEmpty =>
+          // multi-arg COUNT(DISTINCT a, b): HLL++ hashes one child, so
+          // tuple the columns — same distinctness, one sketch. NOTE the
+          // semantics nit: COUNT(DISTINCT a, b) ignores rows where ANY
+          // column is null, while struct(a, b) is never null — the struct
+          // form counts those tuples. Preserve exact-count semantics by
+          // null-gating the struct.
+          val child = c.children match {
+            case Seq(one) => one
+            case many =>
+              val tuple = CreateStruct(many)
+              val anyNull = many.map(IsNull(_): Expression).reduce(Or(_, _))
+              // post-analysis rewrite: branches must be typed by US
+              If(anyNull, Literal(null, tuple.dataType), tuple)
+          }
           ae.copy(
-            aggregateFunction = new HyperLogLogPlusPlus(c.children.head, rsd),
+            aggregateFunction = new HyperLogLogPlusPlus(child, rsd),
             isDistinct = false)
         case ae @ AggregateExpression(p: Percentile, _, false, _, _)
             if pctOn && p.frequencyExpression == Literal(1L) =>

@@ -198,6 +198,25 @@ class CatalystSpec extends SparkSpec {
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
   }
 
+  test("approx mode handles multi-column COUNT(DISTINCT) incl. null rows") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a")), (1L, Some("a")), (2L, Some("b")),
+      (2L, None), (3L, None)).toDF("k", "s")
+    df.createOrReplaceTempView("cd_multi")
+    val q = "SELECT COUNT(DISTINCT k, s) AS d FROM cd_multi"
+    val exact = spark.sql(q).head.getLong(0) // (1,a),(2,b) — null rows skip
+    assert(exact == 2L)
+    spark.conf.set("spark.graft.approx.countDistinct.enabled", "true")
+    try {
+      val apxDf = spark.sql(q)
+      assert(apxDf.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+      // tiny cardinality: HLL is exact here; null-gating must hold
+      assert(apxDf.head.getLong(0) == exact)
+    } finally
+      spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
+  }
+
   test("approx mode rewrites PERCENTILE to the bounded quantile summary") {
     Tables.registerAll(spark, sf0001)
     val q = "SELECT percentile(l_extendedprice, 0.5) AS p50 FROM lineitem"
