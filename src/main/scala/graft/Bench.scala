@@ -328,7 +328,22 @@ object Bench {
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
       (tEx, tAp, 100.0 * math.abs(apxV - exactV).toDouble / exactV)
     }
+    // End-to-end curation probe: the full pipeline (exact dedup →
+    // MinHash near-dedup → decontaminate → quality gate → mix → split)
+    // over the whole documents fixture — the composite workload a
+    // training-data run actually executes, timed as one number so a
+    // regression in ANY stage moves it.
+    val docsAll = Tables.documents(spark, sfDir)
+    val evalSet = docsAll.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select(col("doc_id"), col("text"))
+    val tPipeline = timeMedian {
+      graft.operators.CurationPipeline.run(docsAll, Some(evalSet),
+        "doc_id", "text", "source",
+        graft.operators.CurationPipeline.Config(minQuality = 0.2))
+        .agg(count(lit(1))).collect(): Unit
+    }
     val extra = Seq(
+      "x_pipeline_sec" -> tPipeline,
       "x_cd_exact_sec" -> tCdExact,
       "x_cd_hll_sec" -> tCdApprox,
       "x_cd_rewrite_speedup" ->

@@ -228,6 +228,13 @@ class CatalystSpec extends SparkSpec {
         .contains("percentile_approx"), "plan not rewritten")
       val est = apxDf.head.getDouble(0)
       assert(math.abs(est - exact) / exact < 0.05, s"est=$est exact=$exact")
+      // array-of-percentages form passes through the same rewrite
+      val qa = "SELECT percentile(l_extendedprice, array(0.25, 0.75)) AS ps FROM lineitem"
+      val apxArr = spark.sql(qa)
+      assert(apxArr.queryExecution.optimizedPlan.toString
+        .contains("percentile_approx"))
+      val ps = apxArr.head.getSeq[Double](0)
+      assert(ps.length == 2 && ps(0) < ps(1))
     } finally
       spark.conf.set("spark.graft.approx.percentile.enabled", "false")
   }
