@@ -71,15 +71,31 @@ object Sampling {
     SampledFrame(df.filter(pmod(floor(key / lit(blockSize)), lit(skip)) === lit(0)),
       skip.toDouble, Block(blockSize, skip))
 
+  /** Hard cap on the number of strata [[stratified]]/[[neymanStratified]]
+    * will enumerate on the driver. Stratified designs only make statistical
+    * sense over low-cardinality strata; a high-cardinality column here is
+    * caller error, and the loud failure below beats an OOM'd driver. */
+  val MaxStrata = 10000
+
   /** Stratified Bernoulli sample with equal FRACTION per stratum —
     * proportional allocation (n_h ∝ N_h). The reference's R18 equal-SIZE
     * allocation over value ntiles is [[equalAllocationStratified]].
     * Uses `sampleBy`, which needs
     * the stratum keys: they are computed with one small distinct job
     * (bounded by stratum cardinality, fine at any scale for low-cardinality
-    * strata — the only kind the design makes sense for). */
+    * strata — the only kind the design makes sense for). Fails with
+    * `IllegalArgumentException` above [[MaxStrata]] distinct strata; the
+    * probe is `limit(MaxStrata + 1)`-bounded so the driver never holds more
+    * than the cap regardless of the column's true cardinality. For
+    * high-cardinality keys use [[stratifiedSystematic]], which needs no
+    * driver-side stratum enumeration. */
   def stratified(df: DataFrame, strataCol: String, fraction: Double, seed: Long = 42L): SampledFrame = {
-    val strata = df.select(strataCol).distinct().collect().map(_.get(0))
+    val strata = df.select(strataCol).distinct()
+      .limit(MaxStrata + 1).collect().map(_.get(0))
+    require(strata.length <= MaxStrata,
+      s"stratified: column '$strataCol' has more than $MaxStrata distinct " +
+        "strata; a driver-enumerated stratified design is only meant for " +
+        "low-cardinality strata — use stratifiedSystematic instead")
     val fractions = strata.map(s => s -> fraction).toMap
     SampledFrame(df.stat.sampleBy(col(strataCol), fractions, seed),
       1.0 / fraction, Stratified(strataCol, fraction, seed))
@@ -99,7 +115,12 @@ object Sampling {
       minFraction: Double = 0.01): (SampledFrame, DataFrame) = {
     require(totalFraction > 0 && totalFraction <= 1.0)
     val stats = df.groupBy(col(strataCol)).agg(
-      count(value).as("n_h"), stddev_samp(value).as("sd_h")).collect()
+      count(value).as("n_h"), stddev_samp(value).as("sd_h"))
+      .limit(MaxStrata + 1).collect()
+    require(stats.length <= MaxStrata,
+      s"neymanStratified: column '$strataCol' has more than $MaxStrata " +
+        "distinct strata — driver-side allocation is for low-cardinality " +
+        "strata only; use stratifiedSystematic for high-cardinality keys")
     val weights = stats.map { r =>
       val n = r.getLong(1).toDouble
       val sd = if (r.isNullAt(2) || r.getDouble(2) <= 0) 1e-9 else r.getDouble(2)

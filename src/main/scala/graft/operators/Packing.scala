@@ -85,9 +85,15 @@ object Packing {
     *  1. hash-aggregate `max(orderCol)` per key — primitive buffer, so the
     *     partial stage is a codegen'd HashAggregate (no sort), and the
     *     exchange carries |keys| rows;
-    *  2. broadcast the per-key maxima back onto the fact and keep rows
-    *     whose `orderCol` equals their key's max — a broadcast hash join,
-    *     so the fact is scanned a second time but never shuffled;
+    *  2. join the per-key maxima back onto the fact and keep rows whose
+    *     `orderCol` equals their key's max. The broadcast is NOT forced:
+    *     a hint would override `autoBroadcastJoinThreshold` and OOM the
+    *     driver at the tens-of-millions-of-keys end of this operator's
+    *     stated range. With AQE on (every graft session), a small maxima
+    *     side still converts to a broadcast join at runtime — the fact's
+    *     exchange degrades to a local shuffle read, no network transfer —
+    *     while a huge key space falls back to a shuffle join instead of
+    *     killing the driver;
     *  3. break ties among the (few) surviving rows with a window ordered
     *     by `tieBreakCols` — input is at most |keys| × ties rows.
     *
@@ -111,7 +117,7 @@ object Packing {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val maxes = df.groupBy(keyCols.map(col): _*)
       .agg(max(col(orderCol)).as("__max_ord"))
-    val survivors = df.join(broadcast(maxes), keyCols)
+    val survivors = df.join(maxes, keyCols)
       .filter(col(orderCol) === col("__max_ord"))
       .drop("__max_ord")
     if (tieBreakCols.isEmpty) survivors

@@ -160,9 +160,17 @@ object ApproxAggregateRewrite extends Rule[LogicalPlan] {
             isDistinct = false)
         case ae @ AggregateExpression(p: Percentile, _, false, _, _)
             if pctOn && p.frequencyExpression == Literal(1L) =>
-          ae.copy(aggregateFunction = new ApproximatePercentile(
+          // Type contract: exact Percentile yields DOUBLE (or ARRAY<DOUBLE>)
+          // while ApproximatePercentile yields the child's type. Enclosing
+          // expressions were analyzed against the exact type, so a bare swap
+          // over an int/long/decimal child silently changes the schema and
+          // can break already-resolved parents. Cast back to the analyzed
+          // type whenever they differ.
+          val approx = ae.copy(aggregateFunction = new ApproximatePercentile(
             p.child, p.percentageExpression,
             Literal(accuracy)))
+          if (approx.dataType == ae.dataType) approx
+          else Cast(approx, ae.dataType)
       }
     }
   }

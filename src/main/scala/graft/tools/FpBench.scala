@@ -15,6 +15,7 @@ object FpBench {
     val reps = args.lift(1).map(_.toInt).getOrElse(20)
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Seq.fill(reps)(graft.Tables.documents(spark, dir))

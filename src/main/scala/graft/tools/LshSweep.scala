@@ -16,6 +16,7 @@ object LshSweep {
     val spark = SparkSession.builder().master("local[32]")
       .appName("lsh-sweep")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

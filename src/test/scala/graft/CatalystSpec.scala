@@ -238,4 +238,31 @@ class CatalystSpec extends SparkSpec {
     } finally
       spark.conf.set("spark.graft.approx.percentile.enabled", "false")
   }
+
+  test("percentile rewrite preserves the analyzed DOUBLE type on int/long columns") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, i % 7)).toDF("lk", "ik")
+    df.createOrReplaceTempView("pct_typed")
+    // percentile over long/int yields DOUBLE exactly; parents (here the
+    // arithmetic and schema) must see DOUBLE after the rewrite too.
+    val q = "SELECT percentile(lk, 0.5) AS p_l, percentile(ik, 0.5) AS p_i, " +
+      "percentile(lk, array(0.1, 0.9)) AS p_arr, percentile(lk, 0.5) + 0.25 AS p_sum " +
+      "FROM pct_typed"
+    val exactSchema = spark.sql(q).schema
+    spark.conf.set("spark.graft.approx.percentile.enabled", "true")
+    try {
+      val apx = spark.sql(q)
+      assert(apx.queryExecution.optimizedPlan.toString.contains("percentile_approx"),
+        "plan not rewritten")
+      assert(apx.schema == exactSchema,
+        s"schema changed: ${apx.schema} vs $exactSchema")
+      val row = apx.head
+      assert(math.abs(row.getDouble(0) - 50.0) <= 1.0)
+      assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 6.0)
+      val arr = row.getSeq[Double](2)
+      assert(arr.length == 2 && arr(0) < arr(1))
+      assert(math.abs(row.getDouble(3) - (row.getDouble(0) + 0.25)) < 1e-9)
+    } finally
+      spark.conf.set("spark.graft.approx.percentile.enabled", "false")
+  }
 }

@@ -169,6 +169,19 @@ class EstimatorSpec extends SparkSpec {
     assert(sf.df.select("l_returnflag").distinct().count() === 3)
   }
 
+  test("stratified fails loudly above the MaxStrata cap instead of OOMing the driver") {
+    import spark.implicits._
+    val wide = spark.range(Sampling.MaxStrata * 2L).toDF("k")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.stratified(wide, "k", 0.5)
+    }
+    assert(ex.getMessage.contains("stratifiedSystematic"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Sampling.neymanStratified(wide, "k", col("k"), 0.5)
+    }
+    assert(ex2.getMessage.contains("stratifiedSystematic"))
+  }
+
   test("block sampling keeps whole blocks and scales counts") {
     val sf = Sampling.block(li, col("l_orderkey"), blockSize = 16L, skip = 4L)
     val est = sf.df.count() * 4

@@ -264,11 +264,15 @@ class OpsSpec extends SparkSpec {
       .select("user_id", "value", "ts_us", "event_id")
       .orderBy("user_id").collect().toSeq
     assert(viaJoin == viaWindow)
-    // plan shape: the fact side reaches the join via broadcast, not an
-    // exchange-of-everything; the only window runs on the tiny survivor set
-    val plan = Packing.argmaxViaJoin(ev, Seq("user_id"), "value",
-      Seq("ts_us", "event_id")).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
+    // plan shape: no forced hint — AQE converts the small maxima side to a
+    // broadcast join at runtime (check the FINAL adaptive plan, post-run);
+    // a huge key space would degrade to a shuffle join instead of OOMing.
+    val q = Packing.argmaxViaJoin(ev, Seq("user_id"), "value",
+      Seq("ts_us", "event_id"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"final plan:\n$plan")
+    assert(!plan.contains("broadcast(maxes)"), "hint must not be forced")
   }
 
   test("argmaxViaJoin without tie-break keeps all tied rows") {
