@@ -276,20 +276,30 @@ object InventoryCuration {
     QueryDef("q79_hll_union_mergeable",
       // MERGEABLE distinct sketches — the capability that makes
       // pre-aggregated rollup tables work at 100 TB: per-type HLL sketches
-      // union to the global estimate without rescanning (sketch outputs are
-      // engine-specific → no oracle; ExtensionSpec bounds error vs exact
-      // and asserts union(parts) == sketch(whole))
+      // union to the global estimate without rescanning. ORACLE-GATED on
+      // the engine-checkable bound |est/exact − 1| ≤ 5% for every per-type
+      // row AND the unioned __all__ row (the oracle emits the exact
+      // distincts + TRUE; ExtensionSpec still asserts
+      // union(parts) == sketch(whole) exactly).
       (s, d) => {
-        val sk = events(s, d).groupBy(col("event_type"))
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        val per = sk.select(col("event_type"),
-          hll_sketch_estimate(col("sk")).as("n_users_est"))
-        val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-            .as("n_users_est"))
-          .select(lit("__all__").as("event_type"), col("n_users_est"))
-        per.unionAll(all).orderBy(col("event_type"))
+        val ev = events(s, d)
+        val sk = ev.groupBy(col("event_type"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("n_users_exact"))
+        val per = sk.select(col("event_type"), col("n_users_exact"),
+          (abs(hll_sketch_estimate(col("sk")).cast("double") /
+            col("n_users_exact").cast("double") - lit(1.0)) <= lit(0.05))
+            .as("within_bound"))
+        val allExact = ev.agg(countDistinct(col("user_id")).as("n_users_exact"))
+        val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+          .crossJoin(allExact) // 1-row × 1-row scalar join
+          .select(lit("__all__").as("event_type"), col("n_users_exact"),
+            (abs(col("__est").cast("double") /
+              col("n_users_exact").cast("double") - lit(1.0)) <= lit(0.05))
+              .as("within_bound"))
+        per.unionByName(all).orderBy(col("event_type"))
       },
-      None),
+      Some("SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact, TRUE AS within_bound FROM events GROUP BY 1 UNION ALL SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS n_users_exact, TRUE AS within_bound FROM events ORDER BY event_type")),
 
     QueryDef("q80_near_dedup_survivors",
       // the end-to-end near-dedup ACTION (q35/q45 produce the evidence,

@@ -20,11 +20,19 @@ object InventoryExtensions {
       Some("SELECT COUNT(DISTINCT o_custkey) AS n_customers, COUNT(*) AS n_orders FROM orders")),
 
     QueryDef("q25_approx_count_distinct_hll",
-      // HLL++ sketch — engine-specific estimate, no cross-engine oracle;
-      // ExtensionSpec asserts <5% error vs q24
+      // HLL++ sketch, ORACLE-GATED on an engine-checkable bound: the sketch
+      // value itself is engine-specific, but "|est − exact| / exact ≤ 3·rsd"
+      // is a claim the oracle can state from exact values alone — it emits
+      // TRUE, and the hash matches iff the exact count matches AND the
+      // in-query bound held. ExtensionSpec still asserts the tighter <5%.
       (s, d) => orders(s, d).agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.02).as("n_customers_est")),
-      None),
+          countDistinct(col("o_custkey")).as("n_customers_exact"),
+          approx_count_distinct(col("o_custkey"), rsd = 0.02).as("__est"))
+        .select(col("n_customers_exact"),
+          (abs(col("__est").cast("double") /
+            col("n_customers_exact").cast("double") - lit(1.0)) <= lit(0.06))
+            .as("hll_within_3rsd")),
+      Some("SELECT COUNT(DISTINCT o_custkey) AS n_customers_exact, TRUE AS hll_within_3rsd FROM orders")),
 
     QueryDef("q26_orders_by_status",
       (s, d) => orders(s, d)
@@ -35,12 +43,28 @@ object InventoryExtensions {
       Some("SELECT o_orderstatus, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, COUNT(*) AS n FROM orders GROUP BY 1 ORDER BY 1")),
 
     QueryDef("q27_percentile_approx",
-      // Spark's approx percentile sketch; rows-only (algorithm-specific),
-      // anchored by ExtensionSpec against exact percentiles
+      // approx-percentile sketch, ORACLE-GATED on its rank-error contract:
+      // with accuracy=10000 the sketch's rank error is ≤ 1e-4, so the
+      // estimate must lie within the exact quantile bracket p ± 0.01
+      // (100× slack). The bracket is computed in-query from exact
+      // percentiles; the oracle asserts the same booleans from exact
+      // values (TRUE) plus the exact percentiles themselves (Spark
+      // `percentile` ≡ DuckDB `quantile_cont`, the q52-proven identity).
       (s, d) => lineitem(s, d).agg(
-        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50_est"),
-        percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("p95_est")),
-      None),
+          percentile(col("l_quantity"), lit(0.5)).as("p50_exact"),
+          percentile(col("l_quantity"), lit(0.95)).as("p95_exact"),
+          percentile(col("l_quantity"), lit(0.49)).as("__p50_lo"),
+          percentile(col("l_quantity"), lit(0.51)).as("__p50_hi"),
+          percentile(col("l_quantity"), lit(0.94)).as("__p95_lo"),
+          percentile(col("l_quantity"), lit(0.96)).as("__p95_hi"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("__e50"),
+          percentile_approx(col("l_quantity"), lit(0.95), lit(10000)).as("__e95"))
+        .select(col("p50_exact"), col("p95_exact"),
+          (col("__e50") >= col("__p50_lo") && col("__e50") <= col("__p50_hi"))
+            .as("p50_within_rank_eps"),
+          (col("__e95") >= col("__p95_lo") && col("__e95") <= col("__p95_hi"))
+            .as("p95_within_rank_eps")),
+      Some("SELECT quantile_cont(l_quantity, 0.5) AS p50_exact, quantile_cont(l_quantity, 0.95) AS p95_exact, TRUE AS p50_within_rank_eps, TRUE AS p95_within_rank_eps FROM lineitem")),
 
     QueryDef("q52_percentiles_exact",
       // EXACT grouped percentiles — the oracle-gated anchor for the q27
@@ -131,18 +155,65 @@ object InventoryExtensions {
       Some("""WITH m AS (SELECT COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s FROM lineitem), p AS (SELECT l_extendedprice, least(1.0, 0.1 * n * l_quantity / s) AS pp, ((l_orderkey * 8191 + l_linenumber * 131) % 1000003 * 1299709 + 104729) % 1000003 AS h FROM lineitem, m) SELECT CAST(SUM(CAST(l_extendedprice / pp AS DECIMAL(28,10))) AS DOUBLE) AS sum_price_est, COUNT(*) AS n_samples FROM p WHERE h < pp * 1000003""")),
 
     QueryDef("q29_adaptive_sum",
-      // adaptive CLT loop: seed-deterministic but Bernoulli rand() is not
-      // reproducible in another engine -> rows-only check; convergence and
-      // accuracy are asserted in AdaptiveSpec
+      // the engine's flagship, ORACLE-GATED: CLT adaptive ladder in its
+      // deterministic form — nested key-mod systematic rounds
+      // (step 20 ⊃ 10 ⊃ 5 → 5/10/20%) with early stop, cents fixed-point
+      // moments so estimate/CI/verdict are bit-reproducible
+      // (AdaptiveExecutor.runDeterministic scaladoc). The DuckDB oracle
+      // replays the whole ladder INCLUDING the first-converged-round
+      // selection and the drift verdict. The rand()-Bernoulli loop stays
+      // covered by AdaptiveSpec as the R12/R13/R24 semantics anchor.
       (s, d) => {
-        val r = graft.exec.AdaptiveExecutor.run(
-          lineitem(s, d), col("l_extendedprice"), graft.model.AggKind.Sum,
-          graft.model.SamplingStrategy.Adaptive(errorThresholdPct = 2.0,
-            initialFraction = 0.05)).result
+        val key = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+        val out = graft.exec.AdaptiveExecutor.runDeterministic(
+          lineitem(s, d), col("l_extendedprice"), key,
+          steps = Seq(20L, 10L, 5L), errorThresholdPct = 2.0)
+        val r = out.result
         import s.implicits._
-        Seq((r.value, r.ciLower, r.ciUpper, r.samplesUsed, r.status.toString))
-          .toDF("sum_est", "ci_lower", "ci_upper", "n_samples", "status")
+        Seq((r.value, r.ciLower, r.ciUpper, r.samplesUsed,
+          out.rounds.size, r.status.toString))
+          .toDF("sum_est", "ci_lower", "ci_upper", "n_samples",
+            "rounds_used", "status")
       },
-      None)
+      Some {
+        val k = "(l_orderkey * 8191 + l_linenumber * 131)"
+        val xc = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        s"""WITH base AS (SELECT $k AS k, $xc AS xc FROM lineitem),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+ CAST(COUNT(CASE WHEN k % 20 = 0 THEN xc END) AS DOUBLE) AS n1,
+ CAST(SUM(CASE WHEN k % 20 = 0 THEN CAST(xc AS DECIMAL(28,0)) END) AS DOUBLE) AS sc1,
+ CAST(SUM(CASE WHEN k % 20 = 0 THEN CAST(xc * xc AS DECIMAL(38,0)) END) AS DOUBLE) AS s2c1,
+ CAST(COUNT(CASE WHEN k % 10 = 0 THEN xc END) AS DOUBLE) AS n2,
+ CAST(SUM(CASE WHEN k % 10 = 0 THEN CAST(xc AS DECIMAL(28,0)) END) AS DOUBLE) AS sc2,
+ CAST(SUM(CASE WHEN k % 10 = 0 THEN CAST(xc * xc AS DECIMAL(38,0)) END) AS DOUBLE) AS s2c2,
+ CAST(COUNT(CASE WHEN k % 5 = 0 THEN xc END) AS DOUBLE) AS n3,
+ CAST(SUM(CASE WHEN k % 5 = 0 THEN CAST(xc AS DECIMAL(28,0)) END) AS DOUBLE) AS sc3,
+ CAST(SUM(CASE WHEN k % 5 = 0 THEN CAST(xc * xc AS DECIMAL(38,0)) END) AS DOUBLE) AS s2c3
+ FROM base),
+r AS (SELECT nn, n1, n2, n3,
+ sc1 * (nn / n1) / 100.0 AS est1, 1.96 * sqrt(((s2c1 - sc1 * sc1 / n1) / (n1 - 1)) / n1) * nn / 100.0 AS mar1,
+ sc2 * (nn / n2) / 100.0 AS est2, 1.96 * sqrt(((s2c2 - sc2 * sc2 / n2) / (n2 - 1)) / n2) * nn / 100.0 AS mar2,
+ sc3 * (nn / n3) / 100.0 AS est3, 1.96 * sqrt(((s2c3 - sc3 * sc3 / n3) / (n3 - 1)) / n3) * nn / 100.0 AS mar3
+ FROM m),
+rr AS (SELECT *,
+ 100.0 * (((est1 + mar1) - (est1 - mar1)) / 2.0) / abs(est1) AS rel1,
+ 100.0 * (((est2 + mar2) - (est2 - mar2)) / 2.0) / abs(est2) AS rel2,
+ 100.0 * (((est3 + mar3) - (est3 - mar3)) / 2.0) / abs(est3) AS rel3
+ FROM r),
+sel AS (SELECT *, CASE WHEN rel1 <= 2.0 AND n1 >= 50 THEN 1 WHEN rel2 <= 2.0 AND n2 >= 50 THEN 2 ELSE 3 END AS ru FROM rr)
+SELECT
+ CASE ru WHEN 1 THEN est1 WHEN 2 THEN est2 ELSE est3 END AS sum_est,
+ CASE ru WHEN 1 THEN est1 - mar1 WHEN 2 THEN est2 - mar2 ELSE est3 - mar3 END AS ci_lower,
+ CASE ru WHEN 1 THEN est1 + mar1 WHEN 2 THEN est2 + mar2 ELSE est3 + mar3 END AS ci_upper,
+ CAST(CASE ru WHEN 1 THEN n1 WHEN 2 THEN n1 + n2 ELSE n1 + n2 + n3 END AS BIGINT) AS n_samples,
+ CAST(ru AS INTEGER) AS rounds_used,
+ CASE
+  WHEN (CASE ru WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END) < 50 THEN 'InsufficientData'
+  WHEN ru = 2 AND ((est1 + mar1 < est2 - mar2) OR (est2 + mar2 < est1 - mar1)) AND est1 <> 0.0 AND abs(est2 - est1) / abs(est1) * 100.0 > 5.0 THEN 'Drifting'
+  WHEN ru = 3 AND ((est2 + mar2 < est3 - mar3) OR (est3 + mar3 < est2 - mar2)) AND est2 <> 0.0 AND abs(est3 - est2) / abs(est2) * 100.0 > 5.0 THEN 'Drifting'
+  WHEN (CASE ru WHEN 1 THEN rel1 WHEN 2 THEN rel2 ELSE rel3 END) <= 2.0 THEN 'Stable'
+  ELSE 'Drifting' END AS status
+FROM sel"""
+      })
   )
 }

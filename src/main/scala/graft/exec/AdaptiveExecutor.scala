@@ -115,4 +115,91 @@ object AdaptiveExecutor {
         rounds.map(_.n).sum, status, millis),
       rounds)
   }
+
+  /** Deterministic twin of [[run]] — the oracle-gatable form of the CLT
+    * ladder (reference `clt_validated_dual_pointer_sample`,
+    * custom_bplus_db.cpp:885-1043). Same staged driver loop, same early
+    * stop, same CLT margin and drift verdict, with two substitutions that
+    * make the estimate, CI, verdict and samples-used pure functions of the
+    * data:
+    *
+    *  - each round's sample is the NESTED key-mod systematic design
+    *    `key % step == 0` with steps like 20 ⊃ 10 ⊃ 5 (each step divides
+    *    the previous, so every round's sample contains the last — the
+    *    same refine-don't-restart structure as the reference's dual
+    *    pointers, without its rand() coin flips);
+    *  - every moment reaches the driver through exact integer arithmetic
+    *    (cents fixed-point, scale-0 decimal sums, ONE correctly-rounded
+    *    cast to double — the q65/q139 oracle discipline), so a foreign
+    *    engine evaluating the same formula text reproduces the doubles
+    *    bit-for-bit. q29's DuckDB oracle does exactly that.
+    *
+    * SUM-only: the ratio estimator Σx·(N/n) (B2-corrected) with CLT margin
+    * z·se·N. `value` must fit DECIMAL(18,2) with ≤2 decimal places
+    * (monetary/quantity columns); cents must fit a LONG when squared
+    * (|x| < ~3e7), which every TPC-H monetary column satisfies.
+    *
+    * Early termination is preserved: convergence at round k means rounds
+    * k+1… are never launched — at 100 TB each skipped round is a skipped
+    * scan of a larger sample. */
+  def runDeterministic(df: DataFrame, value: Column, key: Column,
+      steps: Seq[Long] = Seq(20L, 10L, 5L),
+      errorThresholdPct: Double = 2.0,
+      confidence: Double = 0.95,
+      driftTolerancePct: Double = 5.0): AdaptiveOutcome = {
+    require(steps.nonEmpty && steps.zip(steps.tail).forall {
+      case (a, b) => a > b && a % b == 0 },
+      s"steps must shrink and nest (each divisible by the next): $steps")
+    val t0 = System.nanoTime()
+    val z = Estimators.zScore(confidence)
+    val totalN = df.count().toDouble
+    val xc = (value.cast("decimal(18,2)") * lit(100)).cast("long")
+    var rounds = Vector.empty[Round]
+    var done = false
+    var i = 0
+    while (!done) {
+      val step = steps(i)
+      val m = df.filter(pmod(key, lit(step)) === 0)
+        .select(xc.as("xc"))
+        .agg(count(col("xc")).cast("double").as("n"),
+          sum(col("xc").cast("decimal(28,0)")).cast("double").as("sc"),
+          sum((col("xc") * col("xc")).cast("decimal(38,0)")).cast("double")
+            .as("s2c")).head()
+      val n = m.getDouble(0)
+      val sc = if (m.isNullAt(1)) 0.0 else m.getDouble(1)
+      val s2c = if (m.isNullAt(2)) 0.0 else m.getDouble(2)
+      val varc = if (n > 1) (s2c - sc * sc / n) / (n - 1) else 0.0
+      val se = if (n > 0) math.sqrt(varc / n) else Double.PositiveInfinity
+      val (estimate, margin) =
+        if (n > 0) (sc * (totalN / n) / 100.0, z * se * totalN / 100.0)
+        else (0.0, Double.PositiveInfinity)
+      val relPct = Estimators.relativeMarginPct(
+        estimate, estimate - margin, estimate + margin)
+      rounds :+= Round(1.0 / step, n.toLong, estimate,
+        estimate - margin, estimate + margin, relPct)
+      val converged = relPct <= errorThresholdPct && n >= 50
+      done = converged || i == steps.size - 1
+      i += 1
+    }
+
+    val last = rounds.last
+    val drifted = rounds.size >= 2 && {
+      val prev = rounds(rounds.size - 2)
+      val disjointCi = prev.ciUpper < last.ciLower || last.ciUpper < prev.ciLower
+      val bigMove = prev.estimate != 0.0 &&
+        math.abs(last.estimate - prev.estimate) / math.abs(prev.estimate) * 100.0 > driftTolerancePct
+      disjointCi && bigMove
+    }
+    val status =
+      if (last.n < 50) ApproximationStatus.InsufficientData
+      else if (drifted) ApproximationStatus.Drifting
+      else if (last.relMarginPct <= errorThresholdPct) ApproximationStatus.Stable
+      else ApproximationStatus.Drifting
+
+    val millis = (System.nanoTime() - t0) / 1000000L
+    AdaptiveOutcome(
+      ApproxResult(last.estimate, last.ciLower, last.ciUpper, confidence,
+        rounds.map(_.n).sum, status, millis),
+      rounds)
+  }
 }

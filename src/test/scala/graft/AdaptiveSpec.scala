@@ -34,4 +34,40 @@ class AdaptiveSpec extends SparkSpec {
       SamplingStrategy.Adaptive(errorThresholdPct = 5.0, initialFraction = 0.1))
     assert(math.abs(out.result.value - exact) / exact < 0.10)
   }
+
+  private def liKey = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+
+  test("deterministic ladder: bit-identical across runs, CI covers exact, early stop") {
+    val exact = li.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+      .cast("double")).head.getDouble(0)
+    val a = AdaptiveExecutor.runDeterministic(li, col("l_extendedprice"),
+      liKey, steps = Seq(20L, 10L, 5L), errorThresholdPct = 5.0)
+    val b = AdaptiveExecutor.runDeterministic(li, col("l_extendedprice"),
+      liKey, steps = Seq(20L, 10L, 5L), errorThresholdPct = 5.0)
+    // pure function of the data: every field identical, including doubles
+    assert(a.result.value == b.result.value &&
+      a.result.ciLower == b.result.ciLower &&
+      a.result.ciUpper == b.result.ciUpper &&
+      a.result.status == b.result.status &&
+      a.rounds == b.rounds)
+    assert(a.result.ciLower <= exact && exact <= a.result.ciUpper,
+      s"CI [${a.result.ciLower}, ${a.result.ciUpper}] misses exact $exact")
+    // 5% at sf0.001 (~6k rows): the 5% round (n≈300) shouldn't converge,
+    // later rounds refine — rounds are nested so estimates tighten
+    assert(a.rounds.size >= 1 && a.rounds.size <= 3)
+    assert(a.rounds.map(_.n).zip(a.rounds.tail.map(_.n)).forall {
+      case (n1, n2) => n2 > n1 }, "nested rounds must grow")
+  }
+
+  test("deterministic ladder rejects non-nested steps and flags tiny samples") {
+    intercept[IllegalArgumentException] {
+      AdaptiveExecutor.runDeterministic(li, col("l_extendedprice"), liKey,
+        steps = Seq(20L, 7L))
+    }
+    // a sample too small for the CLT gate reports InsufficientData
+    val tiny = li.limit(40)
+    val out = AdaptiveExecutor.runDeterministic(tiny, col("l_extendedprice"),
+      liKey, steps = Seq(1L), errorThresholdPct = 50.0)
+    assert(out.result.status === ApproximationStatus.InsufficientData)
+  }
 }
