@@ -252,6 +252,28 @@ object Inventory {
       },
       Some("""WITH b AS (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t, COUNT(*) AS nb FROM lineitem WHERE (l_orderkey // 16) % 4 = 0 GROUP BY (l_orderkey // 16)), m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(nb) AS DOUBLE) AS sn, CAST(SUM(t * t) AS DOUBLE) AS st2, CAST(SUM(nb * nb) AS DOUBLE) AS sn2, CAST(SUM(t * nb) AS DOUBLE) AS stn FROM b) SELECT st / sn AS avg_est, st / sn - 1.96 * SQRT(((1.0 - 0.25) * (CASE WHEN m > 1.0 THEN (st2 - 2.0 * (st / sn) * stn + (st / sn) * (st / sn) * sn2) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END)) / (m * ((sn / m) * (sn / m)))) AS avg_est_ci_lower, st / sn + 1.96 * SQRT(((1.0 - 0.25) * (CASE WHEN m > 1.0 THEN (st2 - 2.0 * (st / sn) * stn + (st / sn) * (st / sn) * sn2) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END)) / (m * ((sn / m) * (sn / m)))) AS avg_est_ci_upper, CAST(m AS BIGINT) AS avg_est_m_blocks FROM m""")),
 
+    QueryDef("q145_file_block_ci",
+      // the `--method file` estimator gated end-to-end: rows carry a
+      // deterministic "file" assignment (orderkey ranges ≈ equal-sized
+      // write batches), every 4th file (offset 1) is kept, and the
+      // design-honest between-FILE variance CI (Estimators.blockCiSum with
+      // file ids as blocks) is computed over the kept files — exactly the
+      // estimator SpecExecutor runs over real part-files via
+      // FileSampling.fromFiles (there the assignment is physical, here
+      // it is key-derived so DuckDB can replay it; SpecExecutorSpec
+      // covers the physical route over a multi-file temp table).
+      // value is l_quantity (not price): block totals stay small enough
+      // that t·t and Σt² remain exactly double-representable at sf0.1
+      // (price totals overflow DECIMAL(18) squaring in the oracle and
+      // push Σt² past 2^53 where decimal→double rounding diverges)
+      (s, d) => {
+        val fid = floor(col("l_orderkey") / lit(400L))
+        val sampled = lineitem(s, d).filter(pmod(fid, lit(4L)) === 1)
+        Estimators.blockCiSum(sampled, fid, col("l_quantity"),
+          skip = 4.0, alias = "sum_est")
+      },
+      Some("""WITH b AS (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t FROM lineitem WHERE (l_orderkey // 400) % 4 = 1 GROUP BY (l_orderkey // 400)), m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(t * t) AS DOUBLE) AS st2 FROM b) SELECT st * 4.0 AS sum_est, st * 4.0 - 1.96 * (4.0 * SQRT((1.0 - 0.25) * m * (CASE WHEN m > 1.0 THEN (st2 - (st * st) / GREATEST(m, 1.0)) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END))) AS sum_est_ci_lower, st * 4.0 + 1.96 * (4.0 * SQRT((1.0 - 0.25) * m * (CASE WHEN m > 1.0 THEN (st2 - (st * st) / GREATEST(m, 1.0)) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END))) AS sum_est_ci_upper, CAST(m AS BIGINT) AS sum_est_m_blocks FROM m""")),
+
     QueryDef("q42_neyman_stratified",
       // deterministic Neyman: per-stratum systematic steps derived from
       // EXACT pilot moments (fixed IEEE op order both engines) — the

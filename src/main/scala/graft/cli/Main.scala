@@ -12,7 +12,7 @@ import graft.exec.{ApproxPlanner, SpecExecutor}
   * Usage:
   *   graft.cli.Main "SELECT SUM(l_extendedprice) FROM lineitem" \
   *     [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
-  *     [--method random|clt|block|adaptive|parallel|revolutionary|systematic]
+  *     [--method random|clt|block|adaptive|parallel|revolutionary|systematic|file]
   *     [--seed N] [--compat] [--compare] [--count-exact-compat]
   *     [--approx-mode] [--sql] [--explain]
   *
@@ -112,7 +112,7 @@ object Main {
   private val usage =
     """usage: graft.cli.Main "<SELECT agg(col) FROM table [WHERE ..] [GROUP BY g]>"
       |  [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
-      |  [--method random|clt|block|adaptive|parallel|revolutionary|systematic]
+      |  [--method random|clt|block|adaptive|parallel|revolutionary|systematic|file]
       |  [--seed N] [--compat] [--compare] [--count-exact-compat] [--approx-mode] [--sql] [--explain]
       |APPROX(agg(col)) embedded syntax is also accepted.""".stripMargin
 }

@@ -73,9 +73,13 @@ object ApproxPlanner {
         else SamplingStrategy.Adaptive(errorPct, seed = seed)
       case "revolutionary" =>
         routeBySize(totalRecords.getOrElse(100001L), fraction, seed)
+      case "file" =>
+        // the only speedup-bearing design on columnar storage (FileSampling
+        // scaladoc): keep every step-th part-file, never open the rest
+        SamplingStrategy.FileLevel(step.toInt)
       case other =>
         throw new IllegalArgumentException(
-          s"unknown method '$other' (random|clt|block|adaptive|parallel|revolutionary|systematic)")
+          s"unknown method '$other' (random|clt|block|adaptive|parallel|revolutionary|systematic|file)")
     }
   }
 

@@ -31,6 +31,39 @@ object SpecExecutor {
     }
 
     (spec.groupBy, spec.sampling) match {
+      case (None, fl: SamplingStrategy.FileLevel) =>
+        // the only design that skips I/O on columnar storage: re-plan the
+        // scan over every step-th part-file of the registered table and
+        // never open the rest. Estimation is cluster sampling with files
+        // as clusters: scale = totalFiles/picked, CI from between-file
+        // variance — the design-honest interval (a row-level SRS formula
+        // would under-cover whenever files are internally homogeneous).
+        val sf = graft.sources.FileSampling.fromFiles(
+          spark, base0.inputFiles.toIndexedSeq, fl.step, fl.offset)
+        val sampled = spec.where.map(w => sf.df.filter(expr(w))).getOrElse(sf.df)
+        val scale = sf.scaleFactor
+        if (spec.withCi) spec.agg match {
+          case AggKind.Sum => Estimators.blockCiSum(sampled,
+            input_file_name(), valueCol, scale, alias, spec.confidence)
+          case AggKind.Count => Estimators.blockCiSum(sampled,
+            input_file_name(), lit(1L), scale, alias, spec.confidence)
+          case AggKind.Avg => Estimators.blockCiAvg(sampled,
+            input_file_name(), valueCol, scale, alias, spec.confidence)
+          case other => throw new IllegalArgumentException(
+            s"file-level CI undefined for $other (SUM/COUNT/AVG only)")
+        } else spec.agg match {
+          case AggKind.Sum => sampled.agg(
+            (sum(valueCol.cast("decimal(18,2)")).cast("double") * lit(scale)).as(alias))
+          case AggKind.Count => sampled.agg(
+            (count(lit(1)).cast("double") * lit(scale)).as(alias))
+          case AggKind.Avg => sampled.agg(avg(valueCol).as(alias))
+          case other => throw new IllegalArgumentException(
+            s"file-level sampling undefined for $other (SUM/COUNT/AVG only)")
+        }
+      case (Some(_), _: SamplingStrategy.FileLevel) =>
+        throw new IllegalArgumentException(
+          "file-level sampling does not support GROUP BY (group coverage per " +
+            "file is not controlled); use a row-level design (--method systematic)")
       case (None, a: SamplingStrategy.Adaptive) =>
         val r = AdaptiveExecutor.run(base, valueCol, spec.agg, a)
         import spark.implicits._

@@ -66,6 +66,20 @@ object SamplingStrategy {
     def scaleFactor: Double = skip.toDouble
   }
 
+  /** File-level cluster sampling (reference R29/R30 block modes + the S6
+    * raw page reader, re-expressed for columnar storage): keep every
+    * `step`-th part-file of the dataset and NEVER OPEN the rest. The one
+    * design whose scan cost actually scales with the sampled fraction on
+    * parquet — row-level designs filter inside the scan and still read
+    * every row group (FileSampling scaladoc). Estimation treats files as
+    * clusters: scale = totalFiles/pickedFiles, CI from between-file
+    * variance (`Estimators.blockCiSum` over file ids). */
+  final case class FileLevel(step: Int, offset: Int = 0) extends SamplingStrategy {
+    require(step >= 1, s"step must be >= 1: $step")
+    require(offset >= 0 && offset < step, s"offset must be in [0,step): $offset")
+    def scaleFactor: Double = step.toDouble
+  }
+
   /** Dual-rate sampling (reference R9 `dual_pointer_sample`): union of a
     * coarse stride (`key % coarseStep == 0`) and a fine stride on offset 1
     * (`key % fineStep == 1`). Deterministic key-mod design, so n is fixed

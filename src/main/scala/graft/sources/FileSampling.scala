@@ -33,18 +33,29 @@ object FileSampling {
     * directory and read only those. */
   def parquetFileSample(spark: SparkSession, path: String, step: Int,
       offset: Int = 0): SampledFrame = {
-    require(step >= 1 && offset >= 0 && offset < step)
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(p).map(_.getPath)
       .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
       .map(_.toString).sorted
-    require(files.nonEmpty, s"no parquet part-files under $path")
-    val picked = files.zipWithIndex.collect {
+    fromFiles(spark, files.toIndexedSeq, step, offset)
+  }
+
+  /** Same design over an explicit file list (e.g. `df.inputFiles` of a
+    * registered table — the SpecExecutor `--method file` route): sort for
+    * a deterministic assignment, keep indices ≡ offset (mod step). */
+  def fromFiles(spark: SparkSession, files: Seq[String], step: Int,
+      offset: Int = 0): SampledFrame = {
+    require(step >= 1 && offset >= 0 && offset < step)
+    val sortedFiles = files.sorted
+    require(sortedFiles.nonEmpty, "no parquet part-files to sample")
+    val picked = sortedFiles.zipWithIndex.collect {
       case (f, i) if i % step == offset => f
     }
-    val scale = files.length.toDouble / picked.length
-    SampledFrame(spark.read.parquet(picked.toIndexedSeq: _*), scale,
-      SamplingStrategy.Block(blockSize = 1L, skip = step.toLong))
+    require(picked.nonEmpty,
+      s"offset $offset selects no files (have ${sortedFiles.length}, step $step)")
+    val scale = sortedFiles.length.toDouble / picked.length
+    SampledFrame(spark.read.parquet(picked: _*), scale,
+      SamplingStrategy.FileLevel(step, offset))
   }
 }

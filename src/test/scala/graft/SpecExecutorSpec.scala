@@ -125,4 +125,45 @@ class SpecExecutorSpec extends SparkSpec {
     assert(r.columns.contains("status"))
     assert(Set("Stable", "Drifting", "InsufficientData").contains(r.head().getString(4)))
   }
+
+  test("--method file skips part-files physically and brackets the exact sum") {
+    import org.apache.spark.sql.functions._
+    import graft.exec.ApproxPlanner
+    import graft.model.SamplingStrategy
+    // a genuinely multi-file table: 8 part-files keyed so files are
+    // exchangeable (hash layout), written once per suite run
+    val dir = java.nio.file.Files.createTempDirectory("graft_filesamp").toString
+    Tables.lineitem(spark, sf0001).repartition(8).write
+      .mode("overwrite").parquet(dir)
+    val multi = spark.read.parquet(dir)
+    multi.createOrReplaceTempView("lineitem_multi")
+    val exact = multi.agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+      .cast("double")).head.getDouble(0)
+
+    val planned = ApproxPlanner.strategyForMethod("file", fraction = 0.25)
+    assert(planned === SamplingStrategy.FileLevel(4))
+
+    val spec = QueryParser.parse(
+      "SELECT SUM(l_extendedprice) FROM lineitem_multi",
+      samplePercent = Some(25.0), withCi = true)
+      .copy(sampling = planned)
+    val r = SpecExecutor.run(spark, spec)
+    val row = r.head()
+    val est = row.getDouble(0)
+    // design-honest CI should bracket exact on an exchangeable layout
+    assert(row.getDouble(1) <= exact && exact <= row.getDouble(2),
+      s"CI [${row.getDouble(1)}, ${row.getDouble(2)}] misses exact $exact (est $est)")
+    assert(row.getLong(3) === 2L, "8 files / step 4 = 2 file-clusters read")
+    // the scan itself must touch only the picked files — the I/O skip is
+    // the whole point of the design
+    val sf = graft.sources.FileSampling.fromFiles(
+      spark, multi.inputFiles.toIndexedSeq, 4, 0)
+    assert(sf.df.inputFiles.length === 2 && multi.inputFiles.length === 8)
+    assert(sf.scaleFactor === 4.0)
+    // GROUP BY must refuse loudly (group coverage per file uncontrolled)
+    val g = QueryParser.parse(
+      "SELECT SUM(l_extendedprice) FROM lineitem_multi GROUP BY l_returnflag")
+      .copy(sampling = planned)
+    intercept[IllegalArgumentException] { SpecExecutor.run(spark, g) }
+  }
 }
