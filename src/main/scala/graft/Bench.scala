@@ -28,6 +28,30 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Self-defending measurement (round-3 lesson: a co-loaded 32-core box
+    // produced probe ratios the docs disavowed): record the 1-minute load
+    // average into the JSON so a polluted run is VISIBLE in the artifact,
+    // and re-run any probe whose 3-run spread exceeds 30% of its median
+    // (keeping the calmer batch's median, counting the re-runs).
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+    var unstableReruns = 0
+    def spreadOf(b: Seq[Double]): Double =
+      (b.last - b.head) / math.max(b(1), 1e-9)
+    def stableMedian(once: () => Double): Double = {
+      def batch(): Seq[Double] = Seq(once(), once(), once()).sorted
+      val b1 = batch()
+      if (spreadOf(b1) <= 0.30) b1(1)
+      else {
+        unstableReruns += 1
+        val b2 = batch()
+        if (spreadOf(b2) <= spreadOf(b1)) b2(1) else b1(1)
+      }
+    }
+
     val headline = Inventory.all.filter(_.headline)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = headline.map { q =>
@@ -38,8 +62,7 @@ object Bench {
       }
       val t = try {
         once() // warmup
-        val runs = Seq(once(), once(), once()).sorted
-        runs(1) // median
+        stableMedian(() => once())
       } catch {
         case e: Throwable =>
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -59,10 +82,9 @@ object Bench {
     val key = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
     def timeMedian(f: => Unit): Double = {
       f // warmup
-      val ts = Seq.fill(3) {
+      stableMedian { () =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.sorted
-      ts(1)
+      }
     }
     val nRows = li10.count()
     // fixture caches are keyed on the scale factor: a bare _SUCCESS check
@@ -299,10 +321,14 @@ object Bench {
         .agg(count(lit(1))).collect(): Unit
     }
     // broadcast-join argmax: hash-agg per-key max (no sort), broadcast it
-    // back, tie-break only the survivors — zero full-data shuffle/sort
+    // back, tie-break only the survivors — zero full-data shuffle/sort.
+    // broadcastMaxes on: l_suppkey cardinality is known-bounded here,
+    // which is the opt-in's contract (default AQE path pays the fact's
+    // local map-write before converting — measured 0.21× vs window)
     val tLatestJoin = timeMedian {
       graft.operators.Packing.argmaxViaJoin(argmaxIn, Seq("l_suppkey"),
-          "l_extendedprice", Seq("l_orderkey", "l_linenumber"))
+          "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
+          broadcastMaxes = true)
         .agg(count(lit(1))).collect(): Unit
     }
     // Approx-mode rewrite probe: the same COUNT(DISTINCT) SQL text, exact
@@ -313,20 +339,31 @@ object Bench {
     // every distinct value; the sketch plan shuffles one few-KB buffer
     // per partition — the gap grows with distinct cardinality, which at
     // 100 TB is the whole game.
-    val (tCdExact, tCdApprox, cdErrPct) = {
+    val (tCdExact, tCdApprox, cdErrPct, tCdHiExact, tCdHiApprox) = {
       Tables.registerAll(spark, sfDir)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.ApproxAggregateRewrite
       val q = "SELECT COUNT(DISTINCT l_partkey) AS d FROM lineitem"
+      // high-cardinality leg: every (orderkey, linenumber) is distinct, so
+      // the exact plan shuffles ~|table| values twice while the sketch
+      // plan shuffles one few-KB buffer per partition — THIS is the gap
+      // the rewrite exists for; the l_partkey leg (~200k distinct at
+      // sf0.1) measures the low-cardinality wash where both plans are
+      // overhead-bound and the rewrite honestly buys nothing locally
+      val qHi = "SELECT COUNT(DISTINCT l_orderkey * 8 + l_linenumber) " +
+        "AS d FROM lineitem"
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
       val exactV = spark.sql(q).first.getLong(0)
       val tEx = timeMedian { spark.sql(q).collect(): Unit }
+      val tHiEx = timeMedian { spark.sql(qHi).collect(): Unit }
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "true")
       val apxV = spark.sql(q).first.getLong(0)
       val tAp = timeMedian { spark.sql(q).collect(): Unit }
+      val tHiAp = timeMedian { spark.sql(qHi).collect(): Unit }
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
-      (tEx, tAp, 100.0 * math.abs(apxV - exactV).toDouble / exactV)
+      (tEx, tAp, 100.0 * math.abs(apxV - exactV).toDouble / exactV,
+        tHiEx, tHiAp)
     }
     // End-to-end curation probe: the full pipeline (exact dedup →
     // MinHash near-dedup → decontaminate → quality gate → mix → split)
@@ -342,13 +379,47 @@ object Bench {
         graft.operators.CurationPipeline.Config(minQuality = 0.2))
         .agg(count(lit(1))).collect(): Unit
     }
+    // per-stage attribution for the same flow (one staged run: each stage
+    // persisted + counted, so a regression in x_pipeline_sec is traceable
+    // to a stage; stages sum to ≈ the fused total + materialization cost)
+    val (_, pipelineStages) = graft.operators.CurationPipeline.runStaged(
+      docsAll, Some(evalSet), "doc_id", "text", "source",
+      graft.operators.CurationPipeline.Config(minQuality = 0.2))
+    // Dedup scale probe: 10× the documents fixture with remapped ids —
+    // every doc gains 10 near-identical copies, the adversarial case for
+    // candidate generation (each cluster of 10 yields 45 candidate pairs).
+    // Catches driver-side or skew cliffs the base fixture cannot show.
+    val docs10 = (0 until 10).map(i => docsAll.select(
+        (col("doc_id") * 16 + lit(i)).as("doc_id"), col("text"),
+        col("source")))
+      .reduce(_ union _)
+    val nDocs10 = docs10.count()
+    val tDedup10Near = timeMedian {
+      graft.operators.Dedup.dropNearDups(docs10, "doc_id", "text",
+          threshold = 0.8)
+        .agg(count(lit(1))).collect(): Unit
+    }
+    val tDedup10Gram = timeMedian {
+      graft.operators.Dedup.dupNgramStats(docs10, "doc_id", "text", n = 3)
+        .agg(count(lit(1)), sum(col("n_dup"))).collect(): Unit
+    }
     val extra = Seq(
-      "x_pipeline_sec" -> tPipeline,
+      "x_pipeline_sec" -> tPipeline) ++
+      pipelineStages.map { case (name, t) => s"x_pipeline_${name}_sec" -> t } ++
+      Seq(
+      "x_pipeline_staged_total_sec" -> pipelineStages.map(_._2).sum,
+      "x_dedup10x_docs" -> nDocs10.toDouble,
+      "x_dedup10x_neardup_sec" -> tDedup10Near,
+      "x_dedup10x_dupngram_sec" -> tDedup10Gram,
       "x_cd_exact_sec" -> tCdExact,
       "x_cd_hll_sec" -> tCdApprox,
       "x_cd_rewrite_speedup" ->
         (if (tCdApprox > 0) tCdExact / tCdApprox else -1.0),
       "x_cd_rewrite_err_pct" -> cdErrPct,
+      "x_cd_hicard_exact_sec" -> tCdHiExact,
+      "x_cd_hicard_hll_sec" -> tCdHiApprox,
+      "x_cd_hicard_speedup" ->
+        (if (tCdHiApprox > 0) tCdHiExact / tCdHiApprox else -1.0),
       "x_skew_plain_sec" -> tSkewPlain,
       "x_skew_salted_sec" -> tSkewSalted,
       "x_skew_speedup" ->
@@ -388,7 +459,10 @@ object Bench {
       "x_hivepart_scattered_sec" -> tMonthScattered,
       "x_hivepart_pruned_sec" -> tMonthPruned,
       "x_hivepart_speedup" ->
-        (if (tMonthPruned > 0) tMonthScattered / tMonthPruned else -1.0))
+        (if (tMonthPruned > 0) tMonthScattered / tMonthPruned else -1.0),
+      "x_loadavg_start" -> loadStart,
+      "x_loadavg_end" -> loadavg(),
+      "x_unstable_reruns" -> unstableReruns.toDouble)
 
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
       extra.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })

@@ -28,8 +28,10 @@ object InventoryAnalytics {
       (s, d) => {
         val ev = events(s, d).select(col("user_id"), col("value"),
           unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        // user_id cardinality is bounded (event fixture users) — the
+        // known-small case the broadcastMaxes opt-in exists for
         Packing.argmaxViaJoin(ev, Seq("user_id"), "value",
-            Seq("ts_us", "event_id"))
+            Seq("ts_us", "event_id"), broadcastMaxes = true)
           .select(col("user_id"), col("value").as("best_value"),
             col("ts_us").as("best_ts_us"), col("event_id").as("best_event_id"))
           .orderBy(col("user_id"))

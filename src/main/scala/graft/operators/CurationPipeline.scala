@@ -41,57 +41,95 @@ object CurationPipeline {
       semanticDedup: Option[(String, Double, Int)] = None,
       temperature: Option[(Double, Double)] = None)
 
-  /** Run the full curation flow over `docs(idCol, textCol, sourceCol, …)`;
-    * `eval` is the held-out benchmark set to scrub against (pass an empty
-    * DataFrame with the same two columns to skip decontamination). */
-  def run(docs: DataFrame, eval: Option[DataFrame], idCol: String,
+  /** The pipeline as an ordered list of named stage transforms — the single
+    * definition both [[run]] (lazy composition) and [[runStaged]]
+    * (materialize-and-time per stage) execute, so the attribution can never
+    * drift from the real flow. */
+  private def stageList(eval: Option[DataFrame], idCol: String,
       textCol: String, sourceCol: String,
-      config: Config = Config()): DataFrame = {
+      config: Config): Seq[(String, DataFrame => DataFrame)] = {
+    require(config.temperature.isEmpty ||
+      (config.mixSteps.isEmpty && config.mixDefaultStep == 1L),
+      "configure mixSteps or temperature, not both")
     // 1. exact dedup on the normalized fingerprint: one hash aggregation
-    val fp = TextAnalysis.fingerprint(col(textCol))
-    val exactDeduped = {
+    val exact: DataFrame => DataFrame = { docs =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
-      docs.withColumn("__fp", fp)
+      docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__fp", "__rn")
     }
     // 2. near-dedup via MinHash-LSH clustering
-    val nearDeduped = Dedup.dropNearDups(exactDeduped, idCol, textCol,
-      threshold = config.nearDupThreshold)
-    // 2b. optional semantic dedup over an embedding column (SemDeDup)
-    val semDeduped = config.semanticDedup match {
-      case Some((vecCol, threshold, k)) =>
-        Ann.semDedup(nearDeduped, idCol, vecCol, threshold, numCentroids = k)
-      case None => nearDeduped
-    }
-    // 3. decontamination against the eval set
-    val clean = eval match {
-      case Some(ev) => Decontam.decontaminate(semDeduped, ev, idCol, textCol,
-        n = config.decontaminateNgram)
-      case None => semDeduped
-    }
+    val near: DataFrame => DataFrame = df => Dedup.dropNearDups(df, idCol,
+      textCol, threshold = config.nearDupThreshold)
     // 4. quality annotation + filter
-    val scored = clean
+    val quality: DataFrame => DataFrame = df => df
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .filter(col("quality") >= config.minQuality)
-    // 5. per-source mixing: explicit per-source steps (HT weight attached),
-    //    or α-temperature rebalance when configured — not both
-    require(config.temperature.isEmpty ||
-      (config.mixSteps.isEmpty && config.mixDefaultStep == 1L),
-      "configure mixSteps or temperature, not both")
-    val mixed = config.temperature match {
-      case Some((alpha, scale)) =>
-        Mixing.temperatureMix(scored, idCol, sourceCol, alpha, scale)
-      case None if config.mixSteps.isEmpty && config.mixDefaultStep == 1L =>
-        scored
-      case None =>
-        Mixing.corpusMix(scored, idCol, sourceCol, config.mixSteps,
-          config.mixDefaultStep)
+    // 5. per-source mixing (explicit steps with HT weight, or α-temperature
+    //    rebalance) + 6. deterministic split
+    val mixSplit: DataFrame => DataFrame = { scored =>
+      val mixed = config.temperature match {
+        case Some((alpha, scale)) =>
+          Mixing.temperatureMix(scored, idCol, sourceCol, alpha, scale)
+        case None if config.mixSteps.isEmpty && config.mixDefaultStep == 1L =>
+          scored
+        case None =>
+          Mixing.corpusMix(scored, idCol, sourceCol, config.mixSteps,
+            config.mixDefaultStep)
+      }
+      Mixing.splitAssign(mixed, idCol, config.splitWeights)
     }
-    // 6. deterministic split
-    Mixing.splitAssign(mixed, idCol, config.splitWeights)
+    Seq("exact_dedup" -> exact, "near_dedup" -> near) ++
+      // 2b. optional semantic dedup over an embedding column (SemDeDup)
+      config.semanticDedup.map { case (vecCol, threshold, k) =>
+        "sem_dedup" -> ((df: DataFrame) =>
+          Ann.semDedup(df, idCol, vecCol, threshold, numCentroids = k))
+      } ++
+      // 3. decontamination against the eval set
+      eval.map { ev =>
+        "decontaminate" -> ((df: DataFrame) =>
+          Decontam.decontaminate(df, ev, idCol, textCol,
+            n = config.decontaminateNgram))
+      } ++
+      Seq("quality" -> quality, "mix_split" -> mixSplit)
+  }
+
+  /** Run the full curation flow over `docs(idCol, textCol, sourceCol, …)`;
+    * `eval` is the held-out benchmark set to scrub against (pass an empty
+    * DataFrame with the same two columns to skip decontamination). */
+  def run(docs: DataFrame, eval: Option[DataFrame], idCol: String,
+      textCol: String, sourceCol: String,
+      config: Config = Config()): DataFrame =
+    stageList(eval, idCol, textCol, sourceCol, config)
+      .foldLeft(docs) { case (df, (_, f)) => f(df) }
+
+  /** [[run]] with per-stage wall-clock attribution: each stage output is
+    * persisted and counted before the next stage starts, so each timing
+    * isolates one stage and the timings sum to ≈ the fused total (plus
+    * materialization overhead). Intermediates are unpersisted before
+    * returning — the timings are the product; re-running the returned
+    * frame recomputes the pipeline. One run, not a median: this is the
+    * attribution companion to the fused `x_pipeline_sec` regression number,
+    * not a benchmark of its own. */
+  def runStaged(docs: DataFrame, eval: Option[DataFrame], idCol: String,
+      textCol: String, sourceCol: String,
+      config: Config = Config()): (DataFrame, Seq[(String, Double)]) = {
+    val timings = Seq.newBuilder[(String, Double)]
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    var cur = docs
+    stageList(eval, idCol, textCol, sourceCol, config).foreach {
+      case (name, f) =>
+        val t0 = System.nanoTime()
+        val next = f(cur).persist()
+        next.count()
+        timings += name -> (System.nanoTime() - t0) / 1e9
+        cached += next
+        cur = next
+    }
+    cached.foreach(_.unpersist(blocking = false))
+    (cur, timings.result())
   }
 }

@@ -334,7 +334,13 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleN,
       numHashes, bands)
-    val losers = dupClusters(pairs).filter(col("id") =!= col("cluster"))
+    // dupClusters materializes its labels eagerly (localCheckpoint in the
+    // propagation loop), so the persisted pairs frame is fully consumed by
+    // the time it returns — release it here instead of leaking it onto the
+    // caller (nearDupPairs' unpersist contract, honored internally)
+    val clusters = dupClusters(pairs)
+    pairs.unpersist(blocking = false)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -353,7 +359,9 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleN,
       numHashes, bands)
-    val members = dupClusters(pairs)
+    val clusters = dupClusters(pairs) // eager — see dropNearDups
+    pairs.unpersist(blocking = false)
+    val members = clusters
       .join(df.select(col(idCol).as("id"), qualityCol.as("__q")), Seq("id"))
     val winners = members.groupBy(col("cluster"))
       .agg(max(struct(col("__q"), col("id"))).as("__best"))

@@ -111,13 +111,24 @@ object Packing {
     *
     * Groups whose `orderCol` is entirely NULL are dropped (max() is null,
     * and `null == null` joins false) — same "order columns must be
-    * non-null" contract as [[argmaxPerKey]]. */
+    * non-null" contract as [[argmaxPerKey]].
+    *
+    * `broadcastMaxes`: opt-in forced broadcast of the maxima side for
+    * callers who KNOW the key cardinality is modest (rule of thumb:
+    * < ~10M keys ≈ < ~1 GB driver/executor memory for a key+max row —
+    * beyond that the hint is how drivers die, use the default). The
+    * default (false) lets AQE decide: a small maxima side still becomes a
+    * broadcast join at runtime, but the fact's exchange map-write has
+    * already happened by then (local, no network) — measured ~2-4× slower
+    * than the hinted plan on local[32], which is the price of not OOMing
+    * on an unbounded key space. */
   def argmaxViaJoin(df: DataFrame, keyCols: Seq[String], orderCol: String,
-      tieBreakCols: Seq[String]): DataFrame = {
+      tieBreakCols: Seq[String], broadcastMaxes: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val maxes = df.groupBy(keyCols.map(col): _*)
       .agg(max(col(orderCol)).as("__max_ord"))
-    val survivors = df.join(maxes, keyCols)
+    val buildSide = if (broadcastMaxes) broadcast(maxes) else maxes
+    val survivors = df.join(buildSide, keyCols)
       .filter(col(orderCol) === col("__max_ord"))
       .drop("__max_ord")
     if (tieBreakCols.isEmpty) survivors

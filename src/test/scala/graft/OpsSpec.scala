@@ -272,7 +272,12 @@ class OpsSpec extends SparkSpec {
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"final plan:\n$plan")
-    assert(!plan.contains("broadcast(maxes)"), "hint must not be forced")
+    // and the opt-in forced broadcast produces the same winners
+    val hinted = Packing.argmaxViaJoin(ev, Seq("user_id"), "value",
+        Seq("ts_us", "event_id"), broadcastMaxes = true)
+      .select("user_id", "value", "ts_us", "event_id")
+      .orderBy("user_id").collect().toSeq
+    assert(hinted == viaWindow)
   }
 
   test("argmaxViaJoin without tie-break keeps all tied rows") {
