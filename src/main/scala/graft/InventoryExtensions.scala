@@ -154,6 +154,28 @@ object InventoryExtensions {
       },
       Some("""WITH m AS (SELECT COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s FROM lineitem), p AS (SELECT l_extendedprice, least(1.0, 0.1 * n * l_quantity / s) AS pp, ((l_orderkey * 8191 + l_linenumber * 131) % 1000003 * 1299709 + 104729) % 1000003 AS h FROM lineitem, m) SELECT CAST(SUM(CAST(l_extendedprice / pp AS DECIMAL(28,10))) AS DOUBLE) AS sum_price_est, COUNT(*) AS n_samples FROM p WHERE h < pp * 1000003""")),
 
+    QueryDef("q146_sql_approx_sum",
+      // first-class APPROX_SUM SQL syntax (GraftSqlParser / injectParser)
+      // gated end-to-end: the SQL string is parsed by the session parser,
+      // lowered to sum-over-Sample·scale by the SAME rewrite the injected
+      // parser runs, and bound-gated like q25 — the estimate is seeded but
+      // not DuckDB-reproducible, so the oracle states the exact sum plus
+      // the 5% envelope (≈20σ at sf0.01, ≈7σ at sf0.001) as TRUE.
+      // ApproxSqlSpec covers the injected-parser route (spark.sql direct),
+      // grouping, mixing guards, and determinism.
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("graft_q146_lineitem")
+        val est = graft.plans.GraftSqlParser.lowerSql(s,
+          "SELECT APPROX_SUM(l_quantity, 10) AS est FROM graft_q146_lineitem")
+        lineitem(s, d)
+          .agg(sum(col("l_quantity")).cast("double").as("sum_exact"))
+          .crossJoin(est)
+          .select(col("sum_exact"),
+            (abs(col("est") / col("sum_exact") - lit(1.0)) <= lit(0.05))
+              .as("approx_within_5pct"))
+      },
+      Some("SELECT CAST(SUM(l_quantity) AS DOUBLE) AS sum_exact, TRUE AS approx_within_5pct FROM lineitem")),
+
     QueryDef("q29_adaptive_sum",
       // the engine's flagship, ORACLE-GATED: CLT adaptive ladder in its
       // deterministic form — nested key-mod systematic rounds

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ScaleSampledAggregates)
     ext.injectOptimizerRule(_ => ApproxAggregateRewrite)
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
     GraftFunctions.registrations.foreach(ext.injectFunction)
   }
 }

@@ -16,4 +16,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Run a hand-built logical plan (`Dataset.ofRows` is `private[sql]`).
+    * Used to exercise the GraftSqlParser lowering on sessions that were
+    * built without the extension installed (e.g. the driver's Verify
+    * session). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The session's SQL parser (`sessionState` is `private[sql]`). */
+  def parsePlan(spark: org.apache.spark.sql.SparkSession, sql: String)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.sqlParser.parsePlan(sql)
 }
