@@ -347,6 +347,21 @@ object InventoryPipeline {
         countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_unique_normalized")),
       Some("""SELECT COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_unique, COUNT(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), '')]), (acc, x) -> (acc * 31 + x) % 1000000007)) AS n_unique_normalized FROM documents""")),
 
+    QueryDef("q147_segment_dedup",
+      // CCNet/RefinedWeb-style segment-level dedup (Dedup.segmentDedup):
+      // 8-word segments, corpus-wide first occurrence survives, docs
+      // reassembled; rolled up per source in exact integers. The oracle
+      // replays the identical first-occurrence policy with a window.
+      (s, d) => Dedup.segmentDedup(documents(s, d), "doc_id", "text",
+          segmentWords = 8, keep = Seq("source"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_segments")).as("segs_total"),
+          sum(col("n_kept")).as("segs_kept"),
+          sum(length(col("text_deduped")).cast("long")).as("chars_after"))
+        .orderBy(col("source")),
+      Some("""WITH t AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), e AS (SELECT doc_id, source, w, unnest(range((len(w) + 7) // 8)) AS i FROM t), segs AS (SELECT doc_id, source, i AS seg_idx, array_to_string(list_slice(w, 8 * i + 1, 8 * i + 8), ' ') AS segment FROM e), k AS (SELECT doc_id, source, seg_idx, segment, ROW_NUMBER() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn FROM segs), d AS (SELECT doc_id, source, COUNT(*) AS n_segments, SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, COALESCE(string_agg(CASE WHEN rn = 1 THEN segment END, ' ' ORDER BY seg_idx), '') AS txt FROM k GROUP BY 1, 2) SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_segments) AS BIGINT) AS segs_total, CAST(SUM(n_kept) AS BIGINT) AS segs_kept, CAST(SUM(length(txt)) AS BIGINT) AS chars_after FROM d GROUP BY 1 ORDER BY 1""")),
+
     // MinHash+LSH near-dup, verified by exact Jaccard: equals the exact
     // all-pairs answer whenever LSH recall = 1 (16 bands x 4 rows at
     // j >= 0.8 -> miss probability < 1e-6; see Dedup.scaladoc).

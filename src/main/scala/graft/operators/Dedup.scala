@@ -521,4 +521,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
   }
+
+  // -- segment-level (line) dedup ------------------------------------------
+
+  /** CCNet/RefinedWeb-style SEGMENT-level dedup: every document is cut into
+    * deterministic segments, each segment occurrence that is not the
+    * corpus-wide FIRST occurrence of its text (ordered by doc id, then
+    * position) is dropped, and the survivors are reassembled in document
+    * order. The web-curation counterpart of doc-level exact dedup — kills
+    * boilerplate (headers, navbars, license blocks) repeated across pages
+    * without discarding the pages themselves.
+    *
+    * Segmentation is a fixed `segmentWords` word window (the fixture has no
+    * newlines; on real corpora pass text pre-split on '\n' upstream or use
+    * a larger window — the dedup algebra is segmentation-agnostic).
+    *
+    * Scale shape: one explode (segments ∝ tokens), one partial-agg shuffle
+    * keyed on the segment text computing `min(struct(doc, pos))` — the
+    * map-side combine collapses hot boilerplate BEFORE the exchange, which
+    * a row_number window could not (a hot segment would pin one reducer) —
+    * one shuffle join of occurrences against firsts (AQE splits residual
+    * hot keys), one shuffle back on the doc id to reassemble. At 100 TB
+    * key the agg/join exchanges on `xxhash64(segment)` instead of the raw
+    * string (kept raw here so the oracle can replay byte-for-byte).
+    *
+    * Output: `idCol`, `keep*`, `n_segments`, `n_kept`, `text_deduped`. */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      segmentWords: Int = 8, keep: Seq[String] = Nil): DataFrame = {
+    require(segmentWords > 0, "segmentWords must be positive")
+    val words = split(col(textCol), " +")
+    val nSegs = floor((size(words) + lit(segmentWords - 1)) / lit(segmentWords))
+      .cast("int")
+    val segs = transform(sequence(lit(0), nSegs - 1), i =>
+      struct(i.as("seg_idx"),
+        array_join(slice(words, i * segmentWords + 1, lit(segmentWords)), " ")
+          .as("segment")))
+    val exploded = df
+      .select(col(idCol) +: keep.map(col) :+ explode(segs).as("s"): _*)
+      .select(col(idCol) +: keep.map(col) :+
+        col("s.seg_idx").as("seg_idx") :+ col("s.segment").as("segment"): _*)
+    val firsts = exploded.groupBy(col("segment"))
+      .agg(min(struct(col(idCol).as("d"), col("seg_idx").as("i"))).as("f"))
+    exploded.join(firsts, Seq("segment"))
+      .withColumn("__keep",
+        col("f.d") === col(idCol) && col("f.i") === col("seg_idx"))
+      .groupBy(col(idCol) +: keep.map(col): _*)
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("__keep"), struct(col("seg_idx"), col("segment"))))),
+          x => x.getField("segment")), " ").as("text_deduped"))
+  }
 }

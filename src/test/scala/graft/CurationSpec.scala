@@ -70,6 +70,30 @@ class CurationSpec extends SparkSpec {
     assert(!stats.contains(5L))       // too short to have grams
   }
 
+  test("segmentDedup: first occurrence survives, later copies drop, docs reassemble") {
+    // 2-word segments: doc1 = [a b][c d], doc2 = [a b][x y], doc3 = [c d]
+    // corpus-wide firsts: (a b)@1:0, (c d)@1:1, (x y)@2:1
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.segmentDedup(df, "doc_id", "text",
+      segmentWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 2L, "a b c d")))      // both firsts
+    assert(out(2L) === ((2L, 1L, "x y")))          // "a b" dropped
+    assert(out(3L) === ((1L, 0L, "")))             // "c d" dropped entirely
+    assert(out(4L)._1 === 1L)                      // empty text = 1 "" segment
+    // intra-doc repetition: second copy of the same segment drops too
+    val rep = Seq((10L, "p q p q")).toDF("doc_id", "text")
+    val r = graft.operators.Dedup.segmentDedup(rep, "doc_id", "text",
+      segmentWords = 2).head
+    assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((2L, 1L, "p q")))
+  }
+
   test("native word_ngrams kernel is bit-identical to the declarative fold") {
     val edge = Seq(
       (100L, "  leading and trailing  "), // empty tokens from split(\" +\")
