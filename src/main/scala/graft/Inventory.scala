@@ -274,6 +274,21 @@ object Inventory {
       },
       Some("""WITH b AS (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS t FROM lineitem WHERE (l_orderkey // 400) % 4 = 1 GROUP BY (l_orderkey // 400)), m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m, CAST(SUM(t) AS DOUBLE) AS st, CAST(SUM(t * t) AS DOUBLE) AS st2 FROM b) SELECT st * 4.0 AS sum_est, st * 4.0 - 1.96 * (4.0 * SQRT((1.0 - 0.25) * m * (CASE WHEN m > 1.0 THEN (st2 - (st * st) / GREATEST(m, 1.0)) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END))) AS sum_est_ci_lower, st * 4.0 + 1.96 * (4.0 * SQRT((1.0 - 0.25) * m * (CASE WHEN m > 1.0 THEN (st2 - (st * st) / GREATEST(m, 1.0)) / GREATEST(m - 1.0, 1.0) ELSE 0.0 END))) AS sum_est_ci_upper, CAST(m AS BIGINT) AS sum_est_m_blocks FROM m""")),
 
+    QueryDef("q148_bootstrap_ci",
+      // Poisson-bootstrap percentile CI (Bootstrap.bootstrapSumCi): 50
+      // hash-derived Poisson(1) replicas over the 1-in-10 systematic
+      // sample, one scan, B+2 partial-agg sums. Fully deterministic
+      // (integer threshold ladder) → straight hash oracle, no bound trick:
+      // DuckDB replays every multiplier and quantile_cont ≡ percentile
+      // (q52 identity). Decimal replica sums keep order independence.
+      (s, d) => graft.exec.Bootstrap.bootstrapSumCi(lineitem(s, d),
+        dec("l_extendedprice"), liKey, step = 10L, replicas = 50),
+      Some {
+        val hb = graft.exec.Bootstrap.replicaHashSql("h0", "b")
+        val mult = graft.exec.Bootstrap.multiplierSql("hb")
+        s"""WITH s AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS x, ($liKeySql % ${graft.exec.Bootstrap.P}) AS h0 FROM lineitem WHERE $liKeySql % 10 = 0), e AS (SELECT x, b, $hb AS hb FROM s CROSS JOIN (SELECT unnest(range(50)) AS b) bs), r AS (SELECT b, CAST(SUM(x * $mult) AS DOUBLE) * 10 AS rep FROM e GROUP BY b), m AS (SELECT CAST(SUM(x) AS DOUBLE) * 10 AS sum_est, COUNT(*) AS n_samples FROM s) SELECT sum_est, quantile_cont(rep, 0.025) AS ci_lower, quantile_cont(rep, 0.975) AS ci_upper, n_samples, 50 AS n_replicas FROM m, r GROUP BY sum_est, n_samples"""
+      }),
+
     QueryDef("q42_neyman_stratified",
       // deterministic Neyman: per-stratum systematic steps derived from
       // EXACT pilot moments (fixed IEEE op order both engines) — the

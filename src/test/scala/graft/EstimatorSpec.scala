@@ -355,4 +355,30 @@ class EstimatorSpec extends SparkSpec {
     // variance is non-negative and zero only for constant groups
     assert(stats.getDouble(3) >= 0.0)
   }
+
+  test("poisson bootstrap: deterministic, brackets the estimate, covers the truth") {
+    import graft.exec.Bootstrap
+    val li = Tables.lineitem(spark, sf001)
+    val key = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+    val value = col("l_extendedprice").cast("decimal(18,2)")
+    def run() = Bootstrap.bootstrapSumCi(li, value, key, step = 10L,
+      replicas = 50).head
+    val a = run(); val b = run()
+    assert(a === b, "pure function of the data: two runs must be identical")
+    val (est, lo, hi) = (a.getDouble(0), a.getDouble(1), a.getDouble(2))
+    assert(lo < est && est < hi, s"percentile CI must bracket the estimate: $lo $est $hi")
+    val exact = li.agg(sum(value).cast("double")).head.getDouble(0)
+    // 10% systematic sample of ~600k rows: the bootstrap interval should
+    // comfortably cover the exact sum on this fixture
+    assert(lo <= exact && exact <= hi, s"CI [$lo, $hi] misses exact $exact")
+    // replica spread ~ ±0.5%: sane, not degenerate
+    assert((hi - lo) / est < 0.05 && hi > lo)
+    // multiplier ladder: mean multiplier over the sample ≈ E[Poisson(1)] = 1
+    val meanMult = li.filter(pmod(key, lit(10L)) === 0)
+      .select(Bootstrap.multiplier(
+        Bootstrap.replicaHash(pmod(key, lit(Bootstrap.P)), 0))
+        .cast("double").as("m"))
+      .agg(avg(col("m"))).head.getDouble(0)
+    assert(math.abs(meanMult - 1.0) < 0.02, s"mean multiplier $meanMult")
+  }
 }
