@@ -560,11 +560,21 @@ object Dedup {
       .select(col(idCol) +: keep.map(col) :+ explode(segs).as("s"): _*)
       .select(col(idCol) +: keep.map(col) :+
         col("s.seg_idx").as("seg_idx") :+ col("s.segment").as("segment"): _*)
+    // first occurrence = min of (doc, pos) packed into ONE long: a struct
+    // min would force SortAggregate (structs aren't hash-agg buffer types)
+    // and pay a per-partition sort over every segment row; the packed form
+    // stays a HashAggregate. Lexicographic (d, i) ≡ d·S + i for 0 ≤ i < S
+    // (any integer d); i ≥ S fails loudly, d·S overflow throws under ANSI.
+    val S = 1L << 21 // 2M segments/doc = 16M+ words — raise if ever hit
+    val packed = when(col("seg_idx") < lit(S),
+        col(idCol) * lit(S) + col("seg_idx").cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"segmentDedup: more than $S segments in doc "),
+        col(idCol).cast("string"))))
     val firsts = exploded.groupBy(col("segment"))
-      .agg(min(struct(col(idCol).as("d"), col("seg_idx").as("i"))).as("f"))
+      .agg(min(packed).as("__first"))
     exploded.join(firsts, Seq("segment"))
-      .withColumn("__keep",
-        col("f.d") === col(idCol) && col("f.i") === col("seg_idx"))
+      .withColumn("__keep", packed === col("__first"))
       .groupBy(col(idCol) +: keep.map(col): _*)
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
