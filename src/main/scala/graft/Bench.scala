@@ -403,6 +403,28 @@ object Bench {
       graft.operators.Dedup.dupNgramStats(docs10, "doc_id", "text", n = 3)
         .agg(count(lit(1)), sum(col("n_dup"))).collect(): Unit
     }
+    // segment-level dedup on the same 10× fixture: every segment sits in a
+    // 10-clique, the worst case for the first-occurrence aggregate
+    val tDedup10Seg = timeMedian {
+      graft.operators.Dedup.segmentDedup(docs10, "doc_id", "text",
+          segmentWords = 8)
+        .agg(count(lit(1)), sum(col("n_kept"))).collect(): Unit
+    }
+    // Poisson-bootstrap overhead: B = 50 replica sums in the same scan vs
+    // the single scaled sum over the same systematic sample — the honest
+    // price of a bootstrap CI in the one-pass formulation (should be a
+    // small multiple, nowhere near 50×; the alternative B-resample design
+    // would be)
+    val liKeyB = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+    val tPlainSum = timeMedian {
+      li.filter(pmod(liKeyB, lit(10L)) === 0)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))).collect(): Unit
+    }
+    val tBootstrap = timeMedian {
+      graft.exec.Bootstrap.bootstrapSumCi(li,
+        col("l_extendedprice").cast("decimal(18,2)"), liKeyB, step = 10L,
+        replicas = 50).collect(): Unit
+    }
     val extra = Seq(
       "x_pipeline_sec" -> tPipeline) ++
       pipelineStages.map { case (name, t) => s"x_pipeline_${name}_sec" -> t } ++
@@ -411,6 +433,10 @@ object Bench {
       "x_dedup10x_docs" -> nDocs10.toDouble,
       "x_dedup10x_neardup_sec" -> tDedup10Near,
       "x_dedup10x_dupngram_sec" -> tDedup10Gram,
+      "x_dedup10x_segdedup_sec" -> tDedup10Seg,
+      "x_bootstrap_sec" -> tBootstrap,
+      "x_bootstrap_vs_plain_sum" ->
+        (if (tPlainSum > 0) tBootstrap / tPlainSum else -1.0),
       "x_cd_exact_sec" -> tCdExact,
       "x_cd_hll_sec" -> tCdApprox,
       "x_cd_rewrite_speedup" ->

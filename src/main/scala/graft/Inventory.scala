@@ -286,7 +286,7 @@ object Inventory {
       Some {
         val hb = graft.exec.Bootstrap.replicaHashSql("h0", "b")
         val mult = graft.exec.Bootstrap.multiplierSql("hb")
-        s"""WITH s AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS x, ($liKeySql % ${graft.exec.Bootstrap.P}) AS h0 FROM lineitem WHERE $liKeySql % 10 = 0), e AS (SELECT x, b, $hb AS hb FROM s CROSS JOIN (SELECT unnest(range(50)) AS b) bs), r AS (SELECT b, CAST(SUM(x * $mult) AS DOUBLE) * 10 AS rep FROM e GROUP BY b), m AS (SELECT CAST(SUM(x) AS DOUBLE) * 10 AS sum_est, COUNT(*) AS n_samples FROM s) SELECT sum_est, quantile_cont(rep, 0.025) AS ci_lower, quantile_cont(rep, 0.975) AS ci_upper, n_samples, 50 AS n_replicas FROM m, r GROUP BY sum_est, n_samples"""
+        s"""WITH s AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS x, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc, ($liKeySql % ${graft.exec.Bootstrap.P}) AS h0 FROM lineitem WHERE $liKeySql % 10 = 0), e AS (SELECT xc, b, $hb AS hb FROM s CROSS JOIN (SELECT unnest(range(50)) AS b) bs), r AS (SELECT b, (CAST(SUM(xc * $mult) AS DOUBLE) / 100.0) * 10 AS rep FROM e GROUP BY b), m AS (SELECT CAST(SUM(x) AS DOUBLE) * 10 AS sum_est, COUNT(*) AS n_samples FROM s) SELECT sum_est, quantile_cont(rep, 0.025) AS ci_lower, quantile_cont(rep, 0.975) AS ci_upper, n_samples, 50 AS n_replicas FROM m, r GROUP BY sum_est, n_samples"""
       }),
 
     QueryDef("q42_neyman_stratified",

