@@ -31,6 +31,7 @@ object CurationPipeline {
     * step-based mixing with [[Mixing.temperatureMix]] — mutually exclusive
     * with `mixSteps`. */
   case class Config(
+      lineDedupSegmentWords: Option[Int] = None,
       nearDupThreshold: Double = 0.8,
       decontaminateNgram: Int = 3,
       minQuality: Double = 0.0,
@@ -60,6 +61,22 @@ object CurationPipeline {
         .filter(col("__rn") === 1)
         .drop("__fp", "__rn")
     }
+    // 1b. optional segment-level (line) dedup: strip corpus-wide repeated
+    //     segments BEFORE near-dedup (the CCNet ordering — boilerplate
+    //     would otherwise glue unrelated docs into near-dup clusters).
+    //     One doc-keyed join to swap the text in place; docs whose every
+    //     segment was boilerplate drop out.
+    val lineDedup: Option[(String, DataFrame => DataFrame)] =
+      config.lineDedupSegmentWords.map { sw =>
+        "line_dedup" -> ((df: DataFrame) => {
+          val dd = Dedup.segmentDedup(df, idCol, textCol, segmentWords = sw)
+            .select(col(idCol), col("n_kept"), col("text_deduped"))
+          df.drop(textCol)
+            .join(dd.filter(col("n_kept") > 0), Seq(idCol))
+            .withColumnRenamed("text_deduped", textCol)
+            .drop("n_kept")
+        })
+      }
     // 2. near-dedup via MinHash-LSH clustering
     val near: DataFrame => DataFrame = df => Dedup.dropNearDups(df, idCol,
       textCol, threshold = config.nearDupThreshold)
@@ -82,7 +99,7 @@ object CurationPipeline {
       }
       Mixing.splitAssign(mixed, idCol, config.splitWeights)
     }
-    Seq("exact_dedup" -> exact, "near_dedup" -> near) ++
+    Seq("exact_dedup" -> exact) ++ lineDedup ++ Seq("near_dedup" -> near) ++
       // 2b. optional semantic dedup over an embedding column (SemDeDup)
       config.semanticDedup.map { case (vecCol, threshold, k) =>
         "sem_dedup" -> ((df: DataFrame) =>

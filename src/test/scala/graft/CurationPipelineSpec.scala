@@ -115,4 +115,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet ===
       docs.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("optional line-dedup stage strips repeated boilerplate before near-dedup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared header boiler plate " + "alpha beta gamma delta unique one two", "a"),
+      (2L, "shared header boiler plate " + "epsilon zeta eta theta other words here", "a"),
+      (3L, "totally original content with no repeats at all present", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = CurationPipeline.run(docs, None, "doc_id", "text", "source",
+      CurationPipeline.Config(lineDedupSegmentWords = Some(4),
+        nearDupThreshold = 0.999999))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // doc 1 keeps the header (first occurrence); doc 2 loses it
+    assert(out(1L).contains("shared header boiler plate"))
+    assert(!out(2L).contains("shared header"))
+    assert(out(2L).contains("epsilon zeta eta theta"))
+    assert(out(3L).contains("totally original"))
+    // stage appears in the staged attribution under its own name
+    val (_, timings) = CurationPipeline.runStaged(docs, None, "doc_id",
+      "text", "source", CurationPipeline.Config(
+        lineDedupSegmentWords = Some(4), nearDupThreshold = 0.999999))
+    assert(timings.map(_._1).contains("line_dedup"))
+  }
 }
