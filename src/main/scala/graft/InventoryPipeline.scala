@@ -306,6 +306,29 @@ object InventoryPipeline {
       Some(s"""SELECT doc_id, len($dTokens) AS n_tokens, (LEAST(1.0, CAST(len($dTokens) AS DOUBLE) / 20.0) + LEAST(1.0, 5.0 * CAST($dStop AS DOUBLE) / GREATEST(CAST(len($dTokens) AS DOUBLE), 1.0)) + (1.0 - LEAST(1.0, 4.0 * CAST($dPunct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0)))) / 3.0 AS quality FROM documents ORDER BY doc_id"""),
       headline = true),
 
+    QueryDef("q149_quality_budget_select",
+      // token-budget corpus selection (Mixing.selectByQualityBudget): take
+      // the best-quality docs until 30% of the corpus tokens are spent —
+      // histogram-threshold selection, no global sort (the window touches
+      // only the marginal id-range of the marginal quality bucket). The
+      // budget is data-derived in exact integer arithmetic on both sides;
+      // DuckDB replays the selection as one global running-sum window over
+      // (bucket DESC, doc_id) — the small-data semantic spec of the same
+      // rule.
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n"),
+          TextAnalysis.qualityScore(col("text")).as("q"))
+        val budget = docs.agg(sum(col("n"))).head.getLong(0) * 3 / 10
+        graft.operators.Mixing.selectByQualityBudget(docs, "doc_id",
+            col("q"), col("n"), budget)
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n")).as("sum_tokens"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, CAST(len($dTokens) AS BIGINT) AS n, (LEAST(1.0, CAST(len($dTokens) AS DOUBLE) / 20.0) + LEAST(1.0, 5.0 * CAST($dStop AS DOUBLE) / GREATEST(CAST(len($dTokens) AS DOUBLE), 1.0)) + (1.0 - LEAST(1.0, 4.0 * CAST($dPunct AS DOUBLE) / GREATEST(CAST(length(text) AS DOUBLE), 1.0)))) / 3.0 AS q FROM documents), b AS (SELECT *, LEAST(CAST(FLOOR(LEAST(GREATEST(q, 0.0), 1.0) * 1000) AS INT), 999) AS qb FROM t), bud AS (SELECT SUM(n) * 3 // 10 AS budget FROM t), c AS (SELECT *, SUM(n) OVER (ORDER BY qb DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b) SELECT source, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens FROM c, bud WHERE cum <= budget GROUP BY source ORDER BY source""")),
+
     QueryDef("q32_doc_fingerprint",
       (s, d) => documents(s, d)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))

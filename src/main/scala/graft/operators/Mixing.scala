@@ -18,6 +18,75 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
+  /** Take the highest-quality documents whose total token count fits
+    * `budget` — WITHOUT the global sort the naive "ORDER BY quality DESC
+    * take-while" needs (a total order over 100 TB is the one thing you
+    * never want to materialize).
+    *
+    * Semantics (deterministic, engine-replayable): order docs by
+    * (quality bucket DESC, id ASC) with `buckets` fixed-width quality
+    * buckets on [0,1]; keep every doc whose inclusive running token sum
+    * ≤ budget. Equivalently: whole buckets are taken best-first while they
+    * fit; the one marginal bucket is taken as an id-ordered prefix.
+    *
+    * Scale shape: two histogram passes + one bounded window.
+    *   1. per-bucket token totals (≤ `buckets` rows to the driver) pick
+    *      the marginal bucket;
+    *   2. the marginal bucket alone is re-histogrammed by id range
+    *      (`boundaryRanges` rows to the driver) picking the marginal
+    *      range;
+    *   3. only the marginal RANGE — ~1/(buckets·boundaryRanges) of the
+    *      corpus — pays a single-partition running-sum window.
+    * Everything else is scan-stage filters. Compare q43/q141's documented
+    * single-task sorts: this is the same selection problem solved with
+    * the histogram recursion you would actually run at 100 TB. */
+  def selectByQualityBudget(df: DataFrame, idCol: String, quality: Column,
+      tokens: Column, budget: Long, buckets: Int = 1000,
+      boundaryRanges: Int = 1024): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(buckets >= 2 && boundaryRanges >= 2, "need at least 2 buckets")
+    val qb = least(floor(least(greatest(quality, lit(0.0)), lit(1.0))
+      * lit(buckets)).cast("int"), lit(buckets - 1))
+    val base = df.withColumn("__qb", qb)
+      .withColumn("__tok", tokens.cast("long"))
+    val hist = base.groupBy(col("__qb")).agg(sum(col("__tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var cum = 0L; var bStar = -1
+    for (b <- (buckets - 1) to 0 by -1 if bStar < 0) {
+      val t = hist.getOrElse(b, 0L)
+      if (t > 0 && cum + t > budget) bStar = b else cum += t
+    }
+    if (bStar < 0) return df // everything fits
+    val remaining = budget - cum
+    val keepFull = base.filter(col("__qb") > bStar)
+    // refine the marginal bucket by id range so the final running-sum
+    // window touches ~1/boundaryRanges of it, not all of it
+    val bdocs = base.filter(col("__qb") === bStar)
+    val mm = bdocs.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val width = (mx - mn) / boundaryRanges + 1 // ≥ 1, covers mx
+    val ranged = bdocs
+      .withColumn("__k", col(idCol).cast("long") - lit(mn))
+      .withColumn("__rid", expr(s"__k div ${width}L")) // exact long division
+    val rhist = ranged.groupBy(col("__rid")).agg(sum(col("__tok")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var cum2 = 0L; var rStar = -1L
+    for ((r, t) <- rhist if rStar < 0) {
+      if (cum2 + t > remaining) rStar = r else cum2 += t
+    }
+    // rStar exists: the marginal bucket crosses `remaining` by construction
+    val remaining2 = remaining - cum2
+    val keepRanges = ranged.filter(col("__rid") < rStar).drop("__k", "__rid")
+    val wPrefix = Window.orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = ranged.filter(col("__rid") === rStar)
+      .withColumn("__cum", sum(col("__tok")).over(wPrefix))
+      .filter(col("__cum") <= remaining2)
+      .drop("__cum", "__k", "__rid")
+    keepFull.union(keepRanges).union(boundary).drop("__qb", "__tok")
+  }
+
   /** Deterministic pseudo-random priority in [0, 1000003). */
   def hashPriority(id: Column): Column =
     pmod(id.cast("long") * lit(1299709L) + lit(104729L), lit(1000003L))

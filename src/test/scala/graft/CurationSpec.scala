@@ -94,6 +94,34 @@ class CurationSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((2L, 1L, "p q")))
   }
 
+  test("selectByQualityBudget equals the naive sort-and-take-while rule") {
+    // quality in [0,1], tokens vary; compare the histogram-threshold
+    // selection against the trivially-correct global-sort prefix
+    val docs = (1L to 300L).map { i =>
+      (i, ((i * 7919) % 101).toDouble / 101.0, 5L + (i * 13) % 37)
+    }.toDF("doc_id", "q", "n")
+    val budget = 1500L
+    val got = graft.operators.Mixing.selectByQualityBudget(
+        docs, "doc_id", col("q"), col("n"), budget, buckets = 50,
+        boundaryRanges = 8)
+      .select("doc_id").as[Long].collect().toSet
+    // naive rule: order by (bucket desc, id), inclusive prefix ≤ budget
+    val naive = docs.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) =>
+        (-math.min(math.floor(math.max(math.min(q, 1.0), 0.0) * 50), 49), id)
+      }
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, _, n)) => (id, acc + n) }
+      .drop(1).takeWhile(_._2 <= budget).map(_._1).toSet
+    assert(got === naive)
+    // a budget larger than the corpus keeps everything
+    assert(graft.operators.Mixing.selectByQualityBudget(
+      docs, "doc_id", col("q"), col("n"), 1000000L).count() === 300L)
+    // zero budget keeps nothing
+    assert(graft.operators.Mixing.selectByQualityBudget(
+      docs, "doc_id", col("q"), col("n"), 0L).count() === 0L)
+  }
+
   test("native word_ngrams kernel is bit-identical to the declarative fold") {
     val edge = Seq(
       (100L, "  leading and trailing  "), // empty tokens from split(\" +\")
