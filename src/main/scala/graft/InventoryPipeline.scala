@@ -40,6 +40,11 @@ object InventoryPipeline {
     s"len(list_filter($dTokens, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))"
   private val dPunct = """length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g'))"""
 
+  /** Full segment-dedup rollup replay (window form) — the oracle for BOTH
+    * q147 (one-shot) and q150 (incremental ≡ one-shot equivalence gate). */
+  private val segDedupOracleSql =
+    """WITH t AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), e AS (SELECT doc_id, source, w, unnest(range((len(w) + 7) // 8)) AS i FROM t), segs AS (SELECT doc_id, source, i AS seg_idx, array_to_string(list_slice(w, 8 * i + 1, 8 * i + 8), ' ') AS segment FROM e), k AS (SELECT doc_id, source, seg_idx, segment, ROW_NUMBER() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn FROM segs), d AS (SELECT doc_id, source, COUNT(*) AS n_segments, SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, COALESCE(string_agg(CASE WHEN rn = 1 THEN segment END, ' ' ORDER BY seg_idx), '') AS txt FROM k GROUP BY 1, 2) SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_segments) AS BIGINT) AS segs_total, CAST(SUM(n_kept) AS BIGINT) AS segs_kept, CAST(SUM(length(txt)) AS BIGINT) AS chars_after FROM d GROUP BY 1 ORDER BY 1"""
+
   private val joinAndEvents: Seq[QueryDef] = Seq(
     // -- multi-table joins (absent in reference, SURVEY §2.5 — the Spark
     //    build gets them for free; dims broadcast, fact side streams) -------
@@ -383,7 +388,36 @@ object InventoryPipeline {
           sum(col("n_kept")).as("segs_kept"),
           sum(length(col("text_deduped")).cast("long")).as("chars_after"))
         .orderBy(col("source")),
-      Some("""WITH t AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), e AS (SELECT doc_id, source, w, unnest(range((len(w) + 7) // 8)) AS i FROM t), segs AS (SELECT doc_id, source, i AS seg_idx, array_to_string(list_slice(w, 8 * i + 1, 8 * i + 8), ' ') AS segment FROM e), k AS (SELECT doc_id, source, seg_idx, segment, ROW_NUMBER() OVER (PARTITION BY segment ORDER BY doc_id, seg_idx) AS rn FROM segs), d AS (SELECT doc_id, source, COUNT(*) AS n_segments, SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, COALESCE(string_agg(CASE WHEN rn = 1 THEN segment END, ' ' ORDER BY seg_idx), '') AS txt FROM k GROUP BY 1, 2) SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_segments) AS BIGINT) AS segs_total, CAST(SUM(n_kept) AS BIGINT) AS segs_kept, CAST(SUM(length(txt)) AS BIGINT) AS chars_after FROM d GROUP BY 1 ORDER BY 1""")),
+      Some(segDedupOracleSql)),
+
+    QueryDef("q150_segment_dedup_incremental",
+      // the corpus-refresh shape: the fixture split at the median id into
+      // two "crawl drops", batch 1 deduped against an empty index, batch 2
+      // against batch 1's updated index (bloom-staged probe). Folding
+      // batches MUST equal the one-shot dedup over the union — the oracle
+      // is literally q147's full-dedup replay, so the hash match proves
+      // the incremental algebra, not just plausibility.
+      (s, d) => {
+        val docs = documents(s, d)
+        val mid = docs.agg((max(col("doc_id")) / 2).cast("long"))
+          .head.getLong(0)
+        val emptyIdx = docs.select(col("text").as("segment")).limit(0)
+        val (out1, idx1) = Dedup.segmentDedupIncremental(
+          docs.filter(col("doc_id") <= mid), emptyIdx,
+          "doc_id", "text", segmentWords = 8, keep = Seq("source"))
+        val (out2, _) = Dedup.segmentDedupIncremental(
+          docs.filter(col("doc_id") > mid), idx1,
+          "doc_id", "text", segmentWords = 8, keep = Seq("source"),
+          bloomExpectedItems = 1L << 16)
+        out1.unionAll(out2)
+          .groupBy(col("source")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_segments")).as("segs_total"),
+            sum(col("n_kept")).as("segs_kept"),
+            sum(length(col("text_deduped")).cast("long")).as("chars_after"))
+          .orderBy(col("source"))
+      },
+      Some(segDedupOracleSql)),
 
     // MinHash+LSH near-dup, verified by exact Jaccard: equals the exact
     // all-pairs answer whenever LSH recall = 1 (16 bands x 4 rows at

@@ -548,6 +548,59 @@ object Dedup {
     * Output: `idCol`, `keep*`, `n_segments`, `n_kept`, `text_deduped`. */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
       segmentWords: Int = 8, keep: Seq[String] = Nil): DataFrame = {
+    val exploded = explodeSegments(df, idCol, textCol, segmentWords, keep)
+    val firsts = exploded.groupBy(col("segment"))
+      .agg(min(packedPos(idCol)).as("__first"))
+    reassemble(
+      exploded.join(firsts, Seq("segment"))
+        .withColumn("__keep", packedPos(idCol) === col("__first")),
+      idCol, keep)
+  }
+
+  /** Incremental [[segmentDedup]]: dedup a NEW batch of docs against the
+    * `segmentIndex` of everything already ingested (plus intra-batch), the
+    * corpus-refresh shape — a daily crawl drop must not re-scan the corpus,
+    * only probe the segment set. Returns (deduped batch docs, updated
+    * index). Provided batch ids are larger than all earlier ids (crawl
+    * drops are), folding batches through this function yields EXACTLY the
+    * rows [[segmentDedup]] would produce on the union — the q150 gate
+    * hash-proves it.
+    *
+    * `segmentIndex`: one `segment` string column (distinct). Scale shape:
+    * the batch explodes and self-aggregates as usual; the index is probed
+    * with [[BloomJoin.bloomPrunedAntiJoin]] when `bloomExpectedItems > 0`
+    * (bloom miss = proof of absence → the mostly-new bulk never joins),
+    * plain left-anti otherwise; the updated index appends only the batch's
+    * genuinely-new segments. */
+  def segmentDedupIncremental(newDocs: DataFrame, segmentIndex: DataFrame,
+      idCol: String, textCol: String, segmentWords: Int = 8,
+      keep: Seq[String] = Nil, bloomExpectedItems: Long = 0L,
+      bloomBits: Long = 1L << 27): (DataFrame, DataFrame) = {
+    val exploded = explodeSegments(newDocs, idCol, textCol, segmentWords, keep)
+    val firsts = exploded.groupBy(col("segment"))
+      .agg(min(packedPos(idCol)).as("__first"))
+    // the probe and build keys share the name `segment` — rename the index
+    // side so the anti-join condition resolves unambiguously
+    val seen = segmentIndex.select(col("segment").as("__seen_seg"))
+    val newFirsts =
+      if (bloomExpectedItems > 0)
+        BloomJoin.bloomPrunedAntiJoin(firsts, seen,
+          "segment", "__seen_seg", bloomExpectedItems, bloomBits)
+      else firsts.join(seen, col("segment") === col("__seen_seg"), "left_anti")
+    val marked = exploded
+      .join(newFirsts, Seq("segment"), "left")
+      .withColumn("__keep",
+        col("__first").isNotNull && packedPos(idCol) === col("__first"))
+    val updatedIndex =
+      segmentIndex.select(col("segment"))
+        .unionAll(newFirsts.select(col("segment")))
+    (reassemble(marked, idCol, keep), updatedIndex)
+  }
+
+  /** Deterministic fixed-window segmentation shared by the dedup variants:
+    * one row per (doc, seg_idx, segment). */
+  private def explodeSegments(df: DataFrame, idCol: String, textCol: String,
+      segmentWords: Int, keep: Seq[String]): DataFrame = {
     require(segmentWords > 0, "segmentWords must be positive")
     val words = split(col(textCol), " +")
     val nSegs = floor((size(words) + lit(segmentWords - 1)) / lit(segmentWords))
@@ -556,30 +609,32 @@ object Dedup {
       struct(i.as("seg_idx"),
         array_join(slice(words, i * segmentWords + 1, lit(segmentWords)), " ")
           .as("segment")))
-    val exploded = df
-      .select(col(idCol) +: keep.map(col) :+ explode(segs).as("s"): _*)
+    df.select(col(idCol) +: keep.map(col) :+ explode(segs).as("s"): _*)
       .select(col(idCol) +: keep.map(col) :+
         col("s.seg_idx").as("seg_idx") :+ col("s.segment").as("segment"): _*)
-    // first occurrence = min of (doc, pos) packed into ONE long: a struct
-    // min would force SortAggregate (structs aren't hash-agg buffer types)
-    // and pay a per-partition sort over every segment row; the packed form
-    // stays a HashAggregate. Lexicographic (d, i) ≡ d·S + i for 0 ≤ i < S
-    // (any integer d); i ≥ S fails loudly, d·S overflow throws under ANSI.
-    val S = 1L << 21 // 2M segments/doc = 16M+ words — raise if ever hit
-    val packed = when(col("seg_idx") < lit(S),
-        col(idCol) * lit(S) + col("seg_idx").cast("long"))
+  }
+
+  /** First occurrence = min of (doc, pos) packed into ONE long: a struct
+    * min would force SortAggregate (structs aren't hash-agg buffer types)
+    * and pay a per-partition sort over every segment row; the packed form
+    * stays a HashAggregate. Lexicographic (d, i) ≡ d·S + i for 0 ≤ i < S
+    * (any integer d); i ≥ S fails loudly, d·S overflow throws under ANSI. */
+  private val SegPack = 1L << 21 // 2M segments/doc = 16M+ words — raise if hit
+
+  private def packedPos(idCol: String): Column =
+    when(col("seg_idx") < lit(SegPack),
+      col(idCol) * lit(SegPack) + col("seg_idx").cast("long"))
       .otherwise(raise_error(concat(
-        lit(s"segmentDedup: more than $S segments in doc "),
+        lit(s"segmentDedup: more than $SegPack segments in doc "),
         col(idCol).cast("string"))))
-    val firsts = exploded.groupBy(col("segment"))
-      .agg(min(packed).as("__first"))
-    exploded.join(firsts, Seq("segment"))
-      .withColumn("__keep", packed === col("__first"))
-      .groupBy(col(idCol) +: keep.map(col): _*)
+
+  /** Rebuild per-doc rows from marked segment occurrences. */
+  private def reassemble(marked: DataFrame, idCol: String,
+      keep: Seq[String]): DataFrame =
+    marked.groupBy(col(idCol) +: keep.map(col): _*)
       .agg(count(lit(1)).as("n_segments"),
         sum(when(col("__keep"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
         array_join(transform(array_sort(collect_list(
             when(col("__keep"), struct(col("seg_idx"), col("segment"))))),
           x => x.getField("segment")), " ").as("text_deduped"))
-  }
 }

@@ -94,6 +94,27 @@ class CurationSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((2L, 1L, "p q")))
   }
 
+  test("segmentDedupIncremental: folding batches equals the one-shot dedup") {
+    val b1 = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+    val b2 = Seq((3L, "c d q r"), (4L, "q r q r")).toDF("doc_id", "text")
+    val emptyIdx = b1.select($"text".as("segment")).limit(0)
+    val (o1, idx1) = graft.operators.Dedup.segmentDedupIncremental(
+      b1, emptyIdx, "doc_id", "text", segmentWords = 2)
+    val (o2, idx2) = graft.operators.Dedup.segmentDedupIncremental(
+      b2, idx1, "doc_id", "text", segmentWords = 2,
+      bloomExpectedItems = 1024L)
+    val inc = o1.unionByName(o2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val full = graft.operators.Dedup.segmentDedup(
+        b1.unionByName(b2), "doc_id", "text", segmentWords = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(inc === full)
+    assert(inc(3L) === "q r")            // "c d" seen in batch 1 via the index
+    assert(inc(4L) === "")               // both segments already seen
+    // the index accumulates exactly the distinct segments
+    assert(idx2.distinct().count() === 4) // a b, c d, x y, q r
+  }
+
   test("selectByQualityBudget equals the naive sort-and-take-while rule") {
     // quality in [0,1], tokens vary; compare the histogram-threshold
     // selection against the trivially-correct global-sort prefix
