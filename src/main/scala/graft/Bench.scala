@@ -275,6 +275,43 @@ object Bench {
         (med(pairs.map(_._1)), med(pairs.map(_._2)))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+    // Universe-join-sampling probe: sampling THROUGH the join. Both sides
+    // filtered to the same 10% hash band of the join key (JoinSampling) —
+    // the one sampling design whose joined SUM is unbiased at ×10 — vs
+    // the exact join at 6 M × 150 k. Broadcast disabled like the bucketed
+    // probe: at 100 TB both legs shuffle, and that is what the band
+    // predicate shrinks 10× on BOTH sides (an independent per-row design
+    // could thin only one side without bias). Interleaved pairs so load
+    // drift hits both equally.
+    val (tUniExact, tUniSampled, uniAccPct) = {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val ordSel = orders.select(col("o_orderkey"), col("o_orderpriority"))
+        val us = graft.operators.JoinSampling.universeSample(
+          li10f, col("l_orderkey"), ordSel, col("o_orderkey"))
+        def sumOf(l: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame, scale: Double): Double =
+          l.join(r, col("l_orderkey") === col("o_orderkey"))
+            .agg((sum(col("l_extendedprice")) * lit(scale)).as("s"))
+            .first.getDouble(0)
+        def exactOnce(): Double = {
+          val t0 = System.nanoTime(); sumOf(li10f, ordSel, 1.0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def sampledOnce(): Double = {
+          val t0 = System.nanoTime(); sumOf(us.left, us.right, us.scaleFactor)
+          (System.nanoTime() - t0) / 1e9
+        }
+        exactOnce(); sampledOnce()
+        val pairs = Seq.fill(5)((exactOnce(), sampledOnce()))
+        val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
+        val exactV = sumOf(li10f, ordSel, 1.0)
+        val estV = sumOf(us.left, us.right, us.scaleFactor)
+        (med(pairs.map(_._1)), med(pairs.map(_._2)),
+          100.0 * (1.0 - math.abs(estV - exactV) / exactV))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
     // Skew probe at 6 M rows: ~30% of fact rows forced onto ONE supplier
     // key, broadcast disabled (at 100 TB the build side may be too big to
     // broadcast and the hot key pins a reducer). Measures the plain
@@ -460,6 +497,11 @@ object Bench {
       "x_embed_neardup_sec" -> tEmbedDedup,
       "x_ann_ivf_recall" -> ivfRecall,
       "x_ann_lsh_recall" -> lshRecall,
+      "x_unijoin_exact_sec" -> tUniExact,
+      "x_unijoin_sampled_sec" -> tUniSampled,
+      "x_unijoin_speedup" ->
+        (if (tUniSampled > 0) tUniExact / tUniSampled else -1.0),
+      "x_unijoin_accuracy_pct" -> uniAccPct,
       "x_join_plain_sec" -> tJoinPlain,
       "x_join_bucketed_sec" -> tJoinBucketed,
       "x_bucketed_join_speedup" ->

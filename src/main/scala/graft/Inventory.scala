@@ -330,7 +330,8 @@ object Inventory {
   val all: Seq[QueryDef] =
     exactQueries ++ approxQueries ++ ciQueries ++ designQueries ++
       InventoryPipeline.all ++ InventoryExtensions.all ++ InventoryCuration.all ++
-      InventoryOps.all ++ InventoryGovernance.all ++ InventoryAnalytics.all
+      InventoryOps.all ++ InventoryGovernance.all ++ InventoryAnalytics.all ++
+      InventoryFrontier.all
 
   def byName(name: String): QueryDef = all.find(_.name == name)
     .getOrElse(throw new NoSuchElementException(name))

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exec.Sampling
+import graft.operators.{CorpusOverlap, JoinSampling, QualityModel}
+
+/** Round-4 widening: the sampling designs and corpus diagnostics the
+  * engine still lacked — sampling THROUGH a join (universe sampling),
+  * fixed-size weighted sampling (priority sampling), model-based quality
+  * filtering (the hashing-trick linear scorer), and corpus-to-corpus
+  * overlap (exact + KMV sketch). Oracle discipline as everywhere else:
+  * deterministic hash designs, exact decimal/integer accumulation,
+  * fixed-order IEEE scalar math, full ORDER BY, identical aliases.
+  */
+object InventoryFrontier {
+  import graft.Tables._
+
+  private val liKeySql = "(l_orderkey * 8191 + l_linenumber * 131)"
+  private def liKey = expr(liKeySql)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q151_universe_join_sum",
+      // revenue by order priority from a 10% UNIVERSE sample of the join
+      // key space — both sides filtered to the same hash band of
+      // o_orderkey/l_orderkey, so every sampled key keeps its complete
+      // fan-out and the joined aggregate scales by exactly 10. The band
+      // predicate is scan-stage on BOTH sides: both shuffle legs of the
+      // join move 10% of their rows (an independent per-row design can
+      // shrink only one side without bias), and at this rate AQE turns
+      // the orders leg broadcast-size. Union of the 10 disjoint bands
+      // replays the exact join — JoinSamplingSpec pins the identity.
+      (s, d) => {
+        val us = JoinSampling.universeSample(
+          lineitem(s, d), col("l_orderkey"),
+          orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("o_orderkey"))
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        us.left.join(us.right, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg((sum(round(rev, 4).cast("decimal(18,4)")) * lit(10))
+              .cast("double").as("est_revenue"),
+            (count(lit(1)) * lit(10L)).as("est_pairs"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("SELECT o_orderpriority, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) * 10 AS DOUBLE) AS est_revenue, COUNT(*) * 10 AS est_pairs FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE ((o_orderkey % 1000003) * 8191 + 131) % 1000 < 100 GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("q152_priority_sample_sum",
+      // fixed-size weighted sample (k=500) + threshold estimator
+      // (Duffield–Lund–Thorup): priorities w·M/h are scan-stage, the top
+      // k+1 run as TakeOrderedAndProject (per-partition heaps — only 501
+      // rows per partition ever move, no global sort), and the estimator
+      // Σ max(w, τ) sums ≤ 500 doubles through decimal. Deterministic
+      // hash → the DuckDB window replay selects the identical sample.
+      (s, d) => {
+        val top = Sampling.prioritySample(
+          lineitem(s, d), liKey, col("l_extendedprice"), k = 500)
+        Sampling.prioritySumEstimate(top, k = 500)
+      },
+      Some(s"""WITH p AS (SELECT $liKeySql AS key, CAST(l_extendedprice AS DOUBLE) AS w FROM lineitem), q AS (SELECT key, w, w * 1000003.0 / (((key % 1000003) * 1299709 + 104729) % 1000003 + 1) AS prio FROM p), r AS (SELECT key, w, prio, ROW_NUMBER() OVER (ORDER BY prio DESC, key ASC) AS rn FROM q QUALIFY rn <= 501), tau AS (SELECT CASE WHEN COUNT(*) = 501 THEN MIN(prio) ELSE 0.0 END AS tau FROM r) SELECT CAST(SUM(CAST(ROUND(GREATEST(w, tau), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_est, COUNT(*) AS n_used FROM r CROSS JOIN tau WHERE rn <= 500""")),
+
+    QueryDef("q153_quality_model_filter",
+      // model-based quality filtering (hashing-trick linear scorer —
+      // the fasttext/DCLM curation stage, deterministic weight table):
+      // the per-document margin is a higher-order fold over the token
+      // array, pure scan-stage integer arithmetic — no explode, no UDF,
+      // no shuffle before the per-source rollup.
+      (s, d) => documents(s, d)
+        .select(col("source"), QualityModel.marginCents(col("text")).as("mc"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("mc") > 0, lit(1L)).otherwise(lit(0L))).as("n_kept"),
+          sum(col("mc")).as("margin_cents_total"),
+          (sum(col("mc")).cast("double") /
+            (count(lit(1)) * lit(100L)).cast("double")).as("avg_score"))
+        .orderBy(col("source")),
+      Some(s"""WITH m AS (SELECT source, ${QualityModel.marginCentsSql("text")} AS mc FROM documents) SELECT source, COUNT(*) AS n_docs, CAST(SUM(CASE WHEN mc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(SUM(mc) AS BIGINT) AS margin_cents_total, CAST(SUM(mc) AS DOUBLE) / CAST(COUNT(*) * 100 AS DOUBLE) AS avg_score FROM m GROUP BY 1 ORDER BY 1""")),
+
+    QueryDef("q154_corpus_overlap",
+      // all-pairs corpus overlap: exact shingle-set Jaccard next to the
+      // KMV-sketch estimate computed from 128 hashes per source. The
+      // exact path is the one vocab-keyed distinct sweep + self-join
+      // (the small-data anchor); the sketch path answers every pair from
+      // S·k rows and is the 100 TB design. Both are deterministic fold
+      // hashes, so BOTH values hash-match the DuckDB replay.
+      (s, d) => CorpusOverlap.pairwiseOverlap(
+        CorpusOverlap.shingleHashes(documents(s, d), "source", "text")),
+      Some("""WITH t AS (SELECT source, string_split_regex(text, ' +') AS w FROM documents), e AS (SELECT source, w, unnest(range(0, greatest(len(w) - 2, 0))) AS i FROM t), sh AS (SELECT DISTINCT source, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS s FROM e WHERE i + 3 <= len(w)), hs AS (SELECT DISTINCT source, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(s, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM sh), sz AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1), pairs AS (SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b FROM sz a JOIN sz b ON a.source < b.source), iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2), sk AS (SELECT source, h FROM (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs) WHERE rn <= 128), u AS (SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (SELECT p.sa, p.sb, k.h, 1 AS ina, 0 AS inb FROM pairs p JOIN sk k ON k.source = p.sa UNION ALL SELECT p.sa, p.sb, k.h, 0 AS ina, 1 AS inb FROM pairs p JOIN sk k ON k.source = p.sb) GROUP BY 1, 2, 3), ur AS (SELECT sa, sb, ina, inb, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM u), est AS (SELECT sa, sb, CAST(SUM(ina * inb) AS DOUBLE) / CAST(LEAST(128, COUNT(*)) AS DOUBLE) AS jaccard_kmv FROM ur WHERE rn <= 128 GROUP BY 1, 2) SELECT p.sa, p.sb, p.n_a, p.n_b, COALESCE(iv.n_inter, 0) AS n_inter, CAST(COALESCE(iv.n_inter, 0) AS DOUBLE) / CAST(p.n_a + p.n_b - COALESCE(iv.n_inter, 0) AS DOUBLE) AS jaccard_exact, est.jaccard_kmv FROM pairs p LEFT JOIN iv ON iv.sa = p.sa AND iv.sb = p.sb JOIN est ON est.sa = p.sa AND est.sb = p.sb ORDER BY p.sa, p.sb"""))
+  )
+}

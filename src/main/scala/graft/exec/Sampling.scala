@@ -288,6 +288,61 @@ object Sampling {
     (df.withColumn("pps_p", p).filter(h < col("pps_p") * lit(m.toDouble)), n, s)
   }
 
+  /** Deterministic fixed-size weighted sample — priority sampling
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007). Where [[pps]] is a Poisson
+    * design (random sample SIZE, expected f·N), priority sampling fixes
+    * the size at exactly k while keeping probability-proportional-to-size
+    * semantics, and its threshold estimator is unbiased with
+    * near-optimal variance among fixed-size weighted designs.
+    *
+    * Row i gets priority `q_i = w_i · M / h_i` with `h_i` a deterministic
+    * affine hash in [1, M] (the 1/h_i plays the role of 1/uniform(0,1]);
+    * the sample is the top k by priority, and the threshold τ is the
+    * (k+1)-th priority (0 when the population has ≤ k rows — the sample
+    * is then exhaustive and the estimator degenerates to the exact sum).
+    * Subset-sum estimator: `Σ_{top-k} max(w_i, τ)`.
+    *
+    * Scale shape: the priority is a scan-stage expression and the top
+    * (k+1) runs as `TakeOrderedAndProject` — per-partition bounded heaps,
+    * only k+1 rows per partition ever move, no global sort. Ties are
+    * broken by `key`, so the selected set — and therefore the estimate —
+    * is bit-reproducible in any engine (the hash-gate contract).
+    *
+    * @return the top-(k+1) frame `(ps_key, ps_w, ps_prio)`, priority
+    *         descending. Feed to [[prioritySumEstimate]]. */
+  def prioritySample(df: DataFrame, key: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val m = 1000003L
+    val h = pmod(pmod(col("ps_key"), lit(m)) * lit(1299709L) + lit(104729L),
+      lit(m)) + lit(1L)
+    df.select(key.as("ps_key"), weight.cast("double").as("ps_w"))
+      .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
+      .orderBy(col("ps_prio").desc, col("ps_key").asc)
+      .limit(k + 1)
+  }
+
+  /** Threshold estimator over a [[prioritySample]] result: one row
+    * `(sum_est, tau, n_used)`. The window/aggregate here run over ≤ k+1
+    * rows — driver-bounded by construction, never by the input size. The
+    * `max(w, τ)` terms are doubles, so they sum through decimal after a
+    * fixed rounding (partition-order-independent, cross-engine exact). */
+  def prioritySumEstimate(topKPlus1: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("ps_prio").desc, col("ps_key").asc)
+    val ranked = topKPlus1.withColumn("ps_rn", row_number().over(w))
+    val tau = ranked.agg(
+      when(count(lit(1)) === lit(k + 1), min(col("ps_prio")))
+        .otherwise(lit(0.0)).as("tau"))
+    ranked.filter(col("ps_rn") <= lit(k))
+      .crossJoin(broadcast(tau))
+      .agg(
+        sum(round(greatest(col("ps_w"), col("tau")), 4)
+          .cast("decimal(28,4)")).cast("double").as("sum_est"),
+        count(lit(1)).as("n_used"))
+  }
+
   /** Apply a [[SamplingStrategy]] given the table's sampling key. */
   def apply(df: DataFrame, strategy: SamplingStrategy, key: => Column): SampledFrame =
     strategy match {

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-to-corpus overlap estimation — "how much of source A is also in
+  * source B?" asked across every pair of sources at once. The question a
+  * curation team asks before mixing corpora (double-counted shingles
+  * inflate a mixture's effective epochs) and the corpus-level complement
+  * of the per-document dedup family in [[Dedup]].
+  *
+  * Exact answer: pairwise Jaccard of the sources' distinct-shingle sets.
+  * The exact path shuffles every distinct shingle hash once (vocab-keyed)
+  * and self-joins — correct, and fine when you already need the distinct
+  * sweep; but across S sources it is S·vocab work. The scale path is the
+  * K-MINIMUM-VALUES sketch (Beyer et al., SIGMOD 2007, "On synopses for
+  * distinct-value estimation under multiset operations"): keep each
+  * source's k smallest distinct shingle hashes; for a pair (A, B) the k
+  * smallest of K_A ∪ K_B are a uniform coordinated sample of A ∪ B, so
+  * `|{h ∈ bottom-k(K_A ∪ K_B) : h ∈ K_A ∧ h ∈ K_B}| / k` estimates
+  * J(A, B) with RMSE ≈ √(J(1−J)/k). All S·(S−1)/2 pair estimates come
+  * from S·k sketch rows — no cross-source shuffle of the corpus at all.
+  *
+  * Everything is deterministic: the shingle hash is the engine's
+  * cross-engine polynomial fold ([[graft.functions.StringFoldHash]],
+  * `(acc·31 + codepoint) mod 1e9+7`), so sketches, union ranks, and both
+  * the exact AND the estimated Jaccard hash-match a foreign oracle
+  * bit-for-bit — the estimate itself is gateable, not just bound-checked.
+  */
+object CorpusOverlap {
+
+  /** Default sketch size: RMSE ≈ 0.044 at J=0.25. */
+  val K = 128
+
+  /** Cross-engine polynomial fold hash of a string column (no
+    * normalization — shingles are hashed as produced). */
+  def foldHash(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.StringFoldHash(ColumnShim.expression(s)))
+  }
+
+  /** Distinct `(source, h)` shingle hashes — the vocab-keyed base both
+    * paths read. One explode + one distinct (partial-aggregated map-side;
+    * the shuffle is the distinct sweep, ∝ corpus shingle vocabulary). */
+  def shingleHashes(docs: DataFrame, sourceCol: String, textCol: String,
+      n: Int = 3): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .select(col("source"), foldHash(col("s")).as("h"))
+      .distinct()
+
+  /** Per-source bottom-k sketch `(source, h)` — skew-safe two-phase
+    * top-N (a hot source never pins one reducer). */
+  def kmvSketch(hashes: DataFrame, k: Int = K): DataFrame =
+    Skew.topNPerKey(hashes, Seq("source"), Seq(col("h").asc), n = k)
+      .drop("rank")
+
+  /** All-pairs overlap report from the distinct-hash base: exact Jaccard
+    * AND the KMV estimate, per unordered source pair. The sketch algebra
+    * after [[kmvSketch]] touches only S·k rows (every window/aggregate
+    * group is ≤ 2k rows — bounded by construction). */
+  def pairwiseOverlap(hashes: DataFrame, k: Int = K): DataFrame = {
+    val sizes = hashes.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sizes.select(col("source").as("sa"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("sb"), col("n").as("n_b")),
+        col("sa") < col("sb"))
+    val inter = hashes.select(col("source").as("ia"), col("h"))
+      .join(hashes.select(col("source").as("ib"), col("h")),
+        Seq("h")).filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_inter"))
+
+    val sk = broadcast(kmvSketch(hashes, k))
+    val tagged = pairs.select(col("sa"), col("sb"))
+      .join(sk.withColumnRenamed("source", "sa"), Seq("sa"))
+      .select(col("sa"), col("sb"), col("h"), lit(1).as("ina"), lit(0).as("inb"))
+      .unionAll(pairs.select(col("sa"), col("sb"))
+        .join(sk.withColumnRenamed("source", "sb"), Seq("sb"))
+        .select(col("sa"), col("sb"), col("h"), lit(0).as("ina"), lit(1).as("inb")))
+    val union = tagged.groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    val w = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    val est = union.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= lit(k))
+      .groupBy(col("sa"), col("sb"))
+      .agg((sum(col("ina") * col("inb")).cast("double") /
+        least(lit(k.toLong), count(lit(1))).cast("double")).as("jaccard_kmv"))
+
+    pairs
+      .join(inter, col("sa") === col("ia") && col("sb") === col("ib"), "left")
+      .join(est, Seq("sa", "sb"))
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double")).as("jaccard_exact"),
+        col("jaccard_kmv"))
+      .orderBy(col("sa"), col("sb"))
+  }
+}

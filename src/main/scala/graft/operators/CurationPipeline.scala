@@ -40,7 +40,11 @@ object CurationPipeline {
       splitWeights: Seq[(String, Long)] =
         Seq("train" -> 98L, "val" -> 1L, "test" -> 1L),
       semanticDedup: Option[(String, Double, Int)] = None,
-      temperature: Option[(Double, Double)] = None)
+      temperature: Option[(Double, Double)] = None,
+      /** keep only docs the hashed linear scorer accepts (margin cents >
+        * this threshold) — the model-based filter stage complementing the
+        * rule-based `minQuality`; None disables the stage. */
+      modelFilterMinMarginCents: Option[Long] = None)
 
   /** The pipeline as an ordered list of named stage transforms — the single
     * definition both [[run]] (lazy composition) and [[runStaged]]
@@ -85,6 +89,13 @@ object CurationPipeline {
       .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
       .withColumn("n_tokens", TextAnalysis.tokenCount(col(textCol)).cast("long"))
       .filter(col("quality") >= config.minQuality)
+    // 4b. optional model-based filter (hashed linear scorer) — like the
+    //     rule filter, a pure scan-stage predicate: no shuffle added
+    val modelFilter: Option[(String, DataFrame => DataFrame)] =
+      config.modelFilterMinMarginCents.map { mn =>
+        "model_filter" -> ((df: DataFrame) =>
+          df.filter(QualityModel.marginCents(col(textCol)) > lit(mn)))
+      }
     // 5. per-source mixing (explicit steps with HT weight, or α-temperature
     //    rebalance) + 6. deterministic split
     val mixSplit: DataFrame => DataFrame = { scored =>
@@ -111,7 +122,7 @@ object CurationPipeline {
           Decontam.decontaminate(df, ev, idCol, textCol,
             n = config.decontaminateNgram))
       } ++
-      Seq("quality" -> quality, "mix_split" -> mixSplit)
+      Seq("quality" -> quality) ++ modelFilter ++ Seq("mix_split" -> mixSplit)
   }
 
   /** Run the full curation flow over `docs(idCol, textCol, sourceCol, …)`;

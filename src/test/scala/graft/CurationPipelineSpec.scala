@@ -138,4 +138,21 @@ class CurationPipelineSpec extends SparkSpec {
         lineDedupSegmentWords = Some(4), nearDupThreshold = 0.999999))
     assert(timings.map(_._1).contains("line_dedup"))
   }
+
+  test("optional model-filter stage keeps exactly the positive-margin docs") {
+    import graft.operators.QualityModel
+    val docs = Tables.documents(spark, sf0001).limit(40)
+      .select($"doc_id", $"text", $"source")
+    val expected = docs.filter(QualityModel.marginCents($"text") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    val out = CurationPipeline.run(docs, None, "doc_id", "text", "source",
+      CurationPipeline.Config(nearDupThreshold = 0.999999,
+        modelFilterMinMarginCents = Some(0L)))
+    assert(out.select("doc_id").as[Long].collect().toSet === expected)
+    assert(expected.nonEmpty && expected.size < 40) // both classes present
+    val (_, timings) = CurationPipeline.runStaged(docs, None, "doc_id",
+      "text", "source", CurationPipeline.Config(nearDupThreshold = 0.999999,
+        modelFilterMinMarginCents = Some(0L)))
+    assert(timings.map(_._1).contains("model_filter"))
+  }
 }

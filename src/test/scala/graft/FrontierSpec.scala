@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.exec.Sampling
+import graft.operators.{CorpusOverlap, Dedup, JoinSampling, QualityModel}
+
+/** Round-4 frontier operators: universe join sampling, priority sampling,
+  * the hashed linear quality model, corpus overlap. */
+class FrontierSpec extends SparkSpec {
+
+  private def li = Tables.lineitem(spark, sf0001)
+  private def ord = Tables.orders(spark, sf0001)
+    .select(col("o_orderkey"), col("o_orderpriority"))
+
+  test("universe bands partition the join exactly: band sums add to the exact join sum") {
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    def joinSum(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      l.join(r, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(round(rev, 4).cast("decimal(18,4)")).as("s"))
+        .collect()(0).getDecimal(0)
+    val exact = joinSum(li, ord)
+    val bandTotal = (0L until 10L).map { b =>
+      val us = JoinSampling.universeSample(li, col("l_orderkey"), ord,
+        col("o_orderkey"), from = b * 100, until = (b + 1) * 100)
+      joinSum(us.left, us.right)
+    }.map(x => BigDecimal(x)).sum
+    assert(bandTotal == BigDecimal(exact))
+  }
+
+  test("universe sample keeps complete fan-out: per-key pair counts match the exact join for sampled keys") {
+    val us = JoinSampling.universeSample(li, col("l_orderkey"), ord, col("o_orderkey"))
+    val sampledCounts = us.left.join(us.right, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    val exactCounts = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(JoinSampling.band(col("l_orderkey")) < 100)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    assert(sampledCounts.exceptAll(exactCounts).isEmpty &&
+      exactCounts.exceptAll(sampledCounts).isEmpty)
+  }
+
+  test("universe sample estimate is within 15% of truth at 10% on the fixture") {
+    val us = JoinSampling.universeSample(li, col("l_orderkey"), ord, col("o_orderkey"))
+    assert(us.scaleFactor == 10.0)
+    val est = us.left.join(us.right, col("l_orderkey") === col("o_orderkey"))
+      .agg((count(lit(1)) * lit(10L)).as("n")).collect()(0).getLong(0)
+    val exact = li.join(ord, col("l_orderkey") === col("o_orderkey")).count()
+    assert(math.abs(est.toDouble / exact - 1.0) < 0.15,
+      s"est=$est exact=$exact")
+  }
+
+  test("priority sample: returns exactly k+1 rows, priorities descending, deterministic") {
+    val top = Sampling.prioritySample(li,
+      col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L),
+      col("l_extendedprice"), k = 50).collect()
+    assert(top.length == 51)
+    val prios = top.map(_.getDouble(2))
+    assert(prios.zip(prios.tail).forall { case (a, b) => a >= b })
+    val again = Sampling.prioritySample(li,
+      col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L),
+      col("l_extendedprice"), k = 50).collect()
+    assert(top.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("priority estimator: k >= N degenerates to the exact sum (tau = 0)") {
+    val small = li.limit(40)
+    val top = Sampling.prioritySample(small, col("l_orderkey") * lit(8L) +
+      col("l_linenumber"), col("l_extendedprice"), k = 100)
+    val est = Sampling.prioritySumEstimate(top, k = 100).collect()(0)
+    val exact = small.agg(sum(round(col("l_extendedprice"), 4)
+      .cast("decimal(28,4)")).cast("double")).collect()(0).getDouble(0)
+    assert(est.getLong(1) == 40L)
+    assert(math.abs(est.getDouble(0) - exact) < 1e-6)
+  }
+
+  test("priority estimator: within 15% of the exact sum at k=500 on 6k rows") {
+    val top = Sampling.prioritySample(li,
+      col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L),
+      col("l_extendedprice"), k = 500)
+    val est = Sampling.prioritySumEstimate(top, k = 500)
+      .collect()(0).getDouble(0)
+    val exact = li.agg(sum(col("l_extendedprice"))).collect()(0).getDouble(0)
+    assert(math.abs(est / exact - 1.0) < 0.15, s"est=$est exact=$exact")
+  }
+
+  test("quality model: margin is the sum of per-token bucket weights; empty text scores 0") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma", "", "x").toDF("text")
+      .select(QualityModel.marginCents(col("text")).as("mc"))
+    val got = df.collect().map(_.getLong(0))
+    def w(tok: String): Long = {
+      val b = (tok.length * 31 + tok.head.toInt) % 64
+      ((b * 127 + 17) % 101 - 50).toLong
+    }
+    assert(got(0) == w("alpha") + w("beta") + w("gamma"))
+    assert(got(1) == 0L)
+    assert(got(2) == w("x"))
+  }
+
+  test("quality model: keep <=> margin > 0, and score = margin/100") {
+    val scored = Tables.documents(spark, sf0001)
+      .select(QualityModel.marginCents(col("text")).as("mc"),
+        QualityModel.score(col("text")).as("sc"),
+        QualityModel.keep(col("text")).as("k"))
+      .collect()
+    scored.foreach { r =>
+      assert(r.getBoolean(2) == (r.getLong(0) > 0))
+      assert(math.abs(r.getDouble(1) - r.getLong(0) / 100.0) == 0.0)
+    }
+    // the deterministic table is centered: both classes occur
+    assert(scored.exists(_.getBoolean(2)) && scored.exists(!_.getBoolean(2)))
+  }
+
+  test("corpus overlap: identical sources have Jaccard 1 in both exact and KMV paths") {
+    import spark.implicits._
+    val docs = (1 to 30).flatMap { i =>
+      val txt = s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"
+      Seq(("a", txt), ("b", txt))
+    }.toDF("source", "text")
+    val rep = CorpusOverlap.pairwiseOverlap(
+      CorpusOverlap.shingleHashes(docs, "source", "text"), k = 16).collect()
+    assert(rep.length == 1)
+    val r = rep(0)
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0)
+  }
+
+  test("corpus overlap: disjoint sources have Jaccard 0 in both paths") {
+    import spark.implicits._
+    val docs = (1 to 30).flatMap { i =>
+      Seq(("a", s"ax$i bx$i cx$i dx$i"), ("b", s"py$i qy$i ry$i sy$i"))
+    }.toDF("source", "text")
+    val r = CorpusOverlap.pairwiseOverlap(
+      CorpusOverlap.shingleHashes(docs, "source", "text"), k = 16).collect()(0)
+    assert(r.getLong(4) == 0L && r.getDouble(5) == 0.0 && r.getDouble(6) == 0.0)
+  }
+
+  test("corpus overlap: KMV estimate tracks exact Jaccard on the fixture within 3/sqrt(k)") {
+    val rep = CorpusOverlap.pairwiseOverlap(
+      CorpusOverlap.shingleHashes(Tables.documents(spark, sf001), "source", "text"),
+      k = 128).collect()
+    assert(rep.length == 20 * 19 / 2)
+    val tol = 3.0 / math.sqrt(128.0)
+    rep.foreach { r =>
+      assert(math.abs(r.getDouble(5) - r.getDouble(6)) <= tol,
+        s"${r.getString(0)}-${r.getString(1)}: exact=${r.getDouble(5)} kmv=${r.getDouble(6)}")
+    }
+  }
+
+  test("corpus overlap: shingle fold hash equals the declarative fingerprint fold on raw strings") {
+    import spark.implicits._
+    val df = Seq("alpha beta gamma", "Zed 9 q").toDF("s")
+    val native = df.select(CorpusOverlap.foldHash(col("s"))).collect().map(_.getLong(0))
+    val fold = df.select(
+      aggregate(filter(split(col("s"), ""), c => length(c) === 1), lit(0L),
+        (acc, c) => pmod(acc * lit(31L) + ascii(c).cast("long"), lit(1000000007L)))
+    ).collect().map(_.getLong(0))
+    assert(native.toSeq == fold.toSeq)
+  }
+}
