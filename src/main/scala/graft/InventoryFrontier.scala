@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.exec.Sampling
-import graft.operators.{CorpusOverlap, JoinSampling, QualityModel}
+import graft.operators.{CorpusOverlap, JoinSampling, Mixing, QualityModel, Rolling}
 
 /** Round-4 widening: the sampling designs and corpus diagnostics the
   * engine still lacked — sampling THROUGH a join (universe sampling),
@@ -86,6 +86,51 @@ object InventoryFrontier {
       // hashes, so BOTH values hash-match the DuckDB replay.
       (s, d) => CorpusOverlap.pairwiseOverlap(
         CorpusOverlap.shingleHashes(documents(s, d), "source", "text")),
-      Some("""WITH t AS (SELECT source, string_split_regex(text, ' +') AS w FROM documents), e AS (SELECT source, w, unnest(range(0, greatest(len(w) - 2, 0))) AS i FROM t), sh AS (SELECT DISTINCT source, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS s FROM e WHERE i + 3 <= len(w)), hs AS (SELECT DISTINCT source, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(s, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM sh), sz AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1), pairs AS (SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b FROM sz a JOIN sz b ON a.source < b.source), iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2), sk AS (SELECT source, h FROM (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs) WHERE rn <= 128), u AS (SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (SELECT p.sa, p.sb, k.h, 1 AS ina, 0 AS inb FROM pairs p JOIN sk k ON k.source = p.sa UNION ALL SELECT p.sa, p.sb, k.h, 0 AS ina, 1 AS inb FROM pairs p JOIN sk k ON k.source = p.sb) GROUP BY 1, 2, 3), ur AS (SELECT sa, sb, ina, inb, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM u), est AS (SELECT sa, sb, CAST(SUM(ina * inb) AS DOUBLE) / CAST(LEAST(128, COUNT(*)) AS DOUBLE) AS jaccard_kmv FROM ur WHERE rn <= 128 GROUP BY 1, 2) SELECT p.sa, p.sb, p.n_a, p.n_b, COALESCE(iv.n_inter, 0) AS n_inter, CAST(COALESCE(iv.n_inter, 0) AS DOUBLE) / CAST(p.n_a + p.n_b - COALESCE(iv.n_inter, 0) AS DOUBLE) AS jaccard_exact, est.jaccard_kmv FROM pairs p LEFT JOIN iv ON iv.sa = p.sa AND iv.sb = p.sb JOIN est ON est.sa = p.sa AND est.sb = p.sb ORDER BY p.sa, p.sb"""))
+      Some("""WITH t AS (SELECT source, string_split_regex(text, ' +') AS w FROM documents), e AS (SELECT source, w, unnest(range(0, greatest(len(w) - 2, 0))) AS i FROM t), sh AS (SELECT DISTINCT source, array_to_string(list_slice(w, i + 1, i + 3), ' ') AS s FROM e WHERE i + 3 <= len(w)), hs AS (SELECT DISTINCT source, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(s, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM sh), sz AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1), pairs AS (SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b FROM sz a JOIN sz b ON a.source < b.source), iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2), sk AS (SELECT source, h FROM (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs) WHERE rn <= 128), u AS (SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (SELECT p.sa, p.sb, k.h, 1 AS ina, 0 AS inb FROM pairs p JOIN sk k ON k.source = p.sa UNION ALL SELECT p.sa, p.sb, k.h, 0 AS ina, 1 AS inb FROM pairs p JOIN sk k ON k.source = p.sb) GROUP BY 1, 2, 3), ur AS (SELECT sa, sb, ina, inb, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM u), est AS (SELECT sa, sb, CAST(SUM(ina * inb) AS DOUBLE) / CAST(LEAST(128, COUNT(*)) AS DOUBLE) AS jaccard_kmv FROM ur WHERE rn <= 128 GROUP BY 1, 2) SELECT p.sa, p.sb, p.n_a, p.n_b, COALESCE(iv.n_inter, 0) AS n_inter, CAST(COALESCE(iv.n_inter, 0) AS DOUBLE) / CAST(p.n_a + p.n_b - COALESCE(iv.n_inter, 0) AS DOUBLE) AS jaccard_exact, est.jaccard_kmv FROM pairs p LEFT JOIN iv ON iv.sa = p.sa AND iv.sb = p.sb JOIN est ON est.sa = p.sa AND est.sb = p.sb ORDER BY p.sa, p.sb""")),
+
+    QueryDef("q155_ewma_anomaly",
+      // hourly per-type volume vs its 8-hour exponential trend
+      // (Rolling.ewmaFlags): one shuffle keyed on event_type, one
+      // streaming window pass for all 8 lags. The 0.9^k weights are exact
+      // decimals and the hourly totals exact cents, so the high/low/ok
+      // verdicts are decimal inequalities — cross-engine exact; only the
+      // reported trend does a final double division.
+      (s, d) => {
+        val hourly = events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+        Rolling.ewmaFlags(hourly, Seq("event_type"), Seq("h"), col("x"))
+          .select(col("event_type"), col("h"),
+            col("x").cast("double").as("value_hour"),
+            col("ewma_prev"), col("flag"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      Some("""WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS h, SUM(CAST(value AS DECIMAL(18,2))) AS x FROM events GROUP BY 1, 2), l AS (SELECT event_type, h, x, LAG(x, 1) OVER w AS x1, LAG(x, 2) OVER w AS x2, LAG(x, 3) OVER w AS x3, LAG(x, 4) OVER w AS x4, LAG(x, 5) OVER w AS x5, LAG(x, 6) OVER w AS x6, LAG(x, 7) OVER w AS x7, LAG(x, 8) OVER w AS x8 FROM hr WINDOW w AS (PARTITION BY event_type ORDER BY h)), nd AS (SELECT event_type, h, x, (CASE WHEN x1 IS NULL THEN 0 ELSE 1.0 * x1 END + CASE WHEN x2 IS NULL THEN 0 ELSE 0.9 * x2 END + CASE WHEN x3 IS NULL THEN 0 ELSE 0.81 * x3 END + CASE WHEN x4 IS NULL THEN 0 ELSE 0.729 * x4 END + CASE WHEN x5 IS NULL THEN 0 ELSE 0.6561 * x5 END + CASE WHEN x6 IS NULL THEN 0 ELSE 0.59049 * x6 END + CASE WHEN x7 IS NULL THEN 0 ELSE 0.531441 * x7 END + CASE WHEN x8 IS NULL THEN 0 ELSE 0.4782969 * x8 END) AS num, (CASE WHEN x1 IS NULL THEN 0 ELSE 1.0 END + CASE WHEN x2 IS NULL THEN 0 ELSE 0.9 END + CASE WHEN x3 IS NULL THEN 0 ELSE 0.81 END + CASE WHEN x4 IS NULL THEN 0 ELSE 0.729 END + CASE WHEN x5 IS NULL THEN 0 ELSE 0.6561 END + CASE WHEN x6 IS NULL THEN 0 ELSE 0.59049 END + CASE WHEN x7 IS NULL THEN 0 ELSE 0.531441 END + CASE WHEN x8 IS NULL THEN 0 ELSE 0.4782969 END) AS den FROM l) SELECT event_type, h, CAST(x AS DOUBLE) AS value_hour, CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS ewma_prev, CASE WHEN den = 0 THEN 'warmup' WHEN x * den > 2 * num THEN 'high' WHEN 2 * x * den < num THEN 'low' ELSE 'ok' END AS flag FROM nd ORDER BY event_type, h""")),
+
+    QueryDef("q156_target_mix_rebalance",
+      // static importance-reweighting to a target mixture under a row
+      // budget (Mixing.stepsForTarget -> corpusMix): per-source steps are
+      // closed-form integer arithmetic over the per-source counts, the
+      // kept set is the deterministic hash filter — scan-stage, no
+      // shuffle beyond the two rollups. src0/src1 weighted 5:1 over the
+      // rest, 150-row budget.
+      (s, d) => {
+        val docs = documents(s, d)
+        val targets = Map("src0" -> 5L, "src1" -> 5L)
+        val steps = Mixing.stepsForTarget(docs, "source", targets,
+          defaultTarget = 1L, budgetRows = 150L)
+        val mixed = Mixing.corpusMix(docs, "doc_id", "source", steps)
+        val kept = mixed.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"))
+        val stepDf = s.createDataFrame(
+          steps.toSeq.map { case (g, st) => (g, st) }).toDF("source", "mix_step")
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+          .join(stepDf, Seq("source"))
+          .join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_total"), col("mix_step"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1), t AS (SELECT source, n, CASE WHEN source IN ('src0', 'src1') THEN 5 ELSE 1 END AS tg FROM c), tt AS (SELECT CAST(SUM(tg) AS BIGINT) AS tot FROM t), st AS (SELECT source, n, GREATEST(1, (n * tt.tot) // (150 * tg)) AS mix_step FROM t CROSS JOIN tt), k AS (SELECT d.source, COUNT(*) AS n_kept FROM documents d JOIN st ON d.source = st.source WHERE ((d.doc_id * 1299709 + 104729) % 1000003) % st.mix_step = 0 GROUP BY 1) SELECT st.source, st.n AS n_total, CAST(st.mix_step AS BIGINT) AS mix_step, COALESCE(k.n_kept, 0) AS n_kept FROM st LEFT JOIN k ON k.source = st.source ORDER BY st.source"""))
   )
 }

@@ -157,6 +157,38 @@ object Mixing {
     * Scale shape: one tiny per-group count agg broadcast back, then the
     * per-group top-t_g window — shuffle on the group key. Output adds
     * `mix_target` (t_g). */
+  /** Derive [[corpusMix]] steps that rebalance the corpus toward a TARGET
+    * mixture under a row budget — the static importance-reweighting pass
+    * (the DoReMi-style "match these domain weights" request, answered
+    * with deterministic downsampling instead of random draws): group g
+    * with n_g rows and target weight t_g gets
+    * `step_g = max(1, ⌊n_g·Σt / (budget·t_g)⌋)`, so expected kept ≈
+    * budget·t_g/Σt, clamped at keep-everything for under-represented
+    * groups (steps only ever downsample — a group below its target share
+    * keeps all rows; upsampling is an epochs decision, not a filter).
+    *
+    * All integer arithmetic over the per-group counts (one tiny agg; the
+    * collect is bounded by group cardinality), so a foreign engine
+    * replays the exact steps — and, through [[hashPriority]], the exact
+    * kept set. */
+  def stepsForTarget(df: DataFrame, groupCol: String,
+      targets: Map[String, Long], defaultTarget: Long,
+      budgetRows: Long): Map[String, Long] = {
+    require(budgetRows >= 1, "budget must be positive")
+    require((targets.values ++ Seq(defaultTarget)).forall(_ >= 1),
+      "target weights must be positive")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keysIterator, not keys.map: mapping the key SET would collapse
+    // duplicate weight values before summing
+    val tot = counts.keysIterator
+      .map(g => targets.getOrElse(g, defaultTarget)).sum
+    counts.map { case (g, n) =>
+      val t = targets.getOrElse(g, defaultTarget)
+      g -> math.max(1L, (n * tot) / (budgetRows * t))
+    }
+  }
+
   def temperatureMix(df: DataFrame, idCol: String, groupCol: String,
       alpha: Double, scale: Double): DataFrame = {
     require(alpha > 0 && alpha <= 1 && scale > 0)

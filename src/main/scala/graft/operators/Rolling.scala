@@ -118,4 +118,52 @@ object Rolling {
         explode(sequence(col("__lo"), col("__hi"), lit(stepSec))).as("bucket"))
     spine.join(buckets, Seq(keyCol, "bucket"), "left")
   }
+
+  /** Bounded-horizon exponential smoothing + anomaly flagging over an
+    * ordered per-key series — the monitoring pass over ingest/metric
+    * streams ("is this hour's volume wildly off its recent trend?").
+    *
+    * EWMA here is the H-term truncation of exponential smoothing with
+    * decay 0.9: `ewma_prev = Σ_{k=1..H} 0.9^(k-1)·x_{t-k} / Σ 0.9^(k-1)`
+    * over the lags that exist (series heads use the shorter window; a row
+    * with no predecessor is flagged `warmup`). The 0.9^k weights are EXACT
+    * decimal literals and `x` is exact integer cents, so numerator and
+    * denominator are exact decimals: the anomaly comparisons (x more than
+    * double, or less than half, the trend) are decimal inequalities —
+    * bit-reproducible in any engine — and only the reported `ewma_prev`
+    * does one final double division.
+    *
+    * Scale shape: ONE shuffle on the key columns, then H window lags
+    * evaluated in a single streaming frame pass — no self-join, no
+    * rescan. Include a coarse time bucket (e.g. the date) in `keyCols` at
+    * scale so a key's series never exceeds a partition; the horizon then
+    * resets per bucket, which is the documented trade for boundedness. */
+  def ewmaFlags(df: DataFrame, keyCols: Seq[String], orderCols: Seq[String],
+      valueCents: Column, horizon: Int = 8): DataFrame = {
+    require(horizon >= 1 && horizon <= 16, "horizon must be in [1, 16]")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val x = valueCents.cast("decimal(18,2)")
+    // 0.9^(k-1) exact: k-1 decimal digits each, well inside decimal range
+    val weights: Seq[java.math.BigDecimal] = (0 until horizon)
+      .map(k => new java.math.BigDecimal("0.9").pow(k))
+    val lags = (1 to horizon).map(k => lag(x, k).over(w))
+    val num = lags.zip(weights).map { case (l, wk) =>
+      when(l.isNotNull, lit(wk) * l).otherwise(lit(java.math.BigDecimal.ZERO))
+    }.reduce(_ + _)
+    val den = lags.zip(weights).map { case (l, wk) =>
+      when(l.isNotNull, lit(wk)).otherwise(lit(java.math.BigDecimal.ZERO))
+    }.reduce(_ + _)
+    df.withColumn("__x", x)
+      .withColumn("__num", num).withColumn("__den", den)
+      .withColumn("ewma_prev",
+        when(col("__den") > 0,
+          col("__num").cast("double") / col("__den").cast("double")))
+      .withColumn("flag",
+        when(col("__den") === 0, lit("warmup"))
+          .when(col("__x") * col("__den") > lit(2) * col("__num"), lit("high"))
+          .when(lit(2) * col("__x") * col("__den") < col("__num"), lit("low"))
+          .otherwise(lit("ok")))
+      .drop("__x", "__num", "__den")
+  }
 }

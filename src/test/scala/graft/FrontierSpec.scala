@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.exec.Sampling
-import graft.operators.{CorpusOverlap, Dedup, JoinSampling, QualityModel}
+import graft.operators.{CorpusOverlap, Dedup, JoinSampling, Mixing, QualityModel, Rolling}
 
 /** Round-4 frontier operators: universe join sampling, priority sampling,
   * the hashed linear quality model, corpus overlap. */
@@ -145,6 +145,47 @@ class FrontierSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - r.getDouble(6)) <= tol,
         s"${r.getString(0)}-${r.getString(1)}: exact=${r.getDouble(5)} kmv=${r.getDouble(6)}")
     }
+  }
+
+  test("ewmaFlags: flat series is ok, a 3x spike flags high, a collapse flags low, head is warmup") {
+    import spark.implicits._
+    val series = Seq.tabulate(12)(i => ("a", i, i match {
+      case 9 => java.math.BigDecimal.valueOf(300L) // 3x spike
+      case 11 => java.math.BigDecimal.valueOf(10L) // collapse
+      case _ => java.math.BigDecimal.valueOf(100L)
+    })).toDF("k", "t", "x")
+    val out = Rolling.ewmaFlags(series, Seq("k"), Seq("t"), col("x"))
+      .orderBy(col("t")).select("t", "flag").as[(Int, String)].collect().toMap
+    assert(out(0) == "warmup")
+    (1 to 8).foreach(t => assert(out(t) == "ok", s"t=$t got ${out(t)}"))
+    assert(out(9) == "high")
+    assert(out(10) == "ok") // 100 vs spike-inflated trend still within 2x band
+    assert(out(11) == "low")
+  }
+
+  test("ewmaFlags: ewma_prev of a constant series recovers the constant") {
+    import spark.implicits._
+    val series = Seq.tabulate(10)(i =>
+      ("a", i, java.math.BigDecimal.valueOf(250L))).toDF("k", "t", "x")
+    val out = Rolling.ewmaFlags(series, Seq("k"), Seq("t"), col("x"))
+      .filter(col("t") === 9).select("ewma_prev").collect()(0).getDouble(0)
+    // num and den are exact decimals; the single double division leaves
+    // sub-ulp noise (same two doubles -> same bits in any engine)
+    assert(math.abs(out - 250.0) < 1e-9)
+  }
+
+  test("stepsForTarget: steps hit the budget shares; under-represented groups clamp to keep-all") {
+    import spark.implicits._
+    val docs = (Seq.tabulate(600)(i => (i.toLong, "big")) ++
+      Seq.tabulate(30)(i => (1000L + i, "small"))).toDF("doc_id", "source")
+    val steps = Mixing.stepsForTarget(docs, "source",
+      Map("small" -> 1L, "big" -> 1L), 1L, budgetRows = 100L)
+    // big: 600*2/(100*1) = 12; small: 30*2/(100*1) = 0 -> clamped to 1
+    assert(steps == Map("big" -> 12L, "small" -> 1L))
+    val mixed = Mixing.corpusMix(docs, "doc_id", "source", steps)
+    val kept = mixed.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 30L) // keep-all
+    assert(math.abs(kept("big") - 50L) <= 15L) // ≈ 600/12
   }
 
   test("corpus overlap: shingle fold hash equals the declarative fingerprint fold on raw strings") {
