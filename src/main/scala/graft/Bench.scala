@@ -312,6 +312,36 @@ object Bench {
           100.0 * (1.0 - math.abs(estV - exactV) / exactV))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+    // Priority-sampling probe: the top-(k+1)-by-priority selection as
+    // TakeOrderedAndProject (per-partition bounded heaps — what
+    // Sampling.prioritySample emits) vs the naive expression of the same
+    // semantics as a global row_number window (single-partition sort of
+    // the whole table — the plan that dies first at 100 TB). 600 k rows.
+    val (tPrioTopk, tPrioSort) = {
+      val pw = col("l_extendedprice")
+      def topkOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.exec.Sampling.prioritySample(li, key, pw, k = 500).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def sortOnce(): Double = {
+        import org.apache.spark.sql.expressions.Window
+        val m = 1000003L
+        val h = pmod(pmod(col("ps_key"), lit(m)) * lit(1299709L) +
+          lit(104729L), lit(m)) + lit(1L)
+        val t0 = System.nanoTime()
+        li.select(key.as("ps_key"), pw.cast("double").as("ps_w"))
+          .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("ps_prio").desc, col("ps_key").asc)))
+          .filter(col("rn") <= 501).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      topkOnce(); sortOnce()
+      val pairs = Seq.fill(3)((topkOnce(), sortOnce()))
+      val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
+      (med(pairs.map(_._1)), med(pairs.map(_._2)))
+    }
     // Skew probe at 6 M rows: ~30% of fact rows forced onto ONE supplier
     // key, broadcast disabled (at 100 TB the build side may be too big to
     // broadcast and the hot key pins a reducer). Measures the plain
@@ -497,6 +527,10 @@ object Bench {
       "x_embed_neardup_sec" -> tEmbedDedup,
       "x_ann_ivf_recall" -> ivfRecall,
       "x_ann_lsh_recall" -> lshRecall,
+      "x_priority_topk_sec" -> tPrioTopk,
+      "x_priority_sort_sec" -> tPrioSort,
+      "x_priority_speedup" ->
+        (if (tPrioTopk > 0) tPrioSort / tPrioTopk else -1.0),
       "x_unijoin_exact_sec" -> tUniExact,
       "x_unijoin_sampled_sec" -> tUniSampled,
       "x_unijoin_speedup" ->

@@ -131,6 +131,46 @@ object InventoryFrontier {
             coalesce(col("n_kept"), lit(0L)).as("n_kept"))
           .orderBy(col("source"))
       },
-      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1), t AS (SELECT source, n, CASE WHEN source IN ('src0', 'src1') THEN 5 ELSE 1 END AS tg FROM c), tt AS (SELECT CAST(SUM(tg) AS BIGINT) AS tot FROM t), st AS (SELECT source, n, GREATEST(1, (n * tt.tot) // (150 * tg)) AS mix_step FROM t CROSS JOIN tt), k AS (SELECT d.source, COUNT(*) AS n_kept FROM documents d JOIN st ON d.source = st.source WHERE ((d.doc_id * 1299709 + 104729) % 1000003) % st.mix_step = 0 GROUP BY 1) SELECT st.source, st.n AS n_total, CAST(st.mix_step AS BIGINT) AS mix_step, COALESCE(k.n_kept, 0) AS n_kept FROM st LEFT JOIN k ON k.source = st.source ORDER BY st.source"""))
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1), t AS (SELECT source, n, CASE WHEN source IN ('src0', 'src1') THEN 5 ELSE 1 END AS tg FROM c), tt AS (SELECT CAST(SUM(tg) AS BIGINT) AS tot FROM t), st AS (SELECT source, n, GREATEST(1, (n * tt.tot) // (150 * tg)) AS mix_step FROM t CROSS JOIN tt), k AS (SELECT d.source, COUNT(*) AS n_kept FROM documents d JOIN st ON d.source = st.source WHERE ((d.doc_id * 1299709 + 104729) % 1000003) % st.mix_step = 0 GROUP BY 1) SELECT st.source, st.n AS n_total, CAST(st.mix_step AS BIGINT) AS mix_step, COALESCE(k.n_kept, 0) AS n_kept FROM st LEFT JOIN k ON k.source = st.source ORDER BY st.source""")),
+
+    QueryDef("q157_universe_join_ci",
+      // design-honest error bar for universe join sampling: the 10%
+      // universe of q151 split into ten 1% sub-bands, each an independent
+      // universe replicate whose ×100 joined sum estimates the total; CI
+      // from the replicate spread (the cluster-design analogue of the
+      // dual-pointer CI, with the JOIN KEY as the cluster). Same join
+      // plan as q151 plus one 10-row aggregate; per-band sums stay exact
+      // decimal(18,4) so the replicate moments are exact, then the CI is
+      // one fixed IEEE closed form — the q17/q18 momentStats discipline.
+      (s, d) => {
+        val us = JoinSampling.universeSample(
+          lineitem(s, d), col("l_orderkey"),
+          orders(s, d).select(col("o_orderkey")), col("o_orderkey"))
+        val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(18,4)")
+        // replicates floored to whole units (DECIMAL(19,0)): a ~1e11-unit
+        // replicate loses sub-unit noise only, and its square stays an
+        // EXACT 38-digit decimal in every engine — (18,4)² would overflow
+        // DuckDB's multiply
+        val perBand = us.left
+          .join(us.right, col("l_orderkey") === col("o_orderkey"))
+          .groupBy((JoinSampling.band(col("l_orderkey")) / lit(10L))
+            .cast("long").as("band"))
+          .agg(floor(sum(rev)).cast("decimal(19,0)").as("y"))
+        val m = perBand.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("y")).cast("double").as("s"),
+          sum(col("y") * col("y")).cast("double").as("s2"))
+        val mean = col("s") / col("n")
+        val variance = when(col("n") > 1.0,
+          (col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1.0))
+          .otherwise(lit(0.0))
+        val half = lit(1.96) * sqrt(variance / col("n"))
+        m.select((mean * lit(100.0)).as("est_revenue"),
+          ((mean - half) * lit(100.0)).as("ci_lower"),
+          ((mean + half) * lit(100.0)).as("ci_upper"),
+          col("n").cast("long").as("n_bands"))
+      },
+      Some("""WITH j AS (SELECT ((o_orderkey % 1000003) * 8191 + 131) % 1000 AS b, CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4)) AS r FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE ((o_orderkey % 1000003) * 8191 + 131) % 1000 < 100), p AS (SELECT b // 10 AS band, CAST(FLOOR(SUM(r)) AS DECIMAL(19,0)) AS y FROM j GROUP BY 1), m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(y) AS DOUBLE) AS s, CAST(SUM(y * y) AS DOUBLE) AS s2 FROM p) SELECT (s / n) * 100.0 AS est_revenue, (s / n - 1.96 * SQRT((CASE WHEN n > 1.0 THEN (s2 - s * s / n) / (n - 1.0) ELSE 0.0 END) / n)) * 100.0 AS ci_lower, (s / n + 1.96 * SQRT((CASE WHEN n > 1.0 THEN (s2 - s * s / n) / (n - 1.0) ELSE 0.0 END) / n)) * 100.0 AS ci_upper, CAST(n AS BIGINT) AS n_bands FROM m"""))
   )
 }

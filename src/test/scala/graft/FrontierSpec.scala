@@ -50,6 +50,17 @@ class FrontierSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("universe band-replicate CI covers the true join sum on the fixture") {
+    val r = Inventory.byName("q157_universe_join_ci")
+      .run(spark, sf0001).collect()(0)
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val truth = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(round(rev, 4)).cast("double")).collect()(0).getDouble(0)
+    assert(r.getLong(3) == 10L)
+    assert(r.getDouble(1) <= truth && truth <= r.getDouble(2),
+      s"truth=$truth outside [${r.getDouble(1)}, ${r.getDouble(2)}]")
+  }
+
   test("priority sample: returns exactly k+1 rows, priorities descending, deterministic") {
     val top = Sampling.prioritySample(li,
       col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L),
