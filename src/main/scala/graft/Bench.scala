@@ -443,7 +443,8 @@ object Bench {
     val tPipeline = timeMedian {
       graft.operators.CurationPipeline.run(docsAll, Some(evalSet),
         "doc_id", "text", "source",
-        graft.operators.CurationPipeline.Config(minQuality = 0.2))
+        graft.operators.CurationPipeline.Config(minQuality = 0.2,
+          modelFilterMinMarginCents = Some(-1000L)))
         .agg(count(lit(1))).collect(): Unit
     }
     // per-stage attribution for the same flow (one staged run: each stage
@@ -451,7 +452,8 @@ object Bench {
     // to a stage; stages sum to ≈ the fused total + materialization cost)
     val (_, pipelineStages) = graft.operators.CurationPipeline.runStaged(
       docsAll, Some(evalSet), "doc_id", "text", "source",
-      graft.operators.CurationPipeline.Config(minQuality = 0.2))
+      graft.operators.CurationPipeline.Config(minQuality = 0.2,
+          modelFilterMinMarginCents = Some(-1000L)))
     // Dedup scale probe: 10× the documents fixture with remapped ids —
     // every doc gains 10 near-identical copies, the adversarial case for
     // candidate generation (each cluster of 10 yields 45 candidate pairs).

@@ -133,6 +133,35 @@ object InventoryFrontier {
       },
       Some("""WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1), t AS (SELECT source, n, CASE WHEN source IN ('src0', 'src1') THEN 5 ELSE 1 END AS tg FROM c), tt AS (SELECT CAST(SUM(tg) AS BIGINT) AS tot FROM t), st AS (SELECT source, n, GREATEST(1, (n * tt.tot) // (150 * tg)) AS mix_step FROM t CROSS JOIN tt), k AS (SELECT d.source, COUNT(*) AS n_kept FROM documents d JOIN st ON d.source = st.source WHERE ((d.doc_id * 1299709 + 104729) % 1000003) % st.mix_step = 0 GROUP BY 1) SELECT st.source, st.n AS n_total, CAST(st.mix_step AS BIGINT) AS mix_step, COALESCE(k.n_kept, 0) AS n_kept FROM st LEFT JOIN k ON k.source = st.source ORDER BY st.source""")),
 
+    QueryDef("q158_universe_star_join",
+      // universe sampling composed through a STAR: the 10% orderkey band
+      // thins lineitem and orders (the two legs that would shuffle at
+      // 100 TB); the N:1 dimension hops (customer, nation) stay unsampled
+      // broadcasts — sampling upstream of an N:1 join is bias-free since
+      // every surviving pair still finds its one dim row, and the ×10
+      // applies only to fact-side measures. q20's plan shape, 10% of its
+      // volume.
+      (s, d) => {
+        val us = JoinSampling.universeSample(
+          lineitem(s, d), col("l_orderkey"),
+          orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey"))
+        val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        us.left.join(us.right, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(customer(s, d)
+            .select(col("c_custkey"), col("c_nationkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg((sum(round(rev, 4).cast("decimal(18,4)")) * lit(10))
+              .cast("double").as("est_revenue"),
+            (count(lit(1)) * lit(10L)).as("est_items"))
+          .orderBy(col("n_name"))
+      },
+      Some("SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) * 10 AS DOUBLE) AS est_revenue, COUNT(*) * 10 AS est_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE ((o_orderkey % 1000003) * 8191 + 131) % 1000 < 100 GROUP BY 1 ORDER BY 1")),
+
     QueryDef("q157_universe_join_ci",
       // design-honest error bar for universe join sampling: the 10%
       // universe of q151 split into ten 1% sub-bands, each an independent

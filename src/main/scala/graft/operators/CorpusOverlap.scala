@@ -56,6 +56,21 @@ object CorpusOverlap {
     Skew.topNPerKey(hashes, Seq("source"), Seq(col("h").asc), n = k)
       .drop("rank")
 
+  /** Merge per-drop KMV sketches into the maintained per-source sketch:
+    * bottom-k of the union of bottom-k's — the KMV mergeability property
+    * (bottom-k(A ∪ B) ⊆ bottom-k(bottom-k(A) ∪ bottom-k(B))), so a new
+    * crawl drop folds into the sketch table WITHOUT rescanning the
+    * corpus: sketch the drop alone, union, re-rank. State is S·k rows
+    * forever; OverlapSpec pins merged ≡ rebuilt-from-scratch. */
+  def mergeSketches(sketches: Seq[DataFrame], k: Int = K): DataFrame = {
+    require(sketches.nonEmpty, "nothing to merge")
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    sketches.reduce(_ unionAll _)
+      .select(col("source"), col("h")).distinct()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lit(k)).drop("__rn")
+  }
+
   /** All-pairs overlap report from the distinct-hash base: exact Jaccard
     * AND the KMV estimate, per unordered source pair. The sketch algebra
     * after [[kmvSketch]] touches only S·k rows (every window/aggregate

@@ -46,6 +46,23 @@ object StreamingAgg {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col("sum_value"), col("cnt"))
 
+  /** Per-type tumbling-window volume in EXACT decimal — the streaming
+    * producer for trend/anomaly monitoring: feed the (small) maintained
+    * rollup to [[graft.operators.Rolling.ewmaFlags]] per micro-batch (or
+    * on read) and the verdicts are bit-identical to the batch q155 pass
+    * over the same events, because the rollup rows themselves are exact.
+    * The EWMA pass runs OVER the rollup, not the stream — trend detection
+    * needs completed consecutive windows, and the rollup is bounded by
+    * types × windows, so the trend pass costs nothing at any scale. */
+  def windowedTypedVolume(events: DataFrame, windowDur: String,
+      watermarkDelay: String = "10 minutes",
+      typeCol: String = "event_type"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col(typeCol), window(col("ts"), windowDur))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+      .select(col(typeCol), col("window.start").as("h"), col("x"))
+
   /** Windowed approximate distinct-user count (HyperLogLog++) — the
     * streaming shape of per-window COUNT(DISTINCT): exact distinct needs
     * the window's whole key set in state, HLL keeps a constant-size sketch

@@ -199,6 +199,59 @@ class FrontierSpec extends SparkSpec {
     assert(math.abs(kept("big") - 50L) <= 15L) // ≈ 600/12
   }
 
+  test("KMV sketches merge: folding a new drop into the sketch equals rebuilding from scratch") {
+    val docs = Tables.documents(spark, sf001)
+    val drop1 = docs.filter(col("doc_id") % 2 === 0)
+    val drop2 = docs.filter(col("doc_id") % 2 === 1)
+    val k = 64
+    val merged = CorpusOverlap.mergeSketches(Seq(
+      CorpusOverlap.kmvSketch(
+        CorpusOverlap.shingleHashes(drop1, "source", "text"), k),
+      CorpusOverlap.kmvSketch(
+        CorpusOverlap.shingleHashes(drop2, "source", "text"), k)), k)
+    val rebuilt = CorpusOverlap.kmvSketch(
+      CorpusOverlap.shingleHashes(docs, "source", "text"), k)
+    assert(merged.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(merged).isEmpty)
+  }
+
+  test("edge cases: invalid band windows and k are rejected loudly; single-source overlap is empty") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      JoinSampling.universeSample(li, col("l_orderkey"), ord,
+        col("o_orderkey"), from = 100, until = 100)
+    }
+    intercept[IllegalArgumentException] {
+      JoinSampling.universeSample(li, col("l_orderkey"), ord,
+        col("o_orderkey"), from = 0, until = 2000)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.prioritySample(li, col("l_orderkey"), col("l_extendedprice"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      Mixing.stepsForTarget(
+        Seq((1L, "a")).toDF("doc_id", "source"), "source",
+        Map("a" -> 0L), 1L, 10L)
+    }
+    val one = Seq(("only", "alpha beta gamma delta")).toDF("source", "text")
+    assert(CorpusOverlap.pairwiseOverlap(
+      CorpusOverlap.shingleHashes(one, "source", "text"), k = 8).count() == 0)
+  }
+
+  test("ewmaFlags: two keys never see each other's history") {
+    import spark.implicits._
+    // key b's spike must not contaminate key a's trend
+    val series = (Seq.tabulate(6)(i => ("a", i, java.math.BigDecimal.valueOf(100L))) ++
+      Seq.tabulate(6)(i => ("b", i, java.math.BigDecimal.valueOf(
+        if (i == 5) 900L else 100L)))).toDF("k", "t", "x")
+    val out = Rolling.ewmaFlags(series, Seq("k"), Seq("t"), col("x"))
+      .select("k", "t", "flag").as[(String, Int, String)].collect()
+      .map { case (k, t, f) => (k, t) -> f }.toMap
+    assert(out(("a", 5)) == "ok")
+    assert(out(("b", 5)) == "high")
+    assert(out(("a", 0)) == "warmup" && out(("b", 0)) == "warmup")
+  }
+
   test("corpus overlap: shingle fold hash equals the declarative fingerprint fold on raw strings") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "Zed 9 q").toDF("s")

@@ -223,6 +223,35 @@ class StreamingSpec extends SparkSpec {
     assert(gotMap === exact)
   }
 
+  test("streaming hourly volume + EWMA flags are bit-identical to the batch trend pass") {
+    import graft.operators.Rolling
+    val batchEvents = Tables.events(spark, sf0001)
+    val rawSchema = spark.read.parquet(Tables.path(sf0001, "events")).schema
+    val dir = java.nio.file.Files.createTempDirectory("events_stream_ewma")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(Tables.path(sf0001, "events")),
+      dir.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .transform(Tables.normalizeEventTs)
+    val rollup = StreamingAgg.windowedTypedVolume(streamed, "1 hour")
+    val got = StreamingAgg.runToMemory(spark, rollup, "typed_volume",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    def flagsOf(r: org.apache.spark.sql.DataFrame) =
+      Rolling.ewmaFlags(r, Seq("event_type"), Seq("h"), col("x"))
+        .select(col("event_type"), col("h"), col("x").cast("double"),
+          col("ewma_prev"), col("flag"))
+    val batchRollup = batchEvents
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("x"))
+    val a = flagsOf(got)
+    val b = flagsOf(batchRollup)
+    assert(a.count() == b.count() && a.count() > 0)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("streaming IVM sink maintains a join-view aggregate across batches") {
     import spark.implicits._
     import graft.streaming.UpsertSink
