@@ -330,7 +330,7 @@ object Bench {
         val h = pmod(pmod(col("ps_key"), lit(m)) * lit(1299709L) +
           lit(104729L), lit(m)) + lit(1L)
         val t0 = System.nanoTime()
-        li.select(key.as("ps_key"), pw.cast("double").as("ps_w"))
+        li10f.select(key.as("ps_key"), pw.cast("double").as("ps_w"))
           .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
           .withColumn("rn", row_number().over(
             Window.orderBy(col("ps_prio").desc, col("ps_key").asc)))

@@ -59,6 +59,41 @@ object SweepBench {
         rows += f"sum,$name,$pct,$run,$est%.2f,$err%.4f,$ms,$speedup%.3f"
       }
     }
+    // universe-join sweep: error/speedup of sampling THROUGH the join at
+    // each key-band width, vs the exact joined SUM (broadcast left on —
+    // this sweep shows the end-user plan, the x_unijoin probe isolates
+    // the shuffle effect)
+    val ord = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+    def joinSum(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame, scale: Double): Double =
+      l.join(r, col("l_orderkey") === col("o_orderkey"))
+        .agg((sum(col("l_extendedprice")) * lit(scale)).as("s"))
+        .head().getDouble(0)
+    val exactJoin = joinSum(li, ord, 1.0)
+    val exactJoinMs = (1 to 3).map(_ => timeMs(joinSum(li, ord, 1.0))._2)
+      .sorted.apply(1)
+    for (pct <- Seq(1, 5, 10, 20, 50); run <- 1 to 3) {
+      val us = graft.operators.JoinSampling.universeSample(
+        li, col("l_orderkey"), ord, col("o_orderkey"),
+        from = 0L, until = pct * 10L)
+      val (est, ms) = timeMs(joinSum(us.left, us.right, us.scaleFactor))
+      val err = 100.0 * math.abs(est - exactJoin) / math.abs(exactJoin)
+      val speedup = if (ms > 0) exactJoinMs.toDouble / ms else -1
+      rows += f"join_sum,universe,$pct,$run,$est%.2f,$err%.4f,$ms,$speedup%.3f"
+    }
+    // priority-sampling sweep: fixed-size weighted k = pct% of N
+    val nLi = li.count()
+    for (pct <- Seq(1, 5, 10, 20, 50); run <- 1 to 3) {
+      val k = math.max(1L, nLi * pct / 100).min(1000000L).toInt
+      val (est, ms) = timeMs {
+        graft.exec.Sampling.prioritySumEstimate(
+          graft.exec.Sampling.prioritySample(li, key,
+            col("l_extendedprice"), k), k).head().getDouble(0)
+      }
+      val err = 100.0 * math.abs(est - exact) / math.abs(exact)
+      val speedup = if (ms > 0) exactMs.toDouble / ms else -1
+      rows += f"sum,priority,$pct,$run,$est%.2f,$err%.4f,$ms,$speedup%.3f"
+    }
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outCsv),
       rows.mkString("\n") + "\n")
     println(s"wrote ${rows.size - 1} sweep rows to $outCsv (exact=$exact in ${exactMs}ms)")

@@ -12,7 +12,7 @@ import graft.exec.{ApproxPlanner, SpecExecutor}
   * Usage:
   *   graft.cli.Main "SELECT SUM(l_extendedprice) FROM lineitem" \
   *     [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
-  *     [--method random|clt|block|adaptive|parallel|revolutionary|systematic|file]
+  *     [--method random|clt|block|adaptive|parallel|revolutionary|systematic|file|priority]
   *     [--seed N] [--compat] [--compare] [--count-exact-compat]
   *     [--approx-mode] [--sql] [--explain]
   *
@@ -71,7 +71,8 @@ object Main {
     // --method/--seed/--compat policy layer (reference-compat planner); the
     // 'revolutionary' size router needs the table's record count — one cheap
     // count only when that method is requested
-    val needCount = opts.get("method").exists(_.equalsIgnoreCase("revolutionary"))
+    val needCount = opts.get("method")
+      .exists(m => m.equalsIgnoreCase("revolutionary") || m.equalsIgnoreCase("priority"))
     val totalRecords =
       if (needCount) Some(spark.table(spec1.table).count()) else None
     val spec = ApproxPlanner.plan(spec1, opts.get("method"),
@@ -112,7 +113,7 @@ object Main {
   private val usage =
     """usage: graft.cli.Main "<SELECT agg(col) FROM table [WHERE ..] [GROUP BY g]>"
       |  [--data DIR] [--sample PCT] [--error PCT] [--ci] [--confidence C]
-      |  [--method random|clt|block|adaptive|parallel|revolutionary|systematic|file]
+      |  [--method random|clt|block|adaptive|parallel|revolutionary|systematic|file|priority]
       |  [--seed N] [--compat] [--compare] [--count-exact-compat] [--approx-mode] [--sql] [--explain]
       |APPROX(agg(col)) embedded syntax is also accepted.""".stripMargin
 }

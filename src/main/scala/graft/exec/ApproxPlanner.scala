@@ -77,9 +77,15 @@ object ApproxPlanner {
         // the only speedup-bearing design on columnar storage (FileSampling
         // scaladoc): keep every step-th part-file, never open the rest
         SamplingStrategy.FileLevel(step.toInt)
+      case "priority" =>
+        // extension: fixed-size weighted sample; k from fraction × known
+        // size when available, else a 1000-row budget
+        SamplingStrategy.Priority(
+          totalRecords.map(n => math.max(1L, math.round(n * fraction))
+            .min(1000000L).toInt).getOrElse(1000))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown method '$other' (random|clt|block|adaptive|parallel|revolutionary|systematic|file)")
+          s"unknown method '$other' (random|clt|block|adaptive|parallel|revolutionary|systematic|file|priority)")
     }
   }
 

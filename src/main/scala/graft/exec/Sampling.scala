@@ -355,5 +355,13 @@ object Sampling {
       case a: SamplingStrategy.Adaptive =>
         throw new IllegalArgumentException(
           s"Adaptive($a) is executed by graft.exec.AdaptiveExecutor, not Sampling()")
+      case p: SamplingStrategy.Priority =>
+        throw new IllegalArgumentException(
+          s"Priority($p) needs the value column — routed by SpecExecutor to " +
+            "prioritySample/prioritySumEstimate, not Sampling()")
+      case f: SamplingStrategy.FileLevel =>
+        throw new IllegalArgumentException(
+          s"FileLevel($f) re-plans the scan — routed by SpecExecutor to " +
+            "sources.FileSampling, not Sampling()")
     }
 }

@@ -64,6 +64,27 @@ object SpecExecutor {
         throw new IllegalArgumentException(
           "file-level sampling does not support GROUP BY (group coverage per " +
             "file is not controlled); use a row-level design (--method systematic)")
+      case (None, p: SamplingStrategy.Priority) =>
+        // fixed-size weighted design: content-hash key (same rationale as
+        // AqeSession's no-key table — reproducible on any partitioning),
+        // weight = the aggregated value (COUNT weights every row 1, where
+        // the design degenerates to uniform-without-replacement — still
+        // unbiased via the same threshold estimator)
+        val pkey = abs(xxhash64(struct(base.columns.map(col).toIndexedSeq: _*)))
+        val weight = spec.agg match {
+          case AggKind.Sum   => valueCol
+          case AggKind.Count => lit(1.0)
+          case other => throw new IllegalArgumentException(
+            s"priority sampling undefined for $other (SUM/COUNT only)")
+        }
+        val top = Sampling.prioritySample(base, pkey, weight, p.k)
+        Sampling.prioritySumEstimate(top, p.k)
+          .select(col("sum_est").as(alias), col("n_used").as(s"${alias}_n"))
+      case (Some(_), _: SamplingStrategy.Priority) =>
+        throw new IllegalArgumentException(
+          "priority sampling does not support GROUP BY (the fixed k is a " +
+            "global budget); use Skew.topNPerKey over per-group priorities " +
+            "or a row-level design")
       case (None, a: SamplingStrategy.Adaptive) =>
         val r = AdaptiveExecutor.run(base, valueCol, spec.agg, a)
         import spark.implicits._

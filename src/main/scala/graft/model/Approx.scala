@@ -105,6 +105,19 @@ object SamplingStrategy {
     def scaleFactor: Double = 1.0 / fraction
   }
 
+  /** Priority sampling (extension; Duffield–Lund–Thorup JACM'07): the
+    * fixed-size-k weighted design — top k rows by `weight·M/hash(key)`,
+    * estimated with the threshold estimator `Σ max(w, τ)`. Unlike every
+    * other design here the inclusion probability depends on the VALUE
+    * column, so the estimator is not a flat multiplier: `scaleFactor` is
+    * 1 and `SpecExecutor` routes to `Sampling.prioritySample` +
+    * `prioritySumEstimate`. SUM/COUNT only (a fixed-size weighted design
+    * has no meaningful plain AVG). */
+  final case class Priority(k: Int) extends SamplingStrategy {
+    require(k >= 1, s"k must be >= 1: $k")
+    def scaleFactor: Double = 1.0
+  }
+
   /** Adaptive CLT-validated sampling (reference R12/R13/R24/R28): staged
     * fractions grown until the CI margin meets `errorThresholdPct`. The
     * driver-side loop replaces the reference's fast/slow thread pools. */

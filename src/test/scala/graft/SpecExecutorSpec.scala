@@ -166,4 +166,39 @@ class SpecExecutorSpec extends SparkSpec {
       .copy(sampling = planned)
     intercept[IllegalArgumentException] { SpecExecutor.run(spark, g) }
   }
+
+  test("--method priority routes to the fixed-size weighted design; estimate tracks the exact sum") {
+    import org.apache.spark.sql.functions._
+    import graft.exec.ApproxPlanner
+    import graft.model.SamplingStrategy
+    ensureTables()
+    // k from fraction × known size; fallback budget without a count
+    assert(ApproxPlanner.strategyForMethod("priority", fraction = 0.1,
+      totalRecords = Some(6000L)) === SamplingStrategy.Priority(600))
+    assert(ApproxPlanner.strategyForMethod("priority") ===
+      SamplingStrategy.Priority(1000))
+
+    val spec = QueryParser.parse("SELECT SUM(l_extendedprice) FROM lineitem")
+      .copy(sampling = SamplingStrategy.Priority(500))
+    val r1 = SpecExecutor.run(spark, spec).head()
+    val exact = spark.table("lineitem")
+      .agg(sum(col("l_extendedprice"))).head.getDouble(0)
+    assert(math.abs(r1.getDouble(0) / exact - 1.0) < 0.15,
+      s"est ${r1.getDouble(0)} vs exact $exact")
+    assert(r1.getLong(1) === 500L)
+    // deterministic: content-hash priorities, same answer every run
+    val r2 = SpecExecutor.run(spark, spec).head()
+    assert(r1.getDouble(0) === r2.getDouble(0))
+    // COUNT degenerates to uniform-without-replacement, still unbiased-ish
+    val cs = QueryParser.parse("SELECT COUNT(*) FROM lineitem")
+      .copy(sampling = SamplingStrategy.Priority(500))
+    val c = SpecExecutor.run(spark, cs).head().getDouble(0)
+    val nTrue = spark.table("lineitem").count().toDouble
+    assert(math.abs(c / nTrue - 1.0) < 0.15, s"count est $c vs $nTrue")
+    // GROUP BY refuses loudly (k is a global budget)
+    val g = QueryParser.parse(
+      "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag")
+      .copy(sampling = SamplingStrategy.Priority(100))
+    intercept[IllegalArgumentException] { SpecExecutor.run(spark, g) }
+  }
 }
