@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.exec.Sampling
-import graft.operators.{CorpusOverlap, JoinSampling, Mixing, QualityModel, Rolling}
+import graft.operators.{CorpusOverlap, JoinSampling, Mixing, QualityModel, Rolling, Skew}
 
 /** Round-4 widening: the sampling designs and corpus diagnostics the
   * engine still lacked — sampling THROUGH a join (universe sampling),
@@ -161,6 +161,18 @@ object InventoryFrontier {
           .orderBy(col("n_name"))
       },
       Some("SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) * 10 AS DOUBLE) AS est_revenue, COUNT(*) * 10 AS est_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE ((o_orderkey % 1000003) * 8191 + 131) % 1000 < 100 GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("q159_priority_sample_by_group",
+      // group-budgeted priority sampling (Skew.priorityPerKey): every
+      // return-flag class gets its own fixed-size-200 weighted sample and
+      // its own threshold τ — the per-group answer the global design's
+      // GROUP-BY refusal points at. Priorities scan-stage, per-group
+      // top-(k+1) via the shard-salted two-phase topNPerKey, estimator
+      // one group-keyed aggregate over ≤ 201·groups rows.
+      (s, d) => Skew.priorityPerKey(lineitem(s, d), Seq("l_returnflag"),
+          liKey, col("l_extendedprice"), k = 200)
+        .orderBy(col("l_returnflag")),
+      Some(s"""WITH p AS (SELECT l_returnflag, $liKeySql AS key, CAST(l_extendedprice AS DOUBLE) AS w FROM lineitem), q AS (SELECT l_returnflag, key, w, w * 1000003.0 / (((key % 1000003) * 1299709 + 104729) % 1000003 + 1) AS prio FROM p), r AS (SELECT l_returnflag, key, w, prio, ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY prio DESC, key ASC) AS rn FROM q QUALIFY rn <= 201), t AS (SELECT l_returnflag, CASE WHEN COUNT(*) = 201 THEN MIN(prio) ELSE 0.0 END AS tau FROM r GROUP BY 1) SELECT r.l_returnflag, CAST(SUM(CAST(ROUND(GREATEST(w, tau), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_est, COUNT(*) AS n_used FROM r JOIN t ON r.l_returnflag = t.l_returnflag WHERE rn <= 200 GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("q157_universe_join_ci",
       // design-honest error bar for universe join sampling: the 10%

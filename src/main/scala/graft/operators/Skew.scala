@@ -77,6 +77,46 @@ object Skew {
       .filter(col(rankCol) <= n)
   }
 
+  /** Group-budgeted priority sampling: an independent fixed-size-k
+    * weighted sample (Duffield–Lund–Thorup priority design — see
+    * `graft.exec.Sampling.prioritySample` for the global form and the
+    * statistics) PER GROUP, with the per-group threshold estimator
+    * `Σ max(w, τ_g)` for each group's subset sum. The design the global
+    * form's GROUP-BY refusal points at: a shared k is a global budget,
+    * whereas here every group gets its own k and its own τ.
+    *
+    * Scale shape: priorities are scan-stage; the per-group top-(k+1) runs
+    * through [[topNPerKey]] (two-phase, shard-salted — a hot group never
+    * pins one reducer); the estimator is one group-keyed aggregate over
+    * ≤ (k+1)·groups rows. Deterministic (hash priorities, key tie-break)
+    * → replayable by a foreign engine.
+    *
+    * @return one row per group: `(groupCols..., sum_est, n_used)` */
+  def priorityPerKey(df: DataFrame, groupCols: Seq[String], key: Column,
+      weight: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val m = 1000003L
+    val h = pmod(pmod(col("ps_key"), lit(m)) * lit(1299709L) + lit(104729L),
+      lit(m)) + lit(1L)
+    val prioritized = df
+      .select(groupCols.map(col) ++
+        Seq(key.as("ps_key"), weight.cast("double").as("ps_w")): _*)
+      .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
+    val top = topNPerKey(prioritized, groupCols,
+      Seq(col("ps_prio").desc, col("ps_key").asc), n = k + 1)
+    val gk = groupCols.map(col)
+    val tau = top.groupBy(gk: _*)
+      .agg(when(count(lit(1)) === lit(k + 1), min(col("ps_prio")))
+        .otherwise(lit(0.0)).as("ps_tau"))
+    top.filter(col("rank") <= lit(k.toLong))
+      .join(tau, groupCols)
+      .groupBy(gk: _*)
+      .agg(
+        sum(round(greatest(col("ps_w"), col("ps_tau")), 4)
+          .cast("decimal(28,4)")).cast("double").as("sum_est"),
+        count(lit(1)).as("n_used"))
+  }
+
   /** Salted inner equi-join: `fact ⋈ build` on `key`, with the fact side
     * scattered over `salts` sub-keys (content-hash, deterministic) and the
     * build side replicated once per sub-key. Row-for-row identical to the

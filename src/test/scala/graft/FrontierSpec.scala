@@ -95,6 +95,32 @@ class FrontierSpec extends SparkSpec {
     assert(math.abs(est / exact - 1.0) < 0.15, s"est=$est exact=$exact")
   }
 
+  test("priorityPerKey: per-group estimates track per-group exact sums; small groups go exact") {
+    import graft.operators.Skew
+    val liKey = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+    val est = Skew.priorityPerKey(li, Seq("l_returnflag"), liKey,
+      col("l_extendedprice"), k = 400).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    exact.foreach { case (g, (s, n)) =>
+      val (e, used) = est(g)
+      assert(used == math.min(n, 400L), s"$g used $used of $n")
+      assert(math.abs(e / s - 1.0) < 0.25, s"$g est $e vs exact $s")
+    }
+    // a group smaller than k is sampled exhaustively: τ=0, estimate exact
+    val small = li.filter(col("l_returnflag") === "R").limit(50)
+      .unionByName(li.filter(col("l_returnflag") === "A"))
+    val out = Skew.priorityPerKey(small, Seq("l_returnflag"), liKey,
+      col("l_extendedprice"), k = 400).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exactSmall = small.filter(col("l_returnflag") === "R")
+      .agg(sum(round(col("l_extendedprice"), 4).cast("decimal(28,4)"))
+        .cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(out("R") - exactSmall) < 1e-6)
+  }
+
   test("quality model: margin is the sum of per-token bucket weights; empty text scores 0") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "", "x").toDF("text")
