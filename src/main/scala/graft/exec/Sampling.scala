@@ -309,6 +309,11 @@ object Sampling {
     * broken by `key`, so the selected set — and therefore the estimate —
     * is bit-reproducible in any engine (the hash-gate contract).
     *
+    * Weights must be NON-NEGATIVE (the design's domain): a negative
+    * weight gets a negative priority, is never sampled, and silently
+    * biases the subset-sum estimate. Zero weights are fine (sampled only
+    * once every positive weight is, estimator contribution 0 when τ=0).
+    *
     * @return the top-(k+1) frame `(ps_key, ps_w, ps_prio)`, priority
     *         descending. Feed to [[prioritySumEstimate]]. */
   def prioritySample(df: DataFrame, key: Column, weight: Column,
