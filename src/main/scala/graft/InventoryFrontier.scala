@@ -162,6 +162,39 @@ object InventoryFrontier {
       },
       Some("SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) * 10 AS DOUBLE) AS est_revenue, COUNT(*) * 10 AS est_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey WHERE ((o_orderkey % 1000003) * 8191 + 131) % 1000 < 100 GROUP BY 1 ORDER BY 1")),
 
+    QueryDef("q160_kmv_user_overlap",
+      // distinct-user overlap between every pair of event types — the
+      // theta/KMV sketch SET-OPERATION surface (distinct intersection,
+      // which HLL union alone cannot answer): the same coordinated
+      // bottom-k machinery as corpus overlap, keyed on an injective
+      // affine hash of user_id (gcd(8191, 1000003)=1 → collision-free
+      // for ids < 1e6, so the "exact" legs are truly exact). Both the
+      // exact Jaccard and the sketch estimate hash-match DuckDB.
+      (s, d) => CorpusOverlap.pairwiseOverlap(
+        events(s, d).select(col("event_type").as("source"),
+          pmod(pmod(col("user_id"), lit(1000003L)) * lit(8191L) + lit(131L),
+            lit(1000003L)).as("h")).distinct(), k = 128),
+      Some("""WITH hs AS (SELECT DISTINCT event_type AS source, ((user_id % 1000003) * 8191 + 131) % 1000003 AS h FROM events), sz AS (SELECT source, COUNT(*) AS n FROM hs GROUP BY 1), pairs AS (SELECT a.source AS sa, b.source AS sb, a.n AS n_a, b.n AS n_b FROM sz a JOIN sz b ON a.source < b.source), iv AS (SELECT a.source AS sa, b.source AS sb, COUNT(*) AS n_inter FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2), sk AS (SELECT source, h FROM (SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs) WHERE rn <= 128), u AS (SELECT sa, sb, h, MAX(ina) AS ina, MAX(inb) AS inb FROM (SELECT p.sa, p.sb, k.h, 1 AS ina, 0 AS inb FROM pairs p JOIN sk k ON k.source = p.sa UNION ALL SELECT p.sa, p.sb, k.h, 0 AS ina, 1 AS inb FROM pairs p JOIN sk k ON k.source = p.sb) GROUP BY 1, 2, 3), ur AS (SELECT sa, sb, ina, inb, ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM u), est AS (SELECT sa, sb, CAST(SUM(ina * inb) AS DOUBLE) / CAST(LEAST(128, COUNT(*)) AS DOUBLE) AS jaccard_kmv FROM ur WHERE rn <= 128 GROUP BY 1, 2) SELECT p.sa, p.sb, p.n_a, p.n_b, COALESCE(iv.n_inter, 0) AS n_inter, CAST(COALESCE(iv.n_inter, 0) AS DOUBLE) / CAST(p.n_a + p.n_b - COALESCE(iv.n_inter, 0) AS DOUBLE) AS jaccard_exact, est.jaccard_kmv FROM pairs p LEFT JOIN iv ON iv.sa = p.sa AND iv.sb = p.sb JOIN est ON est.sa = p.sa AND est.sb = p.sb ORDER BY p.sa, p.sb""")),
+
+    QueryDef("q161_universe_distinct",
+      // approximate COUNT(DISTINCT user) per event type from a 20% USER
+      // universe: distinct counts survive sampling ONLY when the distinct
+      // key's universe is sampled (keep all rows of 1-in-5 users → ×5 is
+      // unbiased for the distinct count; row-level Bernoulli keeps a
+      // user with rate 1-(1-p)^freq and undercounts in a frequency-
+      // dependent way no flat multiplier fixes). The band is a scan-stage
+      // filter; the distinct agg shrinks 5×. Complements the HLL path
+      // (q25: full scan, sketch memory) — this one trades a deterministic
+      // subset for a 5× smaller exchange. FrontierSpec pins the
+      // band-partition identity.
+      (s, d) => events(s, d)
+        .filter(pmod(pmod(col("user_id"), lit(1000003L)) * lit(8191L) +
+          lit(131L), lit(1000003L)) < lit(200000L))
+        .groupBy(col("event_type"))
+        .agg((count_distinct(col("user_id")) * lit(5L)).as("n_users_est"))
+        .orderBy(col("event_type")),
+      Some("SELECT event_type, COUNT(DISTINCT user_id) * 5 AS n_users_est FROM events WHERE ((user_id % 1000003) * 8191 + 131) % 1000003 < 200000 GROUP BY 1 ORDER BY 1")),
+
     QueryDef("q159_priority_sample_by_group",
       // group-budgeted priority sampling (Skew.priorityPerKey): every
       // return-flag class gets its own fixed-size-200 weighted sample and

@@ -95,6 +95,24 @@ class FrontierSpec extends SparkSpec {
     assert(math.abs(est / exact - 1.0) < 0.15, s"est=$est exact=$exact")
   }
 
+  test("universe distinct: the five 20% user bands partition the exact distinct count") {
+    val ev = Tables.events(spark, sf0001)
+    val h = pmod(pmod(col("user_id"), lit(1000003L)) * lit(8191L) +
+      lit(131L), lit(1000003L))
+    val exact = ev.agg(count_distinct(col("user_id"))).collect()(0).getLong(0)
+    val bandTotal = (0 until 5).map { b =>
+      ev.filter(h >= lit(b * 200000L) && h < lit((b + 1) * 200000L))
+        .agg(count_distinct(col("user_id"))).collect()(0).getLong(0)
+    }.sum
+    assert(bandTotal == exact) // bands partition users: no loss, no double count
+    // row-level Bernoulli at the same 20% rate UNDERCOUNTS distinct users
+    val rowSampled = ev.filter(pmod(col("event_id"), lit(5L)) === 0)
+      .agg(count_distinct(col("user_id"))).collect()(0).getLong(0) * 5L
+    assert(rowSampled > exact, // every heavy user survives row sampling ->
+      s"row-sampled estimate $rowSampled vs $exact") // x5 OVERcounts here;
+    // either way it is biased — the universe estimate is the sound one
+  }
+
   test("priorityPerKey: per-group estimates track per-group exact sums; small groups go exact") {
     import graft.operators.Skew
     val liKey = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
