@@ -342,6 +342,38 @@ object Bench {
       val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
       (med(pairs.map(_._1)), med(pairs.map(_._2)))
     }
+    // The same universe probe at 60 M fact rows: at 6 M the join is
+    // scan-bound and the band filter shows ~1.3×; here the shuffle legs
+    // dominate (60 M rows exchanged vs 6 M), which is the regime 100 TB
+    // lives in — the measured speedup should widen toward the volume
+    // ratio as scan cost amortizes. 3 interleaved pairs (each exact run
+    // shuffles 60 M rows; the ratio, not the absolute, is the result).
+    val (tUni60Exact, tUni60Sampled) = {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val ordSel = orders.select(col("o_orderkey"), col("o_orderpriority"))
+        val us = graft.operators.JoinSampling.universeSample(
+          liScattered, col("l_orderkey"), ordSel, col("o_orderkey"))
+        def sumOf(l: org.apache.spark.sql.DataFrame,
+            r: org.apache.spark.sql.DataFrame, scale: Double): Double =
+          l.join(r, col("l_orderkey") === col("o_orderkey"))
+            .agg((sum(col("l_extendedprice")) * lit(scale)).as("s"))
+            .first.getDouble(0)
+        def exactOnce(): Double = {
+          val t0 = System.nanoTime(); sumOf(liScattered, ordSel, 1.0)
+          (System.nanoTime() - t0) / 1e9
+        }
+        def sampledOnce(): Double = {
+          val t0 = System.nanoTime(); sumOf(us.left, us.right, us.scaleFactor)
+          (System.nanoTime() - t0) / 1e9
+        }
+        exactOnce(); sampledOnce()
+        val pairs = Seq.fill(3)((exactOnce(), sampledOnce()))
+        val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
+        (med(pairs.map(_._1)), med(pairs.map(_._2)))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
     // Skew probe at 6 M rows: ~30% of fact rows forced onto ONE supplier
     // key, broadcast disabled (at 100 TB the build side may be too big to
     // broadcast and the hot key pins a reducer). Measures the plain
@@ -538,6 +570,10 @@ object Bench {
       "x_unijoin_speedup" ->
         (if (tUniSampled > 0) tUniExact / tUniSampled else -1.0),
       "x_unijoin_accuracy_pct" -> uniAccPct,
+      "x_unijoin60_exact_sec" -> tUni60Exact,
+      "x_unijoin60_sampled_sec" -> tUni60Sampled,
+      "x_unijoin60_speedup" ->
+        (if (tUni60Sampled > 0) tUni60Exact / tUni60Sampled else -1.0),
       "x_join_plain_sec" -> tJoinPlain,
       "x_join_bucketed_sec" -> tJoinBucketed,
       "x_bucketed_join_speedup" ->
