@@ -71,6 +71,29 @@ object CorpusOverlap {
       .filter(col("__rn") <= lit(k)).drop("__rn")
   }
 
+  /** `foreachBatch` body: fold one micro-batch of documents into the
+    * parquet sketch table at `statePath` — the streaming-ingest form of
+    * [[mergeSketches]], so corpus-overlap estimates stay current as
+    * crawl drops land, at S·k rows of state forever. The merged sketch
+    * is collected before the overwrite (bounded by S·k BY DESIGN — this
+    * is the rare collect that is provably small), which also breaks the
+    * read-then-overwrite lineage hazard on `statePath`. */
+  def foldSketchToParquet(batch: DataFrame, sourceCol: String,
+      textCol: String, statePath: String, k: Int = K): Unit = {
+    val spark = batch.sparkSession
+    val drop = kmvSketch(shingleHashes(batch, sourceCol, textCol), k)
+    val hasState = try {
+      spark.read.parquet(statePath).schema.nonEmpty
+    } catch { case _: Throwable => false }
+    val merged =
+      if (hasState) mergeSketches(Seq(spark.read.parquet(statePath), drop), k)
+      else drop
+    val rows = merged.select(col("source"), col("h")).collect().toIndexedSeq
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, merged.schema)
+      .write.mode("overwrite").parquet(statePath)
+  }
+
   /** All-pairs overlap report from the distinct-hash base: exact Jaccard
     * AND the KMV estimate, per unordered source pair. The sketch algebra
     * after [[kmvSketch]] touches only S·k rows (every window/aggregate

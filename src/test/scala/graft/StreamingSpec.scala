@@ -252,6 +252,45 @@ class StreamingSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("streaming KMV sketch maintenance: per-batch folds converge to the batch sketch") {
+    import graft.operators.CorpusOverlap
+    val docs = Tables.documents(spark, sf0001)
+    val rawSchema = spark.read.parquet(Tables.path(sf0001, "documents")).schema
+    // two one-file batches so the fold path actually merges
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream_kmv")
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1).write
+      .parquet(dir.resolve("drop1").toString)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1).write
+      .parquet(dir.resolve("drop2").toString)
+    val streamDir = java.nio.file.Files.createTempDirectory("docs_stream_in")
+    Seq("drop1", "drop2").zipWithIndex.foreach { case (d, i) =>
+      val part = java.nio.file.Files.list(dir.resolve(d)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet")).head
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part),
+        streamDir.resolve(s"$i.parquet"))
+    }
+    val statePath = java.nio.file.Files
+      .createTempDirectory("kmv_state").resolve("sketch").toString
+    val q = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        CorpusOverlap.foldSketchToParquet(batch, "source", "text",
+          statePath, k = 64)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("kmv_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    val maintained = spark.read.parquet(statePath)
+    val rebuilt = CorpusOverlap.kmvSketch(
+      CorpusOverlap.shingleHashes(docs, "source", "text"), k = 64)
+    assert(maintained.count() > 0)
+    assert(maintained.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(maintained).isEmpty)
+  }
+
   test("streaming IVM sink maintains a join-view aggregate across batches") {
     import spark.implicits._
     import graft.streaming.UpsertSink
