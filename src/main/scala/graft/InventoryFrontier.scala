@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.exec.Sampling
+import graft.exec.{HistQuantile, Sampling}
 import graft.operators.{CorpusOverlap, JoinSampling, Mixing, QualityModel, Rolling, Skew}
 
 /** Round-4 widening: the sampling designs and corpus diagnostics the
@@ -194,6 +194,23 @@ object InventoryFrontier {
         .agg((count_distinct(col("user_id")) * lit(5L)).as("n_users_est"))
         .orderBy(col("event_type")),
       Some("SELECT event_type, COUNT(DISTINCT user_id) * 5 AS n_users_est FROM events WHERE ((user_id % 1000003) * 8191 + 131) % 1000003 < 200000 GROUP BY 1 ORDER BY 1")),
+
+    QueryDef("q162_weighted_hist_quantile",
+      // QUANTITY-weighted price quantiles ("the price below which half
+      // the shipped units sit") — the design-weighted quantile estimator
+      // a weighted sample (HT/PPS/priority) needs, as a mergeable
+      // weighted histogram: bin weight-sums are exact decimals that ADD
+      // across partitions/days, interpolation is the q100 expression
+      // with cumulative weight for cumulative count. Shuffle bounded by
+      // nBins regardless of input size.
+      (s, d) => {
+        val h = HistQuantile.weightedHistogram(lineitem(s, d),
+          col("l_extendedprice"), col("l_quantity"),
+          lo = 0.0, width = 2000.0, nBins = 64)
+        HistQuantile.weightedQuantiles(h, lo = 0.0, width = 2000.0,
+          ps = Seq(0.25, 0.5, 0.75, 0.95))
+      },
+      Some("""WITH h AS (SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - 0.0) / 2000.0) AS BIGINT), 0), 63) AS bin, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS wsum FROM lineitem GROUP BY 1), c AS (SELECT bin, wsum, SUM(wsum) OVER (ORDER BY bin) AS cum FROM h), c2 AS (SELECT bin, wsum, cum, cum - wsum AS cum_before FROM c), n AS (SELECT SUM(wsum) AS n FROM h), p AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.95)) AS t(p)) SELECT p, 0.0 + 2000.0 * CAST(bin AS DOUBLE) + 2000.0 * ((p * CAST(n AS DOUBLE) - CAST(cum_before AS DOUBLE)) / CAST(wsum AS DOUBLE)) AS est FROM p CROSS JOIN n JOIN c2 ON CAST(cum AS DOUBLE) >= p * CAST(n AS DOUBLE) AND CAST(cum_before AS DOUBLE) < p * CAST(n AS DOUBLE) ORDER BY p""")),
 
     QueryDef("q159_priority_sample_by_group",
       // group-budgeted priority sampling (Skew.priorityPerKey): every

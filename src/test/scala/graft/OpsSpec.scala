@@ -98,6 +98,37 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("weighted histogram: weight 1 reduces to counts; weighted median shifts toward heavy rows") {
+    // weight ≡ 1 → wsum equals cnt bin-for-bin, quantiles identical
+    val h1 = HistQuantile.weightedHistogram(li, col("l_extendedprice"),
+      lit(1.0), 0.0, 2000.0, 64)
+    val hc = HistQuantile.histogram(li, col("l_extendedprice"), 0.0, 2000.0, 64)
+    val a = h1.orderBy("bin").collect().map(r => (r.getLong(0), r.getDecimal(1).longValue()))
+    val b = hc.orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq == b.toSeq)
+    val q1 = HistQuantile.weightedQuantiles(h1, 0.0, 2000.0, Seq(0.5)).collect()
+    val qc = HistQuantile.quantiles(hc, 0.0, 2000.0, Seq(0.5)).collect()
+    assert(q1.map(_.getDouble(1)).toSeq == qc.map(_.getDouble(1)).toSeq)
+    // planting all weight on the top bin drags the weighted median there
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (99.0, 98.0)).toDF("x", "w")
+    val wh = HistQuantile.weightedHistogram(df, col("x"), col("w"), 0.0, 10.0, 10)
+    val med = HistQuantile.weightedQuantiles(wh, 0.0, 10.0, Seq(0.5))
+      .collect()(0).getDouble(1)
+    assert(med >= 90.0, s"weighted median $med should sit in the heavy bin")
+    // weighted halves merge to the direct weighted histogram
+    val wFirst = HistQuantile.weightedHistogram(
+      li.filter(pmod(col("l_orderkey"), lit(2L)) === 0),
+      col("l_extendedprice"), col("l_quantity"), 0.0, 2000.0, 64)
+    val wSecond = HistQuantile.weightedHistogram(
+      li.filter(pmod(col("l_orderkey"), lit(2L)) === 1),
+      col("l_extendedprice"), col("l_quantity"), 0.0, 2000.0, 64)
+    val wMerged = HistQuantile.mergeWeighted(Seq(wFirst, wSecond))
+    val wDirect = HistQuantile.weightedHistogram(li, col("l_extendedprice"),
+      col("l_quantity"), 0.0, 2000.0, 64)
+    assert(wMerged.orderBy("bin").collect().map(r => (r.getLong(0), r.getDecimal(1)))
+      .toSeq == wDirect.orderBy("bin").collect().map(r => (r.getLong(0), r.getDecimal(1))).toSeq)
+  }
+
   test("histogram clamps out-of-domain values into edge bins") {
     val df = Seq(-5.0, 0.5, 1.5, 99.0).toDF("x")
     val bins = HistQuantile.histogram(df, col("x"), 0.0, 1.0, 3)
