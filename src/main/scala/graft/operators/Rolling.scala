@@ -160,7 +160,8 @@ object Rolling {
         when(col("__den") > 0,
           col("__num").cast("double") / col("__den").cast("double")))
       .withColumn("flag",
-        when(col("__den") === 0, lit("warmup"))
+        when(col("__x").isNull, lit("no_data")) // null measure: no verdict
+          .when(col("__den") === 0, lit("warmup"))
           .when(col("__x") * col("__den") > lit(2) * col("__num"), lit("high"))
           .when(lit(2) * col("__x") * col("__den") < col("__num"), lit("low"))
           .otherwise(lit("ok")))

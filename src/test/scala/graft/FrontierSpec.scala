@@ -282,6 +282,18 @@ class FrontierSpec extends SparkSpec {
       CorpusOverlap.shingleHashes(one, "source", "text"), k = 8).count() == 0)
   }
 
+  test("ewmaFlags: a null measure flags no_data and is excluded from later trends") {
+    import spark.implicits._
+    val series = Seq[(String, Int, Option[java.math.BigDecimal])](
+      ("a", 0, Some(java.math.BigDecimal.valueOf(100L))),
+      ("a", 1, None),
+      ("a", 2, Some(java.math.BigDecimal.valueOf(100L))))
+      .toDF("k", "t", "x")
+    val out = Rolling.ewmaFlags(series, Seq("k"), Seq("t"), col("x"))
+      .select("t", "flag").as[(Int, String)].collect().toMap
+    assert(out(0) == "warmup" && out(1) == "no_data" && out(2) == "ok")
+  }
+
   test("ewmaFlags: two keys never see each other's history") {
     import spark.implicits._
     // key b's spike must not contaminate key a's trend
