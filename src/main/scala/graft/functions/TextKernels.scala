@@ -120,3 +120,65 @@ object HanCount {
     c
   }
 }
+
+/** Hashed-linear quality-model margin in integer cents — the native
+  * kernel under [[graft.operators.QualityModel]]: for each whitespace
+  * token, weight = `((len·31 + firstCp) % 64 · 127 + 17) % 101 − 50`,
+  * summed over the document. The declarative form
+  * (`aggregate(filter(split(s, " ")...))`) is an `ArrayAggregate`, which
+  * is `CodegenFallback`: it breaks whole-stage codegen and allocates a
+  * token array plus an interpreted lambda walk per row — the repo's
+  * ~100× penalty class on a pass that touches EVERY document. This
+  * expression scans the string once: no array, no lambdas, codegen'd.
+  *
+  * Bit-identical to [[graft.operators.QualityModel.marginCentsFold]] on
+  * ASCII corpora (FrontierSpec asserts): `split(s, " ")` splits on
+  * single ASCII spaces and empty tokens are filtered, which is exactly
+  * the non-space-run walk below; `length`/`ascii` agree with
+  * codePointCount/codePointAt on ASCII (the caller contract, as with
+  * [[LexiconHits]] — the DuckDB oracle twin needs ASCII anyway). */
+case class QualityMarginCents(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quality_margin_cents expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    QualityMarginCents.margin(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.QualityMarginCents.margin($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): QualityMarginCents =
+    copy(child = newChild)
+
+  override def prettyName: String = "quality_margin_cents"
+}
+
+object QualityMarginCents {
+  /** Static kernel shared by eval and generated code. */
+  def margin(s: UTF8String): Long = {
+    val str = s.toString
+    var sum = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      while (i < n && str.charAt(i) == ' ') i += 1
+      val start = i
+      while (i < n && str.charAt(i) != ' ') i += 1
+      if (i > start) {
+        val len = str.codePointCount(start, i)
+        val cp = str.codePointAt(start)
+        val bucket = (len * 31 + cp) % 64
+        sum += ((bucket * 127 + 17) % 101) - 50
+      }
+    }
+    sum
+  }
+}

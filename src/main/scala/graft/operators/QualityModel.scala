@@ -47,8 +47,20 @@ object QualityModel {
     pmod(b * lit(127) + lit(17), lit(101)) - lit(50)
 
   /** Per-document margin in cents: Σ over whitespace tokens of the
-    * hashed-bucket weight. Scan-stage fold, exact integer. */
-  def marginCents(text: Column): Column =
+    * hashed-bucket weight. Runs as the native codegen'd
+    * [[graft.functions.QualityMarginCents]] single-pass kernel (the
+    * declarative fold is an `ArrayAggregate` — CodegenFallback, breaks
+    * whole-stage codegen and allocates a token array per document);
+    * [[marginCentsFold]] is the declarative twin it is spec-locked to. */
+  def marginCents(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.QualityMarginCents(
+      ColumnShim.expression(text)))
+  }
+
+  /** Interpreted higher-order-function form of [[marginCents]] (the
+    * semantics statement, and the shape the DuckDB oracle mirrors). */
+  def marginCentsFold(text: Column): Column =
     aggregate(
       filter(split(text, " "), t => length(t) > 0),
       lit(0L),

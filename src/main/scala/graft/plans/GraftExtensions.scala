@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-  import graft.functions.{FloatVecDot, HanCount, LexiconHits, StringFoldHash, WordNgrams}
+  import graft.functions.{FloatVecDot, HanCount, LexiconHits, QualityMarginCents, StringFoldHash, WordNgrams}
 
   private def lit[T](e: Expression, what: String): T = e match {
     case Literal(v, _) => v.asInstanceOf[T]
@@ -61,6 +61,9 @@ object GraftFunctions {
       (FunctionIdentifier("string_fold_hash"),
         new ExpressionInfo(classOf[StringFoldHash].getName, "string_fold_hash"),
         (args: Seq[Expression]) => StringFoldHash(args(0))),
+      (FunctionIdentifier("quality_margin_cents"),
+        new ExpressionInfo(classOf[QualityMarginCents].getName, "quality_margin_cents"),
+        (args: Seq[Expression]) => QualityMarginCents(args(0))),
       (FunctionIdentifier("lexicon_hits"),
         new ExpressionInfo(classOf[LexiconHits].getName, "lexicon_hits"),
         (args: Seq[Expression]) => LexiconHits(args(0),

@@ -139,6 +139,25 @@ class FrontierSpec extends SparkSpec {
     assert(math.abs(out("R") - exactSmall) < 1e-6)
   }
 
+  test("quality model: native kernel is bit-identical to the declarative fold on the corpus and edges") {
+    import spark.implicits._
+    val edges = Seq("", " ", "  a  b ", "x", "a b c d e f g",
+      "single-token-with-punct!?", "trailing space ").toDF("text")
+    Seq(edges, Tables.documents(spark, sf001).select(col("text"))).foreach { df =>
+      val both = df.select(
+        QualityModel.marginCents(col("text")).as("native"),
+        QualityModel.marginCentsFold(col("text")).as("fold"))
+      assert(both.filter(col("native") =!= col("fold")).count() == 0)
+    }
+    // SQL registration (GraftExtensions) reaches the same kernel
+    Tables.documents(spark, sf0001).createOrReplaceTempView("qm_docs")
+    val viaSql = spark.sql(
+      "SELECT sum(quality_margin_cents(text)) FROM qm_docs").collect()(0).getLong(0)
+    val viaApi = Tables.documents(spark, sf0001)
+      .agg(sum(QualityModel.marginCents(col("text")))).collect()(0).getLong(0)
+    assert(viaSql == viaApi)
+  }
+
   test("quality model: margin is the sum of per-token bucket weights; empty text scores 0") {
     import spark.implicits._
     val df = Seq("alpha beta gamma", "", "x").toDF("text")
