@@ -316,7 +316,9 @@ object Bench {
     // TakeOrderedAndProject (per-partition bounded heaps — what
     // Sampling.prioritySample emits) vs the naive expression of the same
     // semantics as a global row_number window (single-partition sort of
-    // the whole table — the plan that dies first at 100 TB). 600 k rows.
+    // the whole table — the plan that dies first at 100 TB). Both branches
+    // read the SAME 600 k-row frame (`li`) so the ratio isolates the
+    // plan-shape difference, not a data-volume difference.
     val (tPrioTopk, tPrioSort) = {
       val pw = col("l_extendedprice")
       def topkOnce(): Double = {
@@ -330,7 +332,7 @@ object Bench {
         val h = pmod(pmod(col("ps_key"), lit(m)) * lit(1299709L) +
           lit(104729L), lit(m)) + lit(1L)
         val t0 = System.nanoTime()
-        li10f.select(key.as("ps_key"), pw.cast("double").as("ps_w"))
+        li.select(key.as("ps_key"), pw.cast("double").as("ps_w"))
           .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
           .withColumn("rn", row_number().over(
             Window.orderBy(col("ps_prio").desc, col("ps_key").asc)))

@@ -94,7 +94,10 @@ object InventoryFrontier {
       // streaming window pass for all 8 lags. The 0.9^k weights are exact
       // decimals and the hourly totals exact cents, so the high/low/ok
       // verdicts are decimal inequalities — cross-engine exact; only the
-      // reported trend does a final double division.
+      // reported trend does a final double division. The SQL twin mirrors
+      // ewmaFlags' verdict ORDER, including the leading null-measure
+      // 'no_data' branch (a NULL x would otherwise null both anomaly
+      // comparisons and fall through to 'ok').
       (s, d) => {
         val hourly = events(s, d)
           .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -105,7 +108,7 @@ object InventoryFrontier {
             col("ewma_prev"), col("flag"))
           .orderBy(col("event_type"), col("h"))
       },
-      Some("""WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS h, SUM(CAST(value AS DECIMAL(18,2))) AS x FROM events GROUP BY 1, 2), l AS (SELECT event_type, h, x, LAG(x, 1) OVER w AS x1, LAG(x, 2) OVER w AS x2, LAG(x, 3) OVER w AS x3, LAG(x, 4) OVER w AS x4, LAG(x, 5) OVER w AS x5, LAG(x, 6) OVER w AS x6, LAG(x, 7) OVER w AS x7, LAG(x, 8) OVER w AS x8 FROM hr WINDOW w AS (PARTITION BY event_type ORDER BY h)), nd AS (SELECT event_type, h, x, (CASE WHEN x1 IS NULL THEN 0 ELSE 1.0 * x1 END + CASE WHEN x2 IS NULL THEN 0 ELSE 0.9 * x2 END + CASE WHEN x3 IS NULL THEN 0 ELSE 0.81 * x3 END + CASE WHEN x4 IS NULL THEN 0 ELSE 0.729 * x4 END + CASE WHEN x5 IS NULL THEN 0 ELSE 0.6561 * x5 END + CASE WHEN x6 IS NULL THEN 0 ELSE 0.59049 * x6 END + CASE WHEN x7 IS NULL THEN 0 ELSE 0.531441 * x7 END + CASE WHEN x8 IS NULL THEN 0 ELSE 0.4782969 * x8 END) AS num, (CASE WHEN x1 IS NULL THEN 0 ELSE 1.0 END + CASE WHEN x2 IS NULL THEN 0 ELSE 0.9 END + CASE WHEN x3 IS NULL THEN 0 ELSE 0.81 END + CASE WHEN x4 IS NULL THEN 0 ELSE 0.729 END + CASE WHEN x5 IS NULL THEN 0 ELSE 0.6561 END + CASE WHEN x6 IS NULL THEN 0 ELSE 0.59049 END + CASE WHEN x7 IS NULL THEN 0 ELSE 0.531441 END + CASE WHEN x8 IS NULL THEN 0 ELSE 0.4782969 END) AS den FROM l) SELECT event_type, h, CAST(x AS DOUBLE) AS value_hour, CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS ewma_prev, CASE WHEN den = 0 THEN 'warmup' WHEN x * den > 2 * num THEN 'high' WHEN 2 * x * den < num THEN 'low' ELSE 'ok' END AS flag FROM nd ORDER BY event_type, h""")),
+      Some("""WITH hr AS (SELECT event_type, date_trunc('hour', ts) AS h, SUM(CAST(value AS DECIMAL(18,2))) AS x FROM events GROUP BY 1, 2), l AS (SELECT event_type, h, x, LAG(x, 1) OVER w AS x1, LAG(x, 2) OVER w AS x2, LAG(x, 3) OVER w AS x3, LAG(x, 4) OVER w AS x4, LAG(x, 5) OVER w AS x5, LAG(x, 6) OVER w AS x6, LAG(x, 7) OVER w AS x7, LAG(x, 8) OVER w AS x8 FROM hr WINDOW w AS (PARTITION BY event_type ORDER BY h)), nd AS (SELECT event_type, h, x, (CASE WHEN x1 IS NULL THEN 0 ELSE 1.0 * x1 END + CASE WHEN x2 IS NULL THEN 0 ELSE 0.9 * x2 END + CASE WHEN x3 IS NULL THEN 0 ELSE 0.81 * x3 END + CASE WHEN x4 IS NULL THEN 0 ELSE 0.729 * x4 END + CASE WHEN x5 IS NULL THEN 0 ELSE 0.6561 * x5 END + CASE WHEN x6 IS NULL THEN 0 ELSE 0.59049 * x6 END + CASE WHEN x7 IS NULL THEN 0 ELSE 0.531441 * x7 END + CASE WHEN x8 IS NULL THEN 0 ELSE 0.4782969 * x8 END) AS num, (CASE WHEN x1 IS NULL THEN 0 ELSE 1.0 END + CASE WHEN x2 IS NULL THEN 0 ELSE 0.9 END + CASE WHEN x3 IS NULL THEN 0 ELSE 0.81 END + CASE WHEN x4 IS NULL THEN 0 ELSE 0.729 END + CASE WHEN x5 IS NULL THEN 0 ELSE 0.6561 END + CASE WHEN x6 IS NULL THEN 0 ELSE 0.59049 END + CASE WHEN x7 IS NULL THEN 0 ELSE 0.531441 END + CASE WHEN x8 IS NULL THEN 0 ELSE 0.4782969 END) AS den FROM l) SELECT event_type, h, CAST(x AS DOUBLE) AS value_hour, CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS ewma_prev, CASE WHEN x IS NULL THEN 'no_data' WHEN den = 0 THEN 'warmup' WHEN x * den > 2 * num THEN 'high' WHEN 2 * x * den < num THEN 'low' ELSE 'ok' END AS flag FROM nd ORDER BY event_type, h""")),
 
     QueryDef("q156_target_mix_rebalance",
       // static importance-reweighting to a target mixture under a row
@@ -183,7 +186,12 @@ object InventoryFrontier {
       // unbiased for the distinct count; row-level Bernoulli keeps a
       // user with rate 1-(1-p)^freq and undercounts in a frequency-
       // dependent way no flat multiplier fixes). The band is a scan-stage
-      // filter; the distinct agg shrinks 5×. Complements the HLL path
+      // filter; the distinct agg shrinks 5×. Multiplier note: the band
+      // covers 200000/1000003 of the hash ring, so the ×5 multiplier is
+      // biased by ~1.5e-5 (exact inverse 5.000015) and five 200000-wide
+      // bands leave residues 1000000–1000002 uncovered — negligible
+      // against sampling noise, and FrontierSpec's partition check runs
+      // the last band to the full modulus. Complements the HLL path
       // (q25: full scan, sketch memory) — this one trades a deterministic
       // subset for a 5× smaller exchange. FrontierSpec pins the
       // band-partition identity.

@@ -72,7 +72,15 @@ object SpecExecutor {
         // unbiased via the same threshold estimator)
         val pkey = abs(xxhash64(struct(base.columns.map(col).toIndexedSeq: _*)))
         val weight = spec.agg match {
-          case AggKind.Sum   => valueCol
+          // the design's domain is non-negative weights (a negative weight
+          // gets a negative priority, is never sampled, and silently biases
+          // the threshold estimator — Sampling.prioritySample scaladoc);
+          // arbitrary CLI queries get a loud per-row guard, not silent bias
+          case AggKind.Sum => when(valueCol < 0, raise_error(concat(
+              lit("priority sampling requires non-negative weights; got "),
+              valueCol.cast("string"),
+              lit(" — use a row-level design (--method systematic) for " +
+                "signed measures")))).otherwise(valueCol)
           case AggKind.Count => lit(1.0)
           case other => throw new IllegalArgumentException(
             s"priority sampling undefined for $other (SUM/COUNT only)")
