@@ -466,7 +466,7 @@ object InventoryPipeline {
         val exact = exactRaw.select(col("id_a"), col("id_b"))
         val nTrue = exact.count()
         val nFound = exact.join(sim, Seq("id_a", "id_b"), "left_semi").count()
-        exactRaw.unpersist(blocking = false)
+        // exactRaw is an eager localCheckpoint — auto-freed, nothing to release
         s.range(1).select(
           lit(nTrue).as("n_true_pairs"),
           lit(nFound.toDouble >= 0.5 * nTrue.toDouble).as("recall_ge_050"))

@@ -277,10 +277,13 @@ object Ann {
     * Pairs that straddle a cluster boundary are missed by construction —
     * recall < 1, like every bucketed dedup in this file; PipelineSpec
     * anchors recall on planted clusters. Same bucket-collect shape as
-    * [[cosineNearDupPairs]], with the learned cid as the bucket key. */
+    * [[cosineNearDupPairs]], with the learned cid as the bucket key and
+    * the same min-id-star collapse past `maxBucket`
+    * ([[Dedup.cappedPairCombos]]) bounding a pathological cluster's pair
+    * fan-out to linear. */
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numCentroids: Int = 64,
-      lloydIters: Int = 1): DataFrame = {
+      threshold: Double, numCentroids: Int = 64, lloydIters: Int = 1,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
     val flat = lloydCentroids(df, idCol, vecCol, numCentroids,
@@ -292,9 +295,7 @@ object Ann {
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(explode(Dedup.cappedPairCombos(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = df.select(col(idCol), col(vecCol))
@@ -304,12 +305,11 @@ object Ann {
       .select(col("id_a"), col("id_b"),
         VectorOps.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.count() // eager verify → release candidates (no cache creep)
+      // eager localCheckpoint: computed once, reused by every caller
+      // branch, blocks ContextCleaner-freed when unreachable — no
+      // caller-must-unpersist contract (see Dedup.nearDupPairs)
+      .localCheckpoint(true)
     pairs.unpersist(blocking = false)
-    // Contract: the RETURNED frame is persisted (it is consumed more than
-    // once by every caller); the caller must unpersist it when done —
-    // [[semDedup]] does so after the cluster labels are checkpointed.
     verified
   }
 
@@ -321,10 +321,9 @@ object Ann {
       lloydIters: Int = 1): DataFrame = {
     val pairs = semDedupPairs(df, idCol, vecCol, threshold, numCentroids,
       lloydIters)
-    // dupClusters returns eagerly-checkpointed labels, so the persisted
-    // pairs frame is no longer reachable from the result — release it.
+    // pairs is an eager localCheckpoint; dupClusters returns checkpointed
+    // labels, after which the pair blocks are auto-freed
     val clusters = Dedup.dupClusters(pairs)
-    pairs.unpersist(blocking = false)
     val losers = clusters
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
@@ -339,7 +338,8 @@ object Ann {
     * exact cosine verify. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bitsPerTable: Int = 6, numTables: Int = 16,
-      dim: Int = 64, seed: Long = 42L): DataFrame = {
+      dim: Int = 64, seed: Long = 42L,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val sigs = (0 until numTables).map { t =>
       val planes = VectorOps.randomPlanes(bitsPerTable, dim, seed + t)
       lit(t.toLong << 32) + VectorOps.hyperplaneSignature(col(vecCol), planes)
@@ -349,9 +349,7 @@ object Ann {
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(explode(Dedup.cappedPairCombos(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vecs = df.select(col(idCol), col(vecCol))
@@ -361,10 +359,7 @@ object Ann {
       .select(col("id_a"), col("id_b"),
         VectorOps.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // eager verify → release the candidate cache immediately (no cache creep
-    // in long pipelines); callers own the returned (small) result's lifetime
-    verified.count()
+      .localCheckpoint(true) // eager; auto-freed — see Dedup.nearDupPairs
     pairs.unpersist(blocking = false)
     verified
   }

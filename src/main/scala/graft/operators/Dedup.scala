@@ -170,21 +170,43 @@ object Dedup {
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("id_a"), y.as("id_b")))))
 
+  /** Default in-bucket pair-enumeration cap shared by every bucketed
+    * candidate generator. Buckets at or below the cap enumerate all N²/2
+    * pairs; larger ones collapse to a min-id STAR (every member paired
+    * with the bucket's min id — same connected components, linear
+    * fan-out). A 10⁵-member residual clique would otherwise explode to
+    * 5·10⁹ pair rows out of ONE collect_list row in one task; with the
+    * cap it emits 10⁵−1. Tail robustness, not semantics: a bucket past
+    * the cap means the members are near-identical (that is what sharing
+    * an LSH band / SimHash chunk / tight cluster at that density implies),
+    * so the star pairs pass the exact verify step whenever the full
+    * clique's would, and cluster propagation over the pair list yields
+    * the same components. Below the cap nothing changes — the fixture
+    * outputs (q35/q36/q45/q80/q86) are bit-identical. */
+  val MaxBucket = 4096
+
+  /** [[pairCombos]] with the [[MaxBucket]]-style star collapse. */
+  private[operators] def cappedPairCombos(ids: Column, cap: Int): Column =
+    when(size(ids) <= lit(cap), pairCombos(ids))
+      .otherwise(transform(slice(ids, lit(2), size(ids)),
+        y => struct(element_at(ids, 1).as("id_a"), y.as("id_b"))))
+
   /** Candidate near-duplicate pairs from LSH banding: ids sharing any
     * (band, band_sig) bucket. One groupBy collects each bucket's ids and
     * pairs are enumerated in-bucket — a single evaluation of the MinHash
     * subtree (a bands⋈bands self-join would compute the signatures twice)
-    * and shuffle ∝ corpus × bands, never O(N²). Skew-bounded: a mega-bucket
-    * means the docs ARE near-identical and the pair list is the true
-    * answer. */
+    * and shuffle ∝ corpus × bands, never O(N²). Skew-bounded two ways: a
+    * mega-bucket means the docs ARE near-identical, and buckets past
+    * `maxBucket` collapse to the min-id star ([[cappedPairCombos]]) so
+    * the tail fan-out stays linear. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = MaxBucket): DataFrame = {
     lshBands(df, idCol, textCol, shingleN, numHashes, bands, seed)
       .groupBy(col("band"), col("band_sig"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(explode(cappedPairCombos(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
@@ -192,11 +214,13 @@ object Dedup {
     * >= `threshold`. Output: (id_a, id_b, jaccard). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, seed: Long = 42L): DataFrame = {
+      bands: Int = 16, seed: Long = 42L,
+      maxBucket: Int = MaxBucket): DataFrame = {
     // Materialize the (tiny) candidate list: it feeds three plan branches
     // (two id projections + the verify join) and an unpersisted DataFrame
     // would re-run the whole MinHash+shuffle subtree once per branch.
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes, bands, seed)
+    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
+      bands, seed, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingle only the docs that appear in candidate pairs (semi-join):
     // verify cost ∝ candidate count, not corpus size
@@ -209,11 +233,12 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the (small) verified pairs eagerly so the candidate cache
-    // can be released NOW instead of creeping for the pipeline's lifetime;
-    // callers holding the result long-term own its unpersist.
-    verified.count()
+      // Eager localCheckpoint: materializes the (small) verified pair list
+      // once — every caller branch reuses the blocks, the candidate cache
+      // can be released NOW, and the blocks are freed by the ContextCleaner
+      // when the frame becomes unreachable. No caller-must-unpersist
+      // contract: external users cannot leak executor memory by default.
+      .localCheckpoint(true)
     cands.unpersist(blocking = false)
     verified
   }
@@ -270,8 +295,7 @@ object Dedup {
       .join(strSh.select(col(idCol).as("id_b"), col("s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.count() // materialize so the candidate cache can be released now
+      .localCheckpoint(true) // eager; blocks auto-freed — see nearDupPairs
     cands.unpersist(blocking = false)
     verified
   }
@@ -334,12 +358,10 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleN,
       numHashes, bands)
-    // dupClusters materializes its labels eagerly (localCheckpoint in the
-    // propagation loop), so the persisted pairs frame is fully consumed by
-    // the time it returns — release it here instead of leaking it onto the
-    // caller (nearDupPairs' unpersist contract, honored internally)
+    // pairs is an eager localCheckpoint — no persist to release; its blocks
+    // are freed automatically once the labels are checkpointed and the pair
+    // frame goes out of scope
     val clusters = dupClusters(pairs)
-    pairs.unpersist(blocking = false)
     val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -359,8 +381,7 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, shingleN,
       numHashes, bands)
-    val clusters = dupClusters(pairs) // eager — see dropNearDups
-    pairs.unpersist(blocking = false)
+    val clusters = dupClusters(pairs) // pairs auto-freed — see dropNearDups
     val members = clusters
       .join(df.select(col(idCol).as("id"), qualityCol.as("__q")), Seq("id"))
     val winners = members.groupBy(col("cluster"))
@@ -472,23 +493,29 @@ object Dedup {
     * each other must agree exactly on at least one of 4 16-bit chunks, so
     * candidates come from 4 bucket-joins instead of N². */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = MaxBucket): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole supports maxHamming <= 3")
     val sk = simhashSketch(df, idCol, textCol) // codegen path; == simhash64
     // same bucket-collect shape as lshCandidatePairs: single sketch
-    // evaluation, in-bucket pair enumeration
+    // evaluation, in-bucket pair enumeration, min-id star past maxBucket
     val chunks = sk.select(col(idCol), col("sk"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("sk"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    def pairStruct(x: Column, y: Column): Column =
+      struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+        x.getField("sk").as("sk_a"), y.getField("sk").as("sk_b"))
+    val m = col("members")
     val pairs = chunks
       .groupBy(col("chunk"), col("chunk_val"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sk")))).as("members"))
-      .filter(size(col("members")) > 1)
-      .select(explode(flatten(transform(col("members"), (x, i) =>
-        transform(slice(col("members"), i + lit(2), size(col("members"))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            x.getField("sk").as("sk_a"), y.getField("sk").as("sk_b")))))).as("p"))
+      .filter(size(m) > 1)
+      .select(explode(
+        when(size(m) <= lit(maxBucket),
+          flatten(transform(m, (x, i) =>
+            transform(slice(m, i + lit(2), size(m)), y => pairStruct(x, y)))))
+        .otherwise(transform(slice(m, lit(2), size(m)),
+          y => pairStruct(element_at(m, 1), y)))).as("p"))
     pairs
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         hamming64(col("p.sk_a"), col("p.sk_b")).as("hamming"))

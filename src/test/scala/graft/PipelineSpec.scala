@@ -31,6 +31,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hot-bucket cap: a planted 1000-member clique emits linear star pairs and identical clusters") {
+    import spark.implicits._
+    val clique = (1L to 1000L)
+      .map(i => (i, "the same boilerplate text repeated verbatim across every member of this clique"))
+      .toDF("doc_id", "text")
+    // capped candidate fan-out is N-1 (min-id star), not N(N-1)/2 = 499500
+    val capped = Dedup.lshCandidatePairs(clique, "doc_id", "text", maxBucket = 64)
+    assert(capped.count() == 999L)
+    assert(capped.filter(col("id_a") === 1L).count() == 999L, "star centre must be the min id")
+    // end-to-end: the capped pair list yields the same connected component
+    val pairs = Dedup.nearDupPairs(clique, "doc_id", "text", threshold = 0.8,
+      maxBucket = 64)
+    val clusters = Dedup.dupClusters(pairs).collect()
+    assert(clusters.length == 1000 && clusters.forall(_.getLong(1) == 1L))
+    // simhash pigeonhole path: same linear fan-out under the cap
+    val sim = Dedup.simhashNearDupPairs(clique, "doc_id", "text",
+      maxHamming = 3, maxBucket = 64)
+    assert(sim.count() == 999L)
+    // below the cap nothing changes: fixture candidates identical to uncapped
+    val dflt = Dedup.lshCandidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+        maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt === uncapped)
+  }
+
   test("heavy hitters equals groupBy+HAVING on skewed, uniform, and all-distinct data") {
     import spark.implicits._
     import graft.operators.HeavyHitters
