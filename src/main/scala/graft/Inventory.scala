@@ -331,7 +331,7 @@ object Inventory {
     exactQueries ++ approxQueries ++ ciQueries ++ designQueries ++
       InventoryPipeline.all ++ InventoryExtensions.all ++ InventoryCuration.all ++
       InventoryOps.all ++ InventoryGovernance.all ++ InventoryAnalytics.all ++
-      InventoryFrontier.all
+      InventoryFrontier.all ++ InventoryScale.all
 
   def byName(name: String): QueryDef = all.find(_.name == name)
     .getOrElse(throw new NoSuchElementException(name))

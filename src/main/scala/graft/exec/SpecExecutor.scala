@@ -64,7 +64,7 @@ object SpecExecutor {
         throw new IllegalArgumentException(
           "file-level sampling does not support GROUP BY (group coverage per " +
             "file is not controlled); use a row-level design (--method systematic)")
-      case (None, p: SamplingStrategy.Priority) =>
+      case (grp, p: SamplingStrategy.Priority) =>
         // fixed-size weighted design: content-hash key (same rationale as
         // AqeSession's no-key table — reproducible on any partitioning),
         // weight = the aggregated value (COUNT weights every row 1, where
@@ -85,14 +85,21 @@ object SpecExecutor {
           case other => throw new IllegalArgumentException(
             s"priority sampling undefined for $other (SUM/COUNT only)")
         }
-        val top = Sampling.prioritySample(base, pkey, weight, p.k)
-        Sampling.prioritySumEstimate(top, p.k)
-          .select(col("sum_est").as(alias), col("n_used").as(s"${alias}_n"))
-      case (Some(_), _: SamplingStrategy.Priority) =>
-        throw new IllegalArgumentException(
-          "priority sampling does not support GROUP BY (the fixed k is a " +
-            "global budget); use Skew.topNPerKey over per-group priorities " +
-            "or a row-level design")
+        grp match {
+          case None =>
+            val top = Sampling.prioritySample(base, pkey, weight, p.k)
+            Sampling.prioritySumEstimate(top, p.k)
+              .select(col("sum_est").as(alias), col("n_used").as(s"${alias}_n"))
+          case Some(g) =>
+            // GROUP BY: the fixed k becomes a PER-GROUP budget — every
+            // group gets its own size-k sample and threshold τ_g
+            // (Skew.priorityPerKey, shard-salted two-phase top-(k+1); a
+            // hot group never pins one reducer)
+            graft.operators.Skew.priorityPerKey(base, Seq(g), pkey, weight, p.k)
+              .select(col(g), col("sum_est").as(alias),
+                col("n_used").as(s"${alias}_n"))
+              .orderBy(col(g))
+        }
       case (None, a: SamplingStrategy.Adaptive) =>
         val r = AdaptiveExecutor.run(base, valueCol, spec.agg, a)
         import spark.implicits._

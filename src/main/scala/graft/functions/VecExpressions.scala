@@ -230,6 +230,143 @@ case class StringFoldHash(child: Expression)
   override def prettyName: String = "string_fold_hash"
 }
 
+/** Symmetric per-vector int8 code of a float/double vector, packed into
+  * BINARY — one byte per component, the 4× width cut that makes quantized
+  * ANN verify candidates cheap to move (array<int> would keep 4-byte
+  * elements in Tungsten rows; only BinaryType actually shrinks the row).
+  * `scale = max|x|/127`, `code_i = floor(x_i/scale + 0.5)` — identical
+  * rounding to [[graft.functions.VectorOps.int8Quantize]], whose
+  * array<int> form is the spec-locked declarative twin (CatalystSpec).
+  * The scale itself is NOT stored: cosine over codes is scale-free
+  * (the per-vector scales cancel in dot/(|a||b|)). All-zero vectors
+  * code to all-zero bytes. */
+case class Int8Code(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"int8_code expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val fv = isFloat
+    val n = v.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (fv) v.getFloat(i).toDouble else v.getDouble(i)
+      val ax = math.abs(x)
+      if (ax > m) m = ax
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m > 0.0) {
+      val scale = m / 127.0
+      i = 0
+      while (i < n) {
+        val x = if (fv) v.getFloat(i).toDouble else v.getDouble(i)
+        out(i) = math.floor(x / scale + 0.5).toInt.toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val m = ctx.freshName("m"); val x = ctx.freshName("x")
+      val out = ctx.freshName("out"); val scale = ctx.freshName("scale")
+      val getV = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = $v.numElements();
+         |double $m = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = java.lang.Math.abs($getV);
+         |  if ($x > $m) $m = $x;
+         |}
+         |byte[] $out = new byte[$n];
+         |if ($m > 0.0) {
+         |  double $scale = $m / 127.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $out[$i] = (byte) (int) java.lang.Math.floor(($getV) / $scale + 0.5);
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Int8Code =
+    copy(child = newChild)
+
+  override def prettyName: String = "int8_code"
+}
+
+/** Cosine similarity of two [[Int8Code]] byte vectors: integer dot and
+  * norms over the signed codes (exact 32/64-bit integer arithmetic — the
+  * per-vector quantization scales cancel), one double division at the
+  * end; 0 when either code is all-zero. The quantized twin of
+  * [[FloatVecDot]]-based cosine for the ANN verify stage: ~1% cosine
+  * error on unit embeddings, 4× narrower candidate rows. */
+case class Int8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int8_cosine expects (binary, binary), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.length, y.length)
+    var dot = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toLong; val yi = y(i).toLong
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (denom > 0.0) dot.toDouble / denom else 0.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($a.length, $b.length);
+         |long $dot = 0L; long $na = 0L; long $nb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $xi = (long) $a[$i]; long $yi = (long) $b[$i];
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |double $denom = java.lang.Math.sqrt((double) $na) * java.lang.Math.sqrt((double) $nb);
+         |${ev.value} = ($denom > 0.0) ? ((double) $dot) / $denom : 0.0;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Cosine =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "int8_cosine"
+}
+
 /** Indices of the `nProbe` centroids with the highest dot product against
   * the input vector, from a flattened row-major `double[]` centroid matrix
   * (k rows × dim). One fused generated loop: score all k centroids, then

@@ -92,6 +92,25 @@ object VectorOps {
       when(scale > 0, floor(x.cast("double") / scale + lit(0.5)).cast("int"))
         .otherwise(lit(0)))
 
+  /** Per-vector int8 code packed into BINARY (one byte per component —
+    * the genuine 4× row-width cut; `array<int>` keeps 4-byte Tungsten
+    * elements). Native codegen'd [[Int8Code]]; same rounding as
+    * [[int8Quantize]] with `scale = maxAbs/127` (CatalystSpec locks the
+    * two together). */
+  def int8Code(a: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(Int8Code(ColumnShim.expression(a)))
+  }
+
+  /** Cosine over two [[int8Code]] byte vectors (scale-free: the
+    * per-vector quantization scales cancel in dot/(|a||b|)). Native
+    * codegen'd [[Int8Cosine]]. */
+  def int8Cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(Int8Cosine(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
   /** Squared reconstruction error of a quantized vector:
     * Σ (x_i − q_i·scale)² as a left fold — the quality metric that decides
     * whether int8 is safe for a given embedding family. */

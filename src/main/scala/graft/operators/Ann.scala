@@ -219,6 +219,47 @@ object Ann {
       .filter(col("rank") <= k).drop("rank")
   }
 
+  /** [[ivfTopK]] with INT8-QUANTIZED candidate scoring — the IVF-PQ-
+    * direction memory/bandwidth path: corpus and probe vectors are coded
+    * once in the scan stage to per-vector-scaled int8 BINARY
+    * ([[VectorOps.int8Code]] — one byte per component, a true 4× cut in
+    * candidate row width vs float32; the quantization scales cancel in
+    * the cosine so no scale column travels), candidates are scored with
+    * the integer-dot [[VectorOps.int8Cosine]] kernel, and ranking happens
+    * on the quantized score directly. Train/assign stages are unchanged
+    * (full-precision Lloyd + [[graft.functions.TopCentroids]]). Quantized
+    * cosine error on unit embeddings is ~1e-2, which reorders only
+    * near-ties — q165 gates recall ≥ 0.75 against exact brute force, the
+    * same floor as the full-precision q46. */
+  def ivfTopKInt8(corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, k: Int, numCentroids: Int = 64, nProbe: Int = 8,
+      lloydIters: Int = 1): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+
+    def topCentroidsCol(flat: Array[Double], nP: Int): Column =
+      ColumnShim.column(TopCentroids(
+        ColumnShim.expression(col(vecCol)), flat, numCentroids, nP))
+
+    val flat = lloydCentroids(corpus, idCol, vecCol, numCentroids,
+      lloydIters).flatten.toArray
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      VectorOps.int8Code(col(vecCol)).as("ccode"),
+      topCentroidsCol(flat, 1).getItem(0).as("cid"))
+    val p = probes.select(col(idCol).as("query_id"),
+      VectorOps.int8Code(col(vecCol)).as("pcode"),
+      explode(topCentroidsCol(flat, nProbe)).as("cid"))
+    val scored = c.join(broadcast(p), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.int8Cosine(col("pcode"), col("ccode")).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k).drop("rank")
+  }
+
   /** Deterministic mini-batch-free Lloyd training shared by [[ivfTopK]] and
     * [[semDedupPairs]]: seeds = the `numCentroids` lowest-id vectors
     * (deterministic, any engine), `lloydIters` rounds of

@@ -569,17 +569,27 @@ object Dedup {
     * a row_number window could not (a hot segment would pin one reducer) —
     * one shuffle join of occurrences against firsts (AQE splits residual
     * hot keys), one shuffle back on the doc id to reassemble. At 100 TB
-    * key the agg/join exchanges on `xxhash64(segment)` instead of the raw
-    * string (kept raw here so the oracle can replay byte-for-byte).
+    * pass `hashedKeys = true`: the agg/join exchanges key on
+    * `xxhash64(segment)` instead of the raw string — the first-occurrence
+    * aggregate's exchange rows and the firsts build side shrink to 16
+    * bytes each regardless of segment length (the occurrence side still
+    * carries the string for reassembly). Two distinct segments colliding
+    * in 64 bits would alias (P ≈ n²/2⁶⁵ — ~3% at 10⁹ distinct segments,
+    * and a collision drops ONE boilerplate-sized window, not a document);
+    * the raw-string default stays bit-exact and is what the DuckDB oracle
+    * replays (q147).
     *
     * Output: `idCol`, `keep*`, `n_segments`, `n_kept`, `text_deduped`. */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
-      segmentWords: Int = 8, keep: Seq[String] = Nil): DataFrame = {
+      segmentWords: Int = 8, keep: Seq[String] = Nil,
+      hashedKeys: Boolean = false): DataFrame = {
     val exploded = explodeSegments(df, idCol, textCol, segmentWords, keep)
-    val firsts = exploded.groupBy(col("segment"))
+      .withColumn("__segkey",
+        if (hashedKeys) xxhash64(col("segment")) else col("segment"))
+    val firsts = exploded.groupBy(col("__segkey"))
       .agg(min(packedPos(idCol)).as("__first"))
     reassemble(
-      exploded.join(firsts, Seq("segment"))
+      exploded.join(firsts, Seq("__segkey"))
         .withColumn("__keep", packedPos(idCol) === col("__first")),
       idCol, keep)
   }

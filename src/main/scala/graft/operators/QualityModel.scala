@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-based quality filtering — the hashed linear classifier stage of a
@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * weight table derived from the bucket id (integer affine mod a prime,
   * centered), which keeps every pipeline stage — hashing, lookup,
   * accumulation, thresholding — real and testable while making the score
-  * bit-reproducible in any engine (the driver hash-gates it; swap
-  * [[weightCents]] for a broadcast-joined trained table in production,
-  * the plan shape is unchanged).
+  * bit-reproducible in any engine (the driver hash-gates it). The
+  * trained-weight production paths exist as first-class ops:
+  * [[marginCentsMapped]] (coefficients as one map literal, same
+  * scan-stage plan shape) and [[marginCentsJoined]] (broadcast join
+  * against an explicit weight table, unbounded vocab) — q163 gates the
+  * join path against the same margins as the baked table.
   *
   * Everything is integer arithmetic in CENTS folded per document by a
   * higher-order `aggregate` over the token array — a pure scan-stage
@@ -72,6 +75,52 @@ object QualityModel {
 
   /** Keep decision at threshold 0 — the pipeline's filter predicate. */
   def keep(text: Column): Column = marginCents(text) > lit(0L)
+
+  /** The shipped deterministic weight table as an explicit DataFrame
+    * `(bucket INT, weight_cents BIGINT)` — the fixture "trained model"
+    * for the production-shape paths below. */
+  def defaultWeightTable(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(Buckets).select(col("id").cast("int").as("bucket"),
+      weightCents(col("id").cast("int")).cast("long").as("weight_cents"))
+
+  /** TRAINED-WEIGHT margin, map-literal form: Σ weight[bucket(token)]
+    * with the weights supplied as a Scala map (a trained model's
+    * coefficient vector) baked into the plan as one map literal — the
+    * same pure scan-stage shape as [[marginCentsFold]], no explode, no
+    * join, no shuffle. Right for models up to ~2¹⁸ buckets (a few MB of
+    * plan literal); beyond that use [[marginCentsJoined]]. Buckets absent
+    * from the map weigh 0. Runs as the interpreted HOF fold (the native
+    * codegen kernel bakes the deterministic table only). */
+  def marginCentsMapped(text: Column, weights: Map[Int, Long]): Column = {
+    val wm = typedLit(weights)
+    aggregate(
+      filter(split(text, " "), t => length(t) > 0),
+      lit(0L),
+      (acc, t) => acc + coalesce(element_at(wm, bucket(t)), lit(0L)))
+  }
+
+  /** TRAINED-WEIGHT margin, broadcast-join form — the unbounded-vocab
+    * production shape: tokens explode in the scan stage, bucket ids join
+    * the (small) weight table with a BROADCAST hash join — no shuffle of
+    * the token stream — and the per-document sum is the only wide
+    * exchange, keyed on the doc id with map-side combine. Documents with
+    * no tokens survive with margin 0 (explode_outer + left join).
+    * Identical totals to [[marginCents]] when `weights` is
+    * [[defaultWeightTable]] (q163 gates it cross-engine).
+    *
+    * Output: `idCol`, `keep*`, `margin_cents`. */
+  def marginCentsJoined(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val toks = df.select(col(idCol) +: keep.map(col) :+
+        explode_outer(filter(split(col(textCol), " "),
+          t => length(t) > 0)).as("__tok"): _*)
+      .withColumn("__bucket", bucket(col("__tok")))
+    toks
+      .join(broadcast(weights.select(col("bucket").as("__bucket"),
+        col("weight_cents").as("__w"))), Seq("__bucket"), "left")
+      .groupBy(col(idCol) +: keep.map(col): _*)
+      .agg(coalesce(sum(col("__w")), lit(0L)).as("margin_cents"))
+  }
 
   /** DuckDB twin of [[marginCents]] for oracle SQL (list_sum over the
     * same integer features; integer sums are order-independent). */

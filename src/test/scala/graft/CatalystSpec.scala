@@ -58,6 +58,49 @@ class CatalystSpec extends SparkSpec {
     assert(planStr.contains("vec_dot") || planStr.toLowerCase.contains("floatvecdot"))
   }
 
+  test("native int8 code/cosine are locked to the declarative quantize twins") {
+    import graft.functions.VectorOps
+    val emb = Tables.embeddings(spark, sf0001).limit(200)
+    // Int8Code bytes == int8Quantize ints elementwise at scale = maxAbs/127
+    val scale = VectorOps.maxAbs(col("embedding")) / lit(127.0)
+    val cmp = emb.select(
+      VectorOps.int8Code(col("embedding")).as("code"),
+      VectorOps.int8Quantize(col("embedding"), scale).as("q"))
+      .collect()
+    cmp.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](0)
+      val ints = r.getSeq[Int](1)
+      assert(bytes.length === ints.length)
+      bytes.zip(ints).foreach { case (b, q) => assert(b.toInt === q) }
+    }
+    // Int8Cosine == the integer dot/norm ratio computed declaratively over
+    // the quantized arrays (scales cancel)
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    def qcol(v: org.apache.spark.sql.Column) =
+      VectorOps.int8Quantize(v, VectorOps.maxAbs(v) / lit(127.0))
+    def idot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("long") * q.cast("long")),
+        lit(0L), (acc, z) => acc + z)
+    val joined = a.join(b, col("id_a") === col("id_b") - 1)
+      .select(
+        VectorOps.int8Cosine(VectorOps.int8Code(col("va")),
+          VectorOps.int8Code(col("vb"))).as("native"),
+        (idot(qcol(col("va")), qcol(col("vb"))).cast("double") /
+          (sqrt(idot(qcol(col("va")), qcol(col("va"))).cast("double")) *
+            sqrt(idot(qcol(col("vb")), qcol(col("vb"))).cast("double"))))
+          .as("decl"))
+      .agg(sum(abs(col("native") - col("decl")))).head().getDouble(0)
+    assert(joined === 0.0, "int8 cosine must be bit-identical to the declarative twin")
+    // quantized cosine tracks the float cosine closely on unit embeddings
+    val drift = a.join(b, col("id_a") === col("id_b") - 1)
+      .select(abs(VectorOps.int8Cosine(VectorOps.int8Code(col("va")),
+        VectorOps.int8Code(col("vb"))) -
+        VectorOps.cosine(col("va"), col("vb"))).as("d"))
+      .agg(max(col("d"))).head().getDouble(0)
+    assert(drift < 0.02, s"int8 cosine drift $drift too large")
+  }
+
   test("bucketed tables co-locate the join: no exchanges in the plan") {
     val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

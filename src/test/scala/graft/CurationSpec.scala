@@ -94,6 +94,17 @@ class CurationSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((2L, 1L, "p q")))
   }
 
+  test("segmentDedup hashedKeys: identical output to the string-keyed form on the fixture") {
+    val docs = Tables.documents(spark, sf0001)
+    def collectOut(hashed: Boolean) =
+      graft.operators.Dedup.segmentDedup(docs, "doc_id", "text",
+          segmentWords = 8, keep = Seq("source"), hashedKeys = hashed)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getString(4))).toSet
+    assert(collectOut(hashed = true) === collectOut(hashed = false))
+  }
+
   test("segmentDedupIncremental: folding batches equals the one-shot dedup") {
     val b1 = Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
     val b2 = Seq((3L, "c d q r"), (4L, "q r q r")).toDF("doc_id", "text")

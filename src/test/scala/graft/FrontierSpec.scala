@@ -176,6 +176,29 @@ class FrontierSpec extends SparkSpec {
     assert(got(2) == w("x"))
   }
 
+  test("trained-weight paths: joined and mapped margins equal the baked kernel per doc") {
+    val docs = Tables.documents(spark, sf0001)
+    // broadcast-join path against the explicit default weight table
+    val baked = docs.select(col("doc_id"),
+      QualityModel.marginCents(col("text")).as("m"))
+    val joined = QualityModel.marginCentsJoined(docs, "doc_id", "text",
+      QualityModel.defaultWeightTable(spark))
+    assert(baked.join(joined, "doc_id")
+      .filter(col("m") =!= col("margin_cents")).count() == 0)
+    assert(joined.count() == docs.count(), "every doc must survive the join path")
+    // map-literal path with the same coefficients
+    val wmap = (0 until QualityModel.Buckets)
+      .map(b => b -> ((b * 127 + 17) % 101 - 50).toLong).toMap
+    assert(docs.select(QualityModel.marginCents(col("text")).as("m"),
+        QualityModel.marginCentsMapped(col("text"), wmap).as("mm"))
+      .filter(col("m") =!= col("mm")).count() == 0)
+    // buckets absent from a trained model weigh 0
+    val sparse = docs.select(
+      QualityModel.marginCentsMapped(col("text"), Map(0 -> 0L)).as("mm"))
+      .agg(sum(abs(col("mm")))).collect()(0).getLong(0)
+    assert(sparse == 0L)
+  }
+
   test("quality model: keep <=> margin > 0, and score = margin/100") {
     val scored = Tables.documents(spark, sf0001)
       .select(QualityModel.marginCents(col("text")).as("mc"),

@@ -367,6 +367,19 @@ class PipelineSpec extends SparkSpec {
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf2 === ivf)
+    // int8-quantized verify: same recall floor on the planted clusters
+    // (quantized cosine reorders only near-ties), deterministic
+    val int8 = Ann.ivfTopKInt8(df, probes, "vec_id", "embedding", k = 5,
+      numCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall8 = exact.intersect(int8).size.toDouble / exact.size
+    assert(recall8 >= 0.8, s"int8 IVF recall $recall8 on clustered data")
+    val int8Again = Ann.ivfTopKInt8(df, probes, "vec_id", "embedding", k = 5,
+      numCentroids = 16, nProbe = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(int8Again === int8)
   }
 
   test("semDedup catches planted twins and never drops a singleton") {

@@ -195,10 +195,35 @@ class SpecExecutorSpec extends SparkSpec {
     val c = SpecExecutor.run(spark, cs).head().getDouble(0)
     val nTrue = spark.table("lineitem").count().toDouble
     assert(math.abs(c / nTrue - 1.0) < 0.15, s"count est $c vs $nTrue")
-    // GROUP BY refuses loudly (k is a global budget)
+    // GROUP BY routes to the group-budgeted design (Skew.priorityPerKey):
+    // every group gets its own size-k sample and threshold, and each
+    // group's estimate tracks its exact sum
     val g = QueryParser.parse(
       "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag")
-      .copy(sampling = SamplingStrategy.Priority(100))
-    intercept[IllegalArgumentException] { SpecExecutor.run(spark, g) }
+      .copy(sampling = SamplingStrategy.Priority(200))
+    val grouped = SpecExecutor.run(spark, g).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    val exactByGroup = spark.table("lineitem").groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice")).as("s"), count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(grouped.keySet === exactByGroup.keySet)
+    exactByGroup.foreach { case (grpKey, (s, n)) =>
+      val (est, used) = grouped(grpKey)
+      assert(used === math.min(200L, n))
+      assert(math.abs(est / s - 1.0) < 0.2, s"group $grpKey: est $est vs $s")
+    }
+    // negative weights refuse loudly at execution (silent bias otherwise)
+    import spark.implicits._
+    Seq((1L, -5.0), (2L, 3.0), (3L, 7.0)).toDF("k", "v")
+      .createOrReplaceTempView("neg_weights_t")
+    val negSpec = QueryParser.parse("SELECT SUM(v) FROM neg_weights_t")
+      .copy(sampling = SamplingStrategy.Priority(2))
+    val ex = intercept[Exception] {
+      SpecExecutor.run(spark, negSpec).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("non-negative")),
+      s"expected the non-negative weight guard, got: ${messages(ex)}")
   }
 }
