@@ -37,8 +37,22 @@ object Bench {
       try scala.io.Source.fromFile("/proc/loadavg").getLines()
         .next().split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // QUIESCE GATE (round-4 lesson: both driver-recorded artifacts were
+    // captured on a co-loaded box and their probe ratios contradicted the
+    // quiesced measurements): refuse to start while the 1-minute load
+    // average exceeds 2.0, waiting up to 3 minutes for the box to calm.
+    // If it never does — or probes stay unstable anyway — the run is
+    // STAMPED "polluted": true in the JSON so no one trusts its ratios.
+    var quiesceWaitSec = 0
+    while (loadavg() > 2.0 && quiesceWaitSec < 180) {
+      Thread.sleep(5000); quiesceWaitSec += 5
+    }
     val loadStart = loadavg()
     var unstableReruns = 0
+    // sub-half-second probes re-run from JIT/GC noise even on a silent
+    // box (30% of 150 ms is one safepoint) — only SLOW-probe instability
+    // is co-load evidence, so only it feeds the polluted stamp
+    var unstableRerunsSlow = 0
     def spreadOf(b: Seq[Double]): Double =
       (b.last - b.head) / math.max(b(1), 1e-9)
     def stableMedian(once: () => Double): Double = {
@@ -47,6 +61,7 @@ object Bench {
       if (spreadOf(b1) <= 0.30) b1(1)
       else {
         unstableReruns += 1
+        if (b1(1) > 0.5) unstableRerunsSlow += 1
         val b2 = batch()
         if (spreadOf(b2) <= spreadOf(b1)) b2(1) else b1(1)
       }
@@ -222,6 +237,52 @@ object Bench {
     val lshRecall = nnSet(graft.operators.Ann.lshTopK(emb, annProbes,
       "vec_id", "embedding", k = 5, bitsPerTable = 6, numTables = 16,
       probeRadius = 1)).intersect(exactNN).size.toDouble / exactNN.size
+    // int8-quantized IVF verify (q165): recall vs exact on the same
+    // probes, wall-clock vs the float path, and the MEASURED exchange
+    // width of a coded vs float candidate projection (one explicit
+    // repartition shuffle each, task-level shuffleWrite bytes summed via
+    // a listener — the 4×-narrower-candidate-rows claim as bytes)
+    val ivf8Recall = nnSet(graft.operators.Ann.ivfTopKInt8(emb, annProbes,
+      "vec_id", "embedding", k = 5, numCentroids = 32, nProbe = 8))
+      .intersect(exactNN).size.toDouble / exactNN.size
+    val tIvfFloat = timeMedian {
+      graft.operators.Ann.ivfTopK(emb, annProbes, "vec_id", "embedding",
+        k = 5, numCentroids = 32, nProbe = 8).count(): Unit
+    }
+    val tIvfInt8 = timeMedian {
+      graft.operators.Ann.ivfTopKInt8(emb, annProbes, "vec_id", "embedding",
+        k = 5, numCentroids = 32, nProbe = 8).count(): Unit
+    }
+    def shuffledBytes(f: => Unit): Double = {
+      val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(1500) } // listener bus drains asynchronously
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get.toDouble
+    }
+    // the post-exchange agg must CONSUME the payload (xxhash64 of it) or
+    // column pruning drops the vector before the repartition and both
+    // legs shuffle 8-byte ids — measured, not hypothetical
+    val bytesFloatLeg = shuffledBytes {
+      emb.select(col("vec_id"), col("embedding"))
+        .repartition(32, col("vec_id"))
+        .agg(sum(xxhash64(col("embedding")).cast("decimal(38,0)")))
+        .collect(): Unit
+    }
+    val bytesCodedLeg = shuffledBytes {
+      emb.select(col("vec_id"),
+          graft.functions.VectorOps.int8Code(col("embedding")).as("code"))
+        .repartition(32, col("vec_id"))
+        .agg(sum(xxhash64(col("code")).cast("decimal(38,0)")))
+        .collect(): Unit
+    }
     // Bucketed co-located join probe: both sides bucketed+sorted on the
     // join key -> SortMergeJoin with ZERO exchanges and no sort, vs the
     // plain shuffle join (broadcast disabled for the probe so the exchange
@@ -513,6 +574,42 @@ object Bench {
           segmentWords = 8)
         .agg(count(lit(1)), sum(col("n_kept"))).collect(): Unit
     }
+    // hashed-key variant: the agg/join exchanges key on xxhash64(segment)
+    // (16-byte rows) instead of the raw segment string — the 100 TB form
+    // the scaladoc documents, probed on the same fixture
+    val tDedup10SegHashed = timeMedian {
+      graft.operators.Dedup.segmentDedup(docs10, "doc_id", "text",
+          segmentWords = 8, hashedKeys = true)
+        .agg(count(lit(1)), sum(col("n_kept"))).collect(): Unit
+    }
+    // q35's MinHash pair mining on the 10× fixture — the scale trend for
+    // the most expensive gated near-dup query (companion to x_unijoin60's
+    // join trend): candidate density grows ∝ clique size², so this is the
+    // adversarial-but-honest growth curve, not a regression alarm
+    val tQ35at10x = timeMedian {
+      graft.operators.Dedup.nearDupPairs(docs10, "doc_id", "text",
+        threshold = 0.8).count(): Unit
+    }
+    // q20's star-join plan at 60 M fact rows (the li100 fixture): pruned
+    // dims broadcast, fact scans once into partial agg — the scale trend
+    // for the most expensive gated join query
+    val tQ20at60m = {
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val cust = Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nat = Tables.nation(spark, sfDir)
+        .select(col("n_nationkey"), col("n_name"))
+      timeMedian {
+        liScattered
+          .join(orders.select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(rev.cast("decimal(18,4)")), count(lit(1)))
+          .collect(): Unit
+      }
+    }
     // Poisson-bootstrap overhead: B = 50 replica sums in the same scan vs
     // the single scaled sum over the same systematic sample — the honest
     // price of a bootstrap CI in the one-pass formulation (should be a
@@ -537,6 +634,9 @@ object Bench {
       "x_dedup10x_neardup_sec" -> tDedup10Near,
       "x_dedup10x_dupngram_sec" -> tDedup10Gram,
       "x_dedup10x_segdedup_sec" -> tDedup10Seg,
+      "x_dedup10x_segdedup_hashed_sec" -> tDedup10SegHashed,
+      "x_q35_10x_sec" -> tQ35at10x,
+      "x_q20_60m_sec" -> tQ20at60m,
       "x_bootstrap_sec" -> tBootstrap,
       "x_bootstrap_vs_plain_sum" ->
         (if (tPlainSum > 0) tBootstrap / tPlainSum else -1.0),
@@ -563,6 +663,13 @@ object Bench {
       "x_embed_neardup_sec" -> tEmbedDedup,
       "x_ann_ivf_recall" -> ivfRecall,
       "x_ann_lsh_recall" -> lshRecall,
+      "x_ann_ivf_sec" -> tIvfFloat,
+      "x_ann_ivf_int8_sec" -> tIvfInt8,
+      "x_ann_ivf_int8_recall" -> ivf8Recall,
+      "x_int8_leg_bytes_float" -> bytesFloatLeg,
+      "x_int8_leg_bytes_coded" -> bytesCodedLeg,
+      "x_int8_leg_shrink" ->
+        (if (bytesCodedLeg > 0) bytesFloatLeg / bytesCodedLeg else -1.0),
       "x_priority_topk_sec" -> tPrioTopk,
       "x_priority_sort_sec" -> tPrioSort,
       "x_priority_speedup" ->
@@ -604,7 +711,14 @@ object Bench {
         (if (tMonthPruned > 0) tMonthScattered / tMonthPruned else -1.0),
       "x_loadavg_start" -> loadStart,
       "x_loadavg_end" -> loadavg(),
-      "x_unstable_reruns" -> unstableReruns.toDouble)
+      "x_quiesce_wait_sec" -> quiesceWaitSec.toDouble,
+      "x_unstable_reruns" -> unstableReruns.toDouble,
+      "x_unstable_reruns_slow" -> unstableRerunsSlow.toDouble)
+    // the artifact's own verdict on itself: start load never calmed below
+    // the gate, or SLOW probes kept re-running — treat every RATIO inside
+    // with suspicion and prefer the PLANS.md quiesced numbers. (loadavg at
+    // END is always elevated: the bench's own local[32] work drives it.)
+    val polluted = loadStart > 2.5 || unstableRerunsSlow > 3
 
     val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
       extra.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })
@@ -614,7 +728,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","polluted":$polluted,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the JSON goes to stdout as
     // its own (last) line AND to a file — sbt/log4j noise on stdout blinded
     // the round-1 perf gate ("parsed": null in BENCH_r01.json).
