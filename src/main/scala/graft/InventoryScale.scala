@@ -15,7 +15,25 @@ import graft.operators.{Ann, QualityModel}
 object InventoryScale {
   import graft.Tables._
 
+  private val liKeySql = "(l_orderkey * 8191 + l_linenumber * 131)"
+  private def liKey = expr(liKeySql)
+
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q166_priority_sample_ci",
+      // q152's fixed-size weighted sample with the design's OWN error bar:
+      // the Duffield–Lund–Thorup variance estimator Σ max(w,τ)·max(τ−w,0)
+      // (items have zero covariance under priority sampling — DLT JACM'07
+      // Thm 1 — so per-item variances add). Fully deterministic like
+      // q152, so the whole interval is hash-gated: DuckDB replays the
+      // sample selection, both decimal-summed terms, and the closed-form
+      // z·sqrt expression bit-for-bit.
+      (s, d) => {
+        val top = graft.exec.Sampling.prioritySample(
+          lineitem(s, d), liKey, col("l_extendedprice"), k = 500)
+        graft.exec.Sampling.prioritySumEstimateCi(top, k = 500)
+      },
+      Some(s"""WITH p AS (SELECT $liKeySql AS key, CAST(l_extendedprice AS DOUBLE) AS w FROM lineitem), q AS (SELECT key, w, w * 1000003.0 / (((key % 1000003) * 1299709 + 104729) % 1000003 + 1) AS prio FROM p), r AS (SELECT key, w, prio, ROW_NUMBER() OVER (ORDER BY prio DESC, key ASC) AS rn FROM q QUALIFY rn <= 501), tau AS (SELECT CASE WHEN COUNT(*) = 501 THEN MIN(prio) ELSE 0.0 END AS tau FROM r), est AS (SELECT CAST(SUM(CAST(ROUND(GREATEST(w, tau), 4) AS DECIMAL(28,4))) AS DOUBLE) AS sum_est, CAST(SUM(CAST(ROUND(GREATEST(w, tau) * GREATEST(tau - w, 0.0), 4) AS DECIMAL(38,4))) AS DOUBLE) AS var_est, COUNT(*) AS n_used FROM r CROSS JOIN tau WHERE rn <= 500) SELECT sum_est, sum_est - 1.96 * SQRT(var_est) AS ci_lower, sum_est + 1.96 * SQRT(var_est) AS ci_upper, n_used FROM est""")),
 
     QueryDef("q163_quality_model_trained",
       // TRAINED-WEIGHT quality filtering, production shape: the weight

@@ -348,6 +348,46 @@ object Sampling {
         count(lit(1)).as("n_used"))
   }
 
+  /** [[prioritySumEstimate]] with the design's own error bar — the
+    * Duffield–Lund–Thorup variance estimator. DLT's central result is
+    * that priority sampling has ZERO covariance between distinct items
+    * (JACM 2007, Thm 1), so the total's variance is the sum of per-item
+    * variances, and `Σ_{i∈S} max(w_i, τ)·max(τ − w_i, 0)` over the k
+    * sampled items estimates it unbiasedly (τ and the weights share
+    * units: priority q_i = w_i/u_i with u_i uniform (0,1]). When the
+    * sample is exhaustive (τ = 0) every term vanishes — the estimate is
+    * exact and the CI collapses to a point, as it should.
+    *
+    * Same scale/determinism contract as [[prioritySumEstimate]]: the
+    * aggregate runs over ≤ k+1 rows, each term is fixed-rounded and
+    * summed through decimal, and the final interval is one closed-form
+    * IEEE expression — bit-replayable by a foreign engine (q166).
+    *
+    * @return one row `(sum_est, ci_lower, ci_upper, n_used)`. */
+  def prioritySumEstimateCi(topKPlus1: DataFrame, k: Int,
+      confidence: Double = 0.95): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = graft.exec.Estimators.zScore(confidence)
+    val w = Window.orderBy(col("ps_prio").desc, col("ps_key").asc)
+    val ranked = topKPlus1.withColumn("ps_rn", row_number().over(w))
+    val tau = ranked.agg(
+      when(count(lit(1)) === lit(k + 1), min(col("ps_prio")))
+        .otherwise(lit(0.0)).as("tau"))
+    ranked.filter(col("ps_rn") <= lit(k))
+      .crossJoin(broadcast(tau))
+      .agg(
+        sum(round(greatest(col("ps_w"), col("tau")), 4)
+          .cast("decimal(28,4)")).cast("double").as("sum_est"),
+        sum(round(greatest(col("ps_w"), col("tau")) *
+            greatest(col("tau") - col("ps_w"), lit(0.0)), 4)
+          .cast("decimal(38,4)")).cast("double").as("var_est"),
+        count(lit(1)).as("n_used"))
+      .select(col("sum_est"),
+        (col("sum_est") - lit(z) * sqrt(col("var_est"))).as("ci_lower"),
+        (col("sum_est") + lit(z) * sqrt(col("var_est"))).as("ci_upper"),
+        col("n_used"))
+  }
+
   /** Apply a [[SamplingStrategy]] given the table's sampling key. */
   def apply(df: DataFrame, strategy: SamplingStrategy, key: => Column): SampledFrame =
     strategy match {

@@ -115,6 +115,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!stats.head.anyNull && !stats.head.getDouble(2).isNaN)
   }
 
+  test("round-5 ops: empty/degenerate inputs flow through trained weights, capped pairs, hashed segdedup") {
+    import graft.operators.QualityModel
+    // trained-weight paths on an empty corpus: empty result, no NPE
+    val w = QualityModel.defaultWeightTable(spark)
+    assert(QualityModel.marginCentsJoined(emptyDocs, "doc_id", "text", w)
+      .count() === 0)
+    // empty-text doc: survives the join path with margin 0 (explode_outer)
+    val one = Seq((7L, "", "src")).toDF("doc_id", "text", "source")
+    val r = QualityModel.marginCentsJoined(one, "doc_id", "text", w).head()
+    assert(r.getLong(0) === 7L && r.getLong(1) === 0L)
+    // empty weight TABLE: every margin 0, every doc kept in the output
+    val noWeights = w.limit(0)
+    val docs3 = Seq((1L, "a b", "s"), (2L, "c", "s")).toDF("doc_id", "text", "source")
+    val zeroed = QualityModel.marginCentsJoined(docs3, "doc_id", "text", noWeights)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(zeroed === Map(1L -> 0L, 2L -> 0L))
+    // capped pair enumerators on empty / singleton inputs
+    assert(Dedup.lshCandidatePairs(emptyDocs, "doc_id", "text",
+      maxBucket = 2).count() === 0)
+    assert(Dedup.simhashNearDupPairs(
+      Seq((1L, "only doc", "s")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", maxBucket = 2).count() === 0)
+    // hashed-key segment dedup on empty input and a single empty-text doc
+    assert(Dedup.segmentDedup(emptyDocs, "doc_id", "text",
+      hashedKeys = true).count() === 0)
+    val segOne = Dedup.segmentDedup(
+      Seq((3L, "", "s")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", segmentWords = 2, hashedKeys = true).head()
+    assert(segOne.getLong(0) === 3L && segOne.getLong(1) === 1L)
+  }
+
   test("round-3 ops: empty and single-row inputs flow through") {
     import graft.operators.{EventAnalytics, Packing, TextAnalysis}
     val emptyEv = Seq.empty[(Long, Long, String, Long)]

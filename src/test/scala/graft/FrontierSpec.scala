@@ -117,6 +117,27 @@ class FrontierSpec extends SparkSpec {
     // either way it is biased — the universe estimate is the sound one
   }
 
+  test("priority CI: DLT interval covers the exact sum; exhaustive sample collapses to a point") {
+    val key = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+    val top = Sampling.prioritySample(li, key, col("l_extendedprice"), k = 500)
+    val r = Sampling.prioritySumEstimateCi(top, k = 500).collect()(0)
+    val exact = li.agg(sum(col("l_extendedprice"))).collect()(0).getDouble(0)
+    assert(r.getDouble(1) <= exact && exact <= r.getDouble(2),
+      s"exact $exact outside [${r.getDouble(1)}, ${r.getDouble(2)}]")
+    assert(r.getDouble(1) < r.getDouble(0) && r.getDouble(0) < r.getDouble(2))
+    // k >= N: τ = 0 → every variance term 0 → point interval at the exact sum
+    val tiny = li.limit(50)
+    val exhaustive = Sampling.prioritySumEstimateCi(
+      Sampling.prioritySample(tiny, key, col("l_extendedprice"), k = 500),
+      k = 500).collect()(0)
+    val tinyExact = tiny.agg(sum(round(col("l_extendedprice"), 4)))
+      .collect()(0).getDouble(0)
+    assert(exhaustive.getDouble(0) === exhaustive.getDouble(1))
+    assert(exhaustive.getDouble(0) === exhaustive.getDouble(2))
+    assert(math.abs(exhaustive.getDouble(0) - tinyExact) < 1e-6)
+    assert(exhaustive.getLong(3) === 50L)
+  }
+
   test("priorityPerKey: per-group estimates track per-group exact sums; small groups go exact") {
     import graft.operators.Skew
     val liKey = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
