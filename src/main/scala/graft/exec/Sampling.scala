@@ -335,8 +335,13 @@ object Sampling {
     * fixed rounding (partition-order-independent, cross-engine exact). */
   def prioritySumEstimate(topKPlus1: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the ≤ k+1 sample rows feed TWO plan branches (τ and the ranked
+    // filter); materialize them once (trivial — hundreds of rows) so the
+    // underlying TakeOrderedAndProject SCAN runs once, not per branch —
+    // at 100 TB the double table scan is the whole query cost
+    val top = topKPlus1.localCheckpoint(true)
     val w = Window.orderBy(col("ps_prio").desc, col("ps_key").asc)
-    val ranked = topKPlus1.withColumn("ps_rn", row_number().over(w))
+    val ranked = top.withColumn("ps_rn", row_number().over(w))
     val tau = ranked.agg(
       when(count(lit(1)) === lit(k + 1), min(col("ps_prio")))
         .otherwise(lit(0.0)).as("tau"))
@@ -368,8 +373,10 @@ object Sampling {
       confidence: Double = 0.95): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val z = graft.exec.Estimators.zScore(confidence)
+    // one scan, two branches — see prioritySumEstimate
+    val top = topKPlus1.localCheckpoint(true)
     val w = Window.orderBy(col("ps_prio").desc, col("ps_key").asc)
-    val ranked = topKPlus1.withColumn("ps_rn", row_number().over(w))
+    val ranked = top.withColumn("ps_rn", row_number().over(w))
     val tau = ranked.agg(
       when(count(lit(1)) === lit(k + 1), min(col("ps_prio")))
         .otherwise(lit(0.0)).as("tau"))

@@ -104,6 +104,9 @@ object Skew {
       .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
     val top = topNPerKey(prioritized, groupCols,
       Seq(col("ps_prio").desc, col("ps_key").asc), n = k + 1)
+      // ≤ (k+1)·groups rows feeding two branches (τ_g and the estimator
+      // join): materialize once so the two-phase window scan runs once
+      .localCheckpoint(true)
     val gk = groupCols.map(col)
     val tau = top.groupBy(gk: _*)
       .agg(when(count(lit(1)) === lit(k + 1), min(col("ps_prio")))
