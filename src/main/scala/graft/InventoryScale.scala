@@ -90,7 +90,8 @@ object InventoryScale {
       // candidate rows, integer-dot cosine), ORACLE-GATED on recall vs
       // exact brute force at the same 0.75 floor as the full-precision
       // q46 (quantized cosine error ~1e-2 reorders only near-ties;
-      // measured ≥ 0.85 across the three fixture scales).
+      // GateProbe measured 0.96/0.86/0.94 at sf0.001/0.01/0.1 vs the
+      // float path's 0.96/0.88/0.94 — quantization costs ≤ 0.02 recall).
       (s, d) => {
         val emb = embeddings(s, d)
         val probes = emb.filter(col("vec_id") < 10)

@@ -35,7 +35,9 @@ object GateProbe {
       k = 5, bitsPerTable = 6, numTables = 16, probeRadius = 1)
     val ivf = Ann.ivfTopK(emb, probes, "vec_id", "embedding",
       k = 5, numCentroids = 32, nProbe = 8)
-    println(f"[gateprobe] $sfDir lsh_recall=${recallOf(lsh)}%.4f ivf_recall=${recallOf(ivf)}%.4f bf_n=$bfN")
+    val ivf8 = Ann.ivfTopKInt8(emb, probes, "vec_id", "embedding",
+      k = 5, numCentroids = 32, nProbe = 8)
+    println(f"[gateprobe] $sfDir lsh_recall=${recallOf(lsh)}%.4f ivf_recall=${recallOf(ivf)}%.4f ivf_int8_recall=${recallOf(ivf8)}%.4f bf_n=$bfN")
 
     // simhash vs exact Jaccard-0.8 pairs
     val docs = Tables.documents(spark, sfDir)
