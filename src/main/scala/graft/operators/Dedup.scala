@@ -23,8 +23,22 @@ object Dedup {
 
   // -- shingling -----------------------------------------------------------
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Distinct word n-gram shingles of a text column. Runs as the native
+    * codegen'd [[graft.functions.WordNgrams]] kernel (one precompiled
+    * loop per doc in the scan stage — the interpreted higher-order form
+    * allocates a sliced array + joined string per token and was the
+    * residual hot path of the q35/q49 VERIFY stage); [[shinglesFold]] is
+    * the declarative twin it is spec-locked to (PipelineSpec asserts
+    * bit-equality on the corpus and edge strings). */
   def shingles(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.WordNgrams(
+      ColumnShim.expression(text), n))
+  }
+
+  /** Interpreted higher-order-function form of [[shingles]] — the
+    * semantics statement; test-only. */
+  def shinglesFold(text: Column, n: Int = 3): Column = {
     val words = split(text, " +")
     array_distinct(
       filter(

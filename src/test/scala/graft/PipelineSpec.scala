@@ -304,6 +304,19 @@ class PipelineSpec extends SparkSpec {
     assert(Dedup.fingerprintDedup(d1).count() === d1.count())
   }
 
+  test("native shingles kernel is bit-identical to the declarative fold on corpus and edges") {
+    import spark.implicits._
+    val edges = Seq("", " ", "a", "a b", "a b c", "a b c d",
+      " lead trail ", "x  y   z w", "dup dup dup dup dup").toDF("text")
+    for (df <- Seq(edges, docs.select(col("text"))); n <- Seq(1, 2, 3)) {
+      val mismatch = df.select(
+        Dedup.shingles(col("text"), n).as("k"),
+        Dedup.shinglesFold(col("text"), n).as("f"))
+        .filter(not(col("k") <=> col("f"))).count()
+      assert(mismatch === 0, s"n=$n kernel/fold divergence")
+    }
+  }
+
   test("jaccard of identical shingle sets is 1") {
     val sh = docs.limit(5).select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     val ones = sh.select(Dedup.jaccard(col("sh"), col("sh")).as("j"))
