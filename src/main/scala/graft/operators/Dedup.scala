@@ -136,11 +136,15 @@ object Dedup {
   /** Per-document banded signature rows: (id, band, bandSig). bandSig is the
     * xxhash64 of the band's slice of the MinHash signature.
     *
-    * Physical shape: explode shingles → codegen'd hash + 64 partial-min
-    * aggregates → groupBy(id). Higher-order array folds are interpreted
-    * per element in Spark, so the whole-stage-codegen explode/HashAggregate
-    * form beats the per-row `aggregate()` sketch ~10×; map-side combine
-    * means the shuffle carries only numHashes longs per document. */
+    * Physical shape: scan-stage [[shingles]] kernel → explode → codegen'd
+    * hash + 64 partial-min aggregates → groupBy(id). Shingling inside the
+    * scan means the ONLY exchange is the groupBy, and map-side combine
+    * collapses it to numHashes longs per document before it moves — the
+    * round-4 window-lead form shuffled the corpus's entire token stream
+    * first just to build shingles (its window needed hash partitioning on
+    * the doc id). MinHash over the kernel's DISTINCT shingles equals
+    * MinHash over all positions (min over a multiset == min over its
+    * set), so signatures are unchanged bit-for-bit. */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
@@ -150,22 +154,9 @@ object Dedup {
     val rng = new scala.util.Random(seed)
     val ab = Seq.fill(numHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
       rng.nextInt(Int.MaxValue).toLong))
-    // Shingles via posexplode + window lead(): fully whole-stage-codegen
-    // (a higher-order transform/slice/concat per shingle runs interpreted —
-    // ~1.5M lambda invocations at 5k docs). The window's hash partitioning
-    // on id is reused by the groupBy below → ONE shuffle total. No
-    // per-doc distinct: MinHash is invariant under duplicate shingles
-    // (min over a multiset == min over its set).
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("pos"))
-    val words = df.select(col(idCol),
-      posexplode(split(col(textCol), " +")).as(Seq("pos", "w1")))
-    val leadCols = (1 until shingleN).map(i => lead(col("w1"), i).over(w).as(s"w${i + 1}"))
-    val wordCols = (1 to shingleN).map(i => col(s"w$i"))
-    val exploded = words
-      .select(col(idCol) +: col("w1") +: leadCols: _*)
-      .filter(wordCols.last.isNotNull)
-      .select(col(idCol), shingleHash(concat_ws(" ", wordCols: _*)).as("h"))
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
+      .select(col(idCol), shingleHash(col("s")).as("h"))
     val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), p)).as(s"m$i")
     }
