@@ -84,6 +84,39 @@ object InventoryScale {
       },
       Some("SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS budget_respected, TRUE AS within_20pct FROM lineitem GROUP BY 1 ORDER BY 1")),
 
+    QueryDef("q167_ann_ivf_index_search",
+      // PERSISTED IVF index, searched with directory-level partition
+      // pruning (Ann.buildIvfIndex → corpus partitioned by learned cid;
+      // searchIvfIndex filters the scan to the probed lists, so unprobed
+      // lists never open a footer). ORACLE-GATED like q46: recall ≥ 0.75
+      // vs exact brute force, plus the pruning fact itself (probed lists
+      // strictly fewer than materialized lists). AnnIndexSpec pins
+      // search ≡ ivfTopK bit-for-bit given the same centroids.
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+        val sfTag = new java.io.File(d).getName
+        val path = s"/tmp/graft_q167_index_$sfTag"
+        Ann.buildIvfIndex(emb, "vec_id", "embedding", path,
+          numCentroids = 32)
+        val res = Ann.searchIvfIndex(s, path, probes, "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        val bf = Ann.bruteForceTopKFast(emb, probes, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTrue = bf.count()
+        val nFound = bf.join(res.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        val listsTotal = s.read.parquet(s"$path/corpus")
+          .select(col("cid")).distinct().count()
+        val listsProbed = Ann.probedCidCount(s, path, probes, "vec_id",
+          "embedding", nProbe = 8)
+        s.range(1).select(
+          lit(nTrue).as("n_true_neighbors"),
+          lit(nFound.toDouble >= 0.75 * nTrue.toDouble).as("recall_ge_075"),
+          lit(listsProbed < listsTotal).as("scan_pruned"))
+      },
+      Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075, TRUE AS scan_pruned FROM embeddings WHERE vec_id < 10")),
+
     QueryDef("q165_ann_ivf_int8_top5",
       // IVF top-5 with int8-quantized candidate scoring (Ann.ivfTopKInt8
       // — codes are per-vector-scaled signed bytes in BINARY, 4× narrower

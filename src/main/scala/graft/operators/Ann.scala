@@ -260,6 +260,105 @@ object Ann {
       .filter(col("rank") <= k).drop("rank")
   }
 
+  /** PERSISTED IVF index — the build-once / search-many production shape.
+    * [[ivfTopK]] retrains and rescans the corpus per query batch; real
+    * serving builds the index once and prunes at read time. Layout:
+    *
+    *   `path/centroids` — (cid, vec array<double>), numCentroids rows
+    *   `path/corpus`    — (id, vec) PARTITIONED BY cid: each inverted
+    *                      list is its own directory, so a search's cid
+    *                      filter prunes at PLANNING time from the
+    *                      listing (PartitionFilters — zero footers read
+    *                      for unprobed lists; the same lever as the
+    *                      hive-partition probe, here keyed by the
+    *                      learned cluster id)
+    *
+    * [[searchIvfIndex]] reads ≈ nProbe/numCentroids of the corpus bytes
+    * and returns results IDENTICAL to [[ivfTopK]] with the same
+    * centroids (AnnIndexSpec hash-asserts it): same TopCentroids
+    * assignment, same cosine, same ranking. */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, numCentroids: Int = 64, lloydIters: Int = 1): Unit = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+    val spark = corpus.sparkSession
+    val centroids = lloydCentroids(corpus, idCol, vecCol, numCentroids,
+      lloydIters)
+    val flat = centroids.flatten.toArray
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "vec")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val assign = ColumnShim.column(TopCentroids(
+      ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        assign.as("cid"))
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$path/corpus")
+  }
+
+  /** Number of distinct inverted lists a probe set would open — the
+    * pruning diagnostic q167 gates (`probed < materialized lists`). */
+  def probedCidCount(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, idCol: String, vecCol: String, nProbe: Int): Long = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("vec")).collect()
+    val dim = centRows.head.getSeq[Double](1).length
+    val flat = new Array[Double](centRows.length * dim)
+    centRows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      var i = 0
+      while (i < dim) { flat(r.getInt(0) * dim + i) = v(i); i += 1 }
+    }
+    probes.select(explode(ColumnShim.column(TopCentroids(
+        ColumnShim.expression(col(vecCol)), flat, centRows.length, nProbe)))
+        .as("cid"))
+      .distinct().count()
+  }
+
+  /** Search a [[buildIvfIndex]] index: probes pick their `nProbe` nearest
+    * centroids, the corpus scan is filtered to those cids with a static
+    * IN-list (directory-level partition pruning — the probe set is small
+    * by contract, so collecting its cid set is a bounded driver step),
+    * candidates score exact cosine, ranking keeps top k. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, idCol: String, vecCol: String, k: Int,
+      nProbe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("vec")).collect()
+    val numCentroids = centRows.length
+    val dim = centRows.head.getSeq[Double](1).length
+    val flat = new Array[Double](numCentroids * dim)
+    centRows.foreach { r =>
+      val cid = r.getInt(0)
+      val v = r.getSeq[Double](1)
+      var i = 0
+      while (i < dim) { flat(cid * dim + i) = v(i); i += 1 }
+    }
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"),
+      explode(ColumnShim.column(TopCentroids(
+        ColumnShim.expression(col(vecCol)), flat, numCentroids, nProbe)))
+        .as("cid"))
+    val probedCids = p.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val c = spark.read.parquet(s"$path/corpus")
+      .filter(col("cid").isin(probedCids: _*))
+      .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("cid"))
+    val scored = c.join(broadcast(p), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VectorOps.cosine(col("pvec"), col("cvec")).as("cosine"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k).drop("rank")
+  }
+
   /** Deterministic mini-batch-free Lloyd training shared by [[ivfTopK]] and
     * [[semDedupPairs]]: seeds = the `numCentroids` lowest-id vectors
     * (deterministic, any engine), `lloydIters` rounds of
