@@ -117,6 +117,29 @@ object InventoryScale {
       },
       Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075, TRUE AS scan_pruned FROM embeddings WHERE vec_id < 10")),
 
+    QueryDef("q168_fuzzy_decontaminate",
+      // FUZZY decontamination (Decontam.decontaminateFuzzy): drop train
+      // docs that are NEAR-duplicates (shingle Jaccard ≥ 0.8) of any
+      // eval doc — paraphrase/template leakage the exact n-gram probe
+      // (q67) dilutes. One LSH pass over the tagged union, cross-corpus
+      // candidates only, exact-Jaccard verify. Hash-gated on the same
+      // recall-1 argument as q35 (16×4 banding at 0.8 → miss < 1e-6);
+      // the DuckDB oracle computes the exact train×eval pair set. Eval =
+      // every 97th doc (verbatim copies, so they and their planted
+      // near-dups must drop).
+      (s, d) => {
+        val docs = documents(s, d)
+        val ev = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+          .select(col("doc_id"), col("text"))
+        graft.operators.Decontam.decontaminateFuzzy(docs, ev, "doc_id",
+            "text", threshold = 0.8)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            sum(length(col("text")).cast("long")).as("chars_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), flagged AS (SELECT DISTINCT t.doc_id FROM sh t JOIN sh e ON e.doc_id % 97 = 0 AND CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(t.sh, e.sh))) AS DOUBLE) >= 0.8) SELECT source, COUNT(*) AS n_kept, CAST(SUM(length(text)) AS BIGINT) AS chars_kept FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged) GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q165_ann_ivf_int8_top5",
       // IVF top-5 with int8-quantized candidate scoring (Ann.ivfTopKInt8
       // — codes are per-vector-scaled signed bytes in BINARY, 4× narrower

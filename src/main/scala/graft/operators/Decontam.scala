@@ -91,4 +91,43 @@ object Decontam {
       .select(col(idCol))
     train.join(broadcast(flagged), Seq(idCol), "left_anti")
   }
+
+  /** FUZZY decontamination: drop every train doc that is a NEAR-duplicate
+    * (whole-doc shingle Jaccard ≥ `threshold`) of ANY eval doc — the
+    * hygiene step for paraphrased / templated / lightly-edited benchmark
+    * leakage that exact n-gram overlap treats as noise. Complementary to
+    * [[decontaminate]] (which catches short verbatim spans that whole-doc
+    * Jaccard dilutes); real pipelines run both.
+    *
+    * Machinery: ONE [[Dedup.lshBands]] pass over the TAGGED UNION (train
+    * id → 2·id, eval id → 2·id+1 — disjoint key spaces; ids must be
+    * < 2⁶²), candidates restricted to CROSS-corpus pairs (parity differs)
+    * BEFORE the verify step, verify = exact string-shingle Jaccard scoped
+    * to candidates by semi-join. Same recall guarantee as q35 (16×4
+    * banding at t ≥ 0.8 → pair-miss probability < 1e-6), and unlike the
+    * broadcast n-gram probe this does not need the eval side to be small
+    * — both sides ride the band shuffle, ∝ (train+eval)×bands. */
+  def decontaminateFuzzy(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.8, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val tagged = train
+      .select((col(idCol) * 2).as("__fid"), col(textCol).as("__text"))
+      .unionAll(eval
+        .select((col(idCol) * 2 + 1).as("__fid"), col(textCol).as("__text")))
+    val cands = Dedup.lshCandidatePairs(tagged, "__fid", "__text",
+        shingleN, numHashes, bands)
+      .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+    val candIds = cands.select(col("id_a").as("__fid"))
+      .union(cands.select(col("id_b").as("__fid"))).distinct()
+    val sh = tagged.join(candIds, Seq("__fid"), "left_semi")
+      .select(col("__fid"), Dedup.shingles(col("__text"), shingleN).as("sh"))
+    val flagged = cands
+      .join(sh.select(col("__fid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("__fid").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .select((when(pmod(col("id_a"), lit(2L)) === 0, col("id_a"))
+        .otherwise(col("id_b")) / lit(2L)).cast("long").as(idCol))
+      .distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
 }

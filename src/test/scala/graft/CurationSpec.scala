@@ -94,6 +94,29 @@ class CurationSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((2L, 1L, "p q")))
   }
 
+  test("decontaminateFuzzy drops near-copies of eval docs, keeps the rest; empty eval drops nothing") {
+    import graft.operators.Decontam
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely unrelated content about databases and sampling theory here"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight"))
+      .toDF("doc_id", "text")
+    // eval doc 10 is a near-copy of train 1 (one word differs → J ≈ 0.8+);
+    // eval doc 11 matches nothing
+    val eval = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "benchmark question text with no overlap whatsoever in this corpus"))
+      .toDF("doc_id", "text")
+    val kept = Decontam.decontaminateFuzzy(train, eval, "doc_id", "text",
+      threshold = 0.7).select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc 1 is an exact match; doc 3 differs by one trailing word → its
+    // Jaccard vs eval-10 is 10/12 ≈ 0.83 ≥ 0.7 → dropped too
+    assert(kept === Set(2L))
+    val keptAll = Decontam.decontaminateFuzzy(train, eval.limit(0), "doc_id",
+      "text", threshold = 0.7).count()
+    assert(keptAll === 3L)
+  }
+
   test("segmentDedup hashedKeys: identical output to the string-keyed form on the fixture") {
     val docs = Tables.documents(spark, sf0001)
     def collectOut(hashed: Boolean) =
