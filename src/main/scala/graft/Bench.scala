@@ -253,6 +253,20 @@ object Bench {
       graft.operators.Ann.ivfTopKInt8(emb, annProbes, "vec_id", "embedding",
         k = 5, numCentroids = 32, nProbe = 8).count(): Unit
     }
+    // build-once/search-many amortization: ivfTopK retrains + rescans per
+    // batch; the persisted index pays the build once and every search
+    // after that reads only the probed lists (partition pruning)
+    val ivfIndexPath = s"/tmp/graft_bench_ivfindex_$sfTag"
+    val tIndexBuild = {
+      val t0 = System.nanoTime()
+      graft.operators.Ann.buildIvfIndex(emb, "vec_id", "embedding",
+        ivfIndexPath, numCentroids = 32)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tIndexSearch = timeMedian {
+      graft.operators.Ann.searchIvfIndex(spark, ivfIndexPath, annProbes,
+        "vec_id", "embedding", k = 5, nProbe = 8).count(): Unit
+    }
     def shuffledBytes(f: => Unit): Double = {
       val acc = new java.util.concurrent.atomic.AtomicLong(0L)
       val l = new org.apache.spark.scheduler.SparkListener {
@@ -666,6 +680,10 @@ object Bench {
       "x_ann_ivf_sec" -> tIvfFloat,
       "x_ann_ivf_int8_sec" -> tIvfInt8,
       "x_ann_ivf_int8_recall" -> ivf8Recall,
+      "x_ann_index_build_sec" -> tIndexBuild,
+      "x_ann_index_search_sec" -> tIndexSearch,
+      "x_ann_index_amortized_speedup" ->
+        (if (tIndexSearch > 0) tIvfFloat / tIndexSearch else -1.0),
       "x_int8_leg_bytes_float" -> bytesFloatLeg,
       "x_int8_leg_bytes_coded" -> bytesCodedLeg,
       "x_int8_leg_shrink" ->

@@ -117,6 +117,40 @@ object InventoryScale {
       },
       Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075, TRUE AS scan_pruned FROM embeddings WHERE vec_id < 10")),
 
+    QueryDef("q169_ann_ivf_index_append",
+      // INCREMENTAL index refresh (Ann.appendToIvfIndex): build on the
+      // even-id half, append the odd-id half against the saved centroids
+      // (no retraining — the crawl-drop serving shape), search the
+      // combined index. Gated on recall ≥ 0.75 vs brute force over the
+      // FULL corpus plus completeness (all rows present) — statements
+      // the oracle makes exactly. nProbe 16 of 32 (still 2× pruned):
+      // half-training on the uniform-random fixture is IVF's documented
+      // worst case — GateProbe measured 0.84/0.84/0.92 at
+      // sf0.001/0.01/0.1 (0.68–0.82 at nProbe 8, too close to the floor).
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val sfTag = new java.io.File(d).getName
+        val path = s"/tmp/graft_q169_index_$sfTag"
+        Ann.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+          "vec_id", "embedding", path, numCentroids = 32)
+        Ann.appendToIvfIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
+          "vec_id", "embedding", path)
+        val probes = emb.filter(col("vec_id") < 10)
+        val res = Ann.searchIvfIndex(s, path, probes, "vec_id", "embedding",
+          k = 5, nProbe = 16)
+        val bf = Ann.bruteForceTopKFast(emb, probes, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTrue = bf.count()
+        val nFound = bf.join(res.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        val nIndexed = s.read.parquet(s"$path/corpus").count()
+        s.range(1).select(
+          lit(nTrue).as("n_true_neighbors"),
+          lit(nFound.toDouble >= 0.75 * nTrue.toDouble).as("recall_ge_075"),
+          lit(nIndexed == emb.count()).as("index_complete"))
+      },
+      Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075, TRUE AS index_complete FROM embeddings WHERE vec_id < 10")),
+
     QueryDef("q168_fuzzy_decontaminate",
       // FUZZY decontamination (Decontam.decontaminateFuzzy): drop train
       // docs that are NEAR-duplicates (shingle Jaccard ≥ 0.8) of any

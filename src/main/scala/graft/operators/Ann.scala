@@ -297,6 +297,38 @@ object Ann {
       .write.partitionBy("cid").mode("overwrite").parquet(s"$path/corpus")
   }
 
+  /** Append new vectors to an existing [[buildIvfIndex]] index WITHOUT
+    * retraining: assign against the SAVED centroids and append files
+    * inside the matching cid directories (the standard serving practice —
+    * crawl drops land incrementally, centroid retraining is an offline
+    * cadence decision). Search afterwards sees old∪new with the same
+    * pruning. Drift caveat: appended mass shifts the true centroids, so
+    * recall on the appendix degrades as its distribution diverges from
+    * the training corpus — the caller's rebuild-cadence knob, same
+    * contract as [[Dedup.segmentDedupIncremental]]'s index refresh. */
+  def appendToIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+    val spark = newVecs.sparkSession
+    val centRows = spark.read.parquet(s"$path/centroids")
+      .select(col("cid"), col("vec")).collect()
+    val numCentroids = centRows.length
+    val dim = centRows.head.getSeq[Double](1).length
+    val flat = new Array[Double](numCentroids * dim)
+    centRows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      var i = 0
+      while (i < dim) { flat(r.getInt(0) * dim + i) = v(i); i += 1 }
+    }
+    val assign = ColumnShim.column(TopCentroids(
+      ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
+    newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        assign.as("cid"))
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode("append").parquet(s"$path/corpus")
+  }
+
   /** Number of distinct inverted lists a probe set would open — the
     * pruning diagnostic q167 gates (`probed < materialized lists`). */
   def probedCidCount(spark: org.apache.spark.sql.SparkSession, path: String,

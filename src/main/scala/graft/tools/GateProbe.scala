@@ -38,6 +38,17 @@ object GateProbe {
     val ivf8 = Ann.ivfTopKInt8(emb, probes, "vec_id", "embedding",
       k = 5, numCentroids = 32, nProbe = 8)
     println(f"[gateprobe] $sfDir lsh_recall=${recallOf(lsh)}%.4f ivf_recall=${recallOf(ivf)}%.4f ivf_int8_recall=${recallOf(ivf8)}%.4f bf_n=$bfN")
+    // q169's half-trained appended index, at candidate nProbe values
+    val appendPath = s"/tmp/graft_gateprobe_ivf_${new java.io.File(sfDir).getName}"
+    Ann.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
+      "vec_id", "embedding", appendPath, numCentroids = 32)
+    Ann.appendToIvfIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
+      "vec_id", "embedding", appendPath)
+    Seq(8, 12, 16).foreach { np =>
+      val r = recallOf(Ann.searchIvfIndex(spark, appendPath, probes,
+        "vec_id", "embedding", k = 5, nProbe = np))
+      println(f"[gateprobe] $sfDir ivf_append_recall(nProbe=$np)=$r%.4f")
+    }
 
     // simhash vs exact Jaccard-0.8 pairs
     val docs = Tables.documents(spark, sfDir)

@@ -24,6 +24,44 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex.nonEmpty)
   }
 
+  test("appendToIvfIndex: incremental build equals one-shot assignment against the same centroids") {
+    val appendPath = "/tmp/graft_test_ivf_append"
+    val half1 = embs.filter(pmod(col("vec_id"), lit(2L)) === 0)
+    val half2 = embs.filter(pmod(col("vec_id"), lit(2L)) === 1)
+    Ann.buildIvfIndex(half1, "vec_id", "embedding", appendPath,
+      numCentroids = 16)
+    Ann.appendToIvfIndex(half2, "vec_id", "embedding", appendPath)
+    // every row landed, and search sees neighbors from BOTH halves
+    assert(spark.read.parquet(s"$appendPath/corpus").count() === embs.count())
+    val probes = embs.filter(col("vec_id") < 6)
+    val res = Ann.searchIvfIndex(spark, appendPath, probes, "vec_id",
+      "embedding", k = 5, nProbe = 16)
+    val parities = res.select(pmod(col("neighbor_id"), lit(2L)))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(parities === Set(0L, 1L), "appended half invisible to search")
+    // appended rows carry the assignment the SAVED centroids dictate:
+    // re-deriving half2's cids from the centroid file matches the index
+    val fromIndex = spark.read.parquet(s"$appendPath/corpus")
+      .filter(pmod(col("id"), lit(2L)) === 1)
+      .select(col("id"), col("cid").cast("int").as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val centRows = spark.read.parquet(s"$appendPath/centroids")
+      .select(col("cid"), col("vec")).collect()
+    val dim = centRows.head.getSeq[Double](1).length
+    val flat = new Array[Double](centRows.length * dim)
+    centRows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      (0 until dim).foreach(i => flat(r.getInt(0) * dim + i) = v(i))
+    }
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val assign = ColumnShim.column(graft.functions.TopCentroids(
+      ColumnShim.expression(col("embedding")), flat, centRows.length, 1))
+      .getItem(0)
+    val expected = half2.select(col("vec_id"), assign.as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fromIndex === expected)
+  }
+
   test("index search prunes at the directory level: only probed lists are scanned") {
     val probes = embs.filter(col("vec_id") < 3)
     Ann.buildIvfIndex(embs, "vec_id", "embedding", path, numCentroids = 32)
