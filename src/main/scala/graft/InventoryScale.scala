@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, QualityModel}
+import graft.operators.{Ann, Mixing, QualityModel}
 
 /** Round-5 widening: the production-shape paths the round-4 surface
   * promised in scaladoc — trained-weight quality scoring (explicit weight
@@ -150,6 +150,30 @@ object InventoryScale {
           lit(nIndexed == emb.count()).as("index_complete"))
       },
       Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075, TRUE AS index_complete FROM embeddings WHERE vec_id < 10")),
+
+    QueryDef("q170_shuffle_shards",
+      // Deterministic shuffled sharding (Mixing.assignShards, seed 3):
+      // shard = seeded-hash mod 8 — the reproducible training-output
+      // partitioning (every epoch/restart replays the identical
+      // assignment; rand() could not). Gated exactly: per-shard counts,
+      // id sums, and the FIRST doc of each shard's intra-shard
+      // deterministic order (packed min over hash·2²⁴+id — the order
+      // shuffleDeterministic materializes). Hash sharding balances to
+      // ±O(√(N/shards)); the oracle replays the whole assignment.
+      (s, d) => {
+        val sharded = Mixing.assignShards(documents(s, d), "doc_id",
+          nShards = 8, seed = 3L)
+        val hp = Mixing.hashPrioritySeeded(col("doc_id"), 3L)
+        sharded
+          .select(col("shard"), col("doc_id"), hp.as("__hp"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_ids"),
+            pmod(min(col("__hp") * lit(16777216L) + col("doc_id")),
+              lit(16777216L)).as("first_doc"))
+          .orderBy(col("shard"))
+      },
+      Some(s"""WITH h AS (SELECT doc_id, ${Mixing.hashPrioritySeededSql("doc_id", 3L)} AS hp FROM documents) SELECT hp % 8 AS shard, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids, CAST(MIN(hp * 16777216 + doc_id) % 16777216 AS BIGINT) AS first_doc FROM h GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("q168_fuzzy_decontaminate",
       // FUZZY decontamination (Decontam.decontaminateFuzzy): drop train

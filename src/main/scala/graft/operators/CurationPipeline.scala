@@ -44,7 +44,12 @@ object CurationPipeline {
       /** keep only docs the hashed linear scorer accepts (margin cents >
         * this threshold) — the model-based filter stage complementing the
         * rule-based `minQuality`; None disables the stage. */
-      modelFilterMinMarginCents: Option[Long] = None)
+      modelFilterMinMarginCents: Option[Long] = None,
+      /** ALSO scrub near-duplicates of eval docs (whole-doc shingle
+        * Jaccard ≥ this threshold, [[Decontam.decontaminateFuzzy]]) after
+        * the exact n-gram probe — paraphrase/template leakage the n-gram
+        * probe dilutes; None disables the stage. Requires `eval`. */
+      fuzzyDecontaminateThreshold: Option[Double] = None)
 
   /** The pipeline as an ordered list of named stage transforms — the single
     * definition both [[run]] (lazy composition) and [[runStaged]]
@@ -122,6 +127,12 @@ object CurationPipeline {
           Decontam.decontaminate(df, ev, idCol, textCol,
             n = config.decontaminateNgram))
       } ++
+      // 3b. optional fuzzy (near-dup) decontamination — after the exact
+      //     probe so the LSH pass sees the already-thinned corpus
+      (for (ev <- eval; t <- config.fuzzyDecontaminateThreshold) yield
+        "fuzzy_decontaminate" -> ((df: DataFrame) =>
+          Decontam.decontaminateFuzzy(df, ev, idCol, textCol,
+            threshold = t))) ++
       Seq("quality" -> quality) ++ modelFilter ++ Seq("mix_split" -> mixSplit)
   }
 

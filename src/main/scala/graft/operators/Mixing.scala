@@ -95,6 +95,41 @@ object Mixing {
   def hashPrioritySql(idExpr: String): String =
     s"(($idExpr * 1299709 + 104729) % 1000003)"
 
+  /** Seeded variant of [[hashPriority]]: a different seed is a different
+    * (affine-independent) permutation — epoch reshuffles without rand().
+    * `h(id, s) = ((id + s·7919)·1299709 + 104729) mod 1000003`. */
+  def hashPrioritySeeded(id: Column, seed: Long): Column =
+    pmod((id.cast("long") + lit(seed * 7919L)) * lit(1299709L) + lit(104729L),
+      lit(1000003L))
+
+  /** SQL text of [[hashPrioritySeeded]]. */
+  def hashPrioritySeededSql(idExpr: String, seed: Long): String =
+    s"((($idExpr + ${seed * 7919L}) * 1299709 + 104729) % 1000003)"
+
+  /** DETERMINISTIC GLOBAL SHUFFLE — the reproducible random training
+    * order every data run needs (and must be able to REPLAY for a
+    * restart or an audit; `rand()`-based orderings are neither). Total
+    * order = (seeded hash, id): `orderBy` range-partitions on the sort
+    * key and sorts locally — the scalable plan (no single-task sort; at
+    * 100 TB this is one range exchange, the same cost as any global
+    * sort-write). Different `seed` ⇒ different epoch permutation. */
+  def shuffleDeterministic(df: DataFrame, idCol: String,
+      seed: Long = 0L): DataFrame =
+    df.orderBy(hashPrioritySeeded(col(idCol), seed), col(idCol))
+
+  /** Shuffled fixed-count SHARDING for training output: `shard` =
+    * seeded-hash mod `nShards` (adds the column; callers
+    * `.write.partitionBy("shard")` or repartition on it). Hash sharding
+    * balances counts to ±O(√(N/shards)) and assigns every epoch's shard
+    * deterministically; within a shard, order by [[hashPrioritySeeded]]
+    * for the intra-shard shuffle. */
+  def assignShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: Long = 0L): DataFrame = {
+    require(nShards >= 1)
+    df.withColumn("shard",
+      pmod(hashPrioritySeeded(col(idCol), seed), lit(nShards.toLong)))
+  }
+
   /** Downsample each group to its configured rate: keep rows with
     * `h(id) % step == 0` where `step = stepPerGroup(group)` (≈ keep 1/step),
     * `defaultStep` elsewhere; a step of 1 keeps everything. Adds `mix_step`

@@ -155,4 +155,28 @@ class CurationPipelineSpec extends SparkSpec {
         modelFilterMinMarginCents = Some(0L)))
     assert(timings.map(_._1).contains("model_filter"))
   }
+
+  test("optional fuzzy-decontaminate stage drops near-copies of eval docs") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today", "a"),
+      (2L, "completely unrelated content about databases and sampling theory here", "a"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again tonight", "a"))
+      .toDF("doc_id", "text", "source")
+    val eval = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"))
+      .toDF("doc_id", "text")
+    // exact n-gram decontamination alone would also nuke doc 2? no — zero
+    // overlap; but it WOULD flag 1 and 3 via shared grams, so disable it
+    // by... it has no off switch; instead verify the fuzzy stage runs and
+    // the combined result drops 1 and 3, keeps 2
+    val out = CurationPipeline.run(train, Some(eval), "doc_id", "text",
+      "source", CurationPipeline.Config(nearDupThreshold = 0.999999,
+        fuzzyDecontaminateThreshold = Some(0.7)))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(2L))
+    val (_, timings) = CurationPipeline.runStaged(train, Some(eval),
+      "doc_id", "text", "source",
+      CurationPipeline.Config(nearDupThreshold = 0.999999,
+        fuzzyDecontaminateThreshold = Some(0.7)))
+    assert(timings.map(_._1).contains("fuzzy_decontaminate"))
+  }
 }

@@ -94,6 +94,28 @@ class CurationSpec extends SparkSpec {
     assert((r.getLong(1), r.getLong(2), r.getString(3)) === ((2L, 1L, "p q")))
   }
 
+  test("deterministic shuffle: replayable order, seed changes the permutation, shards balance") {
+    import graft.operators.Mixing
+    val docs = Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val o1 = Mixing.shuffleDeterministic(docs, "doc_id", seed = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o1b = Mixing.shuffleDeterministic(docs, "doc_id", seed = 1L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val o2 = Mixing.shuffleDeterministic(docs, "doc_id", seed = 2L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(o1 === o1b, "same seed must replay the identical order")
+    assert(o1 !== o2, "different seed must permute differently")
+    assert(o1.sorted === o2.sorted, "permutations of the same set")
+    assert(o1 !== o1.sorted, "the order is actually shuffled")
+    // shard counts balance within a loose multiplicative band
+    val counts = Mixing.assignShards(docs, "doc_id", nShards = 8, seed = 1L)
+      .groupBy($"shard").count().collect().map(_.getLong(1))
+    assert(counts.length === 8)
+    val mean = counts.sum.toDouble / 8
+    assert(counts.forall(c => c > mean * 0.5 && c < mean * 1.5),
+      s"shard skew: ${counts.mkString(",")}")
+  }
+
   test("decontaminateFuzzy drops near-copies of eval docs, keeps the rest; empty eval drops nothing") {
     import graft.operators.Decontam
     val train = Seq(
