@@ -122,6 +122,82 @@ object QualityModel {
       .agg(coalesce(sum(col("__w")), lit(0L)).as("margin_cents"))
   }
 
+  /** Per-document hashed-feature rows `(docId, bucket, cnt)` — the sparse
+    * design matrix both [[trainWeights]] and a trained-scoring join
+    * consume. One explode + one (doc, bucket)-keyed aggregation;
+    * map-side combine collapses repeated tokens before the exchange. */
+  def featureRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__doc"),
+        explode(filter(split(col(textCol), " "), t => length(t) > 0))
+          .as("__tok"))
+      .select(col("__doc"), bucket(col("__tok")).as("bucket"))
+      .groupBy(col("__doc"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** DISTRIBUTED TRAINING of the hashed linear scorer — batch gradient
+    * descent for logistic loss over the [[bucket]] feature space, run
+    * entirely as DataFrame algebra:
+    *
+    *   per iteration:  margin_i = Σ_b cnt_ib·w_b   (doc-keyed aggregate)
+    *                   g_b      = Σ_i (σ(margin_i) − y_i)·cnt_ib
+    *                                                (bucket-keyed aggregate)
+    *                   w_b     −= lr·g_b / N        (driver update, B values)
+    *
+    * The cached (doc, bucket, cnt) table is the only distributed state;
+    * each iteration is two shuffles over it (doc-keyed then bucket-keyed
+    * partial aggregates) and the weight vector itself is B driver values
+    * (B = [[Buckets]] here; the same loop holds to ~2¹⁸ buckets, past
+    * which switch the update to a weights DataFrame join). Deterministic:
+    * gradients sum per-term ROUNDED fixed-point decimals (exact,
+    * partition-order-independent) and the driver update is fixed-order
+    * IEEE — same weights every run (FrontierSpec asserts).
+    *
+    * `labelCol` ∈ {0, 1}. Returns `(bucket, weight_cents)` rounded to
+    * integer cents — directly consumable by [[marginCentsJoined]] /
+    * [[marginCentsMapped]], closing the train → export → score loop
+    * in-engine. */
+  def trainWeights(df: DataFrame, idCol: String, textCol: String,
+      labelCol: Column, iters: Int = 50, lr: Double = 1.0,
+      decay: Double = 0.0): DataFrame = {
+    val spark = df.sparkSession
+    require(iters >= 1)
+    val feats = featureRows(df, idCol, textCol)
+      .join(df.select(col(idCol).as("__doc"),
+        labelCol.cast("double").as("__y")), Seq("__doc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = feats.select(col("__doc")).distinct().count().toDouble
+    var w = Array.fill(Buckets)(0.0)
+    try {
+      for (t <- 0 until iters) {
+        val lrT = lr / (1.0 + decay * t) // harmonic step decay; 0 = fixed
+        // weights enter the plan as ONE array literal, indexed per row
+        val wCol = element_at(array(w.toIndexedSeq.map(lit): _*),
+          col("bucket").cast("int") + 1)
+        val margins = feats
+          .groupBy(col("__doc"))
+          .agg(sum(col("cnt").cast("double") * wCol).as("__m"),
+            first(col("__y")).as("__y"))
+          .select(col("__doc"),
+            (lit(1.0) / (lit(1.0) + exp(-col("__m"))) - col("__y"))
+              .as("__resid"))
+        // per-term fixed-point rounding → exact decimal sums → the
+        // gradient is partition-order-independent (q65 discipline)
+        val grads = feats.join(margins, Seq("__doc"))
+          .groupBy(col("bucket"))
+          .agg((sum(round(col("__resid") * col("cnt").cast("double"), 9)
+            .cast("decimal(28,9)")).cast("double") / lit(n)).as("__g"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        w = w.zipWithIndex.map { case (wv, b) =>
+          wv - lrT * grads.getOrElse(b, 0.0)
+        }
+      }
+    } finally feats.unpersist(blocking = false)
+    import spark.implicits._
+    w.zipWithIndex.toSeq
+      .map { case (wv, b) => (b, math.round(wv * 100.0)) }
+      .toDF("bucket", "weight_cents")
+  }
+
   /** DuckDB twin of [[marginCents]] for oracle SQL (list_sum over the
     * same integer features; integer sums are order-independent). */
   def marginCentsSql(textExpr: String): String =

@@ -220,6 +220,27 @@ class FrontierSpec extends SparkSpec {
     assert(sparse == 0L)
   }
 
+  test("trainWeights recovers a separating model from teacher labels; deterministic") {
+    val docs = Tables.documents(spark, sf0001)
+    val teacher = QualityModel.marginCents(col("text")) > 0
+    val label = when(teacher, lit(1.0)).otherwise(lit(0.0))
+    // probe-picked point (tools/TrainProbe): acc 0.954 here, 0.974+ at 80
+    // iters; deterministic, so the measured margin over the floor is fixed
+    val trained = QualityModel.trainWeights(docs, "doc_id", "text", label,
+      iters = 50, lr = 2.0, decay = 0.05)
+    // score through the production join path with the TRAINED table
+    val acc = QualityModel.marginCentsJoined(docs, "doc_id", "text", trained)
+      .join(docs.select(col("doc_id"), teacher.as("__t")), "doc_id")
+      .select(((col("margin_cents") > 0) === col("__t")).cast("long").as("ok"))
+      .agg(avg(col("ok"))).collect()(0).getDouble(0)
+    assert(acc >= 0.9, s"trained accuracy $acc vs the linear teacher")
+    // deterministic: identical weight table on a re-run
+    val again = QualityModel.trainWeights(docs, "doc_id", "text", label,
+      iters = 50, lr = 2.0, decay = 0.05)
+    assert(trained.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ===
+      again.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+  }
+
   test("quality model: keep <=> margin > 0, and score = margin/100") {
     val scored = Tables.documents(spark, sf0001)
       .select(QualityModel.marginCents(col("text")).as("mc"),
