@@ -267,18 +267,65 @@ object Bench {
       graft.operators.Ann.searchIvfIndex(spark, ivfIndexPath, annProbes,
         "vec_id", "embedding", k = 5, nProbe = 8).count(): Unit
     }
+    // Shuffle-write bytes of the measured workload ONLY: accumulation is
+    // scoped to the stages of jobs carrying our job group (concurrent or
+    // straggling jobs from other probes can neither overcount nor
+    // undercount it), and instead of a fixed sleep we poll until the async
+    // listener bus has delivered the ends of all jobs the group started.
     def shuffledBytes(f: => Unit): Double = {
+      val sc = spark.sparkContext
+      val group = "graft-bytes-probe"
       val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+      val started = new java.util.concurrent.atomic.AtomicInteger(0)
+      val ended = new java.util.concurrent.atomic.AtomicInteger(0)
       val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val g = Option(e.properties)
+            .map(_.getProperty("spark.jobGroup.id")).orNull
+          if (g == group) {
+            started.incrementAndGet()
+            e.stageIds.foreach(sid => { stages.add(sid); () })
+          }
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          // job ids are not tracked per-group; count ends only up to the
+          // group's started jobs (other jobs should not run concurrently,
+          // but if one does, the stage filter still excludes its tasks)
+          ended.incrementAndGet(); ()
+        }
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = e.taskMetrics
-          if (m != null) { acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+          if (m != null && stages.contains(e.stageId)) {
+            acc.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+          }
         }
       }
-      spark.sparkContext.addSparkListener(l)
-      try { f; Thread.sleep(1500) } // listener bus drains asynchronously
-      finally spark.sparkContext.removeSparkListener(l)
+      sc.addSparkListener(l)
+      sc.setJobGroup(group, "shuffled-bytes probe")
+      try {
+        f
+        // drain: wait until job-end events cover the group's started jobs
+        // and the byte counter has stopped moving
+        var waited = 0
+        while (ended.get < started.get && waited < 5000) {
+          Thread.sleep(100); waited += 100
+        }
+        var prev = -1L
+        var stable = 0
+        while (stable < 3 && waited < 8000) {
+          val cur = acc.get
+          if (cur == prev) stable += 1 else stable = 0
+          prev = cur
+          Thread.sleep(100); waited += 100
+        }
+      } finally {
+        sc.clearJobGroup()
+        sc.removeSparkListener(l)
+      }
       acc.get.toDouble
     }
     // the post-exchange agg must CONSUME the payload (xxhash64 of it) or

@@ -198,6 +198,47 @@ object InventoryScale {
       },
       Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), flagged AS (SELECT DISTINCT t.doc_id FROM sh t JOIN sh e ON e.doc_id % 97 = 0 AND CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(t.sh, e.sh))) AS DOUBLE) >= 0.8) SELECT source, COUNT(*) AS n_kept, CAST(SUM(length(text)) AS BIGINT) AS chars_kept FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged) GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("q171_ann_ivf_index_int8",
+      // INT8-CODED persisted IVF index (Ann.buildIvfIndex codec="int8"):
+      // the inverted lists store per-vector-scaled int8 codes instead of
+      // float vectors, so a search's candidate read is ~4× fewer bytes —
+      // the one place the measured exchange shrink (x_int8_leg_shrink
+      // 3.59×) becomes real I/O. Search scores with the integer-dot
+      // int8Cosine kernel (AnnIndexSpec pins search ≡ ivfTopKInt8
+      // bit-for-bit). Gated at q165's recall floor (≥ 0.75 vs exact
+      // brute force) plus the byte fact itself: the int8 corpus is
+      // strictly smaller on disk than the float corpus of the SAME data
+      // and centroids.
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 10)
+        val sfTag = new java.io.File(d).getName
+        val path8 = s"/tmp/graft_q171_index8_$sfTag"
+        val pathF = s"/tmp/graft_q171_indexf_$sfTag"
+        Ann.buildIvfIndex(emb, "vec_id", "embedding", path8,
+          numCentroids = 32, codec = "int8")
+        Ann.buildIvfIndex(emb, "vec_id", "embedding", pathF,
+          numCentroids = 32)
+        val res = Ann.searchIvfIndex(s, path8, probes, "vec_id", "embedding",
+          k = 5, nProbe = 8)
+        val bf = Ann.bruteForceTopKFast(emb, probes, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val nTrue = bf.count()
+        val nFound = bf.join(res.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        def corpusBytes(p: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) f.listFiles().map(walk).sum
+            else if (f.getName.startsWith("part-")) f.length() else 0L
+          walk(new java.io.File(s"$p/corpus"))
+        }
+        s.range(1).select(
+          lit(nTrue).as("n_true_neighbors"),
+          lit(nFound.toDouble >= 0.75 * nTrue.toDouble).as("recall_ge_075"),
+          lit(corpusBytes(path8) < corpusBytes(pathF)).as("int8_bytes_smaller"))
+      },
+      Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075, TRUE AS int8_bytes_smaller FROM embeddings WHERE vec_id < 10")),
+
     QueryDef("q165_ann_ivf_int8_top5",
       // IVF top-5 with int8-quantized candidate scoring (Ann.ivfTopKInt8
       // — codes are per-vector-scaled signed bytes in BINARY, 4× narrower

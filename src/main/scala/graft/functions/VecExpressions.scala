@@ -330,7 +330,11 @@ case class Int8Cosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
-    val n = math.min(x.length, y.length)
+    // a length mismatch is a dimension bug upstream — fail loudly rather
+    // than score a truncated prefix that looks like a plausible cosine
+    if (x.length != y.length) throw new IllegalArgumentException(
+      s"int8_cosine: code length mismatch ${x.length} vs ${y.length}")
+    val n = x.length
     var dot = 0L; var na = 0L; var nb = 0L
     var i = 0
     while (i < n) {
@@ -349,7 +353,11 @@ case class Int8Cosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb"); val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi"); val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($a.length, $b.length);
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "int8_cosine: code length mismatch " + $a.length + " vs " + $b.length);
+         |}
+         |int $n = $a.length;
          |long $dot = 0L; long $na = 0L; long $nb = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $xi = (long) $a[$i]; long $yi = (long) $b[$i];

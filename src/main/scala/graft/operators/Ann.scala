@@ -260,6 +260,17 @@ object Ann {
       .filter(col("rank") <= k).drop("rank")
   }
 
+  /** Write-side salt for the index corpus: rows are repartitioned on
+    * (cid, hash(id) mod WriteSalt) before `partitionBy("cid")`, so each
+    * inverted list is written by up to WriteSalt tasks instead of ONE.
+    * A bare `repartition(col("cid"))` capped write parallelism at
+    * numCentroids (64 tasks for a 100 TB corpus, with a hot-list
+    * straggler and a >2 GiB-partition risk); the salt keeps the same
+    * directory layout — pruning is untouched — while the write stage
+    * runs at full cluster width. File count stays bounded at
+    * ≤ numCentroids × WriteSalt. */
+  private val WriteSalt = 8
+
   /** PERSISTED IVF index — the build-once / search-many production shape.
     * [[ivfTopK]] retrains and rescans the corpus per query batch; real
     * serving builds the index once and prunes at read time. Layout:
@@ -273,14 +284,25 @@ object Ann {
     *                      hive-partition probe, here keyed by the
     *                      learned cluster id)
     *
+    * `codec = "int8"` stores per-vector-scaled int8 codes
+    * ([[VectorOps.int8Code]], column `code` BINARY) instead of the float
+    * vectors — 4× narrower candidate bytes on the search read path (the
+    * one place the measured exchange shrink becomes real I/O); search
+    * detects the codec from the stored schema and scores with the
+    * integer-dot [[VectorOps.int8Cosine]] kernel (same recall floor as
+    * [[ivfTopKInt8]] — q165/q171 gate it). Default "float" keeps search
+    * bit-identical to [[ivfTopK]].
+    *
     * [[searchIvfIndex]] reads ≈ nProbe/numCentroids of the corpus bytes
     * and returns results IDENTICAL to [[ivfTopK]] with the same
     * centroids (AnnIndexSpec hash-asserts it): same TopCentroids
     * assignment, same cosine, same ranking. */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, numCentroids: Int = 64, lloydIters: Int = 1): Unit = {
+      path: String, numCentroids: Int = 64, lloydIters: Int = 1,
+      codec: String = "float"): Unit = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
+    require(codec == "float" || codec == "int8", s"unknown codec $codec")
     val spark = corpus.sparkSession
     val centroids = lloydCentroids(corpus, idCol, vecCol, numCentroids,
       lloydIters)
@@ -291,9 +313,12 @@ object Ann {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
     val assign = ColumnShim.column(TopCentroids(
       ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
-    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        assign.as("cid"))
-      .repartition(col("cid"))
+    val payload =
+      if (codec == "int8") VectorOps.int8Code(col(vecCol)).as("code")
+      else col(vecCol).as("vec")
+    corpus.select(col(idCol).as("id"), payload, assign.as("cid"))
+      .repartition(col("cid"),
+        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
       .write.partitionBy("cid").mode("overwrite").parquet(s"$path/corpus")
   }
 
@@ -311,6 +336,26 @@ object Ann {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
     val spark = newVecs.sparkSession
+    val (flat, numCentroids, _) = loadCentroids(spark, path)
+    // codec is a property of the existing index: appended rows must match
+    val int8 = spark.read.parquet(s"$path/corpus")
+      .schema.fieldNames.contains("code")
+    val assign = ColumnShim.column(TopCentroids(
+      ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
+    val payload =
+      if (int8) VectorOps.int8Code(col(vecCol)).as("code")
+      else col(vecCol).as("vec")
+    newVecs.select(col(idCol).as("id"), payload, assign.as("cid"))
+      .repartition(col("cid"),
+        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+      .write.partitionBy("cid").mode("append").parquet(s"$path/corpus")
+  }
+
+  /** Load the centroid matrix of a persisted index as the flat row-major
+    * array [[graft.functions.TopCentroids]] consumes:
+    * (flat, numCentroids, dim). Bounded driver state by construction. */
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Double], Int, Int) = {
     val centRows = spark.read.parquet(s"$path/centroids")
       .select(col("cid"), col("vec")).collect()
     val numCentroids = centRows.length
@@ -321,12 +366,7 @@ object Ann {
       var i = 0
       while (i < dim) { flat(r.getInt(0) * dim + i) = v(i); i += 1 }
     }
-    val assign = ColumnShim.column(TopCentroids(
-      ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
-    newVecs.select(col(idCol).as("id"), col(vecCol).as("vec"),
-        assign.as("cid"))
-      .repartition(col("cid"))
-      .write.partitionBy("cid").mode("append").parquet(s"$path/corpus")
+    (flat, numCentroids, dim)
   }
 
   /** Number of distinct inverted lists a probe set would open — the
@@ -335,17 +375,9 @@ object Ann {
       probes: DataFrame, idCol: String, vecCol: String, nProbe: Int): Long = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
-    val centRows = spark.read.parquet(s"$path/centroids")
-      .select(col("cid"), col("vec")).collect()
-    val dim = centRows.head.getSeq[Double](1).length
-    val flat = new Array[Double](centRows.length * dim)
-    centRows.foreach { r =>
-      val v = r.getSeq[Double](1)
-      var i = 0
-      while (i < dim) { flat(r.getInt(0) * dim + i) = v(i); i += 1 }
-    }
+    val (flat, numCentroids, _) = loadCentroids(spark, path)
     probes.select(explode(ColumnShim.column(TopCentroids(
-        ColumnShim.expression(col(vecCol)), flat, centRows.length, nProbe)))
+        ColumnShim.expression(col(vecCol)), flat, numCentroids, nProbe)))
         .as("cid"))
       .distinct().count()
   }
@@ -360,30 +392,31 @@ object Ann {
       nProbe: Int = 8): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
-    val centRows = spark.read.parquet(s"$path/centroids")
-      .select(col("cid"), col("vec")).collect()
-    val numCentroids = centRows.length
-    val dim = centRows.head.getSeq[Double](1).length
-    val flat = new Array[Double](numCentroids * dim)
-    centRows.foreach { r =>
-      val cid = r.getInt(0)
-      val v = r.getSeq[Double](1)
-      var i = 0
-      while (i < dim) { flat(cid * dim + i) = v(i); i += 1 }
-    }
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("pvec"),
+    val (flat, numCentroids, _) = loadCentroids(spark, path)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val int8 = corpus.schema.fieldNames.contains("code")
+    // probe payload mirrors the stored codec: float probes against float
+    // lists (bit-identical to ivfTopK), coded probes against coded lists
+    // (bit-identical to ivfTopKInt8 — the scales cancel per pair)
+    val pPayload =
+      if (int8) VectorOps.int8Code(col(vecCol)).as("pvec")
+      else col(vecCol).as("pvec")
+    val p = probes.select(col(idCol).as("query_id"), pPayload,
       explode(ColumnShim.column(TopCentroids(
         ColumnShim.expression(col(vecCol)), flat, numCentroids, nProbe)))
         .as("cid"))
     val probedCids = p.select(col("cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val c = spark.read.parquet(s"$path/corpus")
+    val c = corpus
       .filter(col("cid").isin(probedCids: _*))
-      .select(col("id").as("neighbor_id"), col("vec").as("cvec"), col("cid"))
+      .select(col("id").as("neighbor_id"),
+        (if (int8) col("code") else col("vec")).as("cvec"), col("cid"))
+    val score =
+      if (int8) VectorOps.int8Cosine(col("pvec"), col("cvec"))
+      else VectorOps.cosine(col("pvec"), col("cvec"))
     val scored = c.join(broadcast(p), Seq("cid"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        VectorOps.cosine(col("pvec"), col("cvec")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), score.as("cosine"))
     scored
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("query_id"))

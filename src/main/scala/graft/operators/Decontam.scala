@@ -109,13 +109,22 @@ object Decontam {
     * — both sides ride the band shuffle, ∝ (train+eval)×bands. */
   def decontaminateFuzzy(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8, shingleN: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+      numHashes: Int = 64, bands: Int = 16,
+      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
     val tagged = train
       .select((col(idCol) * 2).as("__fid"), col(textCol).as("__text"))
       .unionAll(eval
         .select((col(idCol) * 2 + 1).as("__fid"), col(textCol).as("__text")))
+    // parityStar: an over-cap bucket stars around BOTH its min even and
+    // min odd fid, so every train member keeps a candidate edge to an
+    // eval-side center — the single-center star would emit only
+    // same-parity edges for train members whenever the one center is a
+    // train doc, and the cross-parity filter below would silently KEEP
+    // train docs that are near-copies of eval docs (the contract breach
+    // this flag exists to prevent).
     val cands = Dedup.lshCandidatePairs(tagged, "__fid", "__text",
-        shingleN, numHashes, bands)
+        shingleN, numHashes, bands, maxBucket = maxBucket,
+        parityStar = true)
       .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
     val candIds = cands.select(col("id_a").as("__fid"))
       .union(cands.select(col("id_b").as("__fid"))).distinct()

@@ -178,16 +178,25 @@ object Dedup {
   /** Default in-bucket pair-enumeration cap shared by every bucketed
     * candidate generator. Buckets at or below the cap enumerate all N²/2
     * pairs; larger ones collapse to a min-id STAR (every member paired
-    * with the bucket's min id — same connected components, linear
-    * fan-out). A 10⁵-member residual clique would otherwise explode to
-    * 5·10⁹ pair rows out of ONE collect_list row in one task; with the
-    * cap it emits 10⁵−1. Tail robustness, not semantics: a bucket past
-    * the cap means the members are near-identical (that is what sharing
-    * an LSH band / SimHash chunk / tight cluster at that density implies),
-    * so the star pairs pass the exact verify step whenever the full
-    * clique's would, and cluster propagation over the pair list yields
-    * the same components. Below the cap nothing changes — the fixture
-    * outputs (q35/q36/q45/q80/q86) are bit-identical. */
+    * with the bucket's min id — linear fan-out). A 10⁵-member residual
+    * clique would otherwise explode to 5·10⁹ pair rows out of ONE
+    * collect_list row in one task; with the cap it emits 10⁵−1.
+    *
+    * This is a RECALL BOUND, not an identity. Sharing one band signature
+    * (e.g. 4 of 64 MinHash rows agreeing) does not imply near-identity:
+    * if the star center–B edge fails the exact verify while B–C would
+    * have passed, the B–C pair (and B's cluster membership) is lost —
+    * pair-level consumers diverge from the exact pair set once any
+    * bucket crosses the cap, and connected components are preserved only
+    * when over-cap buckets really are near-identical cliques (the
+    * overwhelmingly common case that makes them over-cap in the first
+    * place: boilerplate/templated mass duplicates). Below the cap
+    * nothing changes — the fixture outputs (q35/q36/q45/q80/q86) are
+    * bit-identical. Callers whose CONTRACT depends on specific edges
+    * surviving the collapse must not rely on the single-center star:
+    * [[Decontam.decontaminateFuzzy]] passes `parityStar = true` so each
+    * over-cap bucket stars around BOTH its min even and min odd id and
+    * cross-corpus edges survive. */
   val MaxBucket = 4096
 
   /** [[pairCombos]] with the [[MaxBucket]]-style star collapse. */
@@ -195,6 +204,33 @@ object Dedup {
     when(size(ids) <= lit(cap), pairCombos(ids))
       .otherwise(transform(slice(ids, lit(2), size(ids)),
         y => struct(element_at(ids, 1).as("id_a"), y.as("id_b"))))
+
+  /** [[cappedPairCombos]] with a PARITY-AWARE two-center star: past the
+    * cap, every member is paired with BOTH the bucket's minimum EVEN id
+    * and its minimum ODD id (when present). For tagged-union consumers
+    * that encode corpus membership in the id's parity
+    * ([[Decontam.decontaminateFuzzy]]: train → 2·id, eval → 2·id+1) the
+    * single-center star is lossy in exactly the wrong way — if the one
+    * center is a train id, every other train member's only candidate
+    * edge is train×train and dies in the cross-parity filter, silently
+    * KEEPING train docs that are near-copies of eval docs. Two centers
+    * guarantee every member an edge to a center of each parity present,
+    * so cross-corpus star edges always survive the filter. Fan-out stays
+    * linear (≤ 2·(N−1) pairs); below the cap identical to full
+    * enumeration. */
+  private[operators] def cappedPairCombosParity(ids: Column, cap: Int): Column = {
+    val evens = filter(ids, x => pmod(x, lit(2L)) === 0)
+    val odds = filter(ids, x => pmod(x, lit(2L)) === 1)
+    def star(center: Column): Column =
+      transform(filter(ids, y => y =!= center),
+        y => struct(least(center, y).as("id_a"),
+          greatest(center, y).as("id_b")))
+    def starIfAny(side: Column): Column =
+      when(size(side) > 0, star(element_at(side, 1)))
+        .otherwise(array().cast("array<struct<id_a:long,id_b:long>>"))
+    when(size(ids) <= lit(cap), pairCombos(ids))
+      .otherwise(concat(starIfAny(evens), starIfAny(odds)))
+  }
 
   /** Candidate near-duplicate pairs from LSH banding: ids sharing any
     * (band, band_sig) bucket. One groupBy collects each bucket's ids and
@@ -206,12 +242,16 @@ object Dedup {
     * the tail fan-out stays linear. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      seed: Long = 42L, maxBucket: Int = MaxBucket): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = MaxBucket,
+      parityStar: Boolean = false): DataFrame = {
+    val combos: Column => Column =
+      if (parityStar) cappedPairCombosParity(_, maxBucket)
+      else cappedPairCombos(_, maxBucket)
     lshBands(df, idCol, textCol, shingleN, numHashes, bands, seed)
       .groupBy(col("band"), col("band_sig"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(cappedPairCombos(col("ids"), maxBucket)).as("p"))
+      .select(explode(combos(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 

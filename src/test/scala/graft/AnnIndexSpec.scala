@@ -62,6 +62,64 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex === expected)
   }
 
+  test("int8 index: search equals ivfTopKInt8 bit-for-bit; stored bytes shrink vs float") {
+    val probes = embs.filter(col("vec_id") < 10)
+    val path8 = "/tmp/graft_test_ivf_index_int8"
+    val pathF = "/tmp/graft_test_ivf_index_floatref"
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", path8, numCentroids = 32,
+      codec = "int8")
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", pathF, numCentroids = 32)
+    val fromIndex = Ann.searchIvfIndex(spark, path8, probes, "vec_id",
+        "embedding", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = Ann.ivfTopKInt8(embs, probes, "vec_id", "embedding",
+        k = 5, numCentroids = 32, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex === inMemory)
+    assert(fromIndex.nonEmpty)
+    def corpusBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.startsWith("part-")) f.length() else 0L
+      walk(new java.io.File(s"$p/corpus"))
+    }
+    val (b8, bf) = (corpusBytes(path8), corpusBytes(pathF))
+    assert(b8 < bf, s"int8 index not smaller: $b8 vs $bf bytes")
+  }
+
+  test("index write parallelism is not capped at numCentroids (salted repartition)") {
+    // 4 centroids, write-salt 8: without the salt the corpus write stage
+    // is exactly numCentroids tasks → exactly one part file per cid dir;
+    // with it, rows of one list spread over up to WriteSalt writers, so
+    // the total part-file count exceeds numCentroids while the directory
+    // layout (and pruning) is unchanged.
+    // AQE coalescing collapses the tiny test shuffle back to few tasks
+    // (the desired production behavior — it cannot collapse full-size
+    // partitions); turn it off here so the raw partitioning is visible
+    val saltPath = "/tmp/graft_test_ivf_salt"
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      Ann.buildIvfIndex(embs, "vec_id", "embedding", saltPath, numCentroids = 4)
+    } finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+    def partFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(partFiles)
+      else if (f.getName.startsWith("part-")) Seq(f) else Nil
+    val files = partFiles(new java.io.File(s"$saltPath/corpus"))
+    assert(files.size > 4,
+      s"only ${files.size} part files for 4 lists — write stage still " +
+        "single-task-per-list")
+    // search over the salted layout still equals the in-memory path
+    val probes = embs.filter(col("vec_id") < 5)
+    val fromIndex = Ann.searchIvfIndex(spark, saltPath, probes, "vec_id",
+        "embedding", k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val inMemory = Ann.ivfTopK(embs, probes, "vec_id", "embedding",
+        k = 3, numCentroids = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex === inMemory)
+  }
+
   test("index search prunes at the directory level: only probed lists are scanned") {
     val probes = embs.filter(col("vec_id") < 3)
     Ann.buildIvfIndex(embs, "vec_id", "embedding", path, numCentroids = 32)
@@ -75,8 +133,10 @@ class AnnIndexSpec extends SparkSpec {
     val res = Ann.searchIvfIndex(spark, path, probes, "vec_id", "embedding",
       k = 5, nProbe = 4)
     val planStr = res.queryExecution.executedPlan.toString
+    // parenthesized: attribute names print as cid#N, so an unparenthesized
+    // `A && B || C` was vacuously true via C alone
     assert(planStr.contains("PartitionFilters") &&
-      planStr.contains("cid IN") || planStr.contains("cid#"),
+      (planStr.contains("cid IN") || planStr.contains("cid#")),
       s"cid filter did not reach the scan:\n${planStr.take(2000)}")
     // and the files an actual execution touches are the probed dirs only
     // (inputFiles lists pre-pruning; input_file_name() sees the real scan)

@@ -139,6 +139,28 @@ class CurationSpec extends SparkSpec {
     assert(keptAll === 3L)
   }
 
+  test("decontaminateFuzzy: over-cap clique containing an eval doc still drops every train copy") {
+    import graft.operators.Decontam
+    // 20 verbatim train copies of one eval doc, bucket cap forced far
+    // below the clique size: every band bucket holds the whole clique, so
+    // the single-center min-id star (min fid = a TRAIN doc) would emit
+    // only train×train edges for the other 19 train members — all dropped
+    // by the cross-parity filter, silently KEEPING contaminated docs. The
+    // parity-aware star (min even + min odd center) must drop all 20.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val train = (1L to 20L).map(i => (i, txt))
+      .toDF("doc_id", "text")
+      .unionAll(Seq((50L,
+        "totally different words sharing zero shingles with anything else here"))
+        .toDF("doc_id", "text"))
+    val eval = Seq((100L, txt)).toDF("doc_id", "text")
+    val kept = Decontam.decontaminateFuzzy(train, eval, "doc_id", "text",
+        threshold = 0.8, maxBucket = 8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(50L),
+      s"contaminated clique members survived the capped star: $kept")
+  }
+
   test("segmentDedup hashedKeys: identical output to the string-keyed form on the fixture") {
     val docs = Tables.documents(spark, sf0001)
     def collectOut(hashed: Boolean) =
