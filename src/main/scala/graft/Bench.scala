@@ -48,23 +48,76 @@ object Bench {
       Thread.sleep(5000); quiesceWaitSec += 5
     }
     val loadStart = loadavg()
+    // Round-5 lesson: the quiesce gate passed at t=0 and co-load arrived
+    // MID-RUN anyway, poisoning the recorded artifact. Loadavg is useless
+    // mid-run (our own local[32] work drives it to ~15), so co-load is
+    // detected from /proc instead: the CPU jiffies burned by OTHER
+    // processes during a probe batch ((Δtotal busy − Δself) / Δwall).
+    // A batch measured while others burned > CoLoadCores cores is
+    // re-run after a bounded settle sleep; probes still slow+unstable at
+    // the end of the run get ONE redemption batch, and only those that
+    // stay dirty feed the polluted stamp (per-probe, so one noisy probe
+    // cannot condemn a clean artifact — and a clean end cannot hide a
+    // dirty probe).
+    def selfJiffies(): Long =
+      try {
+        val s = scala.io.Source.fromFile("/proc/self/stat").mkString
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        rest(11).toLong + rest(12).toLong // utime + stime
+      } catch { case _: Throwable => -1L }
+    def busyJiffies(): Long =
+      try {
+        val f = scala.io.Source.fromFile("/proc/stat").getLines().next()
+          .trim.split("\\s+").drop(1).map(_.toLong)
+        // user+nice+system+irq+softirq+steal (idle, iowait excluded)
+        f(0) + f(1) + f(2) + f(5) + f(6) + f(7)
+      } catch { case _: Throwable => -1L }
+    // cores of CPU used by other processes while f ran (USER_HZ = 100)
+    def withOtherCores[T](f: () => T): (T, Double) = {
+      val s0 = selfJiffies(); val b0 = busyJiffies()
+      val t0 = System.nanoTime()
+      val r = f()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val oc =
+        if (s0 < 0 || b0 < 0 || wall <= 0) -1.0
+        else ((busyJiffies() - b0) - (selfJiffies() - s0)) / 100.0 / wall
+      (r, math.max(oc, -1.0))
+    }
+    val CoLoadCores = 2.0
     var unstableReruns = 0
     // sub-half-second probes re-run from JIT/GC noise even on a silent
     // box (30% of 150 ms is one safepoint) — only SLOW-probe instability
     // is co-load evidence, so only it feeds the polluted stamp
     var unstableRerunsSlow = 0
+    var coloadBatches = 0
+    var maxOtherCores = 0.0
+    // probes still slow+dirty after in-place retries, awaiting redemption
+    val probeRedo = scala.collection.mutable.LinkedHashMap
+      .empty[String, () => Double]
+    val probeDirty = scala.collection.mutable.LinkedHashSet.empty[String]
     def spreadOf(b: Seq[Double]): Double =
       (b.last - b.head) / math.max(b(1), 1e-9)
-    def stableMedian(once: () => Double): Double = {
-      def batch(): Seq[Double] = Seq(once(), once(), once()).sorted
-      val b1 = batch()
-      if (spreadOf(b1) <= 0.30) b1(1)
-      else {
+    def batchOf(once: () => Double): (Seq[Double], Double) = {
+      val (ts, oc) = withOtherCores(() => Seq(once(), once(), once()))
+      if (oc > maxOtherCores) maxOtherCores = oc
+      (ts.sorted, oc)
+    }
+    def stableMedian(name: String, once: () => Double): Double = {
+      var (b, oc) = batchOf(once)
+      var tries = 0
+      while ((spreadOf(b) > 0.30 || oc > CoLoadCores) && tries < 2) {
         unstableReruns += 1
-        if (b1(1) > 0.5) unstableRerunsSlow += 1
-        val b2 = batch()
-        if (spreadOf(b2) <= spreadOf(b1)) b2(1) else b1(1)
+        if (b(1) > 0.5) unstableRerunsSlow += 1
+        if (oc > CoLoadCores) { coloadBatches += 1; Thread.sleep(8000) }
+        val (b2, oc2) = batchOf(once)
+        if (spreadOf(b2) <= spreadOf(b)) { b = b2; oc = oc2 }
+        tries += 1
       }
+      if ((spreadOf(b) > 0.30 || oc > CoLoadCores) && b(1) > 0.5) {
+        probeDirty += name
+        probeRedo(name) = once
+      }
+      b(1)
     }
 
     val headline = Inventory.all.filter(_.headline)
@@ -77,7 +130,7 @@ object Bench {
       }
       val t = try {
         once() // warmup
-        stableMedian(() => once())
+        stableMedian(q.name, () => once())
       } catch {
         case e: Throwable =>
           errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -95,11 +148,11 @@ object Bench {
     val li = Tables.lineitem(spark, sfDir)
     val li10 = Seq.fill(10)(li).reduce(_ union _)
     val key = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
-    def timeMedian(f: => Unit): Double = {
+    def timeMedian(name: String)(f: => Unit): Double = {
       f // warmup
-      stableMedian { () =>
+      stableMedian(name, { () =>
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }
+      })
     }
     val nRows = li10.count()
     // fixture caches are keyed on the scale factor: a bare _SUCCESS check
@@ -112,17 +165,17 @@ object Bench {
       li10.repartition(40).write.mode("overwrite").parquet(li10Path)
     }
     val li10f = spark.read.parquet(li10Path)
-    val tExact = timeMedian {
+    val tExact = timeMedian("x10_exact_sum_sec") {
       li10f.agg(sum(col("l_extendedprice"))).collect(): Unit
     }
     // row-level systematic: variance win only, no IO win (documented)
-    val tSampled = timeMedian {
+    val tSampled = timeMedian("x10_sys10_sum_sec") {
       li10f.filter(pmod(key, lit(10L)) === 0)
         .agg(sum(col("l_extendedprice")) * lit(10.0)).collect(): Unit
     }
     // file-level cluster sampling: reads 1/10 of the part-files
     val fileSf = graft.sources.FileSampling.parquetFileSample(spark, li10Path, 10)
-    val tFile = timeMedian {
+    val tFile = timeMedian("x10_filesample10_sum_sec") {
       fileSf.df.agg(sum(col("l_extendedprice")) * lit(fileSf.scaleFactor))
         .collect(): Unit
     }
@@ -182,11 +235,11 @@ object Bench {
         .collect(): Unit
     val (kLo, kHi) = (maxKey / 2, maxKey / 2 + maxKey / 100)    // ~1% band
     val (pLo, pHi) = (maxPart / 2, maxPart / 2 + maxPart / 100) // ~1% band
-    val tScanScattered = timeMedian(bandScan(liScattered, "l_orderkey", kLo, kHi))
-    val tScanClustered = timeMedian(bandScan(liClustered, "l_orderkey", kLo, kHi))
-    val tZorderKey = timeMedian(bandScan(liZorder, "l_orderkey", kLo, kHi))
-    val tLinearPart = timeMedian(bandScan(liClustered, "l_partkey", pLo, pHi))
-    val tZorderPart = timeMedian(bandScan(liZorder, "l_partkey", pLo, pHi))
+    val tScanScattered = timeMedian("x_layout_scattered_sec")(bandScan(liScattered, "l_orderkey", kLo, kHi))
+    val tScanClustered = timeMedian("x_layout_clustered_sec")(bandScan(liClustered, "l_orderkey", kLo, kHi))
+    val tZorderKey = timeMedian("x_zorder_keyband_sec")(bandScan(liZorder, "l_orderkey", kLo, kHi))
+    val tLinearPart = timeMedian("x_linear_partband_sec")(bandScan(liClustered, "l_partkey", pLo, pHi))
+    val tZorderPart = timeMedian("x_zorder_partband_sec")(bandScan(liZorder, "l_partkey", pLo, pHi))
     // Hive-style directory partitioning by ship month: pruning happens at
     // PLANNING time from the directory listing (PartitionFilters — zero
     // footers read for excluded months), the coarse complement of the
@@ -208,16 +261,16 @@ object Bench {
       df.filter(cond).agg(count(lit(1)),
         sum(xxhash64(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
           .cast("decimal(38,0)"))).collect(): Unit
-    val tMonthPruned = timeMedian(monthHash(liMonth,
+    val tMonthPruned = timeMedian("x_hivepart_pruned_sec")(monthHash(liMonth,
       col("ship_month") === "1998-06"))
-    val tMonthScattered = timeMedian(monthHash(liScattered,
+    val tMonthScattered = timeMedian("x_hivepart_scattered_sec")(monthHash(liScattered,
       col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-07-01").cast("timestamp")))
     // embedding near-dup over the full embeddings fixture: exercises the
     // native vec_dot codegen kernel (signature + verify) through the
     // multi-table LSH bucket-collect path
     val emb = Tables.embeddings(spark, sfDir)
-    val tEmbedDedup = timeMedian {
+    val tEmbedDedup = timeMedian("x_embed_neardup_sec") {
       graft.operators.Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4).count(): Unit
     }
@@ -245,11 +298,11 @@ object Bench {
     val ivf8Recall = nnSet(graft.operators.Ann.ivfTopKInt8(emb, annProbes,
       "vec_id", "embedding", k = 5, numCentroids = 32, nProbe = 8))
       .intersect(exactNN).size.toDouble / exactNN.size
-    val tIvfFloat = timeMedian {
+    val tIvfFloat = timeMedian("x_ann_ivf_sec") {
       graft.operators.Ann.ivfTopK(emb, annProbes, "vec_id", "embedding",
         k = 5, numCentroids = 32, nProbe = 8).count(): Unit
     }
-    val tIvfInt8 = timeMedian {
+    val tIvfInt8 = timeMedian("x_ann_ivf_int8_sec") {
       graft.operators.Ann.ivfTopKInt8(emb, annProbes, "vec_id", "embedding",
         k = 5, numCentroids = 32, nProbe = 8).count(): Unit
     }
@@ -257,16 +310,35 @@ object Bench {
     // batch; the persisted index pays the build once and every search
     // after that reads only the probed lists (partition pruning)
     val ivfIndexPath = s"/tmp/graft_bench_ivfindex_$sfTag"
-    val tIndexBuild = {
-      val t0 = System.nanoTime()
+    val tIndexBuild = timeMedian("x_ann_index_build_sec") {
       graft.operators.Ann.buildIvfIndex(emb, "vec_id", "embedding",
         ivfIndexPath, numCentroids = 32)
-      (System.nanoTime() - t0) / 1e9
     }
-    val tIndexSearch = timeMedian {
+    val tIndexSearch = timeMedian("x_ann_index_search_sec") {
       graft.operators.Ann.searchIvfIndex(spark, ivfIndexPath, annProbes,
         "vec_id", "embedding", k = 5, nProbe = 8).count(): Unit
     }
+    // int8-coded index: same lists, byte codes instead of float vectors —
+    // the candidate read is the probed fraction of a ~4×-smaller corpus,
+    // so this is where the measured exchange shrink becomes real I/O
+    val ivfIndex8Path = s"/tmp/graft_bench_ivfindex8_$sfTag"
+    val tIndex8Build = timeMedian("x_ann_index8_build_sec") {
+      graft.operators.Ann.buildIvfIndex(emb, "vec_id", "embedding",
+        ivfIndex8Path, numCentroids = 32, codec = "int8")
+    }
+    val tIndex8Search = timeMedian("x_ann_index8_search_sec") {
+      graft.operators.Ann.searchIvfIndex(spark, ivfIndex8Path, annProbes,
+        "vec_id", "embedding", k = 5, nProbe = 8).count(): Unit
+    }
+    def indexCorpusBytes(p: String): Double = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.startsWith("part-")) f.length() else 0L
+      walk(new java.io.File(s"$p/corpus")).toDouble
+    }
+    val idxBytesFloat = indexCorpusBytes(ivfIndexPath)
+    val idxBytesInt8 = indexCorpusBytes(ivfIndex8Path)
     // Shuffle-write bytes of the measured workload ONLY: accumulation is
     // scoped to the stages of jobs carrying our job group (concurrent or
     // straggling jobs from other probes can neither overcount nor
@@ -466,6 +538,53 @@ object Bench {
       val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
       (med(pairs.map(_._1)), med(pairs.map(_._2)))
     }
+    // The same priority fight at 60 M rows — the scale where the naive
+    // global-window twin was EXPECTED to die in a single-partition sort.
+    // Two findings get separated: (a) the FAIR fight — Spark 4's
+    // InferWindowGroupLimit rewrites the window twin into per-partition
+    // top-(k+1) pre-filters before the final sort, i.e. it recovers
+    // prioritySample's plan shape automatically, so the measured edge
+    // should stay ≈1× even at 60 M (this retires the round-4 "plan that
+    // dies" claim ON SPARK 4 — see PLANS.md); (b) the demonstration —
+    // the identical query with that rule EXCLUDED is the plan every
+    // pre-3.5 engine runs, single-partition-sorting all 60 M rows. One
+    // run for the demo leg (it is the point, not the fight).
+    val (tPrio60Topk, tPrio60Sort, tPrio60SortNoLimit) = {
+      import org.apache.spark.sql.expressions.Window
+      val pw = col("l_extendedprice")
+      val m = 1000003L
+      val h = pmod(pmod(col("ps_key"), lit(m)) * lit(1299709L) +
+        lit(104729L), lit(m)) + lit(1L)
+      def topkOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.exec.Sampling.prioritySample(liScattered, key, pw, k = 500)
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def sortOnce(): Double = {
+        val t0 = System.nanoTime()
+        liScattered.select(key.as("ps_key"), pw.cast("double").as("ps_w"))
+          .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("ps_prio").desc, col("ps_key").asc)))
+          .filter(col("rn") <= 501).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      topkOnce(); sortOnce()
+      val pairs = Seq.fill(3)((topkOnce(), sortOnce()))
+      val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
+      val noLimit = {
+        val saved = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+          "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+        try sortOnce()
+        finally saved match {
+          case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+          case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+        }
+      }
+      (med(pairs.map(_._1)), med(pairs.map(_._2)), noLimit)
+    }
     // The same universe probe at 60 M fact rows: at 6 M the join is
     // scan-bound and the band filter shows ~1.3×; here the shuffle legs
     // dominate (60 M rows exchanged vs 6 M), which is the regime 100 TB
@@ -517,10 +636,10 @@ object Bench {
         def agged(j: org.apache.spark.sql.DataFrame) = j
           .groupBy(col("s_nationkey"))
           .agg(count(lit(1)), sum(col("l_extendedprice")))
-        val plain = timeMedian {
+        val plain = timeMedian("x_skew_plain_sec") {
           agged(skewedFact.join(buildSide, "l_suppkey")).collect(): Unit
         }
-        val salted = timeMedian {
+        val salted = timeMedian("x_skew_salted_sec") {
           agged(graft.operators.Skew.saltedJoin(skewedFact, buildSide,
             "l_suppkey", salts = 8)).collect(): Unit
         }
@@ -533,12 +652,12 @@ object Bench {
     // ratio is the q97 scale story, measured.
     val argmaxIn = li10f.select(col("l_suppkey"), col("l_extendedprice"),
       col("l_orderkey"), col("l_linenumber"))
-    val tLatestWindow = timeMedian {
+    val tLatestWindow = timeMedian("x_argmax_window_sec") {
       graft.operators.Packing.latestPerKey(argmaxIn, Seq("l_suppkey"),
           Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
         .agg(count(lit(1))).collect(): Unit
     }
-    val tLatestAgg = timeMedian {
+    val tLatestAgg = timeMedian("x_argmax_agg_sec") {
       graft.operators.Packing.argmaxPerKey(argmaxIn, Seq("l_suppkey"),
           Seq("l_extendedprice", "l_orderkey", "l_linenumber"), Nil)
         .agg(count(lit(1))).collect(): Unit
@@ -548,7 +667,7 @@ object Bench {
     // broadcastMaxes on: l_suppkey cardinality is known-bounded here,
     // which is the opt-in's contract (default AQE path pays the fact's
     // local map-write before converting — measured 0.21× vs window)
-    val tLatestJoin = timeMedian {
+    val tLatestJoin = timeMedian("x_argmax_join_sec") {
       graft.operators.Packing.argmaxViaJoin(argmaxIn, Seq("l_suppkey"),
           "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
           broadcastMaxes = true)
@@ -578,12 +697,12 @@ object Bench {
         "AS d FROM lineitem"
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
       val exactV = spark.sql(q).first.getLong(0)
-      val tEx = timeMedian { spark.sql(q).collect(): Unit }
-      val tHiEx = timeMedian { spark.sql(qHi).collect(): Unit }
+      val tEx = timeMedian("x_cd_exact_sec") { spark.sql(q).collect(): Unit }
+      val tHiEx = timeMedian("x_cd_hicard_exact_sec") { spark.sql(qHi).collect(): Unit }
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "true")
       val apxV = spark.sql(q).first.getLong(0)
-      val tAp = timeMedian { spark.sql(q).collect(): Unit }
-      val tHiAp = timeMedian { spark.sql(qHi).collect(): Unit }
+      val tAp = timeMedian("x_cd_hll_sec") { spark.sql(q).collect(): Unit }
+      val tHiAp = timeMedian("x_cd_hicard_hll_sec") { spark.sql(qHi).collect(): Unit }
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
       (tEx, tAp, 100.0 * math.abs(apxV - exactV).toDouble / exactV,
         tHiEx, tHiAp)
@@ -596,7 +715,7 @@ object Bench {
     val docsAll = Tables.documents(spark, sfDir)
     val evalSet = docsAll.filter(pmod(col("doc_id"), lit(97L)) === 0)
       .select(col("doc_id"), col("text"))
-    val tPipeline = timeMedian {
+    val tPipeline = timeMedian("x_pipeline_sec") {
       graft.operators.CurationPipeline.run(docsAll, Some(evalSet),
         "doc_id", "text", "source",
         graft.operators.CurationPipeline.Config(minQuality = 0.2,
@@ -619,18 +738,18 @@ object Bench {
         col("source")))
       .reduce(_ union _)
     val nDocs10 = docs10.count()
-    val tDedup10Near = timeMedian {
+    val tDedup10Near = timeMedian("x_dedup10x_neardup_sec") {
       graft.operators.Dedup.dropNearDups(docs10, "doc_id", "text",
           threshold = 0.8)
         .agg(count(lit(1))).collect(): Unit
     }
-    val tDedup10Gram = timeMedian {
+    val tDedup10Gram = timeMedian("x_dedup10x_dupngram_sec") {
       graft.operators.Dedup.dupNgramStats(docs10, "doc_id", "text", n = 3)
         .agg(count(lit(1)), sum(col("n_dup"))).collect(): Unit
     }
     // segment-level dedup on the same 10× fixture: every segment sits in a
     // 10-clique, the worst case for the first-occurrence aggregate
-    val tDedup10Seg = timeMedian {
+    val tDedup10Seg = timeMedian("x_dedup10x_segdedup_sec") {
       graft.operators.Dedup.segmentDedup(docs10, "doc_id", "text",
           segmentWords = 8)
         .agg(count(lit(1)), sum(col("n_kept"))).collect(): Unit
@@ -638,7 +757,7 @@ object Bench {
     // hashed-key variant: the agg/join exchanges key on xxhash64(segment)
     // (16-byte rows) instead of the raw segment string — the 100 TB form
     // the scaladoc documents, probed on the same fixture
-    val tDedup10SegHashed = timeMedian {
+    val tDedup10SegHashed = timeMedian("x_dedup10x_segdedup_hashed_sec") {
       graft.operators.Dedup.segmentDedup(docs10, "doc_id", "text",
           segmentWords = 8, hashedKeys = true)
         .agg(count(lit(1)), sum(col("n_kept"))).collect(): Unit
@@ -647,7 +766,7 @@ object Bench {
     // the most expensive gated near-dup query (companion to x_unijoin60's
     // join trend): candidate density grows ∝ clique size², so this is the
     // adversarial-but-honest growth curve, not a regression alarm
-    val tQ35at10x = timeMedian {
+    val tQ35at10x = timeMedian("x_q35_10x_sec") {
       graft.operators.Dedup.nearDupPairs(docs10, "doc_id", "text",
         threshold = 0.8).count(): Unit
     }
@@ -660,7 +779,7 @@ object Bench {
         .select(col("c_custkey"), col("c_nationkey"))
       val nat = Tables.nation(spark, sfDir)
         .select(col("n_nationkey"), col("n_name"))
-      timeMedian {
+      timeMedian("x_q20_60m_sec") {
         liScattered
           .join(orders.select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
@@ -677,15 +796,46 @@ object Bench {
     // small multiple, nowhere near 50×; the alternative B-resample design
     // would be)
     val liKeyB = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
-    val tPlainSum = timeMedian {
+    val tPlainSum = timeMedian("x_bootstrap_plain_sec") {
       li.filter(pmod(liKeyB, lit(10L)) === 0)
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))).collect(): Unit
     }
-    val tBootstrap = timeMedian {
+    val tBootstrap = timeMedian("x_bootstrap_sec") {
       graft.exec.Bootstrap.bootstrapSumCi(li,
         col("l_extendedprice").cast("decimal(18,2)"), liKeyB, step = 10L,
         replicas = 50).collect(): Unit
     }
+    // COLD-cache layout probes (round-5 item: the z-order ratio flipped
+    // 32.7× → 3.6× purely from page-cache warmth — record both regimes so
+    // that flip never needs re-explaining). Cold = page cache dropped via
+    // /proc/sys/vm/drop_caches (root-only; -1 when unavailable) before
+    // EVERY timed run, so each read decodes from disk like a first-touch
+    // 100 TB scan. Placed LAST among the timed probes: the drop evicts
+    // every fixture and would slow (and destabilize) anything after it.
+    val dropCachesOk: Boolean =
+      try {
+        new ProcessBuilder("sync").start().waitFor()
+        val w = new java.io.FileWriter("/proc/sys/vm/drop_caches")
+        w.write("1"); w.close(); true
+      } catch { case _: Throwable => false }
+    def coldMedian(name: String)(f: => Unit): Double =
+      if (!dropCachesOk) -1.0
+      else stableMedian(name, { () =>
+        new ProcessBuilder("sync").start().waitFor()
+        val w = new java.io.FileWriter("/proc/sys/vm/drop_caches")
+        w.write("1"); w.close()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      })
+    val tZorderPartCold = coldMedian("x_zorder_partband_cold_sec")(
+      bandScan(liZorder, "l_partkey", pLo, pHi))
+    val tLinearPartCold = coldMedian("x_linear_partband_cold_sec")(
+      bandScan(liClustered, "l_partkey", pLo, pHi))
+    val tMonthPrunedCold = coldMedian("x_hivepart_pruned_cold_sec")(
+      monthHash(liMonth, col("ship_month") === "1998-06"))
+    val tMonthScatteredCold = coldMedian("x_hivepart_scattered_cold_sec")(
+      monthHash(liScattered,
+        col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-07-01").cast("timestamp")))
     val extra = Seq(
       "x_pipeline_sec" -> tPipeline) ++
       pipelineStages.map { case (name, t) => s"x_pipeline_${name}_sec" -> t } ++
@@ -731,6 +881,20 @@ object Bench {
       "x_ann_index_search_sec" -> tIndexSearch,
       "x_ann_index_amortized_speedup" ->
         (if (tIndexSearch > 0) tIvfFloat / tIndexSearch else -1.0),
+      // build-once pitch as a CURVE, not one contested ratio: number of
+      // search batches after which the persisted index beats retrain-and-
+      // rescan (build / per-batch saving); negative = search not faster
+      "x_ann_index_breakeven_batches" ->
+        (if (tIvfFloat - tIndexSearch > 0)
+          tIndexBuild / (tIvfFloat - tIndexSearch) else -1.0),
+      "x_ann_index8_build_sec" -> tIndex8Build,
+      "x_ann_index8_search_sec" -> tIndex8Search,
+      "x_ann_index8_search_speedup" ->
+        (if (tIndex8Search > 0) tIndexSearch / tIndex8Search else -1.0),
+      "x_ann_index_bytes_float" -> idxBytesFloat,
+      "x_ann_index_bytes_int8" -> idxBytesInt8,
+      "x_ann_index_bytes_shrink" ->
+        (if (idxBytesInt8 > 0) idxBytesFloat / idxBytesInt8 else -1.0),
       "x_int8_leg_bytes_float" -> bytesFloatLeg,
       "x_int8_leg_bytes_coded" -> bytesCodedLeg,
       "x_int8_leg_shrink" ->
@@ -739,6 +903,13 @@ object Bench {
       "x_priority_sort_sec" -> tPrioSort,
       "x_priority_speedup" ->
         (if (tPrioTopk > 0) tPrioSort / tPrioTopk else -1.0),
+      "x_priority60_topk_sec" -> tPrio60Topk,
+      "x_priority60_sort_sec" -> tPrio60Sort,
+      "x_priority60_speedup" ->
+        (if (tPrio60Topk > 0) tPrio60Sort / tPrio60Topk else -1.0),
+      "x_priority60_sort_nolimit_sec" -> tPrio60SortNoLimit,
+      "x_priority60_nolimit_speedup" ->
+        (if (tPrio60Topk > 0) tPrio60SortNoLimit / tPrio60Topk else -1.0),
       "x_unijoin_exact_sec" -> tUniExact,
       "x_unijoin_sampled_sec" -> tUniSampled,
       "x_unijoin_speedup" ->
@@ -774,26 +945,106 @@ object Bench {
       "x_hivepart_pruned_sec" -> tMonthPruned,
       "x_hivepart_speedup" ->
         (if (tMonthPruned > 0) tMonthScattered / tMonthPruned else -1.0),
+      "x_zorder_partband_cold_sec" -> tZorderPartCold,
+      "x_linear_partband_cold_sec" -> tLinearPartCold,
+      "x_zorder_partband_cold_speedup" ->
+        (if (tZorderPartCold > 0) tLinearPartCold / tZorderPartCold else -1.0),
+      "x_hivepart_pruned_cold_sec" -> tMonthPrunedCold,
+      "x_hivepart_scattered_cold_sec" -> tMonthScatteredCold,
+      "x_hivepart_cold_speedup" ->
+        (if (tMonthPrunedCold > 0) tMonthScatteredCold / tMonthPrunedCold
+         else -1.0))
+
+    // END-OF-RUN REDEMPTION: probes that stayed slow+unstable in place get
+    // ONE more batch now (mid-run co-load is usually transient — round 5's
+    // arrived after minute 2 and the affected probes were clean again by
+    // the end). A stable, co-load-free re-batch replaces the probe's value
+    // and clears its stamp; derived ratios are recomputed from the
+    // redeemed bases so the artifact is internally consistent.
+    val redeemed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    probeRedo.foreach { case (name, once) =>
+      val (b, oc) = batchOf(once)
+      if (spreadOf(b) <= 0.30 && oc <= CoLoadCores) {
+        probeDirty -= name
+        redeemed(name) = b(1)
+      }
+    }
+    val resultsFinal = results.map { case (k, v) =>
+      k -> redeemed.getOrElse(k, v) }
+    val m = scala.collection.mutable.LinkedHashMap(extra: _*)
+    redeemed.foreach { case (k, v) => if (m.contains(k)) m(k) = v }
+    // (ratio metric, numerator, denominator) — recomputed when any base
+    // probe was redeemed; ratio = num / den
+    val ratioDefs = Seq(
+      ("x_bootstrap_vs_plain_sum", "x_bootstrap_sec", "x_bootstrap_plain_sec"),
+      ("x_cd_rewrite_speedup", "x_cd_exact_sec", "x_cd_hll_sec"),
+      ("x_cd_hicard_speedup", "x_cd_hicard_exact_sec", "x_cd_hicard_hll_sec"),
+      ("x_skew_speedup", "x_skew_plain_sec", "x_skew_salted_sec"),
+      ("x_argmax_speedup", "x_argmax_window_sec", "x_argmax_agg_sec"),
+      ("x_argmax_join_speedup", "x_argmax_window_sec", "x_argmax_join_sec"),
+      ("x_ann_index_amortized_speedup", "x_ann_ivf_sec",
+        "x_ann_index_search_sec"),
+      ("x_ann_index8_search_speedup", "x_ann_index_search_sec",
+        "x_ann_index8_search_sec"),
+      ("x10_speedup_sys", "x10_exact_sum_sec", "x10_sys10_sum_sec"),
+      ("x10_speedup_file", "x10_exact_sum_sec", "x10_filesample10_sum_sec"),
+      ("x_layout_speedup", "x_layout_scattered_sec", "x_layout_clustered_sec"),
+      ("x_zorder_partband_speedup", "x_linear_partband_sec",
+        "x_zorder_partband_sec"),
+      ("x_zorder_partband_cold_speedup", "x_linear_partband_cold_sec",
+        "x_zorder_partband_cold_sec"),
+      ("x_hivepart_speedup", "x_hivepart_scattered_sec",
+        "x_hivepart_pruned_sec"),
+      ("x_hivepart_cold_speedup", "x_hivepart_scattered_cold_sec",
+        "x_hivepart_pruned_cold_sec"))
+    if (redeemed.nonEmpty) {
+      // add x_bootstrap_plain_sec so its redeemed value is visible to the
+      // ratio recompute (it was previously ratio-only)
+      if (!m.contains("x_bootstrap_plain_sec"))
+        m("x_bootstrap_plain_sec") = redeemed.getOrElse(
+          "x_bootstrap_plain_sec", tPlainSum)
+      ratioDefs.foreach { case (out, num, den) =>
+        if (m.contains(out) && m.contains(num) && m.contains(den))
+          m(out) = if (m(den) > 0) m(num) / m(den) else -1.0
+      }
+      if (redeemed.contains("x10_exact_sum_sec"))
+        m("x10_exact_mrows_per_sec") = nRows / m("x10_exact_sum_sec") / 1e6
+      if (Seq("x_ann_ivf_sec", "x_ann_index_search_sec",
+          "x_ann_index_build_sec").exists(redeemed.contains)) {
+        val d = m("x_ann_ivf_sec") - m("x_ann_index_search_sec")
+        m("x_ann_index_breakeven_batches") =
+          if (d > 0) m("x_ann_index_build_sec") / d else -1.0
+      }
+    }
+    m ++= Seq(
       "x_loadavg_start" -> loadStart,
       "x_loadavg_end" -> loadavg(),
       "x_quiesce_wait_sec" -> quiesceWaitSec.toDouble,
       "x_unstable_reruns" -> unstableReruns.toDouble,
-      "x_unstable_reruns_slow" -> unstableRerunsSlow.toDouble)
+      "x_unstable_reruns_slow" -> unstableRerunsSlow.toDouble,
+      "x_coload_batches" -> coloadBatches.toDouble,
+      "x_other_cores_max" -> maxOtherCores,
+      "x_redeemed_probes" -> redeemed.size.toDouble,
+      "x_dirty_probes" -> probeDirty.size.toDouble)
     // the artifact's own verdict on itself: start load never calmed below
-    // the gate, or SLOW probes kept re-running — treat every RATIO inside
-    // with suspicion and prefer the PLANS.md quiesced numbers. (loadavg at
-    // END is always elevated: the bench's own local[32] work drives it.)
-    val polluted = loadStart > 2.5 || unstableRerunsSlow > 3
+    // the gate, or more than 3 SLOW probes are STILL dirty after in-place
+    // retries and end-of-run redemption. Per-probe stamps ride in
+    // "unstable": ONLY those probes' values (and ratios built on them)
+    // are suspect; a clean rest of the artifact stands. (loadavg at END
+    // is always elevated: the bench's own local[32] work drives it.)
+    val polluted = loadStart > 2.5 || probeDirty.size > 3
 
-    val qs = (results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
-      extra.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })
+    val qs = (resultsFinal.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" } ++
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" })
       .mkString("{", ",", "}")
     val errJson = errors
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val unstableJson = probeDirty
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = resultsFinal.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","polluted":$polluted,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","polluted":$polluted,"unstable":$unstableJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the JSON goes to stdout as
     // its own (last) line AND to a file — sbt/log4j noise on stdout blinded
     // the round-1 perf gate ("parsed": null in BENCH_r01.json).

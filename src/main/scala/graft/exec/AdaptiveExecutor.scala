@@ -116,6 +116,150 @@ object AdaptiveExecutor {
       rounds)
   }
 
+  /** Result row of [[runGroupedDeterministic]]: one per group. */
+  final case class GroupOutcome(group: String, nRows: Long, sumEst: Double,
+      ciLower: Double, ciUpper: Double, nUsed: Long, roundsUsed: Int,
+      status: String)
+
+  /** PER-GROUP deterministic CLT ladder — [[runDeterministic]] extended to
+    * GROUP BY: every group climbs the same nested key-mod ladder
+    * independently, stops at ITS first converged round, and small groups
+    * skip the ladder entirely and go EXACT (q138's route-by-size idea,
+    * here with per-group iteration instead of one static fraction).
+    *
+    * Mechanics per round: ONE distributed job computes the cents moment
+    * sketch (n, Σxc, Σxc²) for every still-active group over the round's
+    * systematic sample (`key % step == 0`); converged groups leave the
+    * active set, so later (denser, costlier) rounds scan only for the
+    * groups that still need them — at 100 TB a round-k stop is a skipped
+    * scan of a larger sample, exactly like the scalar ladder. Driver
+    * state is ≤ groups × rounds sketch rows (the GROUP-BY-cardinality-
+    * is-bounded contract every estimator in this engine shares).
+    *
+    * Small groups (fewer than `exactBelow` rows, default 50·min(steps) —
+    * below which even the densest round cannot reach the n ≥ 50 CLT
+    * floor) are aggregated EXACTLY in one job filtered to just those
+    * groups: status "Exact", zero-width CI. This is the honest answer a
+    * sampling ladder cannot give.
+    *
+    * Everything is a pure function of the data (decimal-exact moments,
+    * one cast to double, fixed IEEE expression order), so a foreign
+    * engine replaying the same formula text reproduces every estimate,
+    * CI bound, round count and verdict bit-for-bit — q172's DuckDB
+    * oracle does exactly that, including the per-group first-converged-
+    * round selection and the drift verdict. Non-finite margins use the
+    * 1e18 sentinel (not Infinity) so the replay stays hashable. */
+  def runGroupedDeterministic(df: DataFrame, value: Column, key: Column,
+      group: Column,
+      steps: Seq[Long] = Seq(20L, 10L, 5L),
+      errorThresholdPct: Double = 2.0,
+      confidence: Double = 0.95,
+      driftTolerancePct: Double = 5.0,
+      exactBelow: Long = -1L): DataFrame = {
+    require(steps.nonEmpty && steps.zip(steps.tail).forall {
+      case (a, b) => a > b && a % b == 0 },
+      s"steps must shrink and nest (each divisible by the next): $steps")
+    val spark = df.sparkSession
+    val z = Estimators.zScore(confidence)
+    val exactCut = if (exactBelow >= 0) exactBelow else 50L * steps.last
+    val Big = 1e18 // cross-engine-safe stand-in for an unbounded margin
+    val xc = (value.cast("decimal(18,2)") * lit(100)).cast("long")
+    val g = group.cast("string").as("__g")
+
+    // round 0: per-group row counts (narrow scan — no value decode)
+    val counts = df.select(g).groupBy(col("__g"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (smallGroups, ladderGroups) = counts.partition(_._2 < exactCut)
+
+    final case class R(n: Double, est: Double, mar: Double, rel: Double)
+    val history = scala.collection.mutable.Map.empty[String, Vector[R]]
+      .withDefaultValue(Vector.empty)
+    val selected = scala.collection.mutable.Map.empty[String, Int]
+    var active = ladderGroups.keySet
+    steps.zipWithIndex.foreach { case (step, i) =>
+      if (active.nonEmpty) {
+        val moments = df
+          .select(g, key.as("__k"), xc.as("__xc"))
+          .filter(col("__g").isin(active.toSeq: _*) &&
+            pmod(col("__k"), lit(step)) === 0)
+          .groupBy(col("__g"))
+          .agg(count(col("__xc")).cast("double").as("n"),
+            sum(col("__xc").cast("decimal(28,0)")).cast("double").as("sc"),
+            sum((col("__xc") * col("__xc")).cast("decimal(38,0)"))
+              .cast("double").as("s2c"))
+          .collect()
+          .map(r => r.getString(0) ->
+            ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+        active.toSeq.sorted.foreach { grp =>
+          val nn = counts(grp).toDouble
+          val (n, sc, s2c) = moments.getOrElse(grp, (0.0, 0.0, 0.0))
+          // IEEE-op lockstep with the q172 oracle text — do not refactor
+          val est = if (n > 0) sc * (nn / n) / 100.0 else 0.0
+          val mar =
+            if (n > 1)
+              z * math.sqrt(((s2c - sc * sc / n) / (n - 1)) / n) * nn / 100.0
+            else Big
+          val rel =
+            if (est != 0.0 && mar < Big)
+              100.0 * (((est + mar) - (est - mar)) / 2.0) / math.abs(est)
+            else Big
+          history(grp) = history(grp) :+ R(n, est, mar, rel)
+          val converged = rel <= errorThresholdPct && n >= 50
+          if (converged || i == steps.size - 1) {
+            selected(grp) = history(grp).size
+            active -= grp
+          }
+        }
+      }
+    }
+
+    // exact top-up for the small groups: one job scoped to just them
+    val exactRows: Seq[GroupOutcome] =
+      if (smallGroups.isEmpty) Nil
+      else df.select(g, xc.as("__xc"))
+        .filter(col("__g").isin(smallGroups.keySet.toSeq: _*))
+        .groupBy(col("__g"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("__xc").cast("decimal(28,0)")).cast("double") / 100.0)
+            .as("s"))
+        .collect()
+        .map(r => GroupOutcome(r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(2), r.getDouble(2), r.getLong(1), 0, "Exact"))
+        .toSeq
+    // empty small groups cannot occur (a group exists because rows do)
+
+    val ladderRows = ladderGroups.keySet.toSeq.sorted.map { grp =>
+      val rounds = history(grp)
+      val ru = selected(grp)
+      val last = rounds(ru - 1)
+      val drifted = ru >= 2 && {
+        val prev = rounds(ru - 2)
+        val disjoint = prev.est + prev.mar < last.est - last.mar ||
+          last.est + last.mar < prev.est - prev.mar
+        val bigMove = prev.est != 0.0 &&
+          math.abs(last.est - prev.est) / math.abs(prev.est) * 100.0 >
+            driftTolerancePct
+        disjoint && bigMove
+      }
+      val status =
+        if (last.n < 50) "InsufficientData"
+        else if (drifted) "Drifting"
+        else if (last.rel <= errorThresholdPct) "Stable"
+        else "Drifting"
+      GroupOutcome(grp, counts(grp), last.est,
+        last.est - last.mar, last.est + last.mar,
+        rounds.take(ru).map(_.n.toLong).sum, ru, status)
+    }
+
+    import spark.implicits._
+    (exactRows ++ ladderRows).sortBy(_.group).toDF()
+      .select(col("group"), col("nRows").as("n_rows"),
+        col("sumEst").as("sum_est"), col("ciLower").as("ci_lower"),
+        col("ciUpper").as("ci_upper"), col("nUsed").as("n_used"),
+        col("roundsUsed").as("rounds_used"), col("status"))
+  }
+
   /** Deterministic twin of [[run]] — the oracle-gatable form of the CLT
     * ladder (reference `clt_validated_dual_pointer_sample`,
     * custom_bplus_db.cpp:885-1043). Same staged driver loop, same early
