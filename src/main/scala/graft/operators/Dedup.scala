@@ -200,7 +200,7 @@ object Dedup {
   val MaxBucket = 4096
 
   /** [[pairCombos]] with the [[MaxBucket]]-style star collapse. */
-  private[operators] def cappedPairCombos(ids: Column, cap: Int): Column =
+  private[graft] def cappedPairCombos(ids: Column, cap: Int): Column =
     when(size(ids) <= lit(cap), pairCombos(ids))
       .otherwise(transform(slice(ids, lit(2), size(ids)),
         y => struct(element_at(ids, 1).as("id_a"), y.as("id_b"))))

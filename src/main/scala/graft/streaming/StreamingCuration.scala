@@ -1,0 +1,200 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.{Decontam, Dedup, Mixing, TextAnalysis}
+
+/** Streaming twin of [[graft.operators.CurationPipeline]] — incremental
+  * curation over a document stream via `foreachBatch`, with the dedup
+  * state PERSISTED between micro-batches so a crawl drop can be curated
+  * as it arrives instead of re-running the batch pipeline over the whole
+  * corpus:
+  *
+  *   1. exact dedup   — in-batch first-occurrence + anti-join against the
+  *                      persisted fingerprint set
+  *   2. near dedup    — the batch's LSH band signatures are joined
+  *                      against the persisted band INDEX of previously
+  *                      kept docs (the stored side is never re-hashed —
+  *                      each batch computes signatures only for itself),
+  *                      plus the usual in-batch bucket-collect; exact
+  *                      Jaccard verifies both candidate sets
+  *   3. decontaminate — broadcast eval n-gram probe (stateless per doc)
+  *   4. quality gate + deterministic split (stateless per doc)
+  *
+  * State store layout under `storePath` (all plain parquet, append-only):
+  *   `fingerprints/` (fp)                — post-exact-dedup seen set
+  *   `bands/`        (id, band, band_sig) — LSH index of kept docs
+  *   `kept/`         (id, text)           — texts for the verify stage
+  *
+  * EQUIVALENCE to the one-shot batch pipeline (StreamingSpec): when
+  * batches arrive in ascending-id order and near-dup clusters are
+  * cliques (all pairs ≥ threshold — the shape mass duplication actually
+  * takes), the N-batch fold emits exactly the rows
+  * `CurationPipeline.run` emits on the concatenated corpus: first
+  * occurrence = min id for exact groups, and the earliest batch holding
+  * a clique member holds its min id, so the greedy keep-first rule and
+  * the batch component-min rule choose the same representatives. On
+  * chain-shaped near-dup graphs (A~B, B~C, A≁C) the greedy fold may
+  * keep MORE docs than the batch component collapse — the documented
+  * divergence every streaming dedup shares.
+  *
+  * 100 TB posture: per batch, one scan of the batch (signatures in the
+  * scan stage), one hash join per state table keyed on fp / (band,
+  * band_sig) — the stored side is a growing but bucketable index, and
+  * nothing unbounded reaches the driver. Store compaction (rewriting the
+  * append-only dirs) is the caller's cadence decision, same contract as
+  * [[graft.operators.Ann.appendToIvfIndex]].
+  */
+object StreamingCuration {
+
+  /** Stage knobs mirroring the batch [[graft.operators.CurationPipeline
+    * .Config]] fields the streaming twin supports. */
+  case class Config(
+      nearDupThreshold: Double = 0.8,
+      decontaminateNgram: Int = 3,
+      minQuality: Double = 0.0,
+      splitWeights: Seq[(String, Long)] =
+        Seq("train" -> 98L, "val" -> 1L, "test" -> 1L))
+
+  private def readOrEmpty(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    if (new java.io.File(path, "_SUCCESS").exists() ||
+        new java.io.File(path).isDirectory)
+      spark.read.schema(schema).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Curate ONE micro-batch against (and then into) the persisted state
+    * under `storePath`; returns the kept, fully-annotated rows (quality,
+    * n_tokens, split) — the same columns the batch pipeline emits. The
+    * kept frame is materialized (localCheckpoint) BEFORE the state
+    * append so the returned rows are consistent with the state the next
+    * batch will see. */
+  def curateBatch(batch: DataFrame, storePath: String,
+      eval: Option[DataFrame], idCol: String, textCol: String,
+      config: Config = Config()): DataFrame = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.types._
+    val fpPath = s"$storePath/fingerprints"
+    val bandsPath = s"$storePath/bands"
+    val keptPath = s"$storePath/kept"
+    val fpSchema = StructType(Seq(StructField("fp", LongType)))
+    val bandsSchema = StructType(Seq(StructField("id", LongType),
+      StructField("band", IntegerType), StructField("band_sig", LongType)))
+    val keptSchema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+
+    // 1. exact dedup: in-batch first occurrence per fingerprint, then
+    //    anti-join the persisted fingerprint set
+    val seenFps = readOrEmpty(spark, fpPath, fpSchema)
+    val withFp = batch.withColumn("__fp",
+      TextAnalysis.fingerprint(col(textCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__fp")).orderBy(col(idCol))
+    val postExact = withFp
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .join(seenFps, col("__fp") === col("fp"), "left_anti")
+      .localCheckpoint(true)
+
+    // 2. near dedup: batch-side signatures only; the stored index is
+    //    probed by equi-join on (band, band_sig)
+    val batchBands = Dedup.lshBands(postExact, idCol, textCol)
+      .localCheckpoint(true)
+    val storedBands = readOrEmpty(spark, bandsPath, bandsSchema)
+    val storedKept = readOrEmpty(spark, keptPath, keptSchema)
+    // in-batch candidates (bucket-collect, capped like the batch path)
+    val internalCands = batchBands
+      .groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(Dedup.cappedPairCombos(col("ids"), Dedup.MaxBucket))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
+    // batch-vs-store candidates: shared band bucket with any kept doc
+    val storeCands = batchBands
+      .join(storedBands
+          .select(col("id").as("__kept_id"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .select(col(idCol).as("new_id"), col("__kept_id")).distinct()
+    // verify exactly (shingle Jaccard), candidates only
+    val sh = Dedup.shingles(col("text"), 3)
+    val batchSh = postExact.select(col(idCol).as("id"), col(textCol).as("text"))
+      .select(col("id"), sh.as("sh")).localCheckpoint(true)
+    val keptSh = storedKept
+      .join(storeCands.select(col("__kept_id").as("id")).distinct(), Seq("id"),
+        "left_semi")
+      .select(col("id"), sh.as("sh"))
+    val internalPairs = internalCands
+      .join(batchSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(batchSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >=
+        config.nearDupThreshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val droppedByStore = storeCands
+      .join(batchSh.select(col("id").as("new_id"), col("sh").as("sh_a")),
+        "new_id")
+      .join(keptSh.select(col("id").as("__kept_id"), col("sh").as("sh_b")),
+        "__kept_id")
+      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >=
+        config.nearDupThreshold)
+      .select(col("new_id").as(idCol)).distinct()
+    // in-batch representatives: component-min over verified batch pairs
+    val internalLosers = Dedup.dupClusters(internalPairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val postNear = postExact
+      .join(internalLosers, Seq(idCol), "left_anti")
+      .join(droppedByStore, Seq(idCol), "left_anti")
+      .localCheckpoint(true)
+
+    // 3. decontaminate (stateless), 4. quality + split (stateless)
+    val postDecontam = eval match {
+      case Some(ev) => Decontam.decontaminate(postNear, ev, idCol, textCol,
+        n = config.decontaminateNgram)
+      case None => postNear
+    }
+    val kept = Mixing.splitAssign(
+      postDecontam
+        .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .filter(col("quality") >= config.minQuality),
+      idCol, config.splitWeights)
+      .drop("__fp")
+      .localCheckpoint(true)
+
+    // state append AFTER the outputs are materialized: fingerprints of
+    // every post-exact doc, band index + text of every post-near keeper
+    postExact.select(col("__fp").as("fp"))
+      .write.mode("append").parquet(fpPath)
+    batchBands.join(postNear.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol).as("id"), col("band"), col("band_sig"))
+      .write.mode("append").parquet(bandsPath)
+    postNear.select(col(idCol).as("id"), col(textCol).as("text"))
+      .write.mode("append").parquet(keptPath)
+    kept
+  }
+
+  /** Wire [[curateBatch]] as a `foreachBatch` sink: each micro-batch is
+    * curated against the persisted state and its kept rows appended to
+    * `outPath`. `AvailableNow` by default so bounded backfills terminate;
+    * pass a different trigger for continuous ingest. */
+  def runStream(docs: DataFrame, storePath: String, outPath: String,
+      eval: Option[DataFrame], idCol: String, textCol: String,
+      config: Config = Config(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        curateBatch(batch, storePath, eval, idCol, textCol, config)
+          .write.mode("append").parquet(outPath)
+      }
+      .outputMode("append")
+      .trigger(trigger)
+      .option("checkpointLocation", s"$storePath/_checkpoint")
+      .start()
+}

@@ -387,6 +387,77 @@ class StreamingSpec extends SparkSpec {
       "every event must land in exactly one session")
   }
 
+  test("streaming curation: N-batch foreachBatch fold equals the one-shot batch pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingCuration
+    // planted corpus: batches arrive in ascending-id order and near-dup
+    // clusters are CLIQUES (pairwise J ≈ 17/19 ≥ 0.8) — the regime the
+    // scaladoc guarantees exact batch equivalence for. One exact-dup
+    // chain (2,12,22), one near-dup clique (3,13,23), one contaminated
+    // doc (15 = the eval text), one junk doc (25).
+    val base = (1 to 19).map(i => s"word$i").mkString(" ")
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then naps", "web"),
+      (2L, "exact duplicate content that appears in every single batch here", "web"),
+      (3L, s"$base alpha", "web"),
+      (4L, "an entirely unrelated document about spark physical plans today", "books"))
+    val batch2 = Seq(
+      (11L, "another unique document discussing columnar storage layouts now", "web"),
+      (12L, "exact duplicate content that appears in every single batch here", "books"),
+      (13L, s"$base beta", "web"),
+      (15L, "the secret benchmark answer is forty two obviously", "web"))
+    val batch3 = Seq(
+      (21L, "final unique document covering adaptive query execution things", "books"),
+      (22L, "exact duplicate content that appears in every single batch here", "web"),
+      (23L, s"$base gamma", "web"),
+      (25L, "!!! ??? !!! ??? !!!", "web"))
+    val eval = Seq((100L, "the secret benchmark answer is forty two obviously"))
+      .toDF("doc_id", "text")
+    val storePath = "/tmp/graft_test_streamcur_store"
+    val outPath = "/tmp/graft_test_streamcur_out"
+    Seq(storePath, outPath).foreach { p =>
+      val d = new java.io.File(p)
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    val cfg = StreamingCuration.Config(minQuality = 0.2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = StreamingCuration.runStream(
+      input.toDF().toDF("doc_id", "text", "source"), storePath, outPath,
+      Some(eval), "doc_id", "text", cfg,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      Seq(batch1, batch2, batch3).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String, Long, String)] =
+      df.select(col("doc_id"), col("text"), col("source"), col("n_tokens"),
+          col("split"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getString(4))).toSet
+    val streamed = rows(spark.read.parquet(outPath))
+    val oneShot = rows(graft.operators.CurationPipeline.run(
+      (batch1 ++ batch2 ++ batch3).toDF("doc_id", "text", "source"),
+      Some(eval), "doc_id", "text", "source",
+      graft.operators.CurationPipeline.Config(minQuality = 0.2)))
+    assert(streamed === oneShot,
+      s"stream-fold vs one-shot mismatch:\n only-stream=${streamed -- oneShot}\n only-batch=${oneShot -- streamed}")
+    // the dedup actually happened: exact chain keeps 2, clique keeps 3,
+    // contaminated 15 dropped
+    val keptIds = streamed.map(_._1)
+    assert(keptIds.contains(2L) && !keptIds.contains(12L) && !keptIds.contains(22L))
+    assert(keptIds.contains(3L) && !keptIds.contains(13L) && !keptIds.contains(23L))
+    assert(!keptIds.contains(15L))
+  }
+
   test("sessionize emits both sessions when a gap splits inside one batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
