@@ -198,6 +198,39 @@ object InventoryScale {
       },
       Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), flagged AS (SELECT DISTINCT t.doc_id FROM sh t JOIN sh e ON e.doc_id % 97 = 0 AND CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(t.sh, e.sh))) AS DOUBLE) >= 0.8) SELECT source, COUNT(*) AS n_kept, CAST(SUM(length(text)) AS BIGINT) AS chars_kept FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged) GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("q173_grouped_adaptive_cli",
+      // --error N WITH GROUP BY through the real CLI executor path
+      // (SpecExecutor → AdaptiveExecutor.runGroupedDeterministic): the
+      // scalar adaptive ladder becomes per-group, each group stopping at
+      // its own converged round over the content-hash systematic key.
+      // BOUND-GATED like q164 (the content-hash key is engine-internal,
+      // not DuckDB-replayable — q172 hash-gates the ladder itself over
+      // the affine key): per-group estimate within 20% of exact, the
+      // ladder actually sampled (n_used < group rows), verdict in the
+      // legal set.
+      (s, d) => {
+        Tables.registerAll(s, d)
+        val spec = graft.parser.QueryParser.parse(
+          "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag")
+          .copy(sampling = graft.model.SamplingStrategy.Adaptive(
+            errorThresholdPct = 2.0))
+        val est = graft.exec.SpecExecutor.run(s, spec)
+        val exact = lineitem(s, d).groupBy(col("l_returnflag"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_exact"),
+            count(lit(1)).as("n_rows"))
+        est.join(exact, "l_returnflag")
+          .select(col("l_returnflag"), col("n_rows"),
+            (abs(col("sum_l_extendedprice") / col("sum_exact") - lit(1.0))
+              <= lit(0.2)).as("within_20pct"),
+            (col("sum_l_extendedprice_n") < col("n_rows"))
+              .as("sampled_not_exact"),
+            col("status").isin("Stable", "Drifting", "InsufficientData",
+              "Exact").as("status_valid"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("SELECT l_returnflag, COUNT(*) AS n_rows, TRUE AS within_20pct, TRUE AS sampled_not_exact, TRUE AS status_valid FROM lineitem GROUP BY 1 ORDER BY 1")),
+
     QueryDef("q172_adaptive_group_clt",
       // PER-GROUP adaptive CLT ladder (AdaptiveExecutor
       // .runGroupedDeterministic): every group climbs the nested 20⊃10⊃5

@@ -107,6 +107,24 @@ object SpecExecutor {
           r.result.samplesUsed, r.result.status.toString))
           .toDF(alias, s"${alias}_ci_lower", s"${alias}_ci_upper",
             s"${alias}_n", "status")
+      case (Some(g), a: SamplingStrategy.Adaptive) =>
+        // GROUP BY adaptive: the per-group deterministic CLT ladder
+        // (AdaptiveExecutor.runGroupedDeterministic) — each group stops at
+        // ITS first converged round, sub-floor groups route exact. Key =
+        // content hash (the no-key rationale above); SUM only, like the
+        // ladder itself.
+        if (spec.agg != AggKind.Sum) throw new IllegalArgumentException(
+          s"grouped adaptive undefined for ${spec.agg} (SUM only — use a " +
+            "row-level design for other aggregates)")
+        val akey = abs(xxhash64(struct(base.columns.map(col).toIndexedSeq: _*)))
+        AdaptiveExecutor.runGroupedDeterministic(base, valueCol, akey,
+            col(g), errorThresholdPct = a.errorThresholdPct,
+            confidence = a.confidence)
+          .select(col("group").as(g), col("sum_est").as(alias),
+            col("ci_lower").as(s"${alias}_ci_lower"),
+            col("ci_upper").as(s"${alias}_ci_upper"),
+            col("n_used").as(s"${alias}_n"), col("status"))
+          .orderBy(col(g))
       case (Some(g), _) if spec.withCi =>
         t.approxAggCiBy(spec.agg, valueCol, Seq(col(g)), spec.sampling, alias,
           spec.confidence).orderBy(col(g))

@@ -126,6 +126,32 @@ class SpecExecutorSpec extends SparkSpec {
     assert(Set("Stable", "Drifting", "InsufficientData").contains(r.head().getString(4)))
   }
 
+  test("--error with GROUP BY routes to the per-group ladder; non-SUM refused") {
+    import org.apache.spark.sql.functions._
+    ensureTables()
+    val spec = QueryParser.parse(
+      "SELECT SUM(l_extendedprice) FROM lineitem GROUP BY l_returnflag",
+      errorThresholdPct = Some(5.0))
+    val r = SpecExecutor.run(spark, spec)
+    assert(r.columns.toSeq === Seq("l_returnflag", "sum_l_extendedprice",
+      "sum_l_extendedprice_ci_lower", "sum_l_extendedprice_ci_upper",
+      "sum_l_extendedprice_n", "status"))
+    val rows = r.collect()
+    assert(rows.length === 3) // A / N / R
+    rows.foreach { row =>
+      assert(Set("Stable", "Drifting", "InsufficientData", "Exact")
+        .contains(row.getString(5)), row.toString)
+      assert(row.getDouble(2) <= row.getDouble(1) &&
+        row.getDouble(1) <= row.getDouble(3), s"CI does not bracket: $row")
+    }
+    // grouped adaptive is SUM-only: AVG must refuse loudly, not bias
+    val avgSpec = QueryParser.parse(
+      "SELECT AVG(l_extendedprice) FROM lineitem GROUP BY l_returnflag",
+      errorThresholdPct = Some(5.0))
+    val e = intercept[IllegalArgumentException](SpecExecutor.run(spark, avgSpec))
+    assert(e.getMessage.contains("grouped adaptive undefined"))
+  }
+
   test("--method file skips part-files physically and brackets the exact sum") {
     import org.apache.spark.sql.functions._
     import graft.exec.ApproxPlanner
