@@ -198,6 +198,94 @@ object InventoryScale {
       },
       Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), flagged AS (SELECT DISTINCT t.doc_id FROM sh t JOIN sh e ON e.doc_id % 97 = 0 AND CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(t.sh, e.sh))) AS DOUBLE) >= 0.8) SELECT source, COUNT(*) AS n_kept, CAST(SUM(length(text)) AS BIGINT) AS chars_kept FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged) GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("q174_token_fertility_by_lang",
+      // Tokenizer-fertility rollup per predicted language — the mixture-
+      // budgeting metric (chars consumed per whitespace token varies by
+      // language/script, so a token budget is NOT a byte budget; this is
+      // the per-language conversion table). One scan: the native langid
+      // kernels project the language in the scan stage, one hash
+      // aggregate keyed on it; the ratio is exact integer division so
+      // the row hash-matches. Reuses q33's DuckDB langid replay.
+      (s, d) => {
+        import graft.operators.TextAnalysis
+        documents(s, d)
+          .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+              .as("sum_tokens"),
+            sum(length(col("text")).cast("long")).as("sum_chars"))
+          .withColumn("chars_per_token_milli",
+            expr("sum_chars * 1000 DIV sum_tokens"))
+          .orderBy(col("lang_pred"))
+      },
+      Some {
+        val toks = "string_split_regex(lower(text), ' +')"
+        def hits(ws: Seq[String]) =
+          s"CAST(len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(",")}))) AS DOUBLE)"
+        val sEn = hits(Seq("the", "and", "of", "to", "is", "with", "that"))
+        val sEs = hits(Seq("el", "la", "los", "las", "que", "de", "y", "una"))
+        val sDe = hits(Seq("der", "die", "das", "und", "ist", "nicht", "ein"))
+        val sFr = hits(Seq("le", "les", "des", "est", "et", "une", "dans"))
+        val sZh = """CAST(length(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS DOUBLE) * 3.0"""
+        s"""WITH sc AS (SELECT text, $sEn AS s_en, $sEs AS s_es, $sDe AS s_de, $sFr AS s_fr, $sZh AS s_zh FROM documents),
+           | pick AS (SELECT CASE
+           |   WHEN GREATEST(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und'
+           |   WHEN s_zh > s_fr AND s_zh > s_de AND s_zh > s_es AND s_zh > s_en THEN 'zh'
+           |   WHEN s_fr > s_de AND s_fr > s_es AND s_fr > s_en THEN 'fr'
+           |   WHEN s_de > s_es AND s_de > s_en THEN 'de'
+           |   WHEN s_es > s_en THEN 'es'
+           |   ELSE 'en' END AS lang_pred,
+           |   CAST(len(string_split_regex(text, ' +')) AS BIGINT) AS toks,
+           |   CAST(length(text) AS BIGINT) AS chars FROM sc)
+           |SELECT lang_pred, COUNT(*) AS n_docs,
+           | CAST(SUM(toks) AS BIGINT) AS sum_tokens,
+           | CAST(SUM(chars) AS BIGINT) AS sum_chars,
+           | CAST(SUM(chars) * 1000 // SUM(toks) AS BIGINT) AS chars_per_token_milli
+           |FROM pick GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    QueryDef("q175_stratified_split_exact",
+      // EXACT-proportion stratified train/val/test split
+      // (Mixing.stratifiedSplitExact): within every source, rows ranked
+      // by (seeded hash, id) and cut at ⌊n·cum/total⌋ — so each split's
+      // per-stratum size is a deterministic integer, not a hash
+      // expectation (a small source can NEVER lose its val/test slice).
+      // One exchange on source + one shared in-partition sort. The
+      // oracle replays the complete ranking and every cutoff.
+      (s, d) => Mixing.stratifiedSplitExact(documents(s, d), "doc_id",
+          "source", Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), seed = 1L)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy(col("source"), col("split")),
+      Some(s"""WITH r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ${Mixing.hashPrioritySeededSql("doc_id", 1L)}, doc_id) AS rn, COUNT(*) OVER (PARTITION BY source) AS n FROM documents) SELECT source, CASE WHEN rn * 10 <= n * 8 THEN 'train' WHEN rn * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    QueryDef("q176_ann_nprobe_autotune",
+      // Serving-side nProbe AUTO-TUNER (Ann.autoTuneNProbe): walk the
+      // candidate ladder over a persisted index until measured recall on
+      // a held-out probe sample meets the target — recall depends on the
+      // data's clusteredness, so the knob cannot be set a priori; the
+      // tuner makes the choice deterministic and auditable. Gated on the
+      // tuner's own contract: the chosen setting meets the target on the
+      // sample, and it still prunes (chosen < numCentroids ⇒ the search
+      // reads a strict subset of the lists). nProbe=32 (all lists) would
+      // be recall 1.0 by construction, so a meetable target always
+      // terminates before exhausting the ladder on clustered-enough data.
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val probes = emb.filter(col("vec_id") < 20)
+        val sfTag = new java.io.File(d).getName
+        val path = s"/tmp/graft_q176_index_$sfTag"
+        Ann.buildIvfIndex(emb, "vec_id", "embedding", path, numCentroids = 32)
+        val (chosen, recall) = Ann.autoTuneNProbe(s, path, emb, probes,
+          "vec_id", "embedding", k = 5, targetRecall = 0.75,
+          candidates = Seq(2, 4, 8, 16, 24, 28))
+        s.range(1).select(
+          lit(probes.count() * 5).as("n_truth_pairs"),
+          lit(recall >= 0.75).as("target_met"),
+          lit(chosen < 32).as("still_prunes"))
+      },
+      Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_truth_pairs, TRUE AS target_met, TRUE AS still_prunes FROM embeddings WHERE vec_id < 20")),
+
     QueryDef("q173_grouped_adaptive_cli",
       // --error N WITH GROUP BY through the real CLI executor path
       // (SpecExecutor → AdaptiveExecutor.runGroupedDeterministic): the

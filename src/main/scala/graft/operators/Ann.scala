@@ -424,6 +424,46 @@ object Ann {
       .filter(col("rank") <= k).drop("rank")
   }
 
+  /** Auto-tune `nProbe` for a persisted [[buildIvfIndex]] index: walk the
+    * candidate ladder (ascending) and return the FIRST value whose
+    * measured recall on a held-out probe sample meets `targetRecall`
+    * (falling back to the largest candidate), plus that recall. This is
+    * the serving-side knob turn every IVF deployment does by hand —
+    * recall is a property of the data's clusteredness, so the right
+    * nProbe cannot be known a priori; measuring it on a bounded sample
+    * against exact brute force makes the choice deterministic and
+    * auditable. Cost: one brute-force pass over the SAMPLE (bounded by
+    * contract) + one partition-pruned index search per candidate tried —
+    * the ladder stops at the first success, and each search reads only
+    * ≈ cand/numCentroids of the corpus bytes. Recall is monotone
+    * non-decreasing in nProbe by construction (probed lists only grow),
+    * so first-success = minimal-cost choice at the target. */
+  def autoTuneNProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, sampleProbes: DataFrame, idCol: String,
+      vecCol: String, k: Int, targetRecall: Double,
+      candidates: Seq[Int] = Seq(1, 2, 4, 8, 16)): (Int, Double) = {
+    require(candidates.nonEmpty && candidates == candidates.sorted,
+      "candidates must be ascending")
+    val truth = bruteForceTopKFast(corpus, sampleProbes, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(truth.nonEmpty, "empty probe sample")
+    var chosen = candidates.last
+    var recall = -1.0
+    val it = candidates.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val cand = it.next()
+      val got = searchIvfIndex(spark, path, sampleProbes, idCol, vecCol, k,
+          nProbe = cand)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      recall = got.intersect(truth).size.toDouble / truth.size
+      if (recall >= targetRecall) { chosen = cand; done = true }
+    }
+    (chosen, recall)
+  }
+
   /** Deterministic mini-batch-free Lloyd training shared by [[ivfTopK]] and
     * [[semDedupPairs]]: seeds = the `numCentroids` lowest-id vectors
     * (deterministic, any engine), `lloydIters` rounds of

@@ -292,6 +292,41 @@ object Mixing {
     df.withColumn("split", cases)
   }
 
+  /** EXACT-proportion stratified split: within every stratum, rows are
+    * ranked by (seeded hash, id) and assigned by cumulative integer
+    * cutoffs, so split i receives exactly
+    * ⌊n·cum_i/total⌋ − ⌊n·cum_{i−1}/total⌋ of an n-row stratum — the
+    * guarantee [[splitAssign]]'s per-row hash gives only in expectation.
+    * That gap matters at the tails: a 50-doc source under hash
+    * assignment can randomly end up with zero validation docs; here it
+    * cannot. Ranks, counts and cutoffs are exact integer arithmetic
+    * (`rn·total ≤ n·cum`), so any engine replays the full assignment.
+    *
+    * Scale shape: one exchange keyed on the stratum + one in-partition
+    * sort shared by both window functions — the same single
+    * Exchange+Sort every per-stratum window family in this engine rides
+    * (q115/q106 audit). Strata are source labels (bounded, but each may
+    * hold billions of rows — the sort is distributed within the hash
+    * partition, never single-task). */
+  def stratifiedSplitExact(df: DataFrame, idCol: String, strataCol: String,
+      weights: Seq[(String, Long)], seed: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 1))
+    import org.apache.spark.sql.expressions.Window
+    val total = weights.map(_._2).sum
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashPrioritySeeded(col(idCol), seed), col(idCol))
+    val rn = row_number().over(w).cast("long")
+    val n = count(lit(1)).over(Window.partitionBy(col(strataCol))).cast("long")
+    val (cases, _) = weights.init.foldLeft(
+        (when(lit(false), lit("")), 0L)) { case ((acc, cum), (name, wt)) =>
+      (acc.when(col("__rn") * lit(total) <= col("__n") * lit(cum + wt),
+        lit(name)), cum + wt)
+    }
+    df.withColumn("__rn", rn).withColumn("__n", n)
+      .withColumn("split", cases.otherwise(lit(weights.last._1)))
+      .drop("__rn", "__n")
+  }
+
   /** SQL text of [[splitAssign]]'s bucket expression for oracle twins. */
   def splitAssignSql(idExpr: String, weights: Seq[(String, Long)]): String = {
     val total = weights.map(_._2).sum

@@ -120,6 +120,28 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex === inMemory)
   }
 
+  test("autoTuneNProbe walks the ladder to the first candidate meeting the target") {
+    val tunePath = "/tmp/graft_test_ivf_tune"
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", tunePath, numCentroids = 16)
+    val probes = embs.filter(col("vec_id") < 8)
+    // target 0 → the first candidate trivially meets it
+    val (first, _) = Ann.autoTuneNProbe(spark, tunePath, embs, probes,
+      "vec_id", "embedding", k = 3, targetRecall = 0.0,
+      candidates = Seq(2, 4, 8))
+    assert(first === 2)
+    // unreachable target → falls back to the LAST candidate, recall real
+    val (last, r) = Ann.autoTuneNProbe(spark, tunePath, embs, probes,
+      "vec_id", "embedding", k = 3, targetRecall = 1.1,
+      candidates = Seq(2, 4, 8))
+    assert(last === 8)
+    assert(r > 0.0 && r <= 1.0)
+    // probing every list IS exact: recall must be 1 at nProbe = k-lists
+    val (_, rAll) = Ann.autoTuneNProbe(spark, tunePath, embs, probes,
+      "vec_id", "embedding", k = 3, targetRecall = 1.1,
+      candidates = Seq(16))
+    assert(rAll === 1.0)
+  }
+
   test("index search prunes at the directory level: only probed lists are scanned") {
     val probes = embs.filter(col("vec_id") < 3)
     Ann.buildIvfIndex(embs, "vec_id", "embedding", path, numCentroids = 32)

@@ -139,6 +139,38 @@ class CurationSpec extends SparkSpec {
     assert(keptAll === 3L)
   }
 
+  test("stratifiedSplitExact: per-stratum sizes are exact integer cutoffs, assignment is partition-invariant") {
+    import graft.operators.Mixing
+    val df = ((1L to 10L).map(i => (i, "big")) ++
+        (101L to 103L).map(i => (i, "small")) ++
+        Seq((201L, "solo")))
+      .toDF("doc_id", "source")
+    val weights = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    def sizes(d: org.apache.spark.sql.DataFrame): Map[(String, String), Long] =
+      Mixing.stratifiedSplitExact(d, "doc_id", "source", weights, seed = 1L)
+        .groupBy($"source", $"split").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap.withDefaultValue(0L)
+    val got = sizes(df)
+    // n=10: train ⌊8⌋=8, val ⌊9⌋−8=1, test 1
+    assert(got(("big", "train")) === 8L && got(("big", "val")) === 1L &&
+      got(("big", "test")) === 1L)
+    // n=3: train ⌊2.4⌋=2, val ⌊2.7⌋−2=0, test 1 — tiny stratum still
+    // gets a test slice, deterministically
+    assert(got(("small", "train")) === 2L && got(("small", "val")) === 0L &&
+      got(("small", "test")) === 1L)
+    // n=1: everything falls to the LAST split (no earlier cutoff reached)
+    assert(got(("solo", "test")) === 1L)
+    // partition-invariant: same assignment under any physical layout
+    assert(sizes(df.repartition(7)) === got)
+    val a1 = Mixing.stratifiedSplitExact(df, "doc_id", "source", weights, 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a2 = Mixing.stratifiedSplitExact(df.repartition(3), "doc_id",
+        "source", weights, 1L)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a1 === a2)
+  }
+
   test("decontaminateFuzzy: over-cap clique containing an eval doc still drops every train copy") {
     import graft.operators.Decontam
     // 20 verbatim train copies of one eval doc, bucket cap forced far
