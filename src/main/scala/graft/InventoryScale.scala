@@ -198,6 +198,25 @@ object InventoryScale {
       },
       Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), flagged AS (SELECT DISTINCT t.doc_id FROM sh t JOIN sh e ON e.doc_id % 97 = 0 AND CAST(len(list_intersect(t.sh, e.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(t.sh, e.sh))) AS DOUBLE) >= 0.8) SELECT source, COUNT(*) AS n_kept, CAST(SUM(length(text)) AS BIGINT) AS chars_kept FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM flagged) GROUP BY 1 ORDER BY 1""")),
 
+    QueryDef("q177_contamination_attribution",
+      // WHICH benchmark leaked: per contaminated train doc, the eval doc
+      // sharing the most trigrams (ties → lowest eval id) — the
+      // actionable decontamination report (q67 counts overlap; this
+      // names the source). Broadcast eval grams with ids, pair counts in
+      // one hash agg bounded by real overlaps, per-train top-1 window
+      // (per-partition group limits — no global sort). Fully hash-gated:
+      // DuckDB replays grams, pair counts, and the tie-broken argmax.
+      (s, d) => {
+        val docs = documents(s, d)
+        val ev = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+          .select(col("doc_id"), col("text"))
+        graft.operators.Decontam.contaminationAttribution(
+            docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0), ev,
+            "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gram FROM w), tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0), eg AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0), j AS (SELECT tg.doc_id, eg.eval_id, COUNT(*) AS n_shared FROM tg JOIN eg USING (gram) GROUP BY 1, 2) SELECT doc_id, eval_id, n_shared FROM j QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, eval_id ASC) = 1 ORDER BY doc_id""")),
+
     QueryDef("q174_token_fertility_by_lang",
       // Tokenizer-fertility rollup per predicted language — the mixture-
       // budgeting metric (chars consumed per whitespace token varies by

@@ -49,7 +49,13 @@ object CurationPipeline {
         * Jaccard ≥ this threshold, [[Decontam.decontaminateFuzzy]]) after
         * the exact n-gram probe — paraphrase/template leakage the n-gram
         * probe dilutes; None disables the stage. Requires `eval`. */
-      fuzzyDecontaminateThreshold: Option[Double] = None)
+      fuzzyDecontaminateThreshold: Option[Double] = None,
+      /** EXACT per-source split proportions ([[Mixing
+        * .stratifiedSplitExact]]) instead of the default hash-expectation
+        * assignment — integer cutoffs per source, so small sources never
+        * randomly lose their val/test slices. Costs one extra
+        * source-keyed exchange + window sort. */
+      exactSplitBySource: Boolean = false)
 
   /** The pipeline as an ordered list of named stage transforms — the single
     * definition both [[run]] (lazy composition) and [[runStaged]]
@@ -113,7 +119,10 @@ object CurationPipeline {
           Mixing.corpusMix(scored, idCol, sourceCol, config.mixSteps,
             config.mixDefaultStep)
       }
-      Mixing.splitAssign(mixed, idCol, config.splitWeights)
+      if (config.exactSplitBySource)
+        Mixing.stratifiedSplitExact(mixed, idCol, sourceCol,
+          config.splitWeights)
+      else Mixing.splitAssign(mixed, idCol, config.splitWeights)
     }
     Seq("exact_dedup" -> exact) ++ lineDedup ++ Seq("near_dedup" -> near) ++
       // 2b. optional semantic dedup over an embedding column (SemDeDup)

@@ -80,6 +80,33 @@ object Decontam {
       .select(col(idCol), col("n_overlap"), col("n_grams"))
   }
 
+  /** Contamination ATTRIBUTION: for every train doc sharing n-grams with
+    * the eval set, WHICH eval doc it shares the most with —
+    * `(idCol, eval_id, n_shared)` (ties → lowest eval id). The report a
+    * decontamination run actually ships: "these 412 train docs leak
+    * benchmark X" is actionable, a bare overlap count is not.
+    *
+    * Scale shape: same broadcast-probe scan as [[contamination]], but the
+    * eval grams keep their doc id; the (train, eval) pair counts ride one
+    * hash aggregation (bounded by REAL overlap pairs, not the cross
+    * product), and the per-train argmax is a top-1 window Spark executes
+    * with per-partition group limits (no global sort). */
+  def contaminationAttribution(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val evalGrams = broadcast(
+      docNgrams(eval, idCol, textCol, n)
+        .select(col(idCol).as("eval_id"), col("gram")))
+    docNgrams(train, idCol, textCol, n)
+      .join(evalGrams, Seq("gram"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("n_shared").desc, col("eval_id").asc)))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Drop contaminated train docs: remove any doc whose eval-overlapping
     * n-grams exceed `maxOverlapPct` percent of its distinct n-grams
     * (0 = drop on any overlap). Anti-join against the flagged id set —
