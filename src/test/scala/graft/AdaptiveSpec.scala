@@ -59,6 +59,40 @@ class AdaptiveSpec extends SparkSpec {
       case (n1, n2) => n2 > n1 }, "nested rounds must grow")
   }
 
+  test("grouped ladder: exact routing below the floor, replayable, CIs bracket, sampled groups converge per group") {
+    import spark.implicits._
+    // planted strata: two big groups (ladder) + one tiny group (exact)
+    val grp = when(pmod(col("l_orderkey"), lit(997L)) === 0, lit("RARE"))
+      .otherwise(col("l_returnflag"))
+    def once() = AdaptiveExecutor.runGroupedDeterministic(li,
+        col("l_extendedprice"), liKey, grp,
+        steps = Seq(20L, 10L, 5L), errorThresholdPct = 5.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getInt(6),
+        r.getString(7)))
+    val a = once(); val b = once()
+    assert(a.toSeq === b.toSeq, "pure function of the data")
+    val byGroup = a.map(t => t._1 -> t).toMap
+    val exact = li.groupBy(grp.as("g"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    a.foreach { case (g, nRows, est, lo, hi, nUsed, rounds, status) =>
+      assert(lo <= est && est <= hi, s"$g CI malformed")
+      if (nRows < 250) {
+        // sub-floor groups answer EXACTLY with a zero-width CI
+        assert(status === "Exact" && rounds === 0 && nUsed === nRows)
+        assert(est === exact(g) && lo === est && hi === est)
+      } else {
+        assert(rounds >= 1 && rounds <= 3 && nUsed < nRows,
+          s"$g should have sampled, not scanned")
+        assert(math.abs(est - exact(g)) / math.abs(exact(g)) < 0.25,
+          s"$g estimate $est far from ${exact(g)}")
+      }
+    }
+    assert(a.exists(_._8 == "Exact") && a.exists(_._8 != "Exact"),
+      "fixture must exercise both routes")
+  }
+
   test("deterministic ladder rejects non-nested steps and flags tiny samples") {
     intercept[IllegalArgumentException] {
       AdaptiveExecutor.runDeterministic(li, col("l_extendedprice"), liKey,
