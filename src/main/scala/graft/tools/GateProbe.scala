@@ -50,6 +50,20 @@ object GateProbe {
       println(f"[gateprobe] $sfDir ivf_append_recall(nProbe=$np)=$r%.4f")
     }
 
+    // q171's int8-coded persisted index, and q176's auto-tuner choice
+    val p8 = s"/tmp/graft_gateprobe_ivf8_${new java.io.File(sfDir).getName}"
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", p8, numCentroids = 32,
+      codec = "int8")
+    val r8 = recallOf(Ann.searchIvfIndex(spark, p8, probes, "vec_id",
+      "embedding", k = 5, nProbe = 8))
+    val pf = s"/tmp/graft_gateprobe_ivff_${new java.io.File(sfDir).getName}"
+    Ann.buildIvfIndex(emb, "vec_id", "embedding", pf, numCentroids = 32)
+    val probes20 = emb.filter(col("vec_id") < 20)
+    val (chosen, tunedRecall) = Ann.autoTuneNProbe(spark, pf, emb, probes20,
+      "vec_id", "embedding", k = 5, targetRecall = 0.75,
+      candidates = Seq(2, 4, 8, 16, 24, 28))
+    println(f"[gateprobe] $sfDir ivf_index_int8_recall=$r8%.4f autotune_nprobe=$chosen autotune_recall=$tunedRecall%.4f")
+
     // simhash vs exact Jaccard-0.8 pairs
     val docs = Tables.documents(spark, sfDir)
     val exactPairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
