@@ -176,6 +176,22 @@ class CatalystSpec extends SparkSpec {
     assert(!q112.queryExecution.executedPlan.toString
         .matches("(?s).*Window.*SinglePartition.*Window.*"),
       "dense-id ranking degraded to a single-partition window")
+    // q175: the two windows (row_number + count) must SHARE one source
+    // exchange and one sort — a second Sort between the Window operators
+    // means the unordered count frame stopped riding the ranked sort
+    val q175 = Inventory.byName("q175_stratified_split_exact").run(spark, sf0001)
+    val s175 = q175.queryExecution.executedPlan.toString
+    assert(!s175.matches("(?s).*Window.*Sort.*Window.*"),
+      "q175's count window re-sorts between the two window operators")
+    assert(s175.split("Exchange hashpartitioning\\(source").length == 2,
+      "q175 should hash-exchange on source exactly once")
+    // q177: eval grams broadcast, per-train argmax pre-pruned map-side
+    val q177 = Inventory.byName("q177_contamination_attribution").run(spark, sf0001)
+    val s177 = q177.queryExecution.executedPlan.toString
+    assert(s177.contains("BroadcastHashJoin"),
+      "q177's eval-gram probe stopped broadcasting")
+    assert(s177.contains("WindowGroupLimit"),
+      "q177's top-1 attribution lost its per-partition group limit")
   }
 
   test("fused hyperplane_sig matches the declarative per-plane signature") {
