@@ -266,6 +266,38 @@ object Bench {
     val tMonthScattered = timeMedian("x_hivepart_scattered_sec")(monthHash(liScattered,
       col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-07-01").cast("timestamp")))
+    // Parquet BLOOM-FILTER point-lookup probe at 60 M rows: equality on a
+    // hash-scattered high-cardinality key (every row group spans the full
+    // domain, so zone maps prune NOTHING) against the same rows written
+    // with a bloom filter on the key. The probed key is ABSENT but inside
+    // [min, max] — the membership-check shape (decontamination id probes,
+    // CDC lookups): blooms reject every row group from the footer alone,
+    // the plain layout must decode the key column everywhere.
+    val liBloomPath = s"/tmp/graft_bench_li100_bloom_$sfTag.parquet"
+    if (!new java.io.File(liBloomPath, "_SUCCESS").exists()) {
+      graft.sources.Layout.bloomFilteredWrite(liScattered, liBloomPath,
+        Seq("l_orderkey"), files = 80, ndvPerFile = 2000000L)
+    }
+    val liBloom = spark.read.parquet(liBloomPath)
+    // find an absent-but-in-range key once (untimed): TPC-H orderkeys are
+    // sparse (8 of every 32 used), so a small window around the midpoint
+    // always contains gaps
+    val bloomAbsentKey = {
+      val mid = maxKey / 2
+      val existing = liScattered
+        .filter(col("l_orderkey").between(mid + 1, mid + 64))
+        .select(col("l_orderkey")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      (mid + 1 to mid + 64).find(k => !existing.contains(k)).getOrElse(mid + 1)
+    }
+    def pointLookup(df: org.apache.spark.sql.DataFrame): Unit =
+      df.filter(col("l_orderkey") === bloomAbsentKey)
+        .agg(count(lit(1)),
+          sum(xxhash64(col("l_orderkey"), col("l_extendedprice"))
+            .cast("decimal(38,0)")))
+        .collect(): Unit
+    val tBloomPlain = timeMedian("x_bloom_plain_sec")(pointLookup(liScattered))
+    val tBloomFiltered = timeMedian("x_bloom_filtered_sec")(pointLookup(liBloom))
     // embedding near-dup over the full embeddings fixture: exercises the
     // native vec_dot codegen kernel (signature + verify) through the
     // multi-table LSH bucket-collect path
@@ -743,6 +775,18 @@ object Bench {
           threshold = 0.8)
         .agg(count(lit(1))).collect(): Unit
     }
+    // stage attribution for the near-dup flow on the same fixture:
+    // candidates (bands + bucket-collect) alone, then +verify (pairs),
+    // with the full-path median above completing clusters + anti-join —
+    // the deltas locate a regression in the heaviest probe to a stage
+    val tDedup10Cands = timeMedian("x_dedup10x_cands_sec") {
+      graft.operators.Dedup.lshCandidatePairs(docs10, "doc_id", "text")
+        .count(): Unit
+    }
+    val tDedup10Pairs = timeMedian("x_dedup10x_pairs_sec") {
+      graft.operators.Dedup.nearDupPairs(docs10, "doc_id", "text",
+        threshold = 0.8).count(): Unit
+    }
     val tDedup10Gram = timeMedian("x_dedup10x_dupngram_sec") {
       graft.operators.Dedup.dupNgramStats(docs10, "doc_id", "text", n = 3)
         .agg(count(lit(1)), sum(col("n_dup"))).collect(): Unit
@@ -843,6 +887,8 @@ object Bench {
       "x_pipeline_staged_total_sec" -> pipelineStages.map(_._2).sum,
       "x_dedup10x_docs" -> nDocs10.toDouble,
       "x_dedup10x_neardup_sec" -> tDedup10Near,
+      "x_dedup10x_cands_sec" -> tDedup10Cands,
+      "x_dedup10x_pairs_sec" -> tDedup10Pairs,
       "x_dedup10x_dupngram_sec" -> tDedup10Gram,
       "x_dedup10x_segdedup_sec" -> tDedup10Seg,
       "x_dedup10x_segdedup_hashed_sec" -> tDedup10SegHashed,
@@ -945,6 +991,10 @@ object Bench {
       "x_hivepart_pruned_sec" -> tMonthPruned,
       "x_hivepart_speedup" ->
         (if (tMonthPruned > 0) tMonthScattered / tMonthPruned else -1.0),
+      "x_bloom_plain_sec" -> tBloomPlain,
+      "x_bloom_filtered_sec" -> tBloomFiltered,
+      "x_bloom_pointlookup_speedup" ->
+        (if (tBloomFiltered > 0) tBloomPlain / tBloomFiltered else -1.0),
       "x_zorder_partband_cold_sec" -> tZorderPartCold,
       "x_linear_partband_cold_sec" -> tLinearPartCold,
       "x_zorder_partband_cold_speedup" ->
@@ -996,7 +1046,9 @@ object Bench {
       ("x_hivepart_speedup", "x_hivepart_scattered_sec",
         "x_hivepart_pruned_sec"),
       ("x_hivepart_cold_speedup", "x_hivepart_scattered_cold_sec",
-        "x_hivepart_pruned_cold_sec"))
+        "x_hivepart_pruned_cold_sec"),
+      ("x_bloom_pointlookup_speedup", "x_bloom_plain_sec",
+        "x_bloom_filtered_sec"))
     if (redeemed.nonEmpty) {
       // add x_bootstrap_plain_sec so its redeemed value is visible to the
       // ratio recompute (it was previously ratio-only)

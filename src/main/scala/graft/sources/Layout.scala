@@ -57,6 +57,32 @@ object Layout {
     df.repartitionByRange(files, col(c)).sortWithinPartitions(col(c))
       .write.mode("overwrite").parquet(path)
 
+  /** Write `df` with parquet BLOOM FILTERS on `bloomCols` — the scan
+    * lever for point/equality predicates on columns the physical sort
+    * CANNOT serve: a hash-scattered high-cardinality column spans the
+    * full domain in every row group, so min/max zone maps prune nothing;
+    * a per-row-group bloom filter rejects row groups that definitely
+    * lack the key. The payoff is largest for ABSENT keys (membership
+    * probes, decontamination id checks, CDC key lookups): every row
+    * group is rejected from the footer alone and the data pages are
+    * never decoded. False-positive rate `fpp` trades footer bytes for
+    * pruning power; the reader (parquet-mr) consults the filters
+    * automatically for `=` / `IN` predicates, nothing to configure at
+    * read time. Composable with [[clusteredWrite]]/[[zorderWrite]]'s
+    * sort levers — sort serves the band columns, bloom serves the
+    * point-lookup ones. */
+  def bloomFilteredWrite(df: DataFrame, path: String, bloomCols: Seq[String],
+      files: Int, fpp: Double = 0.01, ndvPerFile: Long = 1000000L): Unit = {
+    require(bloomCols.nonEmpty)
+    val w = df.repartition(files).write.mode("overwrite")
+    val withOpts = bloomCols.foldLeft(w) { (acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndvPerFile.toString)
+        .option(s"parquet.bloom.filter.fpp#$c", fpp.toString)
+    }
+    withOpts.parquet(path)
+  }
+
   /** First-fit-decreasing bin-packing of part-files into compaction
     * groups. Files are sorted by (size desc, path) — fully deterministic —
     * and each is placed in the first bin with room; a file at or above

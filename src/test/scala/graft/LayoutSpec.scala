@@ -110,6 +110,41 @@ class LayoutSpec extends SparkSpec {
     assert(plan == Layout.compactionPlan(files, 100L)) // deterministic
   }
 
+  test("bloomFilteredWrite: filters land in the footers, results identical, absent-key row groups rejectable") {
+    import org.apache.spark.sql.functions._
+    val path = "/tmp/graft_test_bloom_layout"
+    // high-cardinality scattered keys: min/max zone maps span the whole
+    // domain in every file, so only the bloom filter can prune
+    val df = spark.range(20000)
+      .select((pmod(col("id") * 2654435761L, lit(1000003L)) * 2).as("k"),
+        col("id").as("v"))
+    graft.sources.Layout.bloomFilteredWrite(df, path, Seq("k"), files = 4,
+      ndvPerFile = 20000L)
+    val back = spark.read.parquet(path)
+    assert(back.count() === 20000L)
+    // footer introspection: the bloom filter exists for k in every file
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = graft.sources.Layout.listDataFiles(spark, path).map(_._1)
+    files.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val cols = rd.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        val kCols = cols.filter(_.getPath.toDotString == "k")
+        assert(kCols.nonEmpty &&
+          kCols.forall(_.getBloomFilterOffset > 0),
+          s"no bloom filter for k in $f")
+      } finally rd.close()
+    }
+    // equality semantics unchanged: present key found, absent key empty
+    // (all keys are even; any odd key is absent but inside min/max)
+    val some = df.limit(1).collect()(0).getLong(0)
+    assert(back.filter(col("k") === some).count() >= 1L)
+    assert(back.filter(col("k") === some + 1).count() === 0L)
+  }
+
   test("compactSmallFiles rewrites only small files and preserves rows") {
     val dir = "/tmp/graft_test_compact_in"
     val out = "/tmp/graft_test_compact_out"
