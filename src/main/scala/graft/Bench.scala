@@ -266,38 +266,43 @@ object Bench {
     val tMonthScattered = timeMedian("x_hivepart_scattered_sec")(monthHash(liScattered,
       col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-07-01").cast("timestamp")))
-    // Parquet BLOOM-FILTER point-lookup probe at 60 M rows: equality on a
-    // hash-scattered high-cardinality key (every row group spans the full
-    // domain, so zone maps prune NOTHING) against the same rows written
-    // with a bloom filter on the key. The probed key is ABSENT but inside
-    // [min, max] — the membership-check shape (decontamination id probes,
-    // CDC lookups): blooms reject every row group from the footer alone,
-    // the plain layout must decode the key column everywhere.
-    val liBloomPath = s"/tmp/graft_bench_li100_bloom_$sfTag.parquet"
-    if (!new java.io.File(liBloomPath, "_SUCCESS").exists()) {
-      graft.sources.Layout.bloomFilteredWrite(liScattered, liBloomPath,
-        Seq("l_orderkey"), files = 80, ndvPerFile = 2000000L)
+    // Parquet BLOOM-FILTER point-lookup probe at 60 M rows, on a SYNTHETIC
+    // scattered 64-bit content key. The fixture's natural keys are DENSE
+    // (1..150k, every in-range value exists somewhere — the first cut of
+    // this probe timed a present key and measured nothing), so the probe
+    // key is uid = xxhash64(row content): every row group spans the full
+    // 64-bit domain (zone maps prune NOTHING) and a random value is absent
+    // from EVERY file — the membership-check shape (decontamination id
+    // probes, CDC lookups). The plain layout must decode the uid column in
+    // every row group; the bloom layout rejects all of them from the
+    // footer alone.
+    val liUid = liScattered.withColumn("uid", xxhash64(
+      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+      col("l_extendedprice")))
+    val liUidPlainPath = s"/tmp/graft_bench_li100_uidplain_$sfTag.parquet"
+    val liUidBloomPath = s"/tmp/graft_bench_li100_uidbloom_$sfTag.parquet"
+    if (!new java.io.File(liUidPlainPath, "_SUCCESS").exists()) {
+      liUid.repartition(80).write.mode("overwrite").parquet(liUidPlainPath)
     }
-    val liBloom = spark.read.parquet(liBloomPath)
-    // find an absent-but-in-range key once (untimed): TPC-H orderkeys are
-    // sparse (8 of every 32 used), so a small window around the midpoint
-    // always contains gaps
-    val bloomAbsentKey = {
-      val mid = maxKey / 2
-      val existing = liScattered
-        .filter(col("l_orderkey").between(mid + 1, mid + 64))
-        .select(col("l_orderkey")).distinct()
-        .collect().map(_.getLong(0)).toSet
-      (mid + 1 to mid + 64).find(k => !existing.contains(k)).getOrElse(mid + 1)
+    if (!new java.io.File(liUidBloomPath, "_SUCCESS").exists()) {
+      graft.sources.Layout.bloomFilteredWrite(liUid, liUidBloomPath,
+        Seq("uid"), files = 80, ndvPerFile = 800000L)
     }
+    val liUidPlain = spark.read.parquet(liUidPlainPath)
+    val liUidBloom = spark.read.parquet(liUidBloomPath)
+    // find a VERIFIED-absent probe value once (untimed; also warms both
+    // layouts' page cache evenly before the timed medians)
+    val bloomAbsentKey = Iterator.iterate(1234567890123456789L)(_ + 9973L)
+      .find(k => liUidPlain.filter(col("uid") === k).count() == 0L &&
+        liUidBloom.filter(col("uid") === k).count() == 0L).get
     def pointLookup(df: org.apache.spark.sql.DataFrame): Unit =
-      df.filter(col("l_orderkey") === bloomAbsentKey)
+      df.filter(col("uid") === bloomAbsentKey)
         .agg(count(lit(1)),
-          sum(xxhash64(col("l_orderkey"), col("l_extendedprice"))
+          sum(xxhash64(col("uid"), col("l_extendedprice"))
             .cast("decimal(38,0)")))
         .collect(): Unit
-    val tBloomPlain = timeMedian("x_bloom_plain_sec")(pointLookup(liScattered))
-    val tBloomFiltered = timeMedian("x_bloom_filtered_sec")(pointLookup(liBloom))
+    val tBloomPlain = timeMedian("x_bloom_plain_sec")(pointLookup(liUidPlain))
+    val tBloomFiltered = timeMedian("x_bloom_filtered_sec")(pointLookup(liUidBloom))
     // embedding near-dup over the full embeddings fixture: exercises the
     // native vec_dot codegen kernel (signature + verify) through the
     // multi-table LSH bucket-collect path
@@ -880,6 +885,13 @@ object Bench {
       monthHash(liScattered,
         col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-07-01").cast("timestamp")))
+    // cold bloom point-lookup: from disk the asymmetry is bytes, not just
+    // decode — plain reads the full uid column, bloom reads 80 footers +
+    // ~1 MiB of bloom bitset per file and rejects every row group
+    val tBloomPlainCold = coldMedian("x_bloom_plain_cold_sec")(
+      pointLookup(liUidPlain))
+    val tBloomFilteredCold = coldMedian("x_bloom_filtered_cold_sec")(
+      pointLookup(liUidBloom))
     val extra = Seq(
       "x_pipeline_sec" -> tPipeline) ++
       pipelineStages.map { case (name, t) => s"x_pipeline_${name}_sec" -> t } ++
@@ -995,6 +1007,11 @@ object Bench {
       "x_bloom_filtered_sec" -> tBloomFiltered,
       "x_bloom_pointlookup_speedup" ->
         (if (tBloomFiltered > 0) tBloomPlain / tBloomFiltered else -1.0),
+      "x_bloom_plain_cold_sec" -> tBloomPlainCold,
+      "x_bloom_filtered_cold_sec" -> tBloomFilteredCold,
+      "x_bloom_pointlookup_cold_speedup" ->
+        (if (tBloomFilteredCold > 0) tBloomPlainCold / tBloomFilteredCold
+         else -1.0),
       "x_zorder_partband_cold_sec" -> tZorderPartCold,
       "x_linear_partband_cold_sec" -> tLinearPartCold,
       "x_zorder_partband_cold_speedup" ->
@@ -1048,7 +1065,9 @@ object Bench {
       ("x_hivepart_cold_speedup", "x_hivepart_scattered_cold_sec",
         "x_hivepart_pruned_cold_sec"),
       ("x_bloom_pointlookup_speedup", "x_bloom_plain_sec",
-        "x_bloom_filtered_sec"))
+        "x_bloom_filtered_sec"),
+      ("x_bloom_pointlookup_cold_speedup", "x_bloom_plain_cold_sec",
+        "x_bloom_filtered_cold_sec"))
     if (redeemed.nonEmpty) {
       // add x_bootstrap_plain_sec so its redeemed value is visible to the
       // ratio recompute (it was previously ratio-only)

@@ -478,6 +478,26 @@ FROM sel ORDER BY g"""
           lit(nTrue).as("n_true_neighbors"),
           lit(nFound.toDouble >= 0.75 * nTrue.toDouble).as("recall_ge_075"))
       },
-      Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075 FROM embeddings WHERE vec_id < 10"))
+      Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_true_neighbors, TRUE AS recall_ge_075 FROM embeddings WHERE vec_id < 10")),
+
+    QueryDef("q178_dsir_importance_selection",
+      // DSIR-style importance selection (Xie et al. 2023): hash tokens
+      // into 512 features, contrast an add-one-smoothed TARGET model
+      // (lang='en' docs) against the RAW pool, score every doc by the
+      // summed per-bucket contrast, keep the top 50. The contrast is the
+      // exact-integer smoothed-frequency difference in ppm (the repo's
+      // ln()-avoidance rule — see Dsir scaladoc), so the WHOLE flow —
+      // fold-hash bucketing, both corpus models, every doc score, the
+      // tie-broken top-k — is hash-gated bit-for-bit. Plan shape: token
+      // stream never shuffles (512-row weight table broadcast), models
+      // are map-side-combined hash aggregates, selection is
+      // TakeOrderedAndProject.
+      (s, d) => {
+        val docs = documents(s, d)
+        graft.operators.Dsir.select(docs,
+          docs.filter(col("lang") === "en"), "doc_id", "text",
+          k = 50, buckets = 512, keep = Seq("lang"))
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM documents), b AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS (SELECT bucket, COUNT(*) AS ct FROM b JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), w AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT d.doc_id, d.lang, CAST(COALESCE(SUM(w.wppm), 0) AS BIGINT) AS score_ppm FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id LEFT JOIN w ON b.bucket = w.bucket GROUP BY 1, 2) SELECT doc_id, lang, score_ppm FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 50"""))
   )
 }

@@ -155,12 +155,15 @@ object Decontam {
       .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
     val candIds = cands.select(col("id_a").as("__fid"))
       .union(cands.select(col("id_b").as("__fid"))).distinct()
+    // hashed-shingle verify (same trade as Dedup.nearDupPairs: 8-byte
+    // join payload + one-pass merge Jaccard, exact up to 64-bit
+    // collisions — the q168 oracle replays the exact string pair set)
     val sh = tagged.join(candIds, Seq("__fid"), "left_semi")
-      .select(col("__fid"), Dedup.shingles(col("__text"), shingleN).as("sh"))
+      .select(col("__fid"), Dedup.shingleHashes64(col("__text"), shingleN).as("sh"))
     val flagged = cands
       .join(sh.select(col("__fid").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("__fid").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >= threshold)
+      .filter(Dedup.jaccardHashed(col("sh_a"), col("sh_b")) >= threshold)
       .select((when(pmod(col("id_a"), lit(2L)) === 0, col("id_a"))
         .otherwise(col("id_b")) / lit(2L)).cast("long").as(idCol))
       .distinct()

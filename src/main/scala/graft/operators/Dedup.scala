@@ -54,6 +54,28 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
 
+  /** Sorted distinct 64-bit shingle hashes straight from the scan stage —
+    * [[graft.functions.WordNgramHashes]]: the verify-side payload (8 bytes
+    * per shingle through the verify joins instead of the shingle strings).
+    * `pmod(element, 2^31-1)` equals [[shingleHash]] of the matching string,
+    * so the MinHash path is derivable bit-for-bit from this output. */
+  def shingleHashes64(text: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.WordNgramHashes(
+      ColumnShim.expression(text), n))
+  }
+
+  /** One-pass merge Jaccard over [[shingleHashes64]] arrays
+    * ([[graft.functions.SortedLongJaccard]]) — equals [[jaccard]] on the
+    * corresponding string-shingle sets up to 64-bit hash collisions
+    * (< 10⁻¹² per pair; the DuckDB oracle gate replays the exact string
+    * answer tri-scale, so a fixture collision would fail the gate). */
+  def jaccardHashed(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.SortedLongJaccard(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
+
   // -- 1. exact / 2. fingerprint dedup ------------------------------------
 
   /** Groups of byte-identical values of `keyCol` with their multiplicity;
@@ -268,15 +290,20 @@ object Dedup {
       bands, seed, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // shingle only the docs that appear in candidate pairs (semi-join):
-    // verify cost ∝ candidate count, not corpus size
+    // verify cost ∝ candidate count, not corpus size. Hashed shingles
+    // (sorted distinct longs, scan-stage kernel) ride the verify joins —
+    // 8 bytes per shingle instead of the strings — and the per-pair
+    // Jaccard is one merge pass instead of two string-keyed hash-set
+    // builds; equal to the string answer up to 64-bit collisions
+    // (< 1e-12/pair, oracle-replayed exactly — see [[jaccardHashed]]).
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val sh = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol), shingleHashes64(col(textCol), shingleN).as("sh"))
     val verified = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccardHashed(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       // Eager localCheckpoint: materializes the (small) verified pair list
       // once — every caller branch reuses the blocks, the candidate cache

@@ -120,8 +120,10 @@ object StreamingCuration {
           .select(col("id").as("__kept_id"), col("band"), col("band_sig")),
         Seq("band", "band_sig"))
       .select(col(idCol).as("new_id"), col("__kept_id")).distinct()
-    // verify exactly (shingle Jaccard), candidates only
-    val sh = Dedup.shingles(col("text"), 3)
+    // verify on hashed shingles (same trade as the batch twin
+    // Dedup.nearDupPairs: 8-byte join payload + one-pass merge Jaccard,
+    // exact up to 64-bit collisions), candidates only
+    val sh = Dedup.shingleHashes64(col("text"), 3)
     val batchSh = postExact.select(col(idCol).as("id"), col(textCol).as("text"))
       .select(col("id"), sh.as("sh")).localCheckpoint(true)
     val keptSh = storedKept
@@ -131,7 +133,7 @@ object StreamingCuration {
     val internalPairs = internalCands
       .join(batchSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(batchSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >=
+      .filter(Dedup.jaccardHashed(col("sh_a"), col("sh_b")) >=
         config.nearDupThreshold)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
@@ -140,7 +142,7 @@ object StreamingCuration {
         "new_id")
       .join(keptSh.select(col("id").as("__kept_id"), col("sh").as("sh_b")),
         "__kept_id")
-      .filter(Dedup.jaccard(col("sh_a"), col("sh_b")) >=
+      .filter(Dedup.jaccardHashed(col("sh_a"), col("sh_b")) >=
         config.nearDupThreshold)
       .select(col("new_id").as(idCol)).distinct()
     // in-batch representatives: component-min over verified batch pairs

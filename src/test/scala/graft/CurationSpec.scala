@@ -549,4 +549,35 @@ class CurationSpec extends SparkSpec {
       .filter($"qi" > 127 || $"qi" < -128).count()
     assert(bad === 0L)
   }
+
+  test("DSIR importance selection ranks target-vocab docs first, deterministically") {
+    import graft.operators.Dsir
+    // disjoint vocabularies: target speaks alpha-words, the pool mixes
+    val target = Seq((100L, "alpha beta gamma delta"),
+      (101L, "alpha alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta gamma"), // pure target vocab
+      (2L, "zeta eta theta iota"), // pure off-target vocab
+      (3L, "alpha beta zeta eta"), // mixed
+      (4L, "")) // empty → score 0
+      .toDF("doc_id", "text")
+    val w = Dsir.featureWeights(target, raw, "doc_id", "text", buckets = 64)
+    assert(w.count() === 64L) // every bucket has a weight (smoothing)
+    val scores = Dsir.importanceScores(raw, "doc_id", "text", w, buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores.size === 4 && scores(4L) === 0L) // empty doc present, 0
+    assert(scores(1L) > scores(3L) && scores(3L) > scores(2L))
+    // doc 3's two off-target tokens outweigh its two target ones (raw
+    // frequencies dwarf target frequencies here), so its net score is
+    // negative and the zero-scored empty doc outranks it
+    assert(scores(3L) < 0L)
+    val top = Dsir.selectTopK(
+      Dsir.importanceScores(raw, "doc_id", "text", w, buckets = 64),
+      "doc_id", k = 2).collect().map(_.getLong(0))
+    assert(top.toSeq === Seq(1L, 4L))
+    // determinism: identical on re-run
+    val again = Dsir.select(raw, target, "doc_id", "text", k = 2, buckets = 64)
+      .collect().map(_.getLong(0))
+    assert(again.toSeq === top.toSeq)
+  }
 }

@@ -317,6 +317,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("hashed-shingle kernel is bit-identical to xxhash64-of-shingles, sorted distinct") {
+    import spark.implicits._
+    val edges = Seq("", " ", "a", "a b", "a b c", "a b c d",
+      " lead trail ", "x  y   z w", "dup dup dup dup dup").toDF("text")
+    for (df <- Seq(edges, docs.select(col("text"))); n <- Seq(1, 2, 3)) {
+      val mismatch = df.select(
+        Dedup.shingleHashes64(col("text"), n).as("k"),
+        sort_array(array_distinct(transform(
+          Dedup.shingles(col("text"), n), s => xxhash64(s)))).as("f"))
+        .filter(not(col("k") <=> col("f"))).count()
+      assert(mismatch === 0, s"n=$n hashed kernel/declarative divergence")
+    }
+  }
+
+  test("merge Jaccard on hashed arrays equals set Jaccard, incl. empty/empty NaN") {
+    import spark.implicits._
+    // corpus pairs; the declarative twin throws under ANSI on 0/0 (double
+    // div-by-zero), so the empty/empty edge — which production paths never
+    // produce: empty-shingle docs have no exploded rows and never enter
+    // LSH — is asserted separately as the kernel's NaN
+    val sh = docs.limit(25).select(col("text"))
+      .union(Seq("tiny", "x y").toDF("text"))
+      .select(Dedup.shingleHashes64(col("text"), 3).as("h"))
+    val mismatch = sh.select(col("h").as("h_a"))
+      .crossJoin(sh.select(col("h").as("h_b")))
+      .filter(size(col("h_a")) + size(col("h_b")) > 0)
+      .select(Dedup.jaccardHashed(col("h_a"), col("h_b")).as("m"),
+        (size(array_intersect(col("h_a"), col("h_b"))).cast("double") /
+          size(array_union(col("h_a"), col("h_b"))).cast("double")).as("d"))
+      .filter(not(col("m") <=> col("d"))).count()
+    assert(mismatch === 0)
+    val nan = Seq(("a", "b")).toDF("ta", "tb")
+      .select(Dedup.jaccardHashed(Dedup.shingleHashes64(col("ta"), 3),
+        Dedup.shingleHashes64(col("tb"), 3)).as("j"))
+      .collect()(0).getDouble(0)
+    assert(nan.isNaN)
+  }
+
   test("jaccard of identical shingle sets is 1") {
     val sh = docs.limit(5).select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     val ones = sh.select(Dedup.jaccard(col("sh"), col("sh")).as("j"))
