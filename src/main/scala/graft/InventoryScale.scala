@@ -498,6 +498,21 @@ FROM sel ORDER BY g"""
           docs.filter(col("lang") === "en"), "doc_id", "text",
           k = 50, buckets = 512, keep = Seq("lang"))
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM documents), b AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS (SELECT bucket, COUNT(*) AS ct FROM b JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), w AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT d.doc_id, d.lang, CAST(COALESCE(SUM(w.wppm), 0) AS BIGINT) AS score_ppm FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id LEFT JOIN w ON b.bucket = w.bucket GROUP BY 1, 2) SELECT doc_id, lang, score_ppm FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 50"""))
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM documents), b AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS (SELECT bucket, COUNT(*) AS ct FROM b JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), w AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT d.doc_id, d.lang, CAST(COALESCE(SUM(w.wppm), 0) AS BIGINT) AS score_ppm FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id LEFT JOIN w ON b.bucket = w.bucket GROUP BY 1, 2) SELECT doc_id, lang, score_ppm FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 50""")),
+
+    QueryDef("q179_novelty_curve_by_shard",
+      // Corpus NOVELTY CURVE over the deterministic training shards
+      // (CorpusOverlap.noveltyByShard): per shard, the distinct-shingle
+      // footprint and how many shingles appear there FIRST — the
+      // saturation diagnostic behind "more epochs vs more documents"
+      // for a mixture source. One gram→min(shard) aggregate computes
+      // the whole curve (map-side combine collapses each partition's
+      // grams before the vocab-keyed exchange); ≤ nShards rows out.
+      // Deterministic end to end (q170's seeded affine shard hash +
+      // the cross-engine fold hash), so DuckDB replays the full curve
+      // including fold-hash collisions.
+      (s, d) => graft.operators.CorpusOverlap.noveltyByShard(
+        documents(s, d), "doc_id", "text", nShards = 8, seed = 1L),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gram FROM w), h AS (SELECT ((doc_id + 7919) * 1299709 + 104729) % 1000003 % 8 AS shard, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(gram, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS hh FROM g), dd AS (SELECT DISTINCT shard, hh FROM h), f AS (SELECT hh, MIN(shard) AS shard FROM dd GROUP BY 1), fc AS (SELECT shard, COUNT(*) AS n_first FROM f GROUP BY 1), tc AS (SELECT shard, COUNT(*) AS n_distinct FROM dd GROUP BY 1) SELECT tc.shard, tc.n_distinct, COALESCE(fc.n_first, 0) AS n_first FROM tc LEFT JOIN fc ON tc.shard = fc.shard ORDER BY 1"""))
   )
 }

@@ -135,4 +135,36 @@ object CorpusOverlap {
         col("jaccard_kmv"))
       .orderBy(col("sa"), col("sb"))
   }
+
+  /** NOVELTY CURVE by deterministic training shard — how fast the corpus
+    * saturates: for each shard of [[Mixing.assignShards]]' seeded-hash
+    * partitioning, how many distinct shingles appear there FIRST (in no
+    * earlier shard), plus the shard's total distinct-shingle footprint.
+    * A flat `n_first` tail means later shards add vocabulary; a
+    * collapsing tail means the corpus is saturated and more data buys
+    * repetition, not coverage — the data-mixing diagnostic behind
+    * "should this source get more epochs or more documents".
+    *
+    * One aggregate computes the whole curve: gram → min(shard) (map-side
+    * combine collapses each partition's grams before the exchange, so
+    * the shuffle is ∝ the corpus's distinct-gram vocabulary — the honest
+    * cost of an EXACT novelty curve; the KMV machinery above is the
+    * sketched alternative when vocabulary itself is too big to sweep),
+    * then ≤ nShards rows out. Deterministic end to end (seeded affine
+    * shard hash + cross-engine fold hash) — bit-replayable by DuckDB. */
+  def noveltyByShard(docs: DataFrame, idCol: String, textCol: String,
+      nShards: Int, seed: Long = 0L, n: Int = 3): DataFrame = {
+    val sharded = Mixing.assignShards(docs, idCol, nShards, seed)
+    val grams = sharded.select(col("shard"),
+        explode(Dedup.shingles(col(textCol), n)).as("s"))
+      .select(col("shard"), foldHash(col("s")).as("h"))
+    val firsts = grams.groupBy(col("h")).agg(min(col("shard")).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_first"))
+    val totals = grams.distinct()
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_distinct"))
+    totals.join(firsts, Seq("shard"), "left")
+      .select(col("shard"), col("n_distinct"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"))
+      .orderBy(col("shard"))
+  }
 }

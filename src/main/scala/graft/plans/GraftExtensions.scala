@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-  import graft.functions.{FloatVecDot, HanCount, LexiconHits, QualityMarginCents, StringFoldHash, WordNgrams}
+  import graft.functions.{FloatVecDot, HanCount, LexiconHits, QualityMarginCents, SortedLongJaccard, StringFoldHash, WordNgramHashes, WordNgrams}
 
   private def lit[T](e: Expression, what: String): T = e match {
     case Literal(v, _) => v.asInstanceOf[T]
@@ -68,7 +68,14 @@ object GraftFunctions {
         new ExpressionInfo(classOf[LexiconHits].getName, "lexicon_hits"),
         (args: Seq[Expression]) => LexiconHits(args(0),
           lit[org.apache.spark.unsafe.types.UTF8String](args(1), "lexicon")
-            .toString.split(",").map(_.trim))))
+            .toString.split(",").map(_.trim))),
+      (FunctionIdentifier("word_ngram_hashes"),
+        new ExpressionInfo(classOf[WordNgramHashes].getName, "word_ngram_hashes"),
+        (args: Seq[Expression]) => WordNgramHashes(args(0),
+          lit[Int](args(1), "word_ngram_hashes n"))),
+      (FunctionIdentifier("jaccard_sorted_hashes"),
+        new ExpressionInfo(classOf[SortedLongJaccard].getName, "jaccard_sorted_hashes"),
+        (args: Seq[Expression]) => SortedLongJaccard(args(0), args(1))))
 }
 
 object ScaleSampledAggregates extends Rule[LogicalPlan] {

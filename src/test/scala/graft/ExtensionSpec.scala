@@ -59,5 +59,13 @@ class ExtensionSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT word_ngrams('a b', cast(rand() * 2 AS INT))").collect()
     }
+    // the hashed-verify pair: hashes of identical texts have Jaccard 1,
+    // of disjoint texts 0
+    val jrow = spark.sql(
+      """SELECT jaccard_sorted_hashes(word_ngram_hashes('a b c d', 2),
+                                      word_ngram_hashes('a b c d', 2)) AS j1,
+                jaccard_sorted_hashes(word_ngram_hashes('a b c', 2),
+                                      word_ngram_hashes('x y z', 2)) AS j0""").head
+    assert(jrow.getDouble(0) === 1.0 && jrow.getDouble(1) === 0.0)
   }
 }
