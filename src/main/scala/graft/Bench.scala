@@ -819,6 +819,25 @@ object Bench {
       graft.operators.Dedup.nearDupPairs(docs10, "doc_id", "text",
         threshold = 0.8).count(): Unit
     }
+    // Size-ratio pre-prune probe — the size-HETEROGENEOUS case the 10×
+    // clique fixture cannot show: every doc gains a prefix-truncated twin
+    // (first third of its words, whole-doc J ≈ 1/3 < 0.8). Twins collide
+    // in some LSH band with per-pair probability ≈ 1−(1−J⁴)¹⁶ ≈ 18%, so
+    // cross-size candidates dominate the candidate list, and every one of
+    // them is refuted by the size bound alone — the prune keeps their
+    // shingle-hash arrays out of the verify joins entirely.
+    val docsHet = docsAll.select(col("doc_id"), col("text")).unionAll(
+      docsAll.select((col("doc_id") + lit(100000000L)).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), lit(1),
+          greatest(lit(1), size(split(col("text"), " ")) / 3))).as("text")))
+    val tSizePruneOff = timeMedian("x_sizeprune_off_sec") {
+      graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
+        threshold = 0.8, sizePrune = false).count(): Unit
+    }
+    val tSizePruneOn = timeMedian("x_sizeprune_on_sec") {
+      graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
+        threshold = 0.8).count(): Unit
+    }
     // q20's star-join plan at 60 M fact rows (the li100 fixture): pruned
     // dims broadcast, fact scans once into partial agg — the scale trend
     // for the most expensive gated join query
@@ -905,6 +924,9 @@ object Bench {
       "x_dedup10x_segdedup_sec" -> tDedup10Seg,
       "x_dedup10x_segdedup_hashed_sec" -> tDedup10SegHashed,
       "x_q35_10x_sec" -> tQ35at10x,
+      "x_sizeprune_off_sec" -> tSizePruneOff,
+      "x_sizeprune_on_sec" -> tSizePruneOn,
+      "x_sizeprune_speedup" -> tSizePruneOff / tSizePruneOn,
       "x_q20_60m_sec" -> tQ20at60m,
       "x_bootstrap_sec" -> tBootstrap,
       "x_bootstrap_vs_plain_sum" ->

@@ -137,7 +137,7 @@ object Decontam {
   def decontaminateFuzzy(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = Dedup.MaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket, sizePrune: Boolean = true): DataFrame = {
     val tagged = train
       .select((col(idCol) * 2).as("__fid"), col(textCol).as("__text"))
       .unionAll(eval
@@ -149,10 +149,20 @@ object Decontam {
     // train doc, and the cross-parity filter below would silently KEEP
     // train docs that are near-copies of eval docs (the contract breach
     // this flag exists to prevent).
-    val cands = Dedup.lshCandidatePairs(tagged, "__fid", "__text",
+    val crossCands = Dedup.lshCandidatePairs(tagged, "__fid", "__text",
         shingleN, numHashes, bands, maxBucket = maxBucket,
         parityStar = true)
       .filter(pmod(col("id_a"), lit(2L)) =!= pmod(col("id_b"), lit(2L)))
+    // size-ratio pre-prune (lossless — see Dedup.sizePrunePairs): a train
+    // doc much longer/shorter than every colliding eval doc never ships
+    // its shingle-hash array into the verify joins. Benchmark leakage is
+    // exactly the size-heterogeneous case (short eval items vs long train
+    // docs dilute whole-doc Jaccard below threshold), so this prunes the
+    // bulk of spurious cross-corpus band collisions from the sizes alone.
+    val cands =
+      if (sizePrune) Dedup.sizePrunePairs(crossCands, tagged, "__fid",
+        "__text", shingleN, threshold).localCheckpoint(true)
+      else crossCands
     val candIds = cands.select(col("id_a").as("__fid"))
       .union(cands.select(col("id_b").as("__fid"))).distinct()
     // hashed-shingle verify (same trade as Dedup.nearDupPairs: 8-byte

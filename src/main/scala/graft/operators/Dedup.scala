@@ -277,18 +277,58 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
+  /** Size-ratio pre-prune of candidate pairs — the verify-stage lever for
+    * size-heterogeneous corpora: J(A,B) = |A∩B|/|A∪B| ≤ min(|A|,|B|) /
+    * max(|A|,|B|), so any pair whose shingle-set cardinalities differ by
+    * more than the threshold ratio cannot verify. The sizes pass ships 12
+    * bytes per candidate doc (id + one int from a scan-stage `size(kernel)`
+    * projection — no arrays move); docs whose every candidate edge fails
+    * the bound never ship their hash arrays into the verify joins at all.
+    *
+    * LOSSLESS by monotone rounding: inter ≤ least and union ≥ greatest as
+    * integers, and correctly-rounded double division preserves ≤, so
+    * `jaccardHashed ≤ least/greatest` holds in double too — the same
+    * `>= threshold` compare can never pass verify yet fail here (empty
+    * sets: both sides yield NaN ⇒ both filters drop the pair). */
+  private[graft] def sizePrunePairs(cands: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      threshold: Double): DataFrame = {
+    val candIds = cands.select(col("id_a").as(idCol))
+      .union(cands.select(col("id_b").as(idCol))).distinct()
+    val sizes = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), size(shingleHashes64(col(textCol), shingleN)).as("sz"))
+    cands
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .filter(least(col("sz_a"), col("sz_b")).cast("double") /
+        greatest(col("sz_a"), col("sz_b")).cast("double") >= lit(threshold))
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard
-    * >= `threshold`. Output: (id_a, id_b, jaccard). */
+    * >= `threshold`. Output: (id_a, id_b, jaccard).
+    * `sizePrune` (default on) interposes [[sizePrunePairs]] between the
+    * candidate and verify stages — provably lossless, and on corpora where
+    * LSH collisions cross size classes (prefix dups, templated docs of
+    * varying length) it keeps the heavy hash arrays off the wire for pairs
+    * the size bound already refutes. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, seed: Long = 42L,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket, sizePrune: Boolean = true): DataFrame = {
     // Materialize the (tiny) candidate list: it feeds three plan branches
     // (two id projections + the verify join) and an unpersisted DataFrame
     // would re-run the whole MinHash+shuffle subtree once per branch.
-    val cands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
+    val rawCands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
       bands, seed, maxBucket)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // The pruned list feeds the same three branches; eager localCheckpoint
+    // materializes it once (it is at most the candidate list, usually far
+    // smaller) so the sizes pass runs exactly once.
+    val cands =
+      if (sizePrune) sizePrunePairs(rawCands, df, idCol, textCol, shingleN,
+        threshold).localCheckpoint(true)
+      else rawCands
     // shingle only the docs that appear in candidate pairs (semi-join):
     // verify cost ∝ candidate count, not corpus size. Hashed shingles
     // (sorted distinct longs, scan-stage kernel) ride the verify joins —
@@ -311,7 +351,7 @@ object Dedup {
       // when the frame becomes unreachable. No caller-must-unpersist
       // contract: external users cannot leak executor memory by default.
       .localCheckpoint(true)
-    cands.unpersist(blocking = false)
+    rawCands.unpersist(blocking = false)
     verified
   }
 

@@ -58,6 +58,31 @@ class PipelineSpec extends SparkSpec {
     assert(dflt === uncapped)
   }
 
+  test("size-ratio pre-prune is lossless and actually prunes cross-size candidates") {
+    // size-heterogeneous corpus: every doc gets a prefix-truncated twin
+    // (first ~third of its words). J(doc, twin) ≈ 1/3 < 0.8, yet enough
+    // twins collide in some LSH band (per-pair ≈ 1−(1−J⁴)¹⁶ ≈ 18%) to
+    // create candidate pairs the size bound alone refutes.
+    val base = docs.select(col("doc_id"), col("text"))
+    val trunc = base.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), lit(1),
+        greatest(lit(1), (size(split(col("text"), " ")) / 3)))).as("text"))
+    val corpus = base.unionAll(trunc)
+    def run(prune: Boolean) =
+      Dedup.nearDupPairs(corpus, "doc_id", "text", threshold = 0.8,
+          sizePrune = prune)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(true) === run(false), "pre-prune must not change the answer")
+    // ...and it provably fires: the pruned candidate list is strictly
+    // smaller than the raw one on this fixture
+    val cands = Dedup.lshCandidatePairs(corpus, "doc_id", "text")
+      .persist()
+    val pruned = Dedup.sizePrunePairs(cands, corpus, "doc_id", "text", 3, 0.8)
+    assert(pruned.count() < cands.count(),
+      "fixture must contain cross-size candidates for the prune to refute")
+    cands.unpersist()
+  }
+
   test("heavy hitters equals groupBy+HAVING on skewed, uniform, and all-distinct data") {
     import spark.implicits._
     import graft.operators.HeavyHitters
