@@ -513,6 +513,31 @@ FROM sel ORDER BY g"""
       // including fold-hash collisions.
       (s, d) => graft.operators.CorpusOverlap.noveltyByShard(
         documents(s, d), "doc_id", "text", nShards = 8, seed = 1L),
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gram FROM w), h AS (SELECT ((doc_id + 7919) * 1299709 + 104729) % 1000003 % 8 AS shard, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(gram, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS hh FROM g), dd AS (SELECT DISTINCT shard, hh FROM h), f AS (SELECT hh, MIN(shard) AS shard FROM dd GROUP BY 1), fc AS (SELECT shard, COUNT(*) AS n_first FROM f GROUP BY 1), tc AS (SELECT shard, COUNT(*) AS n_distinct FROM dd GROUP BY 1) SELECT tc.shard, tc.n_distinct, COALESCE(fc.n_first, 0) AS n_first FROM tc LEFT JOIN fc ON tc.shard = fc.shard ORDER BY 1"""))
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gram FROM w), h AS (SELECT ((doc_id + 7919) * 1299709 + 104729) % 1000003 % 8 AS shard, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(gram, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS hh FROM g), dd AS (SELECT DISTINCT shard, hh FROM h), f AS (SELECT hh, MIN(shard) AS shard FROM dd GROUP BY 1), fc AS (SELECT shard, COUNT(*) AS n_first FROM f GROUP BY 1), tc AS (SELECT shard, COUNT(*) AS n_distinct FROM dd GROUP BY 1) SELECT tc.shard, tc.n_distinct, COALESCE(fc.n_first, 0) AS n_first FROM tc LEFT JOIN fc ON tc.shard = fc.shard ORDER BY 1""")),
+
+    QueryDef("q180_span_dedup",
+      // EXACT duplicated-span removal (Lee et al. 2022 ExactSubstr,
+      // k-gram formulation): every word span of length >= 8 appearing at
+      // two or more positions corpus-wide is excised from EVERY doc —
+      // the substring-level dedup that doc-level Jaccard cannot see
+      // (license blocks, boilerplate headers, templated paragraphs).
+      // Fully deterministic (no sampling, cross-engine fold hash), so
+      // DuckDB replays gram hashing, the duplicated set, position
+      // coverage, and the reassembled clean text of every doc
+      // bit-for-bit — fold-hash collisions included.
+      (s, d) => graft.operators.Dedup.removeDuplicatedSpans(
+        documents(s, d), "doc_id", "text", k = 8).orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
+
+    QueryDef("q181_span_profile",
+      // Duplication PROFILE by source: what fraction of each source's
+      // token mass sits inside duplicated spans — the "how much of this
+      // crawl is boilerplate" diagnostic, <= |sources| rows of exact
+      // integer counts + exact-integer-ppm rate. Same duplicated-gram
+      // definition as q180, replayed end to end.
+      (s, d) => graft.operators.Dedup.duplicatedSpanProfile(
+        documents(s, d), "doc_id", "text", "source", k = 8)
+        .orderBy("source"),
+      Some("""WITH w AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), tot AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS n_tokens FROM w GROUP BY 1), dt AS (SELECT w.source, COUNT(*) AS n_dup_tokens FROM cov JOIN w ON cov.doc_id = w.doc_id GROUP BY 1) SELECT tot.source, tot.n_docs, tot.n_tokens, COALESCE(dt.n_dup_tokens, 0) AS n_dup_tokens, CAST(CASE WHEN tot.n_tokens = 0 THEN 0 ELSE COALESCE(dt.n_dup_tokens, 0) * 1000000 // tot.n_tokens END AS BIGINT) AS dup_ppm FROM tot LEFT JOIN dt ON tot.source = dt.source ORDER BY tot.source"""))
   )
 }

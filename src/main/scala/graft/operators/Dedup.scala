@@ -786,4 +786,106 @@ object Dedup {
         array_join(transform(array_sort(collect_list(
             when(col("__keep"), struct(col("seg_idx"), col("segment"))))),
           x => x.getField("segment")), " ").as("text_deduped"))
+
+  // -- exact duplicated-SPAN removal (ExactSubstr) -------------------------
+
+  /** Positional k-gram occurrences: one row per (doc, word-position),
+    * gram hashed with the cross-engine polynomial fold
+    * ([[graft.functions.StringFoldHash]]) so a foreign oracle replays
+    * every hash bit-for-bit. Scan-stage only — nothing shuffles here. */
+  private def spanGramOccurrences(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    val words = split(col(textCol), " +")
+    df.select(col(idCol), explode(filter(
+        transform(sequence(lit(0), greatest(size(words) - k, lit(0))),
+          i => when(i + k <= size(words),
+            struct(i.as("pos"), CorpusOverlap.foldHash(
+              concat_ws(" ", slice(words, i + lit(1), lit(k)))).as("h")))),
+        g => g.isNotNull)).as("g"))
+      .select(col(idCol), col("g.pos"), col("g.h"))
+  }
+
+  /** Covered word positions: every position inside ANY occurrence of a
+    * k-gram that occurs ≥ 2 times corpus-wide (including twice within one
+    * doc). The gram→count aggregate is map-side combined (shuffle ∝
+    * distinct-gram vocabulary); the duplicated-gram set is usually a tiny
+    * fraction of the vocabulary, so AQE turns the semi-join back into a
+    * broadcast and the full position stream never exchanges. */
+  private def coveredSpanPositions(occ: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select(col("h"))
+    occ.join(dup, Seq("h"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+  }
+
+  /** EXACT duplicated-span removal — the substring-level dedup of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better", ExactSubstr), k-gram formulation: any word span of length
+    * ≥ k that appears at two or more positions in the corpus is removed
+    * from EVERY document it occurs in (the paper's remove-all policy; a
+    * span duplicated s times is exactly the set of positions covered by
+    * duplicated k-grams, because every length-k window of a duplicated
+    * span is itself duplicated). Doc-level dedup ([[nearDupPairs]])
+    * cannot see this: boilerplate headers, license blocks, and templated
+    * paragraphs repeat across otherwise-distinct documents and survive
+    * whole-doc Jaccard — this operator excises the spans themselves.
+    *
+    * Output: (id, clean_text, n_words, n_removed), whitespace normalized
+    * to single spaces. Words = `split(text, " +")` — the same
+    * cross-engine tokenization as the shingle family.
+    *
+    * 100 TB posture: the only vocabulary-wide exchange is the map-side-
+    * combined gram→count aggregate; coverage explodes duplicated
+    * occurrences only; reassembly is per-doc array algebra
+    * (`array_except` builds a hash set of the covered positions — linear,
+    * never O(words × spans)) after ONE keyed join of the bounded
+    * (doc → covered positions) list back to the doc scan. Fully
+    * deterministic: no sampling, no randomness, fold-hash collisions
+    * (~1e-9 per gram pair) replay identically in any engine. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    val occ = spanGramOccurrences(df, idCol, textCol, k)
+    val covered = coveredSpanPositions(occ, idCol, k)
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("p"))).as("__cov"))
+    val words = split(col(textCol), " +")
+    df.select(col(idCol), words.as("__w"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        array_except(transform(col("__w"), (_, i) => i),
+          coalesce(col("__cov"), array().cast("array<int>"))).as("__keep"),
+        col("__w"))
+      .select(col(idCol),
+        concat_ws(" ",
+          transform(col("__keep"), p => element_at(col("__w"), p + 1)))
+          .as("clean_text"),
+        size(col("__w")).cast("long").as("n_words"),
+        (size(col("__w")) - size(col("__keep"))).cast("long").as("n_removed"))
+  }
+
+  /** Corpus duplication PROFILE by `groupCol` (source/lang/shard): how
+    * much of each group's token mass sits inside duplicated spans — the
+    * "how much of this crawl is boilerplate" diagnostic run before paying
+    * for [[removeDuplicatedSpans]]' reassembly. Same duplicated-gram
+    * definition; output ≤ |groups| rows of exact integer counts plus the
+    * removal rate in exact-integer ppm (no float division — replays
+    * bit-for-bit). */
+  def duplicatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int = 8): DataFrame = {
+    val occ = spanGramOccurrences(df, idCol, textCol, k)
+    val cov = coveredSpanPositions(occ, idCol, k)
+    val docTok = df.select(col(idCol), col(groupCol),
+      size(split(col(textCol), " +")).cast("long").as("__n"))
+    val tot = docTok.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+    val dupTok = cov.join(docTok.select(col(idCol), col(groupCol)), Seq(idCol))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__nd"))
+    tot.join(dupTok, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_docs"), col("n_tokens"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_tokens"))
+      .withColumn("dup_ppm", when(col("n_tokens") === 0, lit(0L))
+        .otherwise(expr("n_dup_tokens * 1000000 div n_tokens")))
+  }
 }

@@ -83,6 +83,39 @@ class PipelineSpec extends SparkSpec {
     cands.unpersist()
   }
 
+  test("duplicated-span removal excises shared spans, keeps unique text, ignores sub-k repeats") {
+    import spark.implicits._
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ") // 10-word boilerplate
+    val fixture = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"iota kappa lambda mu nu xi omicron pi $boiler"),
+      // within-doc repetition: the same 8-gram twice in ONE doc
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 fill r1 r2 r3 r4 r5 r6 r7 r8"),
+      // sub-k repetition: a 3-word phrase repeated — must survive at k=8
+      (4L, "the quick fox u1 u2 u3 u4 u5 the quick fox v1 v2 v3 v4 v5"),
+      (5L, "wholly unique words that appear nowhere else in this corpus")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(fixture, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // the shared 10-word boilerplate vanishes from BOTH docs, unique tails stay
+    assert(out(1L) === (("alpha beta gamma delta epsilon zeta eta theta", 18L, 10L)))
+    assert(out(2L) === (("iota kappa lambda mu nu xi omicron pi", 18L, 10L)))
+    // both occurrences of the within-doc duplicated span are removed
+    assert(out(3L) === (("fill", 17L, 16L)))
+    // sub-k repeats are NOT spans: doc untouched
+    assert(out(4L)._3 === 0L && out(4L)._1.startsWith("the quick fox"))
+    assert(out(5L) === (("wholly unique words that appear nowhere else in this corpus", 10L, 0L)))
+    // profile over the same fixture agrees with the per-doc numbers
+    val prof = Dedup.duplicatedSpanProfile(
+        fixture.withColumn("src", lit("s")), "doc_id", "text", "src", k = 8)
+      .collect()
+    assert(prof.length == 1)
+    val p = prof.head
+    assert(p.getLong(1) == 5L && p.getLong(2) == 79L && p.getLong(3) == 36L)
+    assert(p.getLong(4) == 36L * 1000000L / 79L)
+  }
+
   test("heavy hitters equals groupBy+HAVING on skewed, uniform, and all-distinct data") {
     import spark.implicits._
     import graft.operators.HeavyHitters
