@@ -529,6 +529,18 @@ FROM sel ORDER BY g"""
         documents(s, d), "doc_id", "text", k = 8).orderBy("doc_id"),
       Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
 
+    QueryDef("q182_span_dedup_keepfirst",
+      // q180's machinery under the paper's keep-one-copy policy: each
+      // duplicated k-gram's FIRST occurrence (min (doc, pos), a
+      // packed-long min folded into the same gram aggregate) is exempt
+      // from coverage, so the earliest document keeps the span intact
+      // and only later occurrences are excised. Deterministic ⇒ DuckDB
+      // replays the canonical-occurrence choice and every clean text.
+      (s, d) => graft.operators.Dedup.removeDuplicatedSpans(
+        documents(s, d), "doc_id", "text", k = 8, keepFirst = true)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
+
     QueryDef("q181_span_profile",
       // Duplication PROFILE by source: what fraction of each source's
       // token mass sits inside duplicated spans — the "how much of this

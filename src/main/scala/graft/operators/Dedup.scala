@@ -805,17 +805,35 @@ object Dedup {
       .select(col(idCol), col("g.pos"), col("g.h"))
   }
 
+  /** Lexicographic (doc, pos) packed into one long so the canonical (=
+    * first) occurrence of a gram is a plain `min` in a HashAggregate —
+    * same trick as [[packedPos]]. Docs past 2M grams fail loudly under
+    * ANSI rather than mis-pack. */
+  private val SpanPack = 1L << 21
+
   /** Covered word positions: every position inside ANY occurrence of a
     * k-gram that occurs ≥ 2 times corpus-wide (including twice within one
-    * doc). The gram→count aggregate is map-side combined (shuffle ∝
-    * distinct-gram vocabulary); the duplicated-gram set is usually a tiny
-    * fraction of the vocabulary, so AQE turns the semi-join back into a
-    * broadcast and the full position stream never exchanges. */
+    * doc). With `keepFirst`, each duplicated gram's first occurrence (min
+    * packed (doc, pos)) is exempt — the keep-one-copy policy. The
+    * gram→count aggregate is map-side combined (shuffle ∝ distinct-gram
+    * vocabulary); the duplicated-gram set is usually a tiny fraction of
+    * the vocabulary, so AQE turns the join back into a broadcast and the
+    * full position stream never exchanges. */
   private def coveredSpanPositions(occ: DataFrame, idCol: String,
-      k: Int): DataFrame = {
-    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= 2).select(col("h"))
-    occ.join(dup, Seq("h"), "left_semi")
+      k: Int, keepFirst: Boolean = false): DataFrame = {
+    val packed = when(col("pos") < lit(SpanPack),
+      col(idCol) * lit(SpanPack) + col("pos").cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"removeDuplicatedSpans: more than $SpanPack grams in doc "),
+        col(idCol).cast("string"))))
+    val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("__c"),
+        min(packed).as("__first"))
+      .filter(col("__c") >= 2)
+    val dupOcc =
+      if (keepFirst) occ.join(dup.select(col("h"), col("__first")), Seq("h"))
+        .filter(packed =!= col("__first"))
+      else occ.join(dup.select(col("h")), Seq("h"), "left_semi")
+    dupOcc
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
       .distinct()
@@ -825,10 +843,14 @@ object Dedup {
     * al. 2022 ("Deduplicating Training Data Makes Language Models
     * Better", ExactSubstr), k-gram formulation: any word span of length
     * ≥ k that appears at two or more positions in the corpus is removed
-    * from EVERY document it occurs in (the paper's remove-all policy; a
-    * span duplicated s times is exactly the set of positions covered by
+    * from EVERY document it occurs in (remove-all policy; a span
+    * duplicated s times is exactly the set of positions covered by
     * duplicated k-grams, because every length-k window of a duplicated
-    * span is itself duplicated). Doc-level dedup ([[nearDupPairs]])
+    * span is itself duplicated). `keepFirst = true` is the paper's
+    * keep-one-copy policy at gram granularity: each duplicated gram's
+    * FIRST occurrence (min (doc, pos), packed-long min in the same
+    * aggregate) stays, so the earliest doc keeps the span intact while
+    * later occurrences are excised. Doc-level dedup ([[nearDupPairs]])
     * cannot see this: boilerplate headers, license blocks, and templated
     * paragraphs repeat across otherwise-distinct documents and survive
     * whole-doc Jaccard — this operator excises the spans themselves.
@@ -846,9 +868,9 @@ object Dedup {
     * deterministic: no sampling, no randomness, fold-hash collisions
     * (~1e-9 per gram pair) replay identically in any engine. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8): DataFrame = {
+      k: Int = 8, keepFirst: Boolean = false): DataFrame = {
     val occ = spanGramOccurrences(df, idCol, textCol, k)
-    val covered = coveredSpanPositions(occ, idCol, k)
+    val covered = coveredSpanPositions(occ, idCol, k, keepFirst)
       .groupBy(col(idCol)).agg(sort_array(collect_set(col("p"))).as("__cov"))
     val words = split(col(textCol), " +")
     df.select(col(idCol), words.as("__w"))

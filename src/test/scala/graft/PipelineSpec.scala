@@ -106,6 +106,16 @@ class PipelineSpec extends SparkSpec {
     // sub-k repeats are NOT spans: doc untouched
     assert(out(4L)._3 === 0L && out(4L)._1.startsWith("the quick fox"))
     assert(out(5L) === (("wholly unique words that appear nowhere else in this corpus", 10L, 0L)))
+    // keep-first (paper policy): the earliest occurrence survives — doc 1
+    // keeps the boilerplate intact, doc 2 still loses it; doc 3's second
+    // within-doc occurrence goes, the first stays
+    val kf = Dedup.removeDuplicatedSpans(fixture, "doc_id", "text", k = 8,
+        keepFirst = true)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(kf(1L)._3 === 0L && kf(1L)._1.startsWith(boiler))
+    assert(kf(2L) === (("iota kappa lambda mu nu xi omicron pi", 18L, 10L)))
+    assert(kf(3L) === (("r1 r2 r3 r4 r5 r6 r7 r8 fill", 17L, 8L)))
     // profile over the same fixture agrees with the per-doc numbers
     val prof = Dedup.duplicatedSpanProfile(
         fixture.withColumn("src", lit("s")), "doc_id", "text", "src", k = 8)
