@@ -836,7 +836,28 @@ object Bench {
     }
     val tSizePruneOn = timeMedian("x_sizeprune_on_sec") {
       graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
-        threshold = 0.8).count(): Unit
+        threshold = 0.8, sizePrune = true).count(): Unit
+    }
+    // The prune's real currency is exchange BYTES (locally the shipped
+    // arrays are ~free, hence the wall-clock overhead above): job-scoped
+    // shuffle-write bytes for the same two runs. The second verify join
+    // (pair×array intermediate vs the array side) is where the arrays
+    // exchange, and the prune shrinks both sides of it.
+    val bytesSizePruneOff = shuffledBytes {
+      graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
+        threshold = 0.8, sizePrune = false).count(): Unit
+    }
+    val bytesSizePruneOn = shuffledBytes {
+      graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
+        threshold = 0.8, sizePrune = true).count(): Unit
+    }
+    // Exact duplicated-span removal over the full documents fixture —
+    // the q180 workload as a wall-clock trend line (gram vocab exchange +
+    // broadcast dup set + per-doc reassembly)
+    val tSpanDedup = timeMedian("x_spandedup_sec") {
+      graft.operators.Dedup.removeDuplicatedSpans(docsAll, "doc_id", "text",
+          k = 8)
+        .agg(sum(col("n_removed")), count(lit(1))).collect(): Unit
     }
     // q20's star-join plan at 60 M fact rows (the li100 fixture): pruned
     // dims broadcast, fact scans once into partial agg — the scale trend
@@ -927,6 +948,10 @@ object Bench {
       "x_sizeprune_off_sec" -> tSizePruneOff,
       "x_sizeprune_on_sec" -> tSizePruneOn,
       "x_sizeprune_speedup" -> tSizePruneOff / tSizePruneOn,
+      "x_sizeprune_bytes_off" -> bytesSizePruneOff,
+      "x_sizeprune_bytes_on" -> bytesSizePruneOn,
+      "x_sizeprune_bytes_shrink" -> bytesSizePruneOff / bytesSizePruneOn,
+      "x_spandedup_sec" -> tSpanDedup,
       "x_q20_60m_sec" -> tQ20at60m,
       "x_bootstrap_sec" -> tBootstrap,
       "x_bootstrap_vs_plain_sum" ->

@@ -541,6 +541,31 @@ FROM sel ORDER BY g"""
         .orderBy("doc_id"),
       Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
 
+    QueryDef("q183_span_dedup_incremental",
+      // Corpus-refresh fold of q182: split the corpus into two
+      // append-ordered drops at the id midpoint, scrub drop 1 against an
+      // empty gram index, drop 2 against the updated index (bloom-staged
+      // probe — miss is proof of absence, the mostly-new bulk never
+      // joins). keep-first never looks forward, so the fold replays
+      // EXACTLY the one-shot q182 answer — the oracle is literally
+      // q182's SQL over the union.
+      (s, d) => {
+        import s.implicits._
+        val docs0 = documents(s, d)
+        val mid = docs0.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+          .first.getLong(0)
+        val (c1, idx1) = graft.operators.Dedup
+          .removeDuplicatedSpansIncremental(
+            docs0.filter(col("doc_id") <= mid), Seq.empty[Long].toDF("h"),
+            "doc_id", "text", k = 8)
+        val (c2, _) = graft.operators.Dedup
+          .removeDuplicatedSpansIncremental(
+            docs0.filter(col("doc_id") > mid), idx1.localCheckpoint(true),
+            "doc_id", "text", k = 8, bloomExpectedItems = 1 << 20)
+        c1.unionAll(c2).orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
+
     QueryDef("q181_span_profile",
       // Duplication PROFILE by source: what fraction of each source's
       // token mass sits inside duplicated spans — the "how much of this

@@ -147,3 +147,92 @@ object SortedLongJaccard {
     if (union == 0) Double.NaN else inter.toDouble / union
   }
 }
+
+/** POSITIONAL k-gram fold hashes of a string — the scan-stage kernel
+  * behind [[graft.operators.Dedup.removeDuplicatedSpans]]: element i is
+  * [[StringFoldHash]] of the space-joined k-gram starting at word i
+  * (split `" +"`, trailing empties kept — Spark `split` semantics), NOT
+  * distinct and NOT sorted, so `posexplode` yields the (pos, h) stream
+  * the duplicated-span machinery aggregates.
+  *
+  * Why it exists: the declarative form (`transform(sequence(...), i ->
+  * string_fold_hash(concat_ws(' ', slice(words, i+1, k))))`) is a
+  * CodegenFallback higher-order chain that allocates a sliced array and
+  * a joined string per position — the q180 hot path (x_spandedup probe).
+  * The kernel exploits that the polynomial fold is LEFT-LINEAR:
+  * fold(acc, s·t) = fold(fold(acc, s), t) = acc·31^cplen(t) + fold0(t),
+  * so per-token prefix values (fold0, 31^cplen mod p) computed once make
+  * each position O(k) modular ops with zero allocation. Spec-locked to
+  * the declarative twin ([[graft.operators.Dedup
+  * .spanGramOccurrencesFold]]) and to the cross-engine DuckDB replay
+  * (q180–q183 oracles fold the same joined gram strings). */
+case class WordGramFoldHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"gram order must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_gram_fold_hashes expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGramFoldHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.WordGramFoldHashes.compute($v, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramFoldHashes =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_gram_fold_hashes"
+}
+
+object WordGramFoldHashes {
+  private val P = 1000000007L
+
+  /** Static kernel shared by eval and generated code. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.toString.split(" +", -1)
+    if (toks.length < n)
+      return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val m = toks.length
+    // per-token prefix values: f(t) = fold of t from acc 0,
+    // pw(t) = 31^codepointLen(t) mod p — fold(acc, t) = acc·pw + f
+    val f = new Array[Long](m)
+    val pw = new Array[Long](m)
+    var t = 0
+    while (t < m) {
+      val tok = toks(t)
+      var acc = 0L
+      var pow = 1L
+      var i = 0
+      while (i < tok.length) {
+        val cp = tok.codePointAt(i)
+        acc = (acc * 31L + cp) % P
+        pow = (pow * 31L) % P
+        i += Character.charCount(cp)
+      }
+      f(t) = acc; pw(t) = pow
+      t += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    var i = 0
+    while (i < m - n + 1) {
+      var acc = f(i)
+      var j = 1
+      while (j < n) {
+        acc = (acc * 31L + 32L) % P        // the joining space (cp 32)
+        acc = (acc * pw(i + j) + f(i + j)) % P
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}

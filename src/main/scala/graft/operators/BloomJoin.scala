@@ -32,7 +32,11 @@ object BloomJoin {
   /** Aggregate `build`'s `key` column into a serialized Bloom filter
     * (xxhash64'd, like Spark's runtime filters). Distributed partial
     * aggregation; only the merged sketch (`numBits/8` bytes) reaches the
-    * driver. */
+    * driver. Returns NULL when `build` is empty (`bloom_filter_agg` over
+    * zero rows) — callers must treat that as "empty key set", because
+    * `mightContain(null, …)` is null and a null predicate silently drops
+    * EVERY row from BOTH branches of a pruned join (found by the q183
+    * first-drop fold: an empty seen-index ate the whole batch). */
   def buildBloom(build: DataFrame, key: String, expectedItems: Long,
       numBits: Long): Array[Byte] = {
     val hashed = new XxHash64(Seq(ColumnShim.expression(build(key))))
@@ -87,7 +91,8 @@ object BloomJoin {
   def bloomSemiJoin(fact: DataFrame, build: DataFrame, factKey: String,
       buildKey: String, expectedItems: Long, numBits: Long): DataFrame = {
     val bloom = buildBloom(build, buildKey, expectedItems, numBits)
-    fact.filter(mightContain(bloom, fact(factKey)))
+    if (bloom == null) fact.limit(0) // empty build ⇒ nothing matches
+    else fact.filter(mightContain(bloom, fact(factKey)))
   }
 
   /** Exact semi-join with Bloom pre-pruning: the bloom eliminates the bulk
@@ -117,6 +122,7 @@ object BloomJoin {
   def bloomPrunedAntiJoin(fact: DataFrame, build: DataFrame, factKey: String,
       buildKey: String, expectedItems: Long, numBits: Long): DataFrame = {
     val bloom = buildBloom(build, buildKey, expectedItems, numBits)
+    if (bloom == null) return fact // empty build ⇒ nothing to exclude
     val definitelyNew = fact.filter(!mightContain(bloom, fact(factKey)))
     val maybe = fact.filter(mightContain(bloom, fact(factKey)))
     val checked = maybe.join(build.select(col(buildKey)).distinct(),

@@ -137,7 +137,7 @@ object Decontam {
   def decontaminateFuzzy(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, threshold: Double = 0.8, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16,
-      maxBucket: Int = Dedup.MaxBucket, sizePrune: Boolean = true): DataFrame = {
+      maxBucket: Int = Dedup.MaxBucket, sizePrune: Boolean = false): DataFrame = {
     val tagged = train
       .select((col(idCol) * 2).as("__fid"), col(textCol).as("__text"))
       .unionAll(eval

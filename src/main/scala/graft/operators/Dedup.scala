@@ -307,15 +307,20 @@ object Dedup {
 
   /** Near-duplicate pairs: LSH candidates verified by exact shingle Jaccard
     * >= `threshold`. Output: (id_a, id_b, jaccard).
-    * `sizePrune` (default on) interposes [[sizePrunePairs]] between the
-    * candidate and verify stages — provably lossless, and on corpora where
-    * LSH collisions cross size classes (prefix dups, templated docs of
-    * varying length) it keeps the heavy hash arrays off the wire for pairs
-    * the size bound already refutes. */
+    * `sizePrune` interposes [[sizePrunePairs]] between the candidate and
+    * verify stages — provably lossless, and on corpora where LSH
+    * collisions cross size classes (prefix dups, templated docs of varying
+    * length) it keeps the heavy hash arrays off the verify exchanges for
+    * pairs the size bound already refutes. Default OFF because the win is
+    * exchange BYTES, not local seconds: on the single-JVM heterogeneous
+    * probe the extra sizes pass costs ~20% wall (x_sizeprune_* — shipped
+    * arrays are ~free locally) while cutting the verify-leg shuffle bytes;
+    * turn it on when the verify join is network-bound (the 100 TB case)
+    * or candidates are badly size-skewed. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, seed: Long = 42L,
-      maxBucket: Int = MaxBucket, sizePrune: Boolean = true): DataFrame = {
+      maxBucket: Int = MaxBucket, sizePrune: Boolean = false): DataFrame = {
     // Materialize the (tiny) candidate list: it feeds three plan branches
     // (two id projections + the verify join) and an unpersisted DataFrame
     // would re-run the whole MinHash+shuffle subtree once per branch.
@@ -791,9 +796,23 @@ object Dedup {
 
   /** Positional k-gram occurrences: one row per (doc, word-position),
     * gram hashed with the cross-engine polynomial fold
-    * ([[graft.functions.StringFoldHash]]) so a foreign oracle replays
-    * every hash bit-for-bit. Scan-stage only — nothing shuffles here. */
-  private def spanGramOccurrences(df: DataFrame, idCol: String,
+    * ([[graft.functions.StringFoldHash]] semantics, computed by the
+    * allocation-free [[graft.functions.WordGramFoldHashes]] scan-stage
+    * kernel) so a foreign oracle replays every hash bit-for-bit.
+    * Scan-stage only — nothing shuffles here. */
+  private[graft] def spanGramOccurrences(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val hashes = ColumnShim.column(graft.functions.WordGramFoldHashes(
+      ColumnShim.expression(col(textCol)), k))
+    df.select(col(idCol), posexplode(hashes).as(Seq("pos", "h")))
+  }
+
+  /** Interpreted higher-order-function twin of [[spanGramOccurrences]] —
+    * the executable semantics statement the kernel is spec-locked to;
+    * test-only (PipelineSpec asserts bit-equality on the corpus and edge
+    * strings). */
+  private[graft] def spanGramOccurrencesFold(df: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     val words = split(col(textCol), " +")
     df.select(col(idCol), explode(filter(
@@ -811,6 +830,13 @@ object Dedup {
     * ANSI rather than mis-pack. */
   private val SpanPack = 1L << 21
 
+  private def spanPacked(idCol: String): Column =
+    when(col("pos") < lit(SpanPack),
+      col(idCol) * lit(SpanPack) + col("pos").cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"removeDuplicatedSpans: more than $SpanPack grams in doc "),
+        col(idCol).cast("string"))))
+
   /** Covered word positions: every position inside ANY occurrence of a
     * k-gram that occurs ≥ 2 times corpus-wide (including twice within one
     * doc). With `keepFirst`, each duplicated gram's first occurrence (min
@@ -821,11 +847,7 @@ object Dedup {
     * full position stream never exchanges. */
   private def coveredSpanPositions(occ: DataFrame, idCol: String,
       k: Int, keepFirst: Boolean = false): DataFrame = {
-    val packed = when(col("pos") < lit(SpanPack),
-      col(idCol) * lit(SpanPack) + col("pos").cast("long"))
-      .otherwise(raise_error(concat(
-        lit(s"removeDuplicatedSpans: more than $SpanPack grams in doc "),
-        col(idCol).cast("string"))))
+    val packed = spanPacked(idCol)
     val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("__c"),
         min(packed).as("__first"))
       .filter(col("__c") >= 2)
@@ -870,7 +892,17 @@ object Dedup {
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, keepFirst: Boolean = false): DataFrame = {
     val occ = spanGramOccurrences(df, idCol, textCol, k)
-    val covered = coveredSpanPositions(occ, idCol, k, keepFirst)
+    reassembleSpans(df, idCol, textCol,
+      coveredSpanPositions(occ, idCol, k, keepFirst))
+  }
+
+  /** Rebuild clean docs from a (id, p) covered-position frame: per-doc
+    * position-set aggregate (bounded by doc length), ONE keyed join back
+    * onto the doc scan, scan-stage `array_except` reassembly (hash-set
+    * linear in words + spans). */
+  private def reassembleSpans(df: DataFrame, idCol: String, textCol: String,
+      coveredPos: DataFrame): DataFrame = {
+    val covered = coveredPos
       .groupBy(col(idCol)).agg(sort_array(collect_set(col("p"))).as("__cov"))
     val words = split(col(textCol), " +")
     df.select(col(idCol), words.as("__w"))
@@ -885,6 +917,59 @@ object Dedup {
           .as("clean_text"),
         size(col("__w")).cast("long").as("n_words"),
         (size(col("__w")) - size(col("__keep"))).cast("long").as("n_removed"))
+  }
+
+  /** Distinct gram-hash index of a corpus — the persisted state
+    * [[removeDuplicatedSpansIncremental]] probes on each refresh drop.
+    * One column `h`; membership is all the keep-first fold needs. */
+  def spanGramIndex(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame =
+    spanGramOccurrences(df, idCol, textCol, k).select(col("h")).distinct()
+
+  /** Incremental [[removeDuplicatedSpans]] under the `keepFirst` policy —
+    * the corpus-refresh shape: scrub a NEW drop against the gram index of
+    * everything already ingested (plus intra-batch firsts) without
+    * rescanning the corpus. Returns (cleaned batch, updated index).
+    *
+    * keep-first is THE incremental-compatible policy: an occurrence is
+    * removed iff an earlier occurrence exists, and "earlier" never looks
+    * forward — so, provided batch ids exceed all earlier ids (crawl drops
+    * are append-ordered), folding batches through this function produces
+    * EXACTLY the rows `removeDuplicatedSpans(union, keepFirst = true)`
+    * would (q183 hash-proves it; remove-all cannot fold, since a later
+    * drop would have to retro-edit shipped batches).
+    *
+    * Scale shape mirrors [[segmentDedupIncremental]]: the batch explodes
+    * and self-aggregates; the big index is probed with
+    * [[BloomJoin.bloomPrunedAntiJoin]] when `bloomExpectedItems > 0`
+    * (bloom miss = proof of absence — the mostly-new bulk never joins),
+    * plain left-anti otherwise; the updated index appends only the
+    * batch's genuinely-new gram hashes. */
+  def removeDuplicatedSpansIncremental(newDocs: DataFrame,
+      gramIndex: DataFrame, idCol: String, textCol: String, k: Int = 8,
+      bloomExpectedItems: Long = 0L,
+      bloomBits: Long = 1L << 27): (DataFrame, DataFrame) = {
+    val occ = spanGramOccurrences(newDocs, idCol, textCol, k)
+    val batchFirsts = occ.groupBy(col("h"))
+      .agg(min(spanPacked(idCol)).as("__first"))
+    val seen = gramIndex.select(col("h").as("__seen_h"))
+    val newFirsts =
+      if (bloomExpectedItems > 0)
+        BloomJoin.bloomPrunedAntiJoin(batchFirsts, seen,
+          "h", "__seen_h", bloomExpectedItems, bloomBits)
+      else batchFirsts.join(seen, col("h") === col("__seen_h"), "left_anti")
+    // covered: every occurrence of an already-seen gram (null __first), or
+    // a non-first occurrence of a batch-new gram — exactly q182's "an
+    // earlier occurrence exists", with the index standing in for all of
+    // the past
+    val coveredPos = occ.join(newFirsts, Seq("h"), "left")
+      .filter(col("__first").isNull || spanPacked(idCol) =!= col("__first"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+    val updatedIndex = gramIndex.select(col("h"))
+      .unionAll(newFirsts.select(col("h")))
+    (reassembleSpans(newDocs, idCol, textCol, coveredPos), updatedIndex)
   }
 
   /** Corpus duplication PROFILE by `groupCol` (source/lang/shard): how

@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-  import graft.functions.{FloatVecDot, HanCount, LexiconHits, QualityMarginCents, SortedLongJaccard, StringFoldHash, WordNgramHashes, WordNgrams}
+  import graft.functions.{FloatVecDot, HanCount, LexiconHits, QualityMarginCents, SortedLongJaccard, StringFoldHash, WordGramFoldHashes, WordNgramHashes, WordNgrams}
 
   private def lit[T](e: Expression, what: String): T = e match {
     case Literal(v, _) => v.asInstanceOf[T]
@@ -75,7 +75,11 @@ object GraftFunctions {
           lit[Int](args(1), "word_ngram_hashes n"))),
       (FunctionIdentifier("jaccard_sorted_hashes"),
         new ExpressionInfo(classOf[SortedLongJaccard].getName, "jaccard_sorted_hashes"),
-        (args: Seq[Expression]) => SortedLongJaccard(args(0), args(1))))
+        (args: Seq[Expression]) => SortedLongJaccard(args(0), args(1))),
+      (FunctionIdentifier("word_gram_fold_hashes"),
+        new ExpressionInfo(classOf[WordGramFoldHashes].getName, "word_gram_fold_hashes"),
+        (args: Seq[Expression]) => WordGramFoldHashes(args(0),
+          lit[Int](args(1), "word_gram_fold_hashes n"))))
 }
 
 object ScaleSampledAggregates extends Rule[LogicalPlan] {

@@ -522,6 +522,17 @@ class CurationSpec extends SparkSpec {
         expectedItems = 100L, numBits = 1L << 12)
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(3L))
+    // EMPTY build side: bloom_filter_agg over zero rows is NULL and a null
+    // mightContain predicate drops every row from BOTH branches — the
+    // guarded paths must return fact unchanged (anti) / nothing (semi)
+    val emptySeen = seenDocs.filter(lit(false)).select($"fp".as("seen_fp"))
+    val keptEmpty = BloomJoin.bloomPrunedAntiJoin(drop, emptySeen,
+        "fp", "seen_fp", expectedItems = 100L, numBits = 1L << 12)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptEmpty === Set(1L, 3L),
+      "empty seen-set must exclude nothing from the anti-join")
+    assert(BloomJoin.bloomSemiJoin(drop, emptySeen, "fp", "seen_fp",
+      100L, 1L << 12).count() === 0L)
   }
 
   // -- int8 quantization ---------------------------------------------------

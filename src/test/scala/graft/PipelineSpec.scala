@@ -116,6 +116,40 @@ class PipelineSpec extends SparkSpec {
     assert(kf(1L)._3 === 0L && kf(1L)._1.startsWith(boiler))
     assert(kf(2L) === (("iota kappa lambda mu nu xi omicron pi", 18L, 10L)))
     assert(kf(3L) === (("r1 r2 r3 r4 r5 r6 r7 r8 fill", 17L, 8L)))
+    // kernel lock: the allocation-free positional gram-hash kernel equals
+    // the interpreted HOF twin bit-for-bit on the corpus and edge strings
+    // (unicode, leading/trailing/multiple spaces, short docs, empty)
+    val edge = Seq((100L, ""), (101L, " "), (102L, "a"),
+      (103L, "  leading  and   multiple spaces  x y z w v u t s"),
+      (104L, "ünïcode ﬁ 漢字 mixed tokens here eight nine ten"),
+      (105L, (1 to 20).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (src <- Seq(docs.select(col("doc_id"), col("text")), edge); kk <- Seq(1, 3, 8)) {
+      val kern = Dedup.spanGramOccurrences(src, "doc_id", "text", kk)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val fold = Dedup.spanGramOccurrencesFold(src, "doc_id", "text", kk)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(kern === fold, s"kernel must equal HOF twin at k=$kk")
+    }
+    // incremental fold (keep-first): 3 append-ordered drops through the
+    // gram index reproduce the one-shot answer bit-for-bit, with and
+    // without the bloom-staged index probe
+    val oneShot = kf
+    for (bloomItems <- Seq(0L, 1024L)) {
+      import spark.implicits._
+      var idx = Seq.empty[Long].toDF("h")
+      var folded = Map.empty[Long, (String, Long, Long)]
+      for (batch <- Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L))) {
+        val (cleaned, nextIdx) = Dedup.removeDuplicatedSpansIncremental(
+          fixture.filter(col("doc_id").isin(batch: _*)), idx,
+          "doc_id", "text", k = 8, bloomExpectedItems = bloomItems)
+        folded ++= cleaned.collect()
+          .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+        idx = nextIdx.localCheckpoint(true)
+      }
+      assert(folded === oneShot,
+        s"incremental fold (bloom=$bloomItems) must equal one-shot keep-first")
+    }
     // profile over the same fixture agrees with the per-doc numbers
     val prof = Dedup.duplicatedSpanProfile(
         fixture.withColumn("src", lit("s")), "doc_id", "text", "src", k = 8)
