@@ -838,18 +838,39 @@ object Bench {
       graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
         threshold = 0.8, sizePrune = true).count(): Unit
     }
-    // The prune's real currency is exchange BYTES (locally the shipped
-    // arrays are ~free, hence the wall-clock overhead above): job-scoped
-    // shuffle-write bytes for the same two runs. The second verify join
-    // (pair×array intermediate vs the array side) is where the arrays
-    // exchange, and the prune shrinks both sides of it.
-    val bytesSizePruneOff = shuffledBytes {
-      graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
-        threshold = 0.8, sizePrune = false).count(): Unit
-    }
-    val bytesSizePruneOn = shuffledBytes {
-      graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
-        threshold = 0.8, sizePrune = true).count(): Unit
+    // The prune's real currency is exchange BYTES in the regime where the
+    // verify joins are SORT-MERGE — at fixture scale the candidate side
+    // broadcasts and the hash arrays never enter a shuffle at all (first
+    // cut of this probe measured the prune ADDING bytes: its own sizes
+    // joins, with nothing to save). Forcing broadcast off emulates the
+    // 100 TB shape (candidate pair lists far beyond broadcast), where the
+    // arrays ride both verify exchanges and the prune's refuted pairs
+    // (and fully-refuted docs) stay off the wire.
+    val (bytesSizePruneOff, bytesSizePruneOn) = {
+      val abtOld = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val aqeOld = spark.conf.getOption(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      try {
+        val off = shuffledBytes {
+          graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
+            threshold = 0.8, sizePrune = false).count(): Unit
+        }
+        val on = shuffledBytes {
+          graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
+            threshold = 0.8, sizePrune = true).count(): Unit
+        }
+        (off, on)
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abtOld)
+        aqeOld match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+          case None => spark.conf.unset(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        }
+      }
     }
     // Exact duplicated-span removal over the full documents fixture —
     // the q180 workload as a wall-clock trend line (gram vocab exchange +
