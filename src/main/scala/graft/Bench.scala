@@ -880,6 +880,16 @@ object Bench {
           k = 8)
         .agg(sum(col("n_removed")), count(lit(1))).collect(): Unit
     }
+    // ...and its adversarial worst case: on the 10× clique fixture EVERY
+    // gram is duplicated, so the coverage stage explodes and distincts
+    // the full token stream (the remove-all upper bound — nothing can be
+    // pruned). Guards against a skew/volume cliff in the covered-position
+    // machinery that the mostly-unique fixture above cannot show.
+    val tSpanDedup10 = timeMedian("x_spandedup10x_sec") {
+      graft.operators.Dedup.removeDuplicatedSpans(docs10, "doc_id", "text",
+          k = 8)
+        .agg(sum(col("n_removed")), count(lit(1))).collect(): Unit
+    }
     // q20's star-join plan at 60 M fact rows (the li100 fixture): pruned
     // dims broadcast, fact scans once into partial agg — the scale trend
     // for the most expensive gated join query
@@ -973,6 +983,7 @@ object Bench {
       "x_sizeprune_bytes_on" -> bytesSizePruneOn,
       "x_sizeprune_bytes_shrink" -> bytesSizePruneOff / bytesSizePruneOn,
       "x_spandedup_sec" -> tSpanDedup,
+      "x_spandedup10x_sec" -> tSpanDedup10,
       "x_q20_60m_sec" -> tQ20at60m,
       "x_bootstrap_sec" -> tBootstrap,
       "x_bootstrap_vs_plain_sum" ->
