@@ -566,6 +566,24 @@ FROM sel ORDER BY g"""
       },
       Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
 
+    QueryDef("q184_contamination_by_source",
+      // Contamination MATRIX by source (Decontam.contaminationBySource):
+      // per source, how many train docs overlap the eval set (any shared
+      // trigram, the q67 convention) and the contaminated-docs rate in
+      // exact-integer ppm — the "which crawl leaks the benchmark"
+      // rollup read before re-crawling or dropping a source wholesale.
+      // Broadcast eval-gram probe (train never shuffles for it), one
+      // ≤ |sources| aggregate; fully deterministic and hash-gated.
+      (s, d) => {
+        val docs = documents(s, d)
+        val ev = docs.filter(pmod(col("doc_id"), lit(97L)) === 0)
+          .select(col("doc_id"), col("text"))
+        val tr = docs.filter(pmod(col("doc_id"), lit(97L)) =!= 0)
+        graft.operators.Decontam.contaminationBySource(tr, ev,
+          "doc_id", "text", "source", n = 3).orderBy("source")
+      },
+      Some("""WITH w AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), tr AS (SELECT * FROM w WHERE doc_id % 97 <> 0), eg AS (SELECT DISTINCT unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gram FROM w WHERE doc_id % 97 = 0), tg AS (SELECT doc_id, source, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gram FROM tr), per AS (SELECT t.doc_id, ANY_VALUE(t.source) AS source, COUNT(*) AS n_grams, COUNT(eg.gram) AS n_overlap FROM tg t LEFT JOIN eg ON t.gram = eg.gram GROUP BY 1), fl AS (SELECT * FROM per WHERE n_overlap * 100 > 0 * n_grams), tot AS (SELECT source, COUNT(*) AS n_docs FROM tr GROUP BY 1), c AS (SELECT source, COUNT(*) AS n_contaminated, CAST(SUM(n_overlap) AS BIGINT) AS n_overlap_grams FROM fl GROUP BY 1) SELECT tot.source, tot.n_docs, COALESCE(c.n_contaminated, 0) AS n_contaminated, COALESCE(c.n_overlap_grams, 0) AS n_overlap_grams, CAST(COALESCE(c.n_contaminated, 0) * 1000000 // tot.n_docs AS BIGINT) AS contaminated_ppm FROM tot LEFT JOIN c ON tot.source = c.source ORDER BY tot.source""")),
+
     QueryDef("q181_span_profile",
       // Duplication PROFILE by source: what fraction of each source's
       // token mass sits inside duplicated spans — the "how much of this

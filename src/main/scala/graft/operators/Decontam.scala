@@ -107,6 +107,31 @@ object Decontam {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Contamination rollup by `srcCol` — the "which SOURCE leaks the
+    * benchmark" matrix a curation run reads before deciding what to
+    * re-crawl or drop wholesale: per source, doc counts, how many docs
+    * overlap the eval set past `maxOverlapPct`, the total overlapping
+    * gram mass, and the contaminated-docs rate in exact-integer ppm.
+    * Same broadcast-probe scan as [[contamination]] (train side still
+    * never shuffles for the probe), then one ≤ |sources| aggregate. */
+  def contaminationBySource(train: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, srcCol: String, n: Int = 3,
+      maxOverlapPct: Int = 0): DataFrame = {
+    val flagged = contamination(train, eval, idCol, textCol, n)
+      .filter(col("n_overlap") * 100 > lit(maxOverlapPct.toLong) * col("n_grams"))
+    val docSrc = train.select(col(idCol), col(srcCol))
+    val tot = docSrc.groupBy(col(srcCol)).agg(count(lit(1)).as("n_docs"))
+    val cont = flagged.join(docSrc, Seq(idCol))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("__nc"), sum(col("n_overlap")).as("__og"))
+    tot.join(cont, Seq(srcCol), "left")
+      .select(col(srcCol), col("n_docs"),
+        coalesce(col("__nc"), lit(0L)).as("n_contaminated"),
+        coalesce(col("__og"), lit(0L)).as("n_overlap_grams"))
+      .withColumn("contaminated_ppm",
+        expr("n_contaminated * 1000000 div n_docs"))
+  }
+
   /** Drop contaminated train docs: remove any doc whose eval-overlapping
     * n-grams exceed `maxOverlapPct` percent of its distinct n-grams
     * (0 = drop on any overlap). Anti-join against the flagged id set —
