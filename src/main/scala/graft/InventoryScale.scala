@@ -554,13 +554,14 @@ FROM sel ORDER BY g"""
         val docs0 = documents(s, d)
         val mid = docs0.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
           .first.getLong(0)
-        val (c1, idx1) = graft.operators.Dedup
+        val (c1, new1) = graft.operators.Dedup
           .removeDuplicatedSpansIncremental(
             docs0.filter(col("doc_id") <= mid), Seq.empty[Long].toDF("h"),
             "doc_id", "text", k = 8)
+        // index after drop 1 = empty ∪ drop 1's new grams
         val (c2, _) = graft.operators.Dedup
           .removeDuplicatedSpansIncremental(
-            docs0.filter(col("doc_id") > mid), idx1.localCheckpoint(true),
+            docs0.filter(col("doc_id") > mid), new1.localCheckpoint(true),
             "doc_id", "text", k = 8, bloomExpectedItems = 1 << 20)
         c1.unionAll(c2).orderBy("doc_id")
       },

@@ -55,7 +55,14 @@ object CurationPipeline {
         * assignment — integer cutoffs per source, so small sources never
         * randomly lose their val/test slices. Costs one extra
         * source-keyed exchange + window sort. */
-      exactSplitBySource: Boolean = false)
+      exactSplitBySource: Boolean = false,
+      /** ALSO excise exact duplicated SPANS (ExactSubstr k-gram form,
+        * [[Dedup.removeDuplicatedSpans]] with the keep-first policy — the
+        * one that folds incrementally) before near-dedup, the same
+        * ordering rationale as line dedup: shared boilerplate spans would
+        * otherwise glue unrelated docs into near-dup clusters. Docs whose
+        * every word sat in duplicated spans drop out. None disables. */
+      spanDedupK: Option[Int] = None)
 
   /** The pipeline as an ordered list of named stage transforms — the single
     * definition both [[run]] (lazy composition) and [[runStaged]]
@@ -92,6 +99,23 @@ object CurationPipeline {
             .drop("n_kept")
         })
       }
+    // 1c. optional duplicated-SPAN excision (ExactSubstr, keep-first):
+    //     swap in the span-scrubbed text before near-dedup; fully-covered
+    //     docs drop (an empty text would only fail quality later anyway,
+    //     and line dedup sets the same precedent)
+    val spanDedup: Option[(String, DataFrame => DataFrame)] =
+      config.spanDedupK.map { k =>
+        "span_dedup" -> ((df: DataFrame) => {
+          val dd = Dedup.removeDuplicatedSpans(df, idCol, textCol, k,
+              keepFirst = true)
+            .select(col(idCol), col("clean_text"), col("n_words"),
+              col("n_removed"))
+          df.drop(textCol)
+            .join(dd.filter(col("n_removed") < col("n_words")), Seq(idCol))
+            .withColumnRenamed("clean_text", textCol)
+            .drop("n_words", "n_removed")
+        })
+      }
     // 2. near-dedup via MinHash-LSH clustering
     val near: DataFrame => DataFrame = df => Dedup.dropNearDups(df, idCol,
       textCol, threshold = config.nearDupThreshold)
@@ -124,7 +148,8 @@ object CurationPipeline {
           config.splitWeights)
       else Mixing.splitAssign(mixed, idCol, config.splitWeights)
     }
-    Seq("exact_dedup" -> exact) ++ lineDedup ++ Seq("near_dedup" -> near) ++
+    Seq("exact_dedup" -> exact) ++ lineDedup ++ spanDedup ++
+      Seq("near_dedup" -> near) ++
       // 2b. optional semantic dedup over an embedding column (SemDeDup)
       config.semanticDedup.map { case (vecCol, threshold, k) =>
         "sem_dedup" -> ((df: DataFrame) =>

@@ -929,7 +929,9 @@ object Dedup {
   /** Incremental [[removeDuplicatedSpans]] under the `keepFirst` policy —
     * the corpus-refresh shape: scrub a NEW drop against the gram index of
     * everything already ingested (plus intra-batch firsts) without
-    * rescanning the corpus. Returns (cleaned batch, updated index).
+    * rescanning the corpus. Returns (cleaned batch, the batch's
+    * genuinely-NEW gram hashes) — the delta, so an append-only state
+    * store writes just it; union it into `gramIndex` for the next drop.
     *
     * keep-first is THE incremental-compatible policy: an occurrence is
     * removed iff an earlier occurrence exists, and "earlier" never looks
@@ -943,8 +945,7 @@ object Dedup {
     * and self-aggregates; the big index is probed with
     * [[BloomJoin.bloomPrunedAntiJoin]] when `bloomExpectedItems > 0`
     * (bloom miss = proof of absence — the mostly-new bulk never joins),
-    * plain left-anti otherwise; the updated index appends only the
-    * batch's genuinely-new gram hashes. */
+    * plain left-anti otherwise. */
   def removeDuplicatedSpansIncremental(newDocs: DataFrame,
       gramIndex: DataFrame, idCol: String, textCol: String, k: Int = 8,
       bloomExpectedItems: Long = 0L,
@@ -967,9 +968,8 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
       .distinct()
-    val updatedIndex = gramIndex.select(col("h"))
-      .unionAll(newFirsts.select(col("h")))
-    (reassembleSpans(newDocs, idCol, textCol, coveredPos), updatedIndex)
+    (reassembleSpans(newDocs, idCol, textCol, coveredPos),
+      newFirsts.select(col("h")))
   }
 
   /** Corpus duplication PROFILE by `groupCol` (source/lang/shard): how

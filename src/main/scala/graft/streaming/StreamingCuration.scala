@@ -26,6 +26,7 @@ import graft.operators.{Decontam, Dedup, Mixing, TextAnalysis}
   *
   * State store layout under `storePath` (all plain parquet, append-only):
   *   `fingerprints/` (fp)                — post-exact-dedup seen set
+  *   `spangrams/`    (h)                 — span-dedup gram index (opt-in)
   *   `bands/`        (id, band, band_sig) — LSH index of kept docs
   *   `kept/`         (id, text)           — texts for the verify stage
   *
@@ -57,7 +58,13 @@ object StreamingCuration {
       decontaminateNgram: Int = 3,
       minQuality: Double = 0.0,
       splitWeights: Seq[(String, Long)] =
-        Seq("train" -> 98L, "val" -> 1L, "test" -> 1L))
+        Seq("train" -> 98L, "val" -> 1L, "test" -> 1L),
+      /** ALSO excise exact duplicated SPANS incrementally (keep-first —
+        * the fold-exact policy) against the persisted gram index, the
+        * streaming twin of the batch pipeline's `spanDedupK` stage; sits
+        * between exact and near dedup like the batch ordering. None
+        * disables. */
+      spanDedupK: Option[Int] = None)
 
   private def readOrEmpty(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
@@ -100,9 +107,32 @@ object StreamingCuration {
       .join(seenFps, col("__fp") === col("fp"), "left_anti")
       .localCheckpoint(true)
 
+    // 1b. optional incremental duplicated-SPAN excision (keep-first): the
+    //     batch is scrubbed against the persisted gram index + intra-batch
+    //     firsts (exactly the batch pipeline's span stage by the fold
+    //     exactness argument at Dedup.removeDuplicatedSpansIncremental);
+    //     fully-covered docs drop, surviving docs carry the scrubbed text
+    //     into every later stage. The new-gram delta is appended to state
+    //     AFTER the outputs are materialized (bottom of this method).
+    val gramsPath = s"$storePath/spangrams"
+    val gramSchema = StructType(Seq(StructField("h", LongType)))
+    val (postSpan, newGramDelta) = config.spanDedupK match {
+      case Some(k) =>
+        val seenGrams = readOrEmpty(spark, gramsPath, gramSchema)
+        val (cleaned, delta) = Dedup.removeDuplicatedSpansIncremental(
+          postExact, seenGrams, idCol, textCol, k)
+        val swapped = postExact.drop(textCol)
+          .join(cleaned.filter(col("n_removed") < col("n_words"))
+            .select(col(idCol), col("clean_text")), Seq(idCol))
+          .withColumnRenamed("clean_text", textCol)
+          .localCheckpoint(true)
+        (swapped, Some(delta))
+      case None => (postExact, None)
+    }
+
     // 2. near dedup: batch-side signatures only; the stored index is
     //    probed by equi-join on (band, band_sig)
-    val batchBands = Dedup.lshBands(postExact, idCol, textCol)
+    val batchBands = Dedup.lshBands(postSpan, idCol, textCol)
       .localCheckpoint(true)
     val storedBands = readOrEmpty(spark, bandsPath, bandsSchema)
     val storedKept = readOrEmpty(spark, keptPath, keptSchema)
@@ -124,7 +154,7 @@ object StreamingCuration {
     // Dedup.nearDupPairs: 8-byte join payload + one-pass merge Jaccard,
     // exact up to 64-bit collisions), candidates only
     val sh = Dedup.shingleHashes64(col("text"), 3)
-    val batchSh = postExact.select(col(idCol).as("id"), col(textCol).as("text"))
+    val batchSh = postSpan.select(col(idCol).as("id"), col(textCol).as("text"))
       .select(col("id"), sh.as("sh")).localCheckpoint(true)
     val keptSh = storedKept
       .join(storeCands.select(col("__kept_id").as("id")).distinct(), Seq("id"),
@@ -149,7 +179,7 @@ object StreamingCuration {
     val internalLosers = Dedup.dupClusters(internalPairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
-    val postNear = postExact
+    val postNear = postSpan
       .join(internalLosers, Seq(idCol), "left_anti")
       .join(droppedByStore, Seq(idCol), "left_anti")
       .localCheckpoint(true)
@@ -171,9 +201,11 @@ object StreamingCuration {
       .localCheckpoint(true)
 
     // state append AFTER the outputs are materialized: fingerprints of
-    // every post-exact doc, band index + text of every post-near keeper
+    // every post-exact doc, the span stage's new-gram delta, band index +
+    // text of every post-near keeper
     postExact.select(col("__fp").as("fp"))
       .write.mode("append").parquet(fpPath)
+    newGramDelta.foreach(_.write.mode("append").parquet(gramsPath))
     batchBands.join(postNear.select(col(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), col("band"), col("band_sig"))
       .write.mode("append").parquet(bandsPath)

@@ -140,12 +140,12 @@ class PipelineSpec extends SparkSpec {
       var idx = Seq.empty[Long].toDF("h")
       var folded = Map.empty[Long, (String, Long, Long)]
       for (batch <- Seq(Seq(1L, 2L), Seq(3L), Seq(4L, 5L))) {
-        val (cleaned, nextIdx) = Dedup.removeDuplicatedSpansIncremental(
+        val (cleaned, newGrams) = Dedup.removeDuplicatedSpansIncremental(
           fixture.filter(col("doc_id").isin(batch: _*)), idx,
           "doc_id", "text", k = 8, bloomExpectedItems = bloomItems)
         folded ++= cleaned.collect()
           .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
-        idx = nextIdx.localCheckpoint(true)
+        idx = idx.unionAll(newGrams).localCheckpoint(true)
       }
       assert(folded === oneShot,
         s"incremental fold (bloom=$bloomItems) must equal one-shot keep-first")

@@ -458,6 +458,60 @@ class StreamingSpec extends SparkSpec {
     assert(!keptIds.contains(15L))
   }
 
+  test("streaming curation with span dedup: fold equals the one-shot batch pipeline") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingCuration
+    // planted cross-batch duplicated SPAN: a 7-word boilerplate sits in a
+    // batch-1 doc and a batch-2 doc. keep-first (the fold-exact policy)
+    // leaves it in the earliest doc and excises it from the later one —
+    // in BOTH the foreachBatch fold and the one-shot batch pipeline.
+    val boiler = "subscribe to our newsletter for updates today"
+    val batch1 = Seq(
+      (1L, s"$boiler unique first document text about foxes", "web"),
+      (2L, "plain document with no duplication at all present", "web"))
+    val batch2 = Seq(
+      (11L, s"another later document $boiler trailing words here", "web"),
+      (12L, "yet another unique text body entirely different", "books"))
+    val storePath = "/tmp/graft_test_streamspan_store"
+    val outPath = "/tmp/graft_test_streamspan_out"
+    Seq(storePath, outPath).foreach { p =>
+      val d = new java.io.File(p)
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    val cfg = StreamingCuration.Config(spanDedupK = Some(4))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = StreamingCuration.runStream(
+      input.toDF().toDF("doc_id", "text", "source"), storePath, outPath,
+      None, "doc_id", "text", cfg,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      Seq(batch1, batch2).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+      df.select(col("doc_id"), col("text"), col("split")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val streamed = rows(spark.read.parquet(outPath))
+    val oneShot = rows(graft.operators.CurationPipeline.run(
+      (batch1 ++ batch2).toDF("doc_id", "text", "source"),
+      None, "doc_id", "text", "source",
+      graft.operators.CurationPipeline.Config(spanDedupK = Some(4))))
+    assert(streamed === oneShot,
+      s"span-fold vs one-shot mismatch:\n only-stream=${streamed -- oneShot}\n only-batch=${oneShot -- streamed}")
+    val texts = streamed.map(t => t._1 -> t._2).toMap
+    assert(texts(1L).startsWith(boiler), "earliest doc keeps the span")
+    assert(texts(11L) === "another later document trailing words here",
+      "later doc loses exactly the boilerplate span")
+  }
+
   test("sessionize emits both sessions when a gap splits inside one batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
