@@ -872,7 +872,10 @@ object Dedup {
     * keep-one-copy policy at gram granularity: each duplicated gram's
     * FIRST occurrence (min (doc, pos), packed-long min in the same
     * aggregate) stays, so the earliest doc keeps the span intact while
-    * later occurrences are excised. Doc-level dedup ([[nearDupPairs]])
+    * later occurrences are excised. `minSpanWords > k` applies the
+    * paper's LONG-span policy: only maximal covered runs of at least
+    * that many words are removed ([[longRunsOnly]]), so short accidental
+    * overlaps survive. Doc-level dedup ([[nearDupPairs]])
     * cannot see this: boilerplate headers, license blocks, and templated
     * paragraphs repeat across otherwise-distinct documents and survive
     * whole-doc Jaccard — this operator excises the spans themselves.
@@ -890,10 +893,32 @@ object Dedup {
     * deterministic: no sampling, no randomness, fold-hash collisions
     * (~1e-9 per gram pair) replay identically in any engine. */
   def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, keepFirst: Boolean = false): DataFrame = {
+      k: Int = 8, keepFirst: Boolean = false,
+      minSpanWords: Int = 0): DataFrame = {
     val occ = spanGramOccurrences(df, idCol, textCol, k)
+    val cov = coveredSpanPositions(occ, idCol, k, keepFirst)
     reassembleSpans(df, idCol, textCol,
-      coveredSpanPositions(occ, idCol, k, keepFirst))
+      if (minSpanWords > k) longRunsOnly(cov, idCol, minSpanWords) else cov)
+  }
+
+  /** Keep only covered positions sitting in a MAXIMAL consecutive run of
+    * length ≥ `minSpanWords` — the Lee et al. long-span policy (the paper
+    * removes substrings of ≥ 50 tokens; the bare k-gram union also
+    * excises every short accidental overlap). Gaps-and-islands: island
+    * key = p − row_number over (doc, p-order) — a per-doc window over the
+    * bounded covered-position stream, no global sort; run length = the
+    * island's row count since positions are distinct and consecutive. */
+  private def longRunsOnly(cov: DataFrame, idCol: String,
+      minSpanWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    cov.withColumn("__grp", col("p") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("p")).as("__s"), max(col("p")).as("__e"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= minSpanWords)
+      .select(col(idCol),
+        explode(sequence(col("__s"), col("__e"))).as("p"))
   }
 
   /** Rebuild clean docs from a (id, p) covered-position frame: per-doc

@@ -116,6 +116,22 @@ class PipelineSpec extends SparkSpec {
     assert(kf(1L)._3 === 0L && kf(1L)._1.startsWith(boiler))
     assert(kf(2L) === (("iota kappa lambda mu nu xi omicron pi", 18L, 10L)))
     assert(kf(3L) === (("r1 r2 r3 r4 r5 r6 r7 r8 fill", 17L, 8L)))
+    // long-span policy: at minSpanWords = 12 the 10-word boilerplate run
+    // SURVIVES (short accidental overlap), while a planted 14-word span
+    // is still excised from both carriers
+    val long14 = (1 to 14).map(i => s"L$i").mkString(" ")
+    val fixtureL = fixture.unionAll(Seq(
+      (6L, s"$long14 unique tail six seven eight nine"),
+      (7L, s"prefix words here $long14")).toDF("doc_id", "text"))
+    val lp = Dedup.removeDuplicatedSpans(fixtureL, "doc_id", "text", k = 8,
+        minSpanWords = 12)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(lp(1L)._3 === 0L && lp(2L)._3 === 0L,
+      "10-word boilerplate run is below the 12-word floor and must survive")
+    assert(lp(3L)._3 === 0L, "8-word within-doc repeats survive the floor")
+    assert(lp(6L) === (("unique tail six seven eight nine", 20L, 14L)))
+    assert(lp(7L) === (("prefix words here", 17L, 14L)))
     // kernel lock: the allocation-free positional gram-hash kernel equals
     // the interpreted HOF twin bit-for-bit on the corpus and edge strings
     // (unicode, leading/trailing/multiple spaces, short docs, empty)
