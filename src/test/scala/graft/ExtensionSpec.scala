@@ -67,5 +67,11 @@ class ExtensionSpec extends SparkSpec {
                 jaccard_sorted_hashes(word_ngram_hashes('a b c', 2),
                                       word_ngram_hashes('x y z', 2)) AS j0""").head
     assert(jrow.getDouble(0) === 1.0 && jrow.getDouble(1) === 0.0)
+    // positional gram fold hashes: element i = string_fold_hash of the
+    // space-joined gram at word i (the q180 span-dedup primitive)
+    val grow = spark.sql(
+      """SELECT word_gram_fold_hashes('a b c', 2) AS g,
+                array(string_fold_hash('a b'), string_fold_hash('b c')) AS e""").head
+    assert(grow.getSeq[Long](0) === grow.getSeq[Long](1))
   }
 }
