@@ -1005,9 +1005,11 @@ object Dedup {
     * removal rate in exact-integer ppm (no float division — replays
     * bit-for-bit). */
   def duplicatedSpanProfile(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String, k: Int = 8): DataFrame = {
+      groupCol: String, k: Int = 8, minSpanWords: Int = 0): DataFrame = {
     val occ = spanGramOccurrences(df, idCol, textCol, k)
-    val cov = coveredSpanPositions(occ, idCol, k)
+    val covAll = coveredSpanPositions(occ, idCol, k)
+    val cov = if (minSpanWords > k) longRunsOnly(covAll, idCol, minSpanWords)
+      else covAll
     val docTok = df.select(col(idCol), col(groupCol),
       size(split(col(textCol), " +")).cast("long").as("__n"))
     val tot = docTok.groupBy(col(groupCol))

@@ -132,6 +132,12 @@ class PipelineSpec extends SparkSpec {
     assert(lp(3L)._3 === 0L, "8-word within-doc repeats survive the floor")
     assert(lp(6L) === (("unique tail six seven eight nine", 20L, 14L)))
     assert(lp(7L) === (("prefix words here", 17L, 14L)))
+    // profile under the same floor agrees: only the two 14-word spans count
+    val profL = Dedup.duplicatedSpanProfile(
+        fixtureL.withColumn("src", lit("s")), "doc_id", "text", "src",
+        k = 8, minSpanWords = 12).collect().head
+    assert(profL.getLong(3) === 28L,
+      "long-only profile must count exactly the two 14-word spans")
     // kernel lock: the allocation-free positional gram-hash kernel equals
     // the interpreted HOF twin bit-for-bit on the corpus and edge strings
     // (unicode, leading/trailing/multiple spaces, short docs, empty)
