@@ -579,6 +579,20 @@ FROM sel ORDER BY g"""
         .orderBy("doc_id"),
       Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), isl AS (SELECT doc_id, p, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov), runs AS (SELECT doc_id, MIN(p) AS s, MAX(p) AS e FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 12), covl AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS p FROM runs), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN covl ON pos.doc_id = covl.doc_id AND pos.p = covl.p WHERE covl.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
 
+    QueryDef("q186_winnow_partial_overlap",
+      // PARTIAL-overlap pairs via winnowing fingerprints (Schleimer et
+      // al. 2003, MOSS): docs sharing >= 2 sliding-window-min gram
+      // hashes — the copied-paragraph case whole-doc MinHash dilutes
+      // (q35 needs J >= 0.8; one shared paragraph in two long docs is
+      // J ≈ 0.1). Bucket algebra like LSH, promiscuous fingerprints
+      // (> 64 docs) dropped before pair fan-out. Deterministic sketch ⇒
+      // DuckDB replays gram hashing, window minima, the df guard, and
+      // every pair count bit-for-bit.
+      (s, d) => graft.operators.Dedup.winnowOverlapPairs(
+        documents(s, d), "doc_id", "text", k = 4, w = 8, minShared = 2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2 ORDER BY id_a, id_b""")),
+
     QueryDef("q184_contamination_by_source",
       // Contamination MATRIX by source (Decontam.contaminationBySource):
       // per source, how many train docs overlap the eval set (any shared

@@ -236,3 +236,80 @@ object WordGramFoldHashes {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 }
+
+/** WINNOWING fingerprint sketch of a string (Schleimer, Wilkerson &
+  * Aiken 2003, the MOSS local fingerprinting scheme): sorted distinct
+  * sliding-window minima over the positional k-gram fold hashes
+  * ([[WordGramFoldHashes]]), window `w` grams. Guarantee: two documents
+  * sharing any word span of at least w + k − 1 words share at least one
+  * fingerprint — position-robust PARTIAL-overlap detection, the case
+  * whole-doc MinHash dilutes (a copied paragraph inside two otherwise
+  * different documents barely moves doc-level Jaccard but always
+  * surfaces here). Docs with fewer than `w` grams contribute the single
+  * min over all their grams; gram-less docs an empty sketch.
+  *
+  * Scan-stage kernel: gram hashing via the shared left-linear fold, then
+  * an O(n) monotonic-deque sliding min, then sort + in-place dedup — the
+  * sketch is a few fingerprints per w words, so the exploded (doc, fp)
+  * stream is ~1/w of the gram stream. Spec-locked to the declarative
+  * HOF twin ([[graft.operators.Dedup.winnowFingerprintsFold]]). */
+case class WinnowFingerprints(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"gram order must be >= 1, got $n")
+  require(w >= 1, s"winnow window must be >= 1, got $w")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFingerprints.compute(input.asInstanceOf[UTF8String], n, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.WinnowFingerprints.compute($v, $n, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
+object WinnowFingerprints {
+  /** Static kernel shared by eval and generated code. */
+  def compute(s: UTF8String, n: Int, w: Int): ArrayData = {
+    val grams = WordGramFoldHashes.compute(s, n)
+    val m = grams.numElements()
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val hs = grams.toLongArray()
+    val nw = math.max(1, m - w + 1)
+    val out = new Array[Long](nw)
+    // monotonic deque of indices; front = argmin of the current window
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < m) {
+      while (tail > head && deque(head) <= i - w) head += 1 // left the window
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (i >= w - 1) out(i - w + 1) = hs(deque(head))
+      i += 1
+    }
+    if (m < w) out(0) = hs(deque(head)) // short doc: single min over all
+    java.util.Arrays.sort(out)
+    var wr = 0
+    var r = 0
+    while (r < nw) {
+      if (wr == 0 || out(r) != out(wr - 1)) { out(wr) = out(r); wr += 1 }
+      r += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (wr == nw) out else java.util.Arrays.copyOf(out, wr))
+  }
+}

@@ -792,6 +792,59 @@ object Dedup {
             when(col("__keep"), struct(col("seg_idx"), col("segment"))))),
           x => x.getField("segment")), " ").as("text_deduped"))
 
+  // -- winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, MOSS) -------
+
+  /** Winnowing fingerprint sketch column — sorted distinct sliding-window
+    * (w grams) minima over positional k-gram fold hashes; see
+    * [[graft.functions.WinnowFingerprints]] for the guarantee. */
+  def winnowFingerprints(text: Column, k: Int = 4, w: Int = 8): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.WinnowFingerprints(
+      ColumnShim.expression(text), k, w))
+  }
+
+  /** Interpreted declarative twin of [[winnowFingerprints]] (the
+    * executable semantics statement the kernel is spec-locked to;
+    * test-only). */
+  private[graft] def winnowFingerprintsFold(text: Column, k: Int,
+      w: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val hs = ColumnShim.column(graft.functions.WordGramFoldHashes(
+      ColumnShim.expression(text), k))
+    sort_array(array_distinct(
+      when(size(hs) === 0, array().cast("array<bigint>"))
+        .when(size(hs) < w, array(array_min(hs)))
+        .otherwise(transform(sequence(lit(0), size(hs) - w),
+          i => array_min(slice(hs, i + lit(1), lit(w)))))))
+  }
+
+  /** PARTIAL-overlap candidate pairs via winnowing: documents sharing at
+    * least `minShared` fingerprints — the case whole-doc MinHash dilutes
+    * (a copied paragraph inside two otherwise-different documents barely
+    * moves doc-level Jaccard but always lands ≥ 1 shared fingerprint once
+    * the span reaches w + k − 1 words). Output (id_a, id_b, n_shared).
+    *
+    * Same bucket algebra as LSH: explode the (doc, fp) sketch stream
+    * (~1/w of the gram stream), bucket-collect per fingerprint, enumerate
+    * in-bucket pairs, count per pair. Fingerprints hitting more than
+    * `maxDf` docs are DROPPED before pair enumeration — a ubiquitous
+    * boilerplate phrase carries no overlap signal and would fan out
+    * quadratically (the standard winnowing-at-scale guard; the span-dedup
+    * family above is the tool for actually REMOVING such boilerplate). */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8, minShared: Int = 2,
+      maxDf: Int = 64): DataFrame =
+    df.select(col(idCol),
+        explode(winnowFingerprints(col(textCol), k, w)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+      .select(explode(pairCombos(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+
   // -- exact duplicated-SPAN removal (ExactSubstr) -------------------------
 
   /** Positional k-gram occurrences: one row per (doc, word-position),

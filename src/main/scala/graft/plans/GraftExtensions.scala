@@ -38,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
-  import graft.functions.{FloatVecDot, HanCount, LexiconHits, QualityMarginCents, SortedLongJaccard, StringFoldHash, WordGramFoldHashes, WordNgramHashes, WordNgrams}
+  import graft.functions.{FloatVecDot, HanCount, LexiconHits, QualityMarginCents, SortedLongJaccard, StringFoldHash, WinnowFingerprints, WordGramFoldHashes, WordNgramHashes, WordNgrams}
 
   private def lit[T](e: Expression, what: String): T = e match {
     case Literal(v, _) => v.asInstanceOf[T]
@@ -79,7 +79,12 @@ object GraftFunctions {
       (FunctionIdentifier("word_gram_fold_hashes"),
         new ExpressionInfo(classOf[WordGramFoldHashes].getName, "word_gram_fold_hashes"),
         (args: Seq[Expression]) => WordGramFoldHashes(args(0),
-          lit[Int](args(1), "word_gram_fold_hashes n"))))
+          lit[Int](args(1), "word_gram_fold_hashes n"))),
+      (FunctionIdentifier("winnow_fingerprints"),
+        new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+        (args: Seq[Expression]) => WinnowFingerprints(args(0),
+          lit[Int](args(1), "winnow_fingerprints k"),
+          lit[Int](args(2), "winnow_fingerprints w"))))
 }
 
 object ScaleSampledAggregates extends Rule[LogicalPlan] {

@@ -182,6 +182,54 @@ class PipelineSpec extends SparkSpec {
     assert(p.getLong(4) == 36L * 1000000L / 79L)
   }
 
+  test("winnowing fingerprints: kernel lock, span guarantee, partial overlap MinHash misses") {
+    import spark.implicits._
+    // kernel ≡ declarative twin on corpus + edge strings
+    val edge = Seq((100L, ""), (101L, "a"), (102L, "a b c"),
+      (103L, (1 to 30).map(i => s"t$i").mkString(" ")),
+      (104L, "same same same same same same same same same same"))
+      .toDF("doc_id", "text")
+    for (src <- Seq(docs.select(col("doc_id"), col("text")), edge);
+         (kk, ww) <- Seq((4, 8), (3, 5), (1, 1))) {
+      val kern = src.select(col("doc_id"),
+          Dedup.winnowFingerprints(col("text"), kk, ww).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val fold = src.select(col("doc_id"),
+          Dedup.winnowFingerprintsFold(col("text"), kk, ww).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(kern === fold, s"kernel must equal HOF twin at k=$kk w=$ww")
+    }
+    // guarantee: sharing a span of w + k − 1 = 11 words ⇒ ≥ 1 shared
+    // fingerprint, at ANY alignment (sweep the prefix length)
+    val span = (1 to 11).map(i => s"s$i").mkString(" ")
+    for (pre <- 0 to 6) {
+      val prefix = (1 to pre).map(i => s"p$i").mkString(" ")
+      val pair = Seq(
+        (1L, s"$span ${(1 to 20).map(i => s"a$i").mkString(" ")}"),
+        (2L, (s"$prefix $span ${(1 to 9).map(i => s"b$i").mkString(" ")}").trim))
+        .toDF("doc_id", "text")
+      val shared = Dedup.winnowOverlapPairs(pair, "doc_id", "text",
+        k = 4, w = 8, minShared = 1)
+      assert(shared.count() === 1L,
+        s"11-word shared span at offset $pre must yield >= 1 shared fingerprint")
+    }
+    // the partial-overlap case: two long docs sharing ONE 15-word
+    // paragraph (doc Jaccard ≈ 0.14 — far below any near-dup threshold);
+    // MinHash at 0.8 finds nothing, winnowing flags the pair
+    val para = (1 to 15).map(i => s"q$i").mkString(" ")
+    val partial = Seq(
+      (1L, s"${(1 to 45).map(i => s"x$i").mkString(" ")} $para"),
+      (2L, s"$para ${(1 to 45).map(i => s"y$i").mkString(" ")}"),
+      (3L, (1 to 60).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.nearDupPairs(partial, "doc_id", "text", threshold = 0.8)
+      .count() === 0L, "whole-doc MinHash must dilute the shared paragraph")
+    val found = Dedup.winnowOverlapPairs(partial, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found === Set((1L, 2L)),
+      "winnowing must flag exactly the paragraph-sharing pair")
+  }
+
   test("heavy hitters equals groupBy+HAVING on skewed, uniform, and all-distinct data") {
     import spark.implicits._
     import graft.operators.HeavyHitters
