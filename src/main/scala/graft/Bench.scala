@@ -890,6 +890,22 @@ object Bench {
           k = 8)
         .agg(sum(col("n_removed")), count(lit(1))).collect(): Unit
     }
+    // Winnowing partial-overlap mining (q186's workload): fused sketch
+    // kernel + fingerprint bucket pairing over the full fixture
+    val tWinnow = timeMedian("x_winnow_sec") {
+      graft.operators.Dedup.winnowOverlapPairs(docsAll, "doc_id", "text",
+        k = 4, w = 8, minShared = 2).count(): Unit
+    }
+    // The curation pipeline WITH the span stage on — a separate metric so
+    // x_pipeline_sec stays comparable round-over-round; the delta prices
+    // the ExactSubstr stage inside the composite flow
+    val tPipelineSpan = timeMedian("x_pipeline_withspan_sec") {
+      graft.operators.CurationPipeline.run(docsAll, Some(evalSet),
+        "doc_id", "text", "source",
+        graft.operators.CurationPipeline.Config(minQuality = 0.2,
+          modelFilterMinMarginCents = Some(-1000L), spanDedupK = Some(8)))
+        .agg(count(lit(1))).collect(): Unit
+    }
     // q20's star-join plan at 60 M fact rows (the li100 fixture): pruned
     // dims broadcast, fact scans once into partial agg — the scale trend
     // for the most expensive gated join query
@@ -984,6 +1000,8 @@ object Bench {
       "x_sizeprune_bytes_shrink" -> bytesSizePruneOff / bytesSizePruneOn,
       "x_spandedup_sec" -> tSpanDedup,
       "x_spandedup10x_sec" -> tSpanDedup10,
+      "x_winnow_sec" -> tWinnow,
+      "x_pipeline_withspan_sec" -> tPipelineSpan,
       "x_q20_60m_sec" -> tQ20at60m,
       "x_bootstrap_sec" -> tBootstrap,
       "x_bootstrap_vs_plain_sum" ->
