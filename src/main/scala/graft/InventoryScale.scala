@@ -593,6 +593,38 @@ FROM sel ORDER BY g"""
         .orderBy("id_a", "id_b"),
       Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2 ORDER BY id_a, id_b""")),
 
+    QueryDef("q187_winnow_containment",
+      // ASYMMETRIC containment on the winnow sketches: shared-fingerprint
+      // count + both sketch sizes + per-side containment in exact-integer
+      // ppm — cont_a_ppm near 1e6 reads "A is quoted/embedded in B" even
+      // when B is huge and symmetric overlap looks negligible. Same
+      // deterministic sketch as q186, so everything replays.
+      (s, d) => graft.operators.Dedup.winnowContainmentPairs(
+        documents(s, d), "doc_id", "text", k = 4, w = 8, minShared = 2)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), sz AS (SELECT doc_id, COUNT(*) AS sz FROM fp0 GROUP BY 1), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) SELECT pr.id_a, pr.id_b, pr.n_shared, sa.sz AS sz_a, sb.sz AS sz_b, CAST(pr.n_shared * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm, CAST(pr.n_shared * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id WHERE pr.n_shared >= 2 ORDER BY pr.id_a, pr.id_b""")),
+
+    QueryDef("q188_gram_novelty_scores",
+      // Novelty-at-ingest triage: split the corpus into two append-
+      // ordered halves at the id midpoint, index the first half's gram
+      // set (spanGramIndex), score every second-half doc's fraction of
+      // genuinely-new grams (bloom-staged membership probe — the
+      // mostly-new bulk never joins). The decision score a crawl-drop
+      // pipeline thresholds BEFORE paying for full dedup. Deterministic,
+      // exact-integer ppm — fully replayed.
+      (s, d) => {
+        val docs0 = documents(s, d)
+        val mid = docs0.agg(expr("(min(doc_id) + max(doc_id)) div 2"))
+          .first.getLong(0)
+        val idx = graft.operators.Dedup.spanGramIndex(
+          docs0.filter(col("doc_id") <= mid), "doc_id", "text", k = 8)
+        graft.operators.Dedup.gramNoveltyScores(
+          docs0.filter(col("doc_id") > mid), idx.localCheckpoint(true),
+          "doc_id", "text", k = 8, bloomExpectedItems = 1 << 20)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), m AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), gd AS (SELECT DISTINCT doc_id, h FROM g), idx AS (SELECT DISTINCT h FROM gd WHERE doc_id <= (SELECT mid FROM m)), tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM gd WHERE doc_id > (SELECT mid FROM m) GROUP BY 1), nw AS (SELECT gd.doc_id, COUNT(*) AS n_new FROM gd LEFT JOIN idx ON gd.h = idx.h WHERE gd.doc_id > (SELECT mid FROM m) AND idx.h IS NULL GROUP BY 1) SELECT d.doc_id, COALESCE(tot.n_grams, 0) AS n_grams, COALESCE(nw.n_new, 0) AS n_new, CAST(CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN 0 ELSE COALESCE(nw.n_new, 0) * 1000000 // tot.n_grams END AS BIGINT) AS novelty_ppm FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id LEFT JOIN nw ON d.doc_id = nw.doc_id WHERE d.doc_id > (SELECT mid FROM m) ORDER BY d.doc_id""")),
+
     QueryDef("q184_contamination_by_source",
       // Contamination MATRIX by source (Decontam.contaminationBySource):
       // per source, how many train docs overlap the eval set (any shared

@@ -845,6 +845,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** ASYMMETRIC containment on the winnow sketches: for each candidate
+    * pair, the shared-fingerprint count plus both sketch sizes and the
+    * per-side containment rate `shared · 10⁶ div |sketch|` in exact
+    * integer ppm — `cont_a_ppm` near 10⁶ reads "most of A's fingerprints
+    * appear in B" (A is quoted/embedded in B) even when B is huge and
+    * symmetric overlap looks negligible. Same bucket algebra and `maxDf`
+    * guard as [[winnowOverlapPairs]]; the sizes ride a broadcast-friendly
+    * (id, size) projection, never the sketches themselves. */
+  def winnowContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 8, minShared: Int = 2,
+      maxDf: Int = 64): DataFrame = {
+    val sizes = df.select(col(idCol),
+      size(winnowFingerprints(col(textCol), k, w)).cast("long").as("sz"))
+    winnowOverlapPairs(df, idCol, textCol, k, w, minShared, maxDf)
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("sz_a"), col("sz_b"))
+      .withColumn("cont_a_ppm", expr("n_shared * 1000000 div sz_a"))
+      .withColumn("cont_b_ppm", expr("n_shared * 1000000 div sz_b"))
+  }
+
+  /** Per-doc gram NOVELTY against a prior corpus — the crawl-drop triage
+    * score: how much of each new document's k-gram set is genuinely new
+    * vs already in `gramIndex` ([[spanGramIndex]] of everything
+    * ingested). Output (id, n_grams, n_new, novelty_ppm) with the rate in
+    * exact integer ppm; docs with no grams score 0. One scan of the batch
+    * (distinct grams per doc), one membership probe of the index
+    * (bloom-staged when `bloomExpectedItems > 0` — the mostly-new bulk
+    * never joins), one per-doc aggregate. The corpus is never rescanned. */
+  def gramNoveltyScores(newDocs: DataFrame, gramIndex: DataFrame,
+      idCol: String, textCol: String, k: Int = 8,
+      bloomExpectedItems: Long = 0L,
+      bloomBits: Long = 1L << 27): DataFrame = {
+    val grams = spanGramOccurrences(newDocs, idCol, textCol, k)
+      .select(col(idCol), col("h")).distinct()
+    val seen = gramIndex.select(col("h").as("__seen_h"))
+    val newGrams =
+      if (bloomExpectedItems > 0)
+        BloomJoin.bloomPrunedAntiJoin(grams, seen,
+          "h", "__seen_h", bloomExpectedItems, bloomBits)
+      else grams.join(seen, col("h") === col("__seen_h"), "left_anti")
+    val tot = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val nov = newGrams.groupBy(col(idCol)).agg(count(lit(1)).as("__nn"))
+    newDocs.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(nov, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("__nn"), lit(0L)).as("n_new"))
+      .withColumn("novelty_ppm", when(col("n_grams") === 0, lit(0L))
+        .otherwise(expr("n_new * 1000000 div n_grams")))
+  }
+
   // -- exact duplicated-SPAN removal (ExactSubstr) -------------------------
 
   /** Positional k-gram occurrences: one row per (doc, word-position),

@@ -228,6 +228,26 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found === Set((1L, 2L)),
       "winnowing must flag exactly the paragraph-sharing pair")
+    // containment asymmetry: a doc that IS the paragraph has most of its
+    // sketch inside the long carrier; the carrier's rate stays low
+    val withSubset = partial.unionAll(Seq((4L, para)).toDF("doc_id", "text"))
+    val cont = Dedup.winnowContainmentPairs(withSubset, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(5), r.getLong(6))).toMap
+    val (contCarrier, contSubset) = cont((1L, 4L))
+    assert(contSubset > contCarrier,
+      "the embedded doc's containment rate must exceed the carrier's")
+    // novelty-at-ingest: verbatim repeat scores 0, fresh text 1e6,
+    // gram-less short docs 0 by convention
+    val prior = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val idx = Dedup.spanGramIndex(prior, "doc_id", "text", k = 8)
+    val nov = Dedup.gramNoveltyScores(Seq(
+        (2L, "a b c d e f g h i j"),
+        (3L, "totally fresh words nobody has ever written down before now"),
+        (4L, "short")).toDF("doc_id", "text"),
+        idx, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(nov === Map(2L -> 0L, 3L -> 1000000L, 4L -> 0L))
   }
 
   test("heavy hitters equals groupBy+HAVING on skewed, uniform, and all-distinct data") {
