@@ -625,6 +625,17 @@ FROM sel ORDER BY g"""
       },
       Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), m AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS mid FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), gd AS (SELECT DISTINCT doc_id, h FROM g), idx AS (SELECT DISTINCT h FROM gd WHERE doc_id <= (SELECT mid FROM m)), tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM gd WHERE doc_id > (SELECT mid FROM m) GROUP BY 1), nw AS (SELECT gd.doc_id, COUNT(*) AS n_new FROM gd LEFT JOIN idx ON gd.h = idx.h WHERE gd.doc_id > (SELECT mid FROM m) AND idx.h IS NULL GROUP BY 1) SELECT d.doc_id, COALESCE(tot.n_grams, 0) AS n_grams, COALESCE(nw.n_new, 0) AS n_new, CAST(CASE WHEN COALESCE(tot.n_grams, 0) = 0 THEN 0 ELSE COALESCE(nw.n_new, 0) * 1000000 // tot.n_grams END AS BIGINT) AS novelty_ppm FROM documents d LEFT JOIN tot ON d.doc_id = tot.doc_id LEFT JOIN nw ON d.doc_id = nw.doc_id WHERE d.doc_id > (SELECT mid FROM m) ORDER BY d.doc_id""")),
 
+    QueryDef("q189_winnow_overlap_matrix",
+      // Cross-SOURCE overlap matrix (which sources copy from each
+      // other — mirrors, laundered crawls, shared wire copy): q186's
+      // winnow pairs rolled up per unordered source pair with pair
+      // counts and shared-fingerprint mass; <= |sources|² rows.
+      (s, d) => graft.operators.Dedup.winnowOverlapBySource(
+        documents(s, d), "doc_id", "text", "source",
+        k = 4, w = 8, minShared = 2)
+        .orderBy("sa", "sb"),
+      Some("""WITH w AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2), sp AS (SELECT LEAST(wa.source, wb.source) AS sa, GREATEST(wa.source, wb.source) AS sb, pr.n_shared FROM pr JOIN w wa ON pr.id_a = wa.doc_id JOIN w wb ON pr.id_b = wb.doc_id) SELECT sa, sb, COUNT(*) AS n_pairs, CAST(SUM(n_shared) AS BIGINT) AS n_shared_fps FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     QueryDef("q184_contamination_by_source",
       // Contamination MATRIX by source (Decontam.contaminationBySource):
       // per source, how many train docs overlap the eval set (any shared

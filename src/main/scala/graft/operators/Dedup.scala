@@ -845,6 +845,25 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** Cross-SOURCE overlap matrix on the winnow pairs — which sources copy
+    * from each other (mirror sites, laundered crawls, shared wire copy):
+    * per unordered source pair, how many cross-doc overlap pairs and how
+    * much shared-fingerprint mass. ≤ |sources|² rows out; the pair list
+    * is [[winnowOverlapPairs]]' (already maxDf-guarded), sources ride two
+    * id-keyed joins of a 2-column projection. */
+  def winnowOverlapBySource(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, k: Int = 4, w: Int = 8, minShared: Int = 2,
+      maxDf: Int = 64): DataFrame = {
+    val src = df.select(col(idCol), col(srcCol))
+    winnowOverlapPairs(df, idCol, textCol, k, w, minShared, maxDf)
+      .join(src.select(col(idCol).as("id_a"), col(srcCol).as("src_a")), "id_a")
+      .join(src.select(col(idCol).as("id_b"), col(srcCol).as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("sa"),
+        greatest(col("src_a"), col("src_b")).as("sb"), col("n_shared"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_shared")).as("n_shared_fps"))
+  }
+
   /** ASYMMETRIC containment on the winnow sketches: for each candidate
     * pair, the shared-fingerprint count plus both sketch sizes and the
     * per-side containment rate `shared · 10⁶ div |sketch|` in exact
