@@ -164,7 +164,13 @@ object AdaptiveExecutor {
     val exactCut = if (exactBelow >= 0) exactBelow else 50L * steps.last
     val Big = 1e18 // cross-engine-safe stand-in for an unbounded margin
     val xc = (value.cast("decimal(18,2)") * lit(100)).cast("long")
-    val g = group.cast("string").as("__g")
+    // NULL group values are keyed (and reported) as the sentinel string
+    // "__null__": the ladder round-trips group keys through driver-side
+    // isin() filters and collect() maps, and SQL NULL survives neither
+    // (isin never matches null), so an un-coalesced null group would
+    // collect no moments yet silently vanish from the output. Contract:
+    // a genuine string group literally equal to "__null__" collides.
+    val g = coalesce(group.cast("string"), lit("__null__")).as("__g")
 
     // round 0: per-group row counts (narrow scan — no value decode)
     val counts = df.select(g).groupBy(col("__g"))

@@ -97,14 +97,21 @@ object WordNgramHashes {
 /** Exact Jaccard |∩|/|∪| of two SORTED DISTINCT long arrays in one merge
   * pass — the verify kernel over [[WordNgramHashes]] output. Bit-identical
   * to `size(array_intersect(a, b)) / size(array_union(a, b))` on the same
-  * arrays (spec-locked), including the 0/0 → NaN edge for two empty sets
-  * (short docs below the shingle order), without the two per-pair hash-set
-  * builds. Inputs MUST be sorted distinct; both producers in this package
-  * guarantee it. */
+  * arrays (spec-locked) for any non-empty union, without the two per-pair
+  * hash-set builds. The 0/0 edge (two EMPTY sets — short docs below the
+  * shingle order) returns NULL, matching Spark's `Divide`-by-zero
+  * semantics, so `jaccard_sorted_hashes(a, b) >= t` DROPS an empty/empty
+  * pair exactly like the string-shingle division path does. (A NaN here
+  * would invert that: Spark orders NaN above every number, so the filter
+  * would KEEP the pair.) Inputs MUST be sorted distinct; both producers
+  * in this package guarantee it. */
 case class SortedLongJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // can produce NULL (empty/empty → 0/0) even from non-null children
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -114,12 +121,23 @@ case class SortedLongJaccard(left: Expression, right: Expression)
         s"jaccard_sorted_hashes expects (array<bigint>, array<bigint>), got ($l, $r)")
     }
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    SortedLongJaccard.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = SortedLongJaccard.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (java.lang.Double.isNaN(v)) null else v
+  }
 
+  // NaN is compute()'s internal 0/0 marker (unreachable otherwise: inter
+  // and union are small non-negative ints) — surfaced as SQL NULL here
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.SortedLongJaccard.compute($a, $b);")
+      s"""
+         |${ev.value} = graft.functions.SortedLongJaccard.compute($a, $b);
+         |if (java.lang.Double.isNaN(${ev.value})) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = 0.0;
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SortedLongJaccard =
@@ -144,6 +162,7 @@ object SortedLongJaccard {
       else j += 1
     }
     val union = la + lb - inter
+    // NaN = internal 0/0 marker; the Expression translates it to NULL
     if (union == 0) Double.NaN else inter.toDouble / union
   }
 }

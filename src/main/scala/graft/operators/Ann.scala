@@ -401,7 +401,10 @@ object Ann {
     val pPayload =
       if (int8) VectorOps.int8Code(col(vecCol)).as("pvec")
       else col(vecCol).as("pvec")
-    val p = probes.select(col(idCol).as("query_id"), pPayload,
+    // ids normalized to long (as bruteForceTopKFast does) so callers with
+    // int id columns — and autoTuneNProbe's getLong decode — never hit a
+    // runtime cast error; a no-op for the bigint fixture ids
+    val p = probes.select(col(idCol).cast("long").as("query_id"), pPayload,
       explode(ColumnShim.column(TopCentroids(
         ColumnShim.expression(col(vecCol)), flat, numCentroids, nProbe)))
         .as("cid"))
@@ -409,7 +412,7 @@ object Ann {
       .collect().map(_.getInt(0)).toSeq
     val c = corpus
       .filter(col("cid").isin(probedCids: _*))
-      .select(col("id").as("neighbor_id"),
+      .select(col("id").cast("long").as("neighbor_id"),
         (if (int8) col("code") else col("vec")).as("cvec"), col("cid"))
     val score =
       if (int8) VectorOps.int8Cosine(col("pvec"), col("cvec"))

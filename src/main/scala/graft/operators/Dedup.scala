@@ -69,7 +69,9 @@ object Dedup {
     * ([[graft.functions.SortedLongJaccard]]) — equals [[jaccard]] on the
     * corresponding string-shingle sets up to 64-bit hash collisions
     * (< 10⁻¹² per pair; the DuckDB oracle gate replays the exact string
-    * answer tri-scale, so a fixture collision would fail the gate). */
+    * answer tri-scale, so a fixture collision would fail the gate).
+    * Empty/empty (0/0) yields NULL — Divide-by-zero semantics — so a
+    * `>= threshold` filter drops the pair on both paths. */
   def jaccardHashed(a: Column, b: Column): Column = {
     import org.apache.spark.sql.graftshim.ColumnShim
     ColumnShim.column(graft.functions.SortedLongJaccard(
@@ -289,7 +291,8 @@ object Dedup {
     * integers, and correctly-rounded double division preserves ≤, so
     * `jaccardHashed ≤ least/greatest` holds in double too — the same
     * `>= threshold` compare can never pass verify yet fail here (empty
-    * sets: both sides yield NaN ⇒ both filters drop the pair). */
+    * sets: jaccardHashed yields NULL and least/greatest is 0 ⇒ both
+    * filters drop the pair). */
   private[graft] def sizePrunePairs(cands: DataFrame, docs: DataFrame,
       idCol: String, textCol: String, shingleN: Int,
       threshold: Double): DataFrame = {

@@ -24,11 +24,22 @@ import graft.operators.{Decontam, Dedup, Mixing, TextAnalysis}
   *   3. decontaminate — broadcast eval n-gram probe (stateless per doc)
   *   4. quality gate + deterministic split (stateless per doc)
   *
-  * State store layout under `storePath` (all plain parquet, append-only):
+  * State store layout under `storePath` (all plain parquet; one
+  * `batch=<id>/` delta subdirectory per micro-batch):
   *   `fingerprints/` (fp)                — post-exact-dedup seen set
   *   `spangrams/`    (h)                 — span-dedup gram index (opt-in)
   *   `bands/`        (id, band, band_sig) — LSH index of kept docs
   *   `kept/`         (id, text)           — texts for the verify stage
+  *
+  * CRASH SAFETY (foreachBatch is at-least-once): every state delta and
+  * the kept output are keyed by the engine's batchId and written
+  * `mode("overwrite")` into their own `batch=<id>` subdirectory, and the
+  * state reads EXCLUDE the current batch's own subdirectories. A retried
+  * batch therefore recomputes from exactly the pre-batch state — deltas
+  * a crashed attempt half-wrote are invisible to the retry and simply
+  * overwritten — and the kept OUTPUT commits before any state delta, so
+  * no row can be marked 'seen' whose output write never happened. Net:
+  * effectively exactly-once without a transactional store.
   *
   * EQUIVALENCE to the one-shot batch pipeline (StreamingSpec): when
   * batches arrive in ascending-id order and near-dup clusters are
@@ -66,23 +77,42 @@ object StreamingCuration {
         * disables. */
       spanDedupK: Option[Int] = None)
 
-  private def readOrEmpty(spark: SparkSession, path: String,
-      schema: StructType): DataFrame =
-    if (new java.io.File(path, "_SUCCESS").exists() ||
-        new java.io.File(path).isDirectory)
-      spark.read.schema(schema).parquet(path)
-    else spark.createDataFrame(
+  /** Union of all `batch=<id>` deltas under `path` EXCEPT `excludeBatch`
+    * (the micro-batch being [re]tried — a crashed attempt's half-written
+    * delta must be invisible to its own retry); empty frame with `schema`
+    * when no delta exists yet. Hive-style partition discovery keys the
+    * exclusion — no delta manifest needed. */
+  private def readState(spark: SparkSession, path: String,
+      schema: StructType, excludeBatch: Long): DataFrame = {
+    val dir = new java.io.File(path)
+    val hasDeltas = dir.isDirectory && dir.listFiles() != null &&
+      dir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("batch="))
+    if (hasDeltas) {
+      // explicit schema (incl. the partition column) so an all-empty
+      // delta set — zero parquet footers on disk — still reads
+      val full = StructType(schema.fields :+
+        org.apache.spark.sql.types.StructField("batch",
+          org.apache.spark.sql.types.LongType))
+      spark.read.schema(full).parquet(path)
+        .filter(col("batch") =!= lit(excludeBatch))
+        .select(schema.fieldNames.map(col).toSeq: _*)
+    } else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   /** Curate ONE micro-batch against (and then into) the persisted state
     * under `storePath`; returns the kept, fully-annotated rows (quality,
-    * n_tokens, split) — the same columns the batch pipeline emits. The
-    * kept frame is materialized (localCheckpoint) BEFORE the state
-    * append so the returned rows are consistent with the state the next
-    * batch will see. */
+    * n_tokens, split) — the same columns the batch pipeline emits.
+    * `batchId` MUST be unique per distinct batch (reuse an id only to
+    * RETRY that same batch — the commit protocol in the class doc makes
+    * the retry an idempotent overwrite). When `outPath` is given the
+    * kept rows are also written to `outPath/batch=<id>` BEFORE the state
+    * commit — pass it (as [[runStream]] does) whenever the output write
+    * must survive a crash between output and state. */
   def curateBatch(batch: DataFrame, storePath: String,
       eval: Option[DataFrame], idCol: String, textCol: String,
-      config: Config = Config()): DataFrame = {
+      config: Config, batchId: Long,
+      outPath: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     import org.apache.spark.sql.types._
     val fpPath = s"$storePath/fingerprints"
@@ -96,7 +126,7 @@ object StreamingCuration {
 
     // 1. exact dedup: in-batch first occurrence per fingerprint, then
     //    anti-join the persisted fingerprint set
-    val seenFps = readOrEmpty(spark, fpPath, fpSchema)
+    val seenFps = readState(spark, fpPath, fpSchema, batchId)
     val withFp = batch.withColumn("__fp",
       TextAnalysis.fingerprint(col(textCol)))
     val w = org.apache.spark.sql.expressions.Window
@@ -118,7 +148,7 @@ object StreamingCuration {
     val gramSchema = StructType(Seq(StructField("h", LongType)))
     val (postSpan, newGramDelta) = config.spanDedupK match {
       case Some(k) =>
-        val seenGrams = readOrEmpty(spark, gramsPath, gramSchema)
+        val seenGrams = readState(spark, gramsPath, gramSchema, batchId)
         val (cleaned, delta) = Dedup.removeDuplicatedSpansIncremental(
           postExact, seenGrams, idCol, textCol, k)
         val swapped = postExact.drop(textCol)
@@ -134,8 +164,8 @@ object StreamingCuration {
     //    probed by equi-join on (band, band_sig)
     val batchBands = Dedup.lshBands(postSpan, idCol, textCol)
       .localCheckpoint(true)
-    val storedBands = readOrEmpty(spark, bandsPath, bandsSchema)
-    val storedKept = readOrEmpty(spark, keptPath, keptSchema)
+    val storedBands = readState(spark, bandsPath, bandsSchema, batchId)
+    val storedKept = readState(spark, keptPath, keptSchema, batchId)
     // in-batch candidates (bucket-collect, capped like the batch path)
     val internalCands = batchBands
       .groupBy(col("band"), col("band_sig"))
@@ -200,32 +230,41 @@ object StreamingCuration {
       .drop("__fp")
       .localCheckpoint(true)
 
-    // state append AFTER the outputs are materialized: fingerprints of
-    // every post-exact doc, the span stage's new-gram delta, band index +
-    // text of every post-near keeper
+    // commit: output first, then the four state deltas — each an
+    // idempotent overwrite of this batch's own batch=<id> subdirectory
+    // (see the crash-safety contract in the class doc). Everything below
+    // derives from localCheckpointed frames, so a retry that got this far
+    // rewrites byte-identical content.
+    outPath.foreach(p =>
+      kept.write.mode("overwrite").parquet(s"$p/batch=$batchId"))
     postExact.select(col("__fp").as("fp"))
-      .write.mode("append").parquet(fpPath)
-    newGramDelta.foreach(_.write.mode("append").parquet(gramsPath))
+      .write.mode("overwrite").parquet(s"$fpPath/batch=$batchId")
+    newGramDelta.foreach(
+      _.write.mode("overwrite").parquet(s"$gramsPath/batch=$batchId"))
     batchBands.join(postNear.select(col(idCol)), Seq(idCol), "left_semi")
       .select(col(idCol).as("id"), col("band"), col("band_sig"))
-      .write.mode("append").parquet(bandsPath)
+      .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
     postNear.select(col(idCol).as("id"), col(textCol).as("text"))
-      .write.mode("append").parquet(keptPath)
+      .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
     kept
   }
 
   /** Wire [[curateBatch]] as a `foreachBatch` sink: each micro-batch is
-    * curated against the persisted state and its kept rows appended to
-    * `outPath`. `AvailableNow` by default so bounded backfills terminate;
-    * pass a different trigger for continuous ingest. */
+    * curated against the persisted state and its kept rows landed under
+    * `outPath/batch=<id>` (committed BEFORE the state — the engine's
+    * batchId keys both, so an at-least-once redelivery overwrites rather
+    * than duplicates or drops). `AvailableNow` by default so bounded
+    * backfills terminate; pass a different trigger for continuous
+    * ingest. */
   def runStream(docs: DataFrame, storePath: String, outPath: String,
       eval: Option[DataFrame], idCol: String, textCol: String,
       config: Config = Config(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        curateBatch(batch, storePath, eval, idCol, textCol, config)
-          .write.mode("append").parquet(outPath)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        curateBatch(batch, storePath, eval, idCol, textCol, config,
+          batchId = id, outPath = Some(outPath))
+        ()
       }
       .outputMode("append")
       .trigger(trigger)

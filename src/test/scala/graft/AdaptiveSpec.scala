@@ -93,6 +93,29 @@ class AdaptiveSpec extends SparkSpec {
       "fixture must exercise both routes")
   }
 
+  test("grouped ladder keys NULL groups as __null__ instead of dropping them") {
+    import spark.implicits._
+    // round-6 ADVICE: isin() never matches SQL NULL, so an un-coalesced
+    // null group either reported est=0 (ladder) or vanished (exact route).
+    // 2000 null + 2000 'g' rows of a constant value: both ride the ladder
+    // (>= exactCut 250) and a constant has zero variance, so the estimate
+    // must be EXACTLY n*10 — a null group that lost its moments cannot
+    // fake that.
+    val df = spark.range(4000).select(col("id").as("k"), lit(10.0).as("v"),
+      when(pmod(col("id"), lit(2)) === 0, lit(null).cast("string"))
+        .otherwise(lit("g")).as("g"))
+    val out = AdaptiveExecutor.runGroupedDeterministic(df, col("v"),
+        col("k"), col("g"), steps = Seq(20L, 10L, 5L),
+        errorThresholdPct = 5.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(7)))).toMap
+    assert(out.keySet === Set("__null__", "g"))
+    val (nNull, estNull, stNull) = out("__null__")
+    assert(nNull === 2000L && estNull === 20000.0)
+    assert(stNull != "InsufficientData")
+    assert(out("g")._2 === 20000.0)
+  }
+
   test("deterministic ladder rejects non-nested steps and flags tiny samples") {
     intercept[IllegalArgumentException] {
       AdaptiveExecutor.runDeterministic(li, col("l_extendedprice"), liKey,

@@ -142,6 +142,29 @@ class AnnIndexSpec extends SparkSpec {
     assert(rAll === 1.0)
   }
 
+  test("int id columns search and tune cleanly (ids normalized to long)") {
+    // round-6 ADVICE: searchIvfIndex kept the caller's id type uncast, so
+    // autoTuneNProbe's getLong decode threw ClassCastException on int ids
+    val intPath = "/tmp/graft_test_ivf_intids"
+    val intEmbs = embs.select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    Ann.buildIvfIndex(intEmbs, "vec_id", "embedding", intPath,
+      numCentroids = 16)
+    val probes = intEmbs.filter(col("vec_id") < 6)
+    val res = Ann.searchIvfIndex(spark, intPath, probes, "vec_id",
+      "embedding", k = 3, nProbe = 16)
+    assert(res.schema("query_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(res.schema("neighbor_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(res.count() > 0)
+    val (np, recall) = Ann.autoTuneNProbe(spark, intPath, intEmbs, probes,
+      "vec_id", "embedding", k = 3, targetRecall = 1.1,
+      candidates = Seq(16))
+    assert(np === 16 && recall === 1.0,
+      "full-probe search over int ids must be exact")
+  }
+
   test("index search prunes at the directory level: only probed lists are scanned") {
     val probes = embs.filter(col("vec_id") < 3)
     Ann.buildIvfIndex(embs, "vec_id", "embedding", path, numCentroids = 32)

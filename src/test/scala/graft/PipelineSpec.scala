@@ -523,12 +523,14 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("merge Jaccard on hashed arrays equals set Jaccard, incl. empty/empty NaN") {
+  test("merge Jaccard on hashed arrays equals set Jaccard, incl. empty/empty NULL") {
     import spark.implicits._
     // corpus pairs; the declarative twin throws under ANSI on 0/0 (double
     // div-by-zero), so the empty/empty edge — which production paths never
     // produce: empty-shingle docs have no exploded rows and never enter
-    // LSH — is asserted separately as the kernel's NaN
+    // LSH — is asserted separately as the kernel's NULL (Divide-by-zero
+    // semantics: `>= threshold` must DROP the pair, which a NaN — ordered
+    // above every number by Spark — would not)
     val sh = docs.limit(25).select(col("text"))
       .union(Seq("tiny", "x y").toDF("text"))
       .select(Dedup.shingleHashes64(col("text"), 3).as("h"))
@@ -540,11 +542,12 @@ class PipelineSpec extends SparkSpec {
           size(array_union(col("h_a"), col("h_b"))).cast("double")).as("d"))
       .filter(not(col("m") <=> col("d"))).count()
     assert(mismatch === 0)
-    val nan = Seq(("a", "b")).toDF("ta", "tb")
+    val emptyEmpty = Seq(("a", "b")).toDF("ta", "tb")
       .select(Dedup.jaccardHashed(Dedup.shingleHashes64(col("ta"), 3),
         Dedup.shingleHashes64(col("tb"), 3)).as("j"))
-      .collect()(0).getDouble(0)
-    assert(nan.isNaN)
+    assert(emptyEmpty.collect()(0).isNullAt(0))
+    // and the filter both dedup paths use drops the empty/empty pair
+    assert(emptyEmpty.filter(col("j") >= 0.0).count() === 0)
   }
 
   test("jaccard of identical shingle sets is 1") {

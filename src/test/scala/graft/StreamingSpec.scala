@@ -512,6 +512,66 @@ class StreamingSpec extends SparkSpec {
       "later doc loses exactly the boilerplate span")
   }
 
+  test("curation batch retry after a partial state commit is an idempotent overwrite") {
+    import spark.implicits._
+    import graft.streaming.StreamingCuration
+    // round-6 ADVICE (medium): with append-mode state, a crash between the
+    // fingerprint append and the output write made the RETRY anti-join its
+    // own rows away as 'seen' — permanently dropping them. The batch-keyed
+    // protocol must instead recompute from the pre-batch state and
+    // overwrite the crashed attempt's delta.
+    val b0 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "web"),
+      (2L, "exact duplicate content appearing in both batches here", "web"))
+      .toDF("doc_id", "text", "source")
+    val b1 = Seq(
+      (11L, "a fresh unique document about catalyst optimizer rules", "web"),
+      (12L, "exact duplicate content appearing in both batches here", "web"))
+      .toDF("doc_id", "text", "source")
+    val dirs = Seq("/tmp/graft_test_replay_storeA", "/tmp/graft_test_replay_outA",
+      "/tmp/graft_test_replay_storeB", "/tmp/graft_test_replay_outB")
+    dirs.foreach { p =>
+      val d = new java.io.File(p)
+      if (d.exists()) {
+        java.nio.file.Files.walk(d.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+    val Seq(storeA, outA, storeB, outB) = dirs
+    val cfg = StreamingCuration.Config()
+    // clean fold
+    StreamingCuration.curateBatch(b0, storeA, None, "doc_id", "text", cfg,
+      batchId = 0L, outPath = Some(outA))
+    StreamingCuration.curateBatch(b1, storeA, None, "doc_id", "text", cfg,
+      batchId = 1L, outPath = Some(outA))
+    // crashed fold: batch 0 commits fully; batch 1's first attempt dies
+    // AFTER writing its fingerprint delta but BEFORE everything else
+    StreamingCuration.curateBatch(b0, storeB, None, "doc_id", "text", cfg,
+      batchId = 0L, outPath = Some(outB))
+    b1.select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .write.mode("overwrite").parquet(s"$storeB/fingerprints/batch=1")
+    // retry of batch 1 with the same batchId
+    StreamingCuration.curateBatch(b1, storeB, None, "doc_id", "text", cfg,
+      batchId = 1L, outPath = Some(outB))
+    def rows(p: String): Set[(Long, String, String)] =
+      spark.read.parquet(p).select(col("doc_id"), col("text"), col("split"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+    val clean = rows(outA)
+    val replayed = rows(outB)
+    assert(replayed === clean, "retry must reproduce the clean fold exactly")
+    assert(replayed.map(_._1).contains(11L),
+      "the crashed batch's unique doc must survive its own stale delta")
+    assert(!replayed.map(_._1).contains(12L), "cross-batch dup still drops")
+    // state parity: the retried store holds the same fingerprint set
+    val fpA = spark.read.parquet(s"$storeA/fingerprints")
+      .select(col("fp")).collect().map(_.getLong(0)).toSet
+    val fpB = spark.read.parquet(s"$storeB/fingerprints")
+      .select(col("fp")).collect().map(_.getLong(0)).toSet
+    assert(fpA === fpB)
+  }
+
   test("sessionize emits both sessions when a gap splits inside one batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
