@@ -56,9 +56,11 @@ import graft.operators.{Decontam, Dedup, Mixing, TextAnalysis}
   * 100 TB posture: per batch, one scan of the batch (signatures in the
   * scan stage), one hash join per state table keyed on fp / (band,
   * band_sig) — the stored side is a growing but bucketable index, and
-  * nothing unbounded reaches the driver. Store compaction (rewriting the
-  * append-only dirs) is the caller's cadence decision, same contract as
-  * [[graft.operators.Ann.appendToIvfIndex]].
+  * nothing unbounded reaches the driver. After thousands of batches the
+  * one-delta-dir-per-batch layout decays into the classic small-files
+  * problem (listing + parquet footer reads dominate every batch) — fold
+  * old deltas into a single snapshot with [[compactState]] on the
+  * caller's cadence.
   */
 object StreamingCuration {
 
@@ -75,19 +77,73 @@ object StreamingCuration {
         * streaming twin of the batch pipeline's `spanDedupK` stage; sits
         * between exact and near dedup like the batch ordering. None
         * disables. */
-      spanDedupK: Option[Int] = None)
+      spanDedupK: Option[Int] = None,
+      /** Fold the state deltas into one snapshot via [[compactState]]
+        * every N micro-batches (before curating a batch whose id is a
+        * multiple of N), so state-read cost stays flat over a long run.
+        * None leaves compaction to the caller's cadence. */
+      compactEvery: Option[Int] = None)
+
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+
+  /** Data-column schemas of the four state tables (the `batch` partition
+    * column lives in the directory names, not the files). Object-level so
+    * [[compactState]] can read all-empty deltas — zero parquet footers on
+    * disk — without schema inference. */
+  private val StateSchemas: Map[String, StructType] = Map(
+    "fingerprints" -> StructType(Seq(StructField("fp", LongType))),
+    "spangrams" -> StructType(Seq(StructField("h", LongType))),
+    "bands" -> StructType(Seq(StructField("id", LongType),
+      StructField("band", IntegerType), StructField("band_sig", LongType))),
+    "kept" -> StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))))
+
+  /** Snapshot partitions written by [[compactState]] carry NEGATIVE batch
+    * ids (`batch=-(upToBatch+1)`). Engine batch ids are non-negative, so a
+    * snapshot can never collide with a real micro-batch and is never
+    * excluded by a retry. */
+  def snapshotId(upToBatch: Long): Long = -(upToBatch + 1)
+
+  /** List a state table directory through the HADOOP FileSystem API —
+    * never `java.io.File`, so the store works on HDFS/S3/any Hadoop FS,
+    * which is the only place a 100 TB streaming pipeline runs. Returns
+    * (delta-dir names, stray entries). Strays are anything that is
+    * neither a `batch=` subdirectory nor a `_`/`.`-prefixed internal
+    * file: a store written by the pre-crash-safety flat layout would
+    * show its part files here, and silently treating it as empty state
+    * would re-admit every previously-seen doc — so callers fail fast. */
+  private def listStateDir(spark: SparkSession,
+      path: String): (Seq[String], Seq[String]) = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) (Nil, Nil)
+    else {
+      val entries = fs.listStatus(hPath).toSeq
+      val (deltas, rest) = entries.partition(e =>
+        e.isDirectory && e.getPath.getName.startsWith("batch="))
+      val strays = rest.map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      (deltas.map(_.getPath.getName), strays)
+    }
+  }
 
   /** Union of all `batch=<id>` deltas under `path` EXCEPT `excludeBatch`
     * (the micro-batch being [re]tried — a crashed attempt's half-written
     * delta must be invisible to its own retry); empty frame with `schema`
     * when no delta exists yet. Hive-style partition discovery keys the
-    * exclusion — no delta manifest needed. */
+    * exclusion — no delta manifest needed. Fails fast on a legacy flat
+    * (non-`batch=`-partitioned) store rather than silently reading it
+    * as empty. */
   private def readState(spark: SparkSession, path: String,
       schema: StructType, excludeBatch: Long): DataFrame = {
-    val dir = new java.io.File(path)
-    val hasDeltas = dir.isDirectory && dir.listFiles() != null &&
-      dir.listFiles().exists(f => f.isDirectory && f.getName.startsWith("batch="))
-    if (hasDeltas) {
+    val (deltas, strays) = listStateDir(spark, path)
+    if (strays.nonEmpty) throw new IllegalStateException(
+      s"State dir $path contains non-batch= entries ${strays.take(5).mkString(", ")}: " +
+        "this looks like a store written by the old flat (append-mode) layout. " +
+        "Reading it as batch deltas would silently treat all prior state as empty. " +
+        "Migrate by moving the existing files under a batch=0/ subdirectory " +
+        "(or rebuild the store), then retry.")
+    if (deltas.nonEmpty) {
       // explicit schema (incl. the partition column) so an all-empty
       // delta set — zero parquet footers on disk — still reads
       val full = StructType(schema.fields :+
@@ -114,15 +170,12 @@ object StreamingCuration {
       config: Config, batchId: Long,
       outPath: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
-    import org.apache.spark.sql.types._
     val fpPath = s"$storePath/fingerprints"
     val bandsPath = s"$storePath/bands"
     val keptPath = s"$storePath/kept"
-    val fpSchema = StructType(Seq(StructField("fp", LongType)))
-    val bandsSchema = StructType(Seq(StructField("id", LongType),
-      StructField("band", IntegerType), StructField("band_sig", LongType)))
-    val keptSchema = StructType(Seq(StructField("id", LongType),
-      StructField("text", StringType)))
+    val fpSchema = StateSchemas("fingerprints")
+    val bandsSchema = StateSchemas("bands")
+    val keptSchema = StateSchemas("kept")
 
     // 1. exact dedup: in-batch first occurrence per fingerprint, then
     //    anti-join the persisted fingerprint set
@@ -145,7 +198,7 @@ object StreamingCuration {
     //     into every later stage. The new-gram delta is appended to state
     //     AFTER the outputs are materialized (bottom of this method).
     val gramsPath = s"$storePath/spangrams"
-    val gramSchema = StructType(Seq(StructField("h", LongType)))
+    val gramSchema = StateSchemas("spangrams")
     val (postSpan, newGramDelta) = config.spanDedupK match {
       case Some(k) =>
         val seenGrams = readState(spark, gramsPath, gramSchema, batchId)
@@ -249,6 +302,64 @@ object StreamingCuration {
     kept
   }
 
+  /** Fold every committed `batch=<id>` delta with `0 <= id < upToBatch`,
+    * plus all previous snapshots, of all four state tables into ONE new
+    * snapshot partition `batch=-(upToBatch+1)`, keeping state-read cost
+    * flat as the batch count grows (one-delta-dir-per-batch is the
+    * classic small-files decay). Safe whenever every batch below
+    * `upToBatch` is fully committed — true between micro-batches for
+    * `upToBatch` = the next engine batch id, which is when [[runStream]]
+    * calls it: the exclude-current-batch retry semantics only ever need
+    * to mask batches >= that watermark, and negative snapshot ids are
+    * never excluded.
+    *
+    * Crash safety, per table — the new snapshot is GENERATION-NAMED, so
+    * no live data is ever overwritten in place: (1) any incomplete
+    * snapshot dir (negative id, no _SUCCESS — a crashed prior attempt)
+    * is deleted; (2) the set-distinct fold of [old snapshots + deltas
+    * < upToBatch] is written to the fresh `batch=-(upToBatch+1)` dir;
+    * (3) only after that write completes are the folded sources deleted.
+    * A crash inside (2) leaves a partial new dir whose rows are a SUBSET
+    * of the still-present sources; a crash inside (3) leaves the full
+    * new snapshot plus some undeleted sources — in both cases state
+    * reads see duplicates, never loss, and duplicates are harmless
+    * because every state table is consumed with set semantics
+    * (anti-join / semi-join / distinct-after-join); the next
+    * compaction's `.distinct()` removes them. */
+  def compactState(spark: SparkSession, storePath: String,
+      upToBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    for (sub <- Seq("fingerprints", "spangrams", "bands", "kept")) {
+      val tablePath = s"$storePath/$sub"
+      val fs = new Path(tablePath).getFileSystem(conf)
+      val (deltas, _) = listStateDir(spark, tablePath)
+      def id(d: String): Long = d.stripPrefix("batch=").toLong
+      // 1. clear crashed prior snapshot attempts (negative id, no _SUCCESS)
+      val (snaps, committed) = deltas.partition(id(_) < 0)
+      val (complete, crashed) = snaps.partition(d =>
+        fs.exists(new Path(s"$tablePath/$d/_SUCCESS")))
+      crashed.foreach(d => fs.delete(new Path(s"$tablePath/$d"), true))
+      val foldable = complete ++ committed.filter(id(_) < upToBatch)
+      // generation id strictly below every existing snapshot, so a retry
+      // of a partially-cleaned compaction never reads and overwrites the
+      // same path
+      val newId = math.min(snapshotId(upToBatch),
+        (complete.map(id) :+ 0L).min - 1)
+      val newSnap = s"batch=$newId"
+      // fold only when it shrinks something: >1 source, or 1 non-snapshot
+      if (foldable.size > 1 || foldable.exists(id(_) >= 0)) {
+        val schema = StateSchemas(sub)
+        spark.read.schema(schema)
+          .parquet(foldable.map(d => s"$tablePath/$d"): _*)
+          .distinct()
+          .write.mode("overwrite").parquet(s"$tablePath/$newSnap")
+        foldable.filter(_ != newSnap).foreach(d =>
+          fs.delete(new Path(s"$tablePath/$d"), true))
+      }
+    }
+  }
+
   /** Wire [[curateBatch]] as a `foreachBatch` sink: each micro-batch is
     * curated against the persisted state and its kept rows landed under
     * `outPath/batch=<id>` (committed BEFORE the state — the engine's
@@ -262,6 +373,10 @@ object StreamingCuration {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // every committed batch is < id here, so id is a safe watermark
+        config.compactEvery.foreach(n =>
+          if (id > 0 && id % n == 0)
+            compactState(batch.sparkSession, storePath, upToBatch = id))
         curateBatch(batch, storePath, eval, idCol, textCol, config,
           batchId = id, outPath = Some(outPath))
         ()
