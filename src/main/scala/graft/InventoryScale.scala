@@ -413,6 +413,123 @@ SELECT g AS "group", CAST(nn AS BIGINT) AS n_rows,
 FROM sel ORDER BY g"""
       }),
 
+    QueryDef("q190_adaptive_group_avg",
+      // AVG mode of the per-group adaptive CLT ladder (round-7 verdict
+      // item 4): same nested 20⊃10⊃5 moment scan as q172, but the
+      // estimate is the plain sample mean with a mean CI (no N/n scale
+      // factor). Small groups (RARE at small SFs) route exact =
+      // sum/count. FULLY hash-gated: the DuckDB oracle replays moments,
+      // first-converged-round selection, CI bounds, cumulative n_used
+      // and verdict bit-for-bit.
+      (s, d) => {
+        val grp = when(pmod(col("l_orderkey"), lit(997L)) === 0, lit("RARE"))
+          .otherwise(col("l_returnflag"))
+        graft.exec.AdaptiveExecutor.runGroupedDeterministic(
+          lineitem(s, d), col("l_extendedprice"), liKey, grp,
+          steps = Seq(20L, 10L, 5L), errorThresholdPct = 2.0, agg = "avg")
+          .orderBy(col("group"))
+      },
+      Some {
+        val k = "(l_orderkey * 8191 + l_linenumber * 131)"
+        val xc = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        val gx = "CASE WHEN l_orderkey % 997 = 0 THEN 'RARE' ELSE l_returnflag END"
+        s"""WITH base AS (SELECT $gx AS g, $k AS k, $xc AS xc FROM lineitem),
+m AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS nn,
+ CAST(SUM(CAST(xc AS DECIMAL(28,0))) AS DOUBLE) / 100.0 AS exact_s,
+ CAST(COUNT(CASE WHEN k % 20 = 0 THEN xc END) AS DOUBLE) AS n1,
+ CAST(SUM(CASE WHEN k % 20 = 0 THEN CAST(xc AS DECIMAL(28,0)) END) AS DOUBLE) AS sc1,
+ CAST(SUM(CASE WHEN k % 20 = 0 THEN CAST(xc * xc AS DECIMAL(38,0)) END) AS DOUBLE) AS s2c1,
+ CAST(COUNT(CASE WHEN k % 10 = 0 THEN xc END) AS DOUBLE) AS n2,
+ CAST(SUM(CASE WHEN k % 10 = 0 THEN CAST(xc AS DECIMAL(28,0)) END) AS DOUBLE) AS sc2,
+ CAST(SUM(CASE WHEN k % 10 = 0 THEN CAST(xc * xc AS DECIMAL(38,0)) END) AS DOUBLE) AS s2c2,
+ CAST(COUNT(CASE WHEN k % 5 = 0 THEN xc END) AS DOUBLE) AS n3,
+ CAST(SUM(CASE WHEN k % 5 = 0 THEN CAST(xc AS DECIMAL(28,0)) END) AS DOUBLE) AS sc3,
+ CAST(SUM(CASE WHEN k % 5 = 0 THEN CAST(xc * xc AS DECIMAL(38,0)) END) AS DOUBLE) AS s2c3
+ FROM base GROUP BY g),
+r AS (SELECT g, nn, exact_s, n1, n2, n3,
+ CASE WHEN n1 > 0 THEN (sc1 / n1) / 100.0 ELSE 0.0 END AS est1,
+ CASE WHEN n1 > 1 THEN 1.96 * sqrt(((s2c1 - sc1 * sc1 / n1) / (n1 - 1)) / n1) / 100.0 ELSE 1e18 END AS mar1,
+ CASE WHEN n2 > 0 THEN (sc2 / n2) / 100.0 ELSE 0.0 END AS est2,
+ CASE WHEN n2 > 1 THEN 1.96 * sqrt(((s2c2 - sc2 * sc2 / n2) / (n2 - 1)) / n2) / 100.0 ELSE 1e18 END AS mar2,
+ CASE WHEN n3 > 0 THEN (sc3 / n3) / 100.0 ELSE 0.0 END AS est3,
+ CASE WHEN n3 > 1 THEN 1.96 * sqrt(((s2c3 - sc3 * sc3 / n3) / (n3 - 1)) / n3) / 100.0 ELSE 1e18 END AS mar3
+ FROM m),
+rr AS (SELECT *,
+ CASE WHEN est1 <> 0.0 AND mar1 < 1e18 THEN 100.0 * (((est1 + mar1) - (est1 - mar1)) / 2.0) / abs(est1) ELSE 1e18 END AS rel1,
+ CASE WHEN est2 <> 0.0 AND mar2 < 1e18 THEN 100.0 * (((est2 + mar2) - (est2 - mar2)) / 2.0) / abs(est2) ELSE 1e18 END AS rel2,
+ CASE WHEN est3 <> 0.0 AND mar3 < 1e18 THEN 100.0 * (((est3 + mar3) - (est3 - mar3)) / 2.0) / abs(est3) ELSE 1e18 END AS rel3
+ FROM r),
+sel AS (SELECT *, CASE WHEN rel1 <= 2.0 AND n1 >= 50 THEN 1 WHEN rel2 <= 2.0 AND n2 >= 50 THEN 2 ELSE 3 END AS ru FROM rr)
+SELECT g AS "group", CAST(nn AS BIGINT) AS n_rows,
+ CASE WHEN nn < 250 THEN exact_s / nn ELSE CASE ru WHEN 1 THEN est1 WHEN 2 THEN est2 ELSE est3 END END AS sum_est,
+ CASE WHEN nn < 250 THEN exact_s / nn ELSE CASE ru WHEN 1 THEN est1 - mar1 WHEN 2 THEN est2 - mar2 ELSE est3 - mar3 END END AS ci_lower,
+ CASE WHEN nn < 250 THEN exact_s / nn ELSE CASE ru WHEN 1 THEN est1 + mar1 WHEN 2 THEN est2 + mar2 ELSE est3 + mar3 END END AS ci_upper,
+ CAST(CASE WHEN nn < 250 THEN nn ELSE CASE ru WHEN 1 THEN n1 WHEN 2 THEN n1 + n2 ELSE n1 + n2 + n3 END END AS BIGINT) AS n_used,
+ CAST(CASE WHEN nn < 250 THEN 0 ELSE ru END AS INTEGER) AS rounds_used,
+ CASE WHEN nn < 250 THEN 'Exact'
+  WHEN (CASE ru WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END) < 50 THEN 'InsufficientData'
+  WHEN ru = 2 AND ((est1 + mar1 < est2 - mar2) OR (est2 + mar2 < est1 - mar1)) AND est1 <> 0.0 AND abs(est2 - est1) / abs(est1) * 100.0 > 5.0 THEN 'Drifting'
+  WHEN ru = 3 AND ((est2 + mar2 < est3 - mar3) OR (est3 + mar3 < est2 - mar2)) AND est2 <> 0.0 AND abs(est3 - est2) / abs(est2) * 100.0 > 5.0 THEN 'Drifting'
+  WHEN (CASE ru WHEN 1 THEN rel1 WHEN 2 THEN rel2 ELSE rel3 END) <= 2.0 THEN 'Stable'
+  ELSE 'Drifting' END AS status
+FROM sel ORDER BY g"""
+      }),
+
+    QueryDef("q191_adaptive_group_count",
+      // COUNT mode of the per-group adaptive ladder: the n-moment alone,
+      // scaled by the step (1/fraction), with the finite-population
+      // Bernoulli margin z·step·√(n·(1−1/step)) — no value decode ever
+      // happens beyond the count. 5% threshold so the systematic count
+      // (whose relative margin shrinks only with √n) converges inside
+      // the ladder at sf0.01. Hash-gated replay like q172/q190.
+      (s, d) => {
+        val grp = when(pmod(col("l_orderkey"), lit(997L)) === 0, lit("RARE"))
+          .otherwise(col("l_returnflag"))
+        graft.exec.AdaptiveExecutor.runGroupedDeterministic(
+          lineitem(s, d), col("l_extendedprice"), liKey, grp,
+          steps = Seq(20L, 10L, 5L), errorThresholdPct = 5.0, agg = "count")
+          .orderBy(col("group"))
+      },
+      Some {
+        val k = "(l_orderkey * 8191 + l_linenumber * 131)"
+        val xc = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        val gx = "CASE WHEN l_orderkey % 997 = 0 THEN 'RARE' ELSE l_returnflag END"
+        s"""WITH base AS (SELECT $gx AS g, $k AS k, $xc AS xc FROM lineitem),
+m AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS nn,
+ CAST(COUNT(xc) AS DOUBLE) AS nx,
+ CAST(COUNT(CASE WHEN k % 20 = 0 THEN xc END) AS DOUBLE) AS n1,
+ CAST(COUNT(CASE WHEN k % 10 = 0 THEN xc END) AS DOUBLE) AS n2,
+ CAST(COUNT(CASE WHEN k % 5 = 0 THEN xc END) AS DOUBLE) AS n3
+ FROM base GROUP BY g),
+r AS (SELECT g, nn, nx, n1, n2, n3,
+ n1 * 20.0 AS est1,
+ CASE WHEN n1 > 0 THEN 1.96 * 20.0 * sqrt(n1 * (1.0 - 1.0 / 20.0)) ELSE 1e18 END AS mar1,
+ n2 * 10.0 AS est2,
+ CASE WHEN n2 > 0 THEN 1.96 * 10.0 * sqrt(n2 * (1.0 - 1.0 / 10.0)) ELSE 1e18 END AS mar2,
+ n3 * 5.0 AS est3,
+ CASE WHEN n3 > 0 THEN 1.96 * 5.0 * sqrt(n3 * (1.0 - 1.0 / 5.0)) ELSE 1e18 END AS mar3
+ FROM m),
+rr AS (SELECT *,
+ CASE WHEN est1 <> 0.0 AND mar1 < 1e18 THEN 100.0 * (((est1 + mar1) - (est1 - mar1)) / 2.0) / abs(est1) ELSE 1e18 END AS rel1,
+ CASE WHEN est2 <> 0.0 AND mar2 < 1e18 THEN 100.0 * (((est2 + mar2) - (est2 - mar2)) / 2.0) / abs(est2) ELSE 1e18 END AS rel2,
+ CASE WHEN est3 <> 0.0 AND mar3 < 1e18 THEN 100.0 * (((est3 + mar3) - (est3 - mar3)) / 2.0) / abs(est3) ELSE 1e18 END AS rel3
+ FROM r),
+sel AS (SELECT *, CASE WHEN rel1 <= 5.0 AND n1 >= 50 THEN 1 WHEN rel2 <= 5.0 AND n2 >= 50 THEN 2 ELSE 3 END AS ru FROM rr)
+SELECT g AS "group", CAST(nn AS BIGINT) AS n_rows,
+ CASE WHEN nn < 250 THEN nx ELSE CASE ru WHEN 1 THEN est1 WHEN 2 THEN est2 ELSE est3 END END AS sum_est,
+ CASE WHEN nn < 250 THEN nx ELSE CASE ru WHEN 1 THEN est1 - mar1 WHEN 2 THEN est2 - mar2 ELSE est3 - mar3 END END AS ci_lower,
+ CASE WHEN nn < 250 THEN nx ELSE CASE ru WHEN 1 THEN est1 + mar1 WHEN 2 THEN est2 + mar2 ELSE est3 + mar3 END END AS ci_upper,
+ CAST(CASE WHEN nn < 250 THEN nn ELSE CASE ru WHEN 1 THEN n1 WHEN 2 THEN n1 + n2 ELSE n1 + n2 + n3 END END AS BIGINT) AS n_used,
+ CAST(CASE WHEN nn < 250 THEN 0 ELSE ru END AS INTEGER) AS rounds_used,
+ CASE WHEN nn < 250 THEN 'Exact'
+  WHEN (CASE ru WHEN 1 THEN n1 WHEN 2 THEN n2 ELSE n3 END) < 50 THEN 'InsufficientData'
+  WHEN ru = 2 AND ((est1 + mar1 < est2 - mar2) OR (est2 + mar2 < est1 - mar1)) AND est1 <> 0.0 AND abs(est2 - est1) / abs(est1) * 100.0 > 5.0 THEN 'Drifting'
+  WHEN ru = 3 AND ((est2 + mar2 < est3 - mar3) OR (est3 + mar3 < est2 - mar2)) AND est2 <> 0.0 AND abs(est3 - est2) / abs(est2) * 100.0 > 5.0 THEN 'Drifting'
+  WHEN (CASE ru WHEN 1 THEN rel1 WHEN 2 THEN rel2 ELSE rel3 END) <= 5.0 THEN 'Stable'
+  ELSE 'Drifting' END AS status
+FROM sel ORDER BY g"""
+      }),
+
     QueryDef("q171_ann_ivf_index_int8",
       // INT8-CODED persisted IVF index (Ann.buildIvfIndex codec="int8"):
       // the inverted lists store per-vector-scaled int8 codes instead of

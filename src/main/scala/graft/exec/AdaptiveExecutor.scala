@@ -142,6 +142,20 @@ object AdaptiveExecutor {
     * groups: status "Exact", zero-width CI. This is the honest answer a
     * sampling ladder cannot give.
     *
+    * `agg` picks the estimator family sharing the one moment scan: "sum"
+    * (expansion estimator Σx·(N/n), CLT margin scaled by N), "avg" (the
+    * plain sample mean, mean CI, no scale factor), "count" (the n-moment
+    * alone, scaled by the step = 1/fraction, finite-population Bernoulli
+    * margin z·step·√(n·(1−1/step)); COUNT(col) passes the column so the
+    * moment stays non-null-aware like SQL). Output column names stay
+    * `sum_est`/`ci_lower`/`ci_upper` across modes for schema stability —
+    * callers alias.
+    *
+    * NULL group keys ride the ladder like any other group and are
+    * reported as SQL NULL (sorted first). Internally keys travel in an
+    * injective escaped form, so no real string value — including the
+    * literal "__null__" — can collide with the null group.
+    *
     * Everything is a pure function of the data (decimal-exact moments,
     * one cast to double, fixed IEEE expression order), so a foreign
     * engine replaying the same formula text reproduces every estimate,
@@ -155,22 +169,29 @@ object AdaptiveExecutor {
       errorThresholdPct: Double = 2.0,
       confidence: Double = 0.95,
       driftTolerancePct: Double = 5.0,
-      exactBelow: Long = -1L): DataFrame = {
+      exactBelow: Long = -1L,
+      agg: String = "sum"): DataFrame = {
     require(steps.nonEmpty && steps.zip(steps.tail).forall {
       case (a, b) => a > b && a % b == 0 },
       s"steps must shrink and nest (each divisible by the next): $steps")
+    require(Set("sum", "avg", "count")(agg),
+      s"grouped ladder supports sum/avg/count, got $agg")
     val spark = df.sparkSession
     val z = Estimators.zScore(confidence)
     val exactCut = if (exactBelow >= 0) exactBelow else 50L * steps.last
     val Big = 1e18 // cross-engine-safe stand-in for an unbounded margin
     val xc = (value.cast("decimal(18,2)") * lit(100)).cast("long")
-    // NULL group values are keyed (and reported) as the sentinel string
-    // "__null__": the ladder round-trips group keys through driver-side
-    // isin() filters and collect() maps, and SQL NULL survives neither
-    // (isin never matches null), so an un-coalesced null group would
-    // collect no moments yet silently vanish from the output. Contract:
-    // a genuine string group literally equal to "__null__" collides.
-    val g = coalesce(group.cast("string"), lit("__null__")).as("__g")
+    // The ladder round-trips group keys through driver-side isin()
+    // filters and collect() maps, and SQL NULL survives neither (isin
+    // never matches null) — so group keys travel internally in an
+    // INJECTIVE escaped form: NULL → the one-char NUL string, anything else →
+    // "s" + value. No real string can collide with the null token (it
+    // would escape to "s"+NUL+"..."), and the output reports the null group
+    // as SQL NULL — the honest key callers join back on.
+    val g = when(group.isNull, lit("\u0000"))
+      .otherwise(concat(lit("s"), group.cast("string"))).as("__g")
+    def unescape(k: String): String =
+      if (k == "\u0000") null else k.substring(1)
 
     // round 0: per-group row counts (narrow scan — no value decode)
     val counts = df.select(g).groupBy(col("__g"))
@@ -200,12 +221,30 @@ object AdaptiveExecutor {
         active.toSeq.sorted.foreach { grp =>
           val nn = counts(grp).toDouble
           val (n, sc, s2c) = moments.getOrElse(grp, (0.0, 0.0, 0.0))
-          // IEEE-op lockstep with the q172 oracle text — do not refactor
-          val est = if (n > 0) sc * (nn / n) / 100.0 else 0.0
-          val mar =
-            if (n > 1)
-              z * math.sqrt(((s2c - sc * sc / n) / (n - 1)) / n) * nn / 100.0
-            else Big
+          // IEEE-op lockstep with the q172/q190/q191 oracle texts — do
+          // not refactor. sum: expansion estimator scaled by N/n. avg:
+          // the plain sample mean with a mean CI (no N scale). count:
+          // the n-moment alone, scaled by the step (1/fraction), with
+          // the finite-population Bernoulli margin.
+          val est = agg match {
+            case "sum" => if (n > 0) sc * (nn / n) / 100.0 else 0.0
+            case "avg" => if (n > 0) (sc / n) / 100.0 else 0.0
+            case "count" => n * step.toDouble
+          }
+          val mar = agg match {
+            case "sum" =>
+              if (n > 1)
+                z * math.sqrt(((s2c - sc * sc / n) / (n - 1)) / n) * nn / 100.0
+              else Big
+            case "avg" =>
+              if (n > 1)
+                z * math.sqrt(((s2c - sc * sc / n) / (n - 1)) / n) / 100.0
+              else Big
+            case "count" =>
+              if (n > 0)
+                z * step.toDouble * math.sqrt(n * (1.0 - 1.0 / step.toDouble))
+              else Big
+          }
           val rel =
             if (est != 0.0 && mar < Big)
               100.0 * (((est + mar) - (est - mar)) / 2.0) / math.abs(est)
@@ -228,10 +267,18 @@ object AdaptiveExecutor {
         .groupBy(col("__g"))
         .agg(count(lit(1)).as("n"),
           (sum(col("__xc").cast("decimal(28,0)")).cast("double") / 100.0)
-            .as("s"))
+            .as("s"),
+          count(col("__xc")).as("nx"))
         .collect()
-        .map(r => GroupOutcome(r.getString(0), r.getLong(1), r.getDouble(2),
-          r.getDouble(2), r.getDouble(2), r.getLong(1), 0, "Exact"))
+        .map { r =>
+          val n = r.getLong(1)
+          val v = agg match {
+            case "sum" => r.getDouble(2)
+            case "avg" => r.getDouble(2) / r.getLong(3).toDouble
+            case "count" => r.getLong(3).toDouble // non-null, like SQL COUNT(col)
+          }
+          GroupOutcome(unescape(r.getString(0)), n, v, v, v, n, 0, "Exact")
+        }
         .toSeq
     // empty small groups cannot occur (a group exists because rows do)
 
@@ -253,13 +300,15 @@ object AdaptiveExecutor {
         else if (drifted) "Drifting"
         else if (last.rel <= errorThresholdPct) "Stable"
         else "Drifting"
-      GroupOutcome(grp, counts(grp), last.est,
+      GroupOutcome(unescape(grp), counts(grp), last.est,
         last.est - last.mar, last.est + last.mar,
         rounds.take(ru).map(_.n.toLong).sum, ru, status)
     }
 
     import spark.implicits._
-    (exactRows ++ ladderRows).sortBy(_.group).toDF()
+    // nulls-first ordering (Option sorts None before Some, matching
+    // Spark's default null ordering for ORDER BY ASC)
+    (exactRows ++ ladderRows).sortBy(r => Option(r.group)).toDF()
       .select(col("group"), col("nRows").as("n_rows"),
         col("sumEst").as("sum_est"), col("ciLower").as("ci_lower"),
         col("ciUpper").as("ci_upper"), col("nUsed").as("n_used"),

@@ -111,15 +111,24 @@ object SpecExecutor {
         // GROUP BY adaptive: the per-group deterministic CLT ladder
         // (AdaptiveExecutor.runGroupedDeterministic) — each group stops at
         // ITS first converged round, sub-floor groups route exact. Key =
-        // content hash (the no-key rationale above); SUM only, like the
-        // ladder itself.
-        if (spec.agg != AggKind.Sum) throw new IllegalArgumentException(
-          s"grouped adaptive undefined for ${spec.agg} (SUM only — use a " +
-            "row-level design for other aggregates)")
+        // content hash (the no-key rationale above). SUM is the expansion
+        // estimator, AVG the same moment ladder with a mean (ratio) CI and
+        // no scale factor, COUNT the n-moment alone with a
+        // finite-population Bernoulli margin.
+        val ladderAgg = spec.agg match {
+          case AggKind.Sum => "sum"
+          case AggKind.Avg => "avg"
+          case AggKind.Count => "count"
+          case other => throw new IllegalArgumentException(
+            s"grouped adaptive undefined for $other (SUM/AVG/COUNT only — " +
+              "use a row-level design for other aggregates)")
+        }
         val akey = abs(xxhash64(struct(base.columns.map(col).toIndexedSeq: _*)))
+        // valueCol is already lit(1L) for COUNT(*); for COUNT(col) the
+        // ladder's count(xc) moment is non-null-aware, matching SQL
         AdaptiveExecutor.runGroupedDeterministic(base, valueCol, akey,
             col(g), errorThresholdPct = a.errorThresholdPct,
-            confidence = a.confidence)
+            confidence = a.confidence, agg = ladderAgg)
           .select(col("group").as(g), col("sum_est").as(alias),
             col("ci_lower").as(s"${alias}_ci_lower"),
             col("ci_upper").as(s"${alias}_ci_upper"),

@@ -93,27 +93,69 @@ class AdaptiveSpec extends SparkSpec {
       "fixture must exercise both routes")
   }
 
-  test("grouped ladder keys NULL groups as __null__ instead of dropping them") {
+  test("grouped ladder reports NULL groups as SQL NULL, coexisting with a literal __null__ group") {
     import spark.implicits._
     // round-6 ADVICE: isin() never matches SQL NULL, so an un-coalesced
     // null group either reported est=0 (ladder) or vanished (exact route).
-    // 2000 null + 2000 'g' rows of a constant value: both ride the ladder
-    // (>= exactCut 250) and a constant has zero variance, so the estimate
-    // must be EXACTLY n*10 — a null group that lost its moments cannot
-    // fake that.
-    val df = spark.range(4000).select(col("id").as("k"), lit(10.0).as("v"),
-      when(pmod(col("id"), lit(2)) === 0, lit(null).cast("string"))
-        .otherwise(lit("g")).as("g"))
-    val out = AdaptiveExecutor.runGroupedDeterministic(df, col("v"),
+    // round-7 ADVICE closed the follow-up: the old "__null__" string
+    // sentinel collided with a genuine group of that value. Group keys now
+    // travel in an injective escaped form, so a NULL group and a literal
+    // "__null__" group coexist: 2000 null + 2000 '__null__' + 2000 'g'
+    // rows of a constant value all ride the ladder (>= exactCut 250), and
+    // a constant has zero variance, so every estimate must be EXACTLY
+    // n*10 — a group that lost or absorbed foreign moments cannot fake
+    // that.
+    val df = spark.range(6000).select(col("id").as("k"), lit(10.0).as("v"),
+      when(pmod(col("id"), lit(3)) === 0, lit(null).cast("string"))
+        .when(pmod(col("id"), lit(3)) === 1, lit("__null__")).otherwise(lit("g"))
+        .as("g"))
+    val rows = AdaptiveExecutor.runGroupedDeterministic(df, col("v"),
         col("k"), col("g"), steps = Seq(20L, 10L, 5L),
         errorThresholdPct = 5.0)
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getDouble(2), r.getString(7)))).toMap
-    assert(out.keySet === Set("__null__", "g"))
-    val (nNull, estNull, stNull) = out("__null__")
+      .collect()
+    val out = rows.map(r => Option(r.getString(0)) ->
+      ((r.getLong(1), r.getDouble(2), r.getString(7)))).toMap
+    assert(out.keySet === Set(None, Some("__null__"), Some("g")))
+    val (nNull, estNull, stNull) = out(None)
     assert(nNull === 2000L && estNull === 20000.0)
     assert(stNull != "InsufficientData")
-    assert(out("g")._2 === 20000.0)
+    assert(out(Some("__null__")) === ((2000L, 20000.0, out(Some("g"))._3)))
+    assert(out(Some("g"))._2 === 20000.0)
+    // nulls-first ordering, matching Spark's ORDER BY ASC default
+    assert(rows.head.isNullAt(0))
+  }
+
+  test("grouped ladder AVG and COUNT modes: estimates and exact routes") {
+    import spark.implicits._
+    // constant value ⇒ zero variance ⇒ avg must be exactly 10 and count
+    // exactly right for the big groups; the tiny group routes exact.
+    val df = spark.range(4100).select(col("id").as("k"), lit(10.0).as("v"),
+      when(col("id") < 100, lit("tiny")).otherwise(lit("big")).as("g"))
+    val avgOut = AdaptiveExecutor.runGroupedDeterministic(df, col("v"),
+        col("k"), col("g"), steps = Seq(20L, 10L, 5L),
+        errorThresholdPct = 5.0, agg = "avg")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(7)))).toMap
+    assert(avgOut("big") === ((4000L, 10.0, "Stable")))
+    assert(avgOut("tiny") === ((100L, 10.0, "Exact")))
+    val cntOut = AdaptiveExecutor.runGroupedDeterministic(df, col("v"),
+        col("k"), col("g"), steps = Seq(20L, 10L, 5L),
+        errorThresholdPct = 25.0, agg = "count")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getString(7)))).toMap
+    val (nBig, estBig, loBig, hiBig, usedBig, stBig) = cntOut("big")
+    assert(nBig === 4000L && usedBig < 4000L)
+    // systematic count estimate: n_sample * step, CI must cover truth
+    assert(loBig <= 4000.0 && 4000.0 <= hiBig,
+      s"count CI [$loBig,$hiBig] must cover 4000")
+    assert(math.abs(estBig - 4000.0) / 4000.0 < 0.25, s"est $estBig")
+    assert(Set("Stable", "Drifting")(stBig))
+    assert(cntOut("tiny") === ((100L, 100.0, 100.0, 100.0, 100L, "Exact")))
+    intercept[IllegalArgumentException] {
+      AdaptiveExecutor.runGroupedDeterministic(df, col("v"), col("k"),
+        col("g"), agg = "median")
+    }
   }
 
   test("deterministic ladder rejects non-nested steps and flags tiny samples") {

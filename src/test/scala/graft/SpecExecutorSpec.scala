@@ -126,7 +126,7 @@ class SpecExecutorSpec extends SparkSpec {
     assert(Set("Stable", "Drifting", "InsufficientData").contains(r.head().getString(4)))
   }
 
-  test("--error with GROUP BY routes to the per-group ladder; non-SUM refused") {
+  test("--error with GROUP BY routes to the per-group ladder for SUM/AVG/COUNT") {
     import org.apache.spark.sql.functions._
     ensureTables()
     val spec = QueryParser.parse(
@@ -144,11 +144,48 @@ class SpecExecutorSpec extends SparkSpec {
       assert(row.getDouble(2) <= row.getDouble(1) &&
         row.getDouble(1) <= row.getDouble(3), s"CI does not bracket: $row")
     }
-    // grouped adaptive is SUM-only: AVG must refuse loudly, not bias
+    // round-7 verdict item 4: AVG rides the same moment ladder with a
+    // ratio CI (no scale factor) — the per-group estimate must track the
+    // exact per-group mean and its CI must bracket it
+    val exactAvg = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_extendedprice")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val avgSpec = QueryParser.parse(
       "SELECT AVG(l_extendedprice) FROM lineitem GROUP BY l_returnflag",
       errorThresholdPct = Some(5.0))
-    val e = intercept[IllegalArgumentException](SpecExecutor.run(spark, avgSpec))
+    val ar = SpecExecutor.run(spark, avgSpec)
+    assert(ar.columns.toSeq === Seq("l_returnflag", "avg_l_extendedprice",
+      "avg_l_extendedprice_ci_lower", "avg_l_extendedprice_ci_upper",
+      "avg_l_extendedprice_n", "status"))
+    val arows = ar.collect()
+    assert(arows.length === 3)
+    arows.foreach { row =>
+      val truth = exactAvg(row.getString(0))
+      assert(math.abs(row.getDouble(1) - truth) / truth < 0.2,
+        s"avg estimate far from exact: $row vs $truth")
+      if (row.getString(5) == "Stable")
+        assert(row.getDouble(2) <= truth && truth <= row.getDouble(3),
+          s"stable avg CI must bracket exact: $row vs $truth")
+    }
+    // COUNT is the n-moment alone: estimate ≈ exact group size, CI covers
+    val exactCnt = Tables.lineitem(spark, sf0001)
+      .groupBy(col("l_returnflag")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cntSpec = QueryParser.parse(
+      "SELECT COUNT(*) FROM lineitem GROUP BY l_returnflag",
+      errorThresholdPct = Some(10.0))
+    val cr = SpecExecutor.run(spark, cntSpec)
+    cr.collect().foreach { row =>
+      val truth = exactCnt(row.getString(0)).toDouble
+      assert(math.abs(row.getDouble(1) - truth) / truth < 0.3,
+        s"count estimate far from exact: $row vs $truth")
+    }
+    // unsupported aggregates still refuse loudly, not bias
+    val minSpec = QueryParser.parse(
+      "SELECT MIN(l_extendedprice) FROM lineitem GROUP BY l_returnflag",
+      errorThresholdPct = Some(5.0))
+    val e = intercept[IllegalArgumentException](SpecExecutor.run(spark, minSpec))
     assert(e.getMessage.contains("grouped adaptive undefined"))
   }
 
