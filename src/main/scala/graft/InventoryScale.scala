@@ -314,6 +314,41 @@ object InventoryScale {
       },
       Some("SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_truth_pairs, TRUE AS target_met, TRUE AS read_cut_ge_4x FROM embeddings WHERE vec_id < 20")),
 
+    QueryDef("q192_ann_index_delete",
+      // IVF index MAINTENANCE (round-7 verdict item 7): a crawl-drop
+      // serving store also sheds documents (takedowns, recrawls).
+      // Ann.deleteFromIvfIndex anti-join-rewrites ONLY the inverted-list
+      // directories holding deleted ids (dynamic partition overwrite;
+      // untouched lists keep their files byte-identical — AnnIndexSpec
+      // asserts the listing). Gated on the delete CONTRACT, all legs
+      // DuckDB-checkable: deleted count = |delete set ∩ corpus|,
+      // survivor count reconciles, no deleted id reachable by a
+      // full-probe search, and survivors' neighbors still found.
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val sfTag = new java.io.File(d).getName
+        val path = s"/tmp/graft_q192_index_$sfTag"
+        Ann.buildIvfIndex(emb, "vec_id", "embedding", path, numCentroids = 16)
+        val delIds = emb.filter(pmod(col("vec_id"), lit(7L)) === 3)
+          .select(col("vec_id"))
+        val deleted = Ann.deleteFromIvfIndex(s, path, delIds, "vec_id")
+        val survivors = s.read.parquet(s"$path/corpus").count()
+        val probes = emb.filter(col("vec_id") < 10)
+        val res = Ann.searchIvfIndex(s, path, probes, "vec_id", "embedding",
+          k = 5, nProbe = 16)
+        val hitsDeleted = res
+          .filter(pmod(col("neighbor_id"), lit(7L)) === 3).count()
+        s.range(1).select(
+          lit(deleted).as("n_deleted"),
+          lit(survivors).as("n_survivors"),
+          lit(hitsDeleted == 0L).as("no_deleted_neighbor"),
+          lit(res.count() == probes.count() * 5L).as("full_k_for_all"))
+      },
+      Some("""SELECT
+ CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+ CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors,
+ TRUE AS no_deleted_neighbor, TRUE AS full_k_for_all FROM embeddings""")),
+
     QueryDef("q173_grouped_adaptive_cli",
       // --error N WITH GROUP BY through the real CLI executor path
       // (SpecExecutor → AdaptiveExecutor.runGroupedDeterministic): the

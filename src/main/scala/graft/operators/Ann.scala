@@ -303,6 +303,7 @@ object Ann {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
     require(codec == "float" || codec == "int8", s"unknown codec $codec")
+    requireIntegralId(corpus, idCol, "buildIvfIndex")
     val spark = corpus.sparkSession
     val centroids = lloydCentroids(corpus, idCol, vecCol, numCentroids,
       lloydIters)
@@ -335,6 +336,7 @@ object Ann {
       path: String): Unit = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
+    requireIntegralId(newVecs, idCol, "appendToIvfIndex")
     val spark = newVecs.sparkSession
     val (flat, numCentroids, _) = loadCentroids(spark, path)
     // codec is a property of the existing index: appended rows must match
@@ -349,6 +351,114 @@ object Ann {
       .repartition(col("cid"),
         pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
       .write.partitionBy("cid").mode("append").parquet(s"$path/corpus")
+  }
+
+  /** Fail loudly when `idCol` is not integral: index ids are normalized
+    * to long throughout (and [[autoTuneNProbe]] decodes with getLong), and
+    * a silent cast would map string ids to NULL, which then vanish through
+    * the `query_id =!= neighbor_id` filter — quietly empty results instead
+    * of an error (round-7 ADVICE). */
+  private def requireIntegralId(df: DataFrame, idCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType)(dt),
+      s"$op requires an integral id column ('$idCol' is ${dt.simpleString})" +
+        ": non-integral ids would cast to NULL and silently vanish from " +
+        "results — map your ids to long (e.g. xxhash64) first")
+  }
+
+  /** Delete documents from a persisted [[buildIvfIndex]] index — the
+    * serving-store shed path (takedowns, recrawl replacement): rewrites
+    * ONLY the inverted-list directories that contain deleted ids, each as
+    * an anti-join of that list against the (broadcast) delete set — never
+    * a full-index rebuild. The kept rows are materialized before the
+    * write (the rewrite must not stream from the files it replaces), then
+    * committed with Spark's dynamic partition overwrite so untouched
+    * lists keep their files byte-identical. Lists whose every member is
+    * deleted have their directories removed outright. Returns the number
+    * of rows deleted.
+    *
+    * Centroids are untouched — [[appendToIvfIndex]]'s drift caveat in
+    * reverse: heavy deletion shifts the true centroids, and retraining is
+    * the caller's offline rebuild cadence. */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deleteIds: DataFrame, idCol: String): Long = {
+    requireIntegralId(deleteIds, idCol, "deleteFromIvfIndex")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val ids = broadcast(
+      deleteIds.select(col(idCol).cast("long").as("__del")).distinct())
+    val touched = corpus
+      .join(ids, col("id").cast("long") === col("__del"), "left_semi")
+      .select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ numCentroids
+    if (touched.isEmpty) return 0L
+    val scoped = corpus.filter(col("cid").isin(touched: _*))
+    val nBefore = scoped.count()
+    val kept = scoped
+      .join(ids, col("id").cast("long") === col("__del"), "left_anti")
+      .repartition(col("cid"),
+        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+      .localCheckpoint(true)
+    val nKept = kept.count()
+    val keptCids = kept.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    rewriteLists(spark, path, kept)
+    // dynamic overwrite only replaces partitions PRESENT in `kept`: a
+    // fully-deleted list must be dropped explicitly
+    val fs = new org.apache.hadoop.fs.Path(s"$path/corpus")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    touched.filterNot(keptCids).foreach(c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/corpus/cid=$c"), true))
+    nBefore - nKept
+  }
+
+  /** Compact append-fragmented inverted lists: [[appendToIvfIndex]] adds
+    * up to WriteSalt files to every touched list per batch, so a long
+    * append cadence decays a list into many small files and its scans
+    * into footer reads (the same small-files decay as the streaming state
+    * store). Rewrites ONLY the `cid=` directories holding more than
+    * `maxFilesPerList` data files, each back to ≤ WriteSalt files, with
+    * the same materialize-then-dynamic-overwrite commit as
+    * [[deleteFromIvfIndex]]. Returns the compacted cids. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerList: Int = 4 * WriteSalt): Seq[Int] = {
+    val corpusPath = new org.apache.hadoop.fs.Path(s"$path/corpus")
+    val fs = corpusPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val frag = fs.listStatus(corpusPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .filter { st =>
+        fs.listStatus(st.getPath).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) > maxFilesPerList
+      }
+      .map(_.getPath.getName.stripPrefix("cid=").toInt)
+    if (frag.isEmpty) return Nil
+    val kept = spark.read.parquet(s"$path/corpus")
+      .filter(col("cid").isin(frag: _*))
+      .repartition(col("cid"),
+        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+      .localCheckpoint(true)
+    rewriteLists(spark, path, kept)
+    frag
+  }
+
+  /** Shared commit for [[deleteFromIvfIndex]]/[[compactIvfIndex]]:
+    * dynamic-partition-overwrite `kept` (already materialized, already
+    * salt-repartitioned) into the index corpus — only the cid partitions
+    * present in `kept` are replaced. */
+  private def rewriteLists(spark: org.apache.spark.sql.SparkSession,
+      path: String, kept: DataFrame): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try kept.write.partitionBy("cid").mode("overwrite")
+      .parquet(s"$path/corpus")
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Load the centroid matrix of a persisted index as the flat row-major
@@ -392,6 +502,7 @@ object Ann {
       nProbe: Int = 8): DataFrame = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
+    requireIntegralId(probes, idCol, "searchIvfIndex")
     val (flat, numCentroids, _) = loadCentroids(spark, path)
     val corpus = spark.read.parquet(s"$path/corpus")
     val int8 = corpus.schema.fieldNames.contains("code")
@@ -447,6 +558,8 @@ object Ann {
       candidates: Seq[Int] = Seq(1, 2, 4, 8, 16)): (Int, Double) = {
     require(candidates.nonEmpty && candidates == candidates.sorted,
       "candidates must be ascending")
+    requireIntegralId(corpus, idCol, "autoTuneNProbe")
+    requireIntegralId(sampleProbes, idCol, "autoTuneNProbe")
     val truth = bruteForceTopKFast(corpus, sampleProbes, idCol, vecCol, k)
       .select(col("query_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

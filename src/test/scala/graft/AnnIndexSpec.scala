@@ -165,6 +165,117 @@ class AnnIndexSpec extends SparkSpec {
       "full-probe search over int ids must be exact")
   }
 
+  test("deleteFromIvfIndex: anti-join rewrite of only touched lists; search sees survivors") {
+    import org.apache.hadoop.fs.Path
+    val delPath = "/tmp/graft_test_ivf_delete"
+    val refPath = "/tmp/graft_test_ivf_delete_ref"
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", delPath, numCentroids = 16)
+    val delIds = embs.filter(pmod(col("vec_id"), lit(7L)) === 3)
+      .select(col("vec_id"))
+    val nDel = delIds.count()
+    // reference: the same index with the delete applied as a FULL rewrite
+    val fs = new Path(delPath).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new Path(refPath), true)
+    spark.read.parquet(s"$delPath/centroids")
+      .repartition(1).write.parquet(s"$refPath/centroids")
+    spark.read.parquet(s"$delPath/corpus")
+      .join(delIds, col("id") === col("vec_id"), "left_anti")
+      .write.partitionBy("cid").parquet(s"$refPath/corpus")
+    // record untouched lists' files before the targeted delete
+    def filesPerCid(p: String): Map[String, Set[String]] =
+      fs.listStatus(new Path(s"$p/corpus")).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+        .map(st => st.getPath.getName -> fs.listStatus(st.getPath)
+          .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet)
+        .toMap
+    val before = filesPerCid(delPath)
+    val touchedCids = spark.read.parquet(s"$delPath/corpus")
+      .join(delIds, col("id") === col("vec_id"), "left_semi")
+      .select(col("cid")).distinct().collect().map(r => s"cid=${r.getInt(0)}")
+      .toSet
+    val deleted = Ann.deleteFromIvfIndex(spark, delPath, delIds, "vec_id")
+    assert(deleted === nDel, s"deleted $deleted of $nDel")
+    val after = filesPerCid(delPath)
+    before.keySet.filterNot(touchedCids).foreach { cid =>
+      assert(after(cid) === before(cid),
+        s"untouched list $cid was rewritten")
+    }
+    // no deleted id survives, count reconciles
+    val corpus = spark.read.parquet(s"$delPath/corpus")
+    assert(corpus.join(delIds, col("id") === col("vec_id"), "left_semi")
+      .count() === 0)
+    assert(corpus.count() === embs.count() - nDel)
+    // search over the shrunk index == search over the full-rewrite twin
+    // (same centroids, same survivors ⇒ bit-identical results)
+    val probes = embs.filter(col("vec_id") < 6)
+    def res(p: String) = Ann.searchIvfIndex(spark, p, probes, "vec_id",
+        "embedding", k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(delPath) === res(refPath))
+    // deleting EVERY member of one list removes its directory outright
+    val victim = spark.read.parquet(s"$delPath/corpus")
+      .select(col("cid")).groupBy(col("cid")).count()
+      .orderBy(col("count"), col("cid")).first().getInt(0)
+    val victimIds = spark.read.parquet(s"$delPath/corpus")
+      .filter(col("cid") === victim).select(col("id").as("vec_id"))
+    Ann.deleteFromIvfIndex(spark, delPath, victimIds, "vec_id")
+    assert(!fs.exists(new Path(s"$delPath/corpus/cid=$victim")),
+      "fully-deleted list directory must be removed")
+    assert(Ann.searchIvfIndex(spark, delPath, probes, "vec_id", "embedding",
+      k = 5, nProbe = 16).count() > 0)
+  }
+
+  test("compactIvfIndex: fragmented lists fold to few files, search unchanged") {
+    import org.apache.hadoop.fs.Path
+    val cPath = "/tmp/graft_test_ivf_compact"
+    val third = (i: Int) => embs.filter(pmod(col("vec_id"), lit(3L)) === i)
+    Ann.buildIvfIndex(third(0), "vec_id", "embedding", cPath,
+      numCentroids = 8)
+    (1 to 2).foreach(i =>
+      Ann.appendToIvfIndex(third(i), "vec_id", "embedding", cPath))
+    val probes = embs.filter(col("vec_id") < 6)
+    def res() = Ann.searchIvfIndex(spark, cPath, probes, "vec_id",
+        "embedding", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val beforeRes = res()
+    val fs = new Path(cPath).getFileSystem(spark.sessionState.newHadoopConf())
+    def maxFiles(): Int = fs.listStatus(new Path(s"$cPath/corpus")).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
+      .map(st => fs.listStatus(st.getPath).count(f => f.isFile &&
+        !f.getPath.getName.startsWith("_"))).max
+    val fragBefore = maxFiles()
+    val compacted = Ann.compactIvfIndex(spark, cPath, maxFilesPerList = 2)
+    assert(compacted.nonEmpty, s"nothing compacted (max files $fragBefore)")
+    assert(maxFiles() < fragBefore, "file count did not shrink")
+    assert(res() === beforeRes, "compaction changed search results")
+    assert(spark.read.parquet(s"$cPath/corpus").count() === embs.count())
+    // already-compact index: second pass is a no-op
+    assert(Ann.compactIvfIndex(spark, cPath, maxFilesPerList = 64) === Nil)
+  }
+
+  test("string id columns are refused loudly across the index API") {
+    val sPath = "/tmp/graft_test_ivf_strids"
+    val strEmbs = embs.select(concat(lit("doc-"), col("vec_id")).as("vec_id"),
+      col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Ann.buildIvfIndex(strEmbs, "vec_id", "embedding", sPath)
+    }
+    assert(e.getMessage.contains("integral id column"))
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", sPath, numCentroids = 8)
+    intercept[IllegalArgumentException] {
+      Ann.searchIvfIndex(spark, sPath, strEmbs, "vec_id", "embedding", k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Ann.deleteFromIvfIndex(spark, sPath, strEmbs.select("vec_id"), "vec_id")
+    }
+    intercept[IllegalArgumentException] {
+      Ann.autoTuneNProbe(spark, sPath, strEmbs,
+        strEmbs.filter(col("vec_id") < "doc-3"), "vec_id", "embedding",
+        k = 3, targetRecall = 0.5)
+    }
+  }
+
   test("index search prunes at the directory level: only probed lists are scanned") {
     val probes = embs.filter(col("vec_id") < 3)
     Ann.buildIvfIndex(embs, "vec_id", "embedding", path, numCentroids = 32)
