@@ -122,6 +122,16 @@ object Bench {
 
     val headline = Inventory.all.filter(_.headline)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // session warm-up, discarded: the FIRST headline query otherwise pays
+    // one-time session costs (janino codegen compiler init, parquet footer
+    // cache, JIT tiers) partly inside its measured batch — r7 recorded q01
+    // 0.35→0.60 s purely from probe ordering (round-7 verdict item 5)
+    headline.headOption.foreach { q =>
+      (1 to 2).foreach { _ =>
+        try { q.run(spark, sfDir).collect(): Unit }
+        catch { case _: Throwable => () }
+      }
+    }
     val results = headline.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -766,6 +776,40 @@ object Bench {
       docsAll, Some(evalSet), "doc_id", "text", "source",
       graft.operators.CurationPipeline.Config(minQuality = 0.2,
           modelFilterMinMarginCents = Some(-1000L)))
+    // Streaming-curation state-store decay probe (round-7 verdict item 3):
+    // the crash-safe layout writes one batch=<id> delta dir per
+    // micro-batch, so after many batches every state read pays listing +
+    // one parquet footer per delta. Time the EXACT read pattern
+    // readState issues (union all deltas except current, explicit
+    // schema) against 50 deltas, then compactState folds them into one
+    // snapshot and the same read repeats — the ratio is the small-files
+    // decay the compaction removes, measured, not asserted.
+    val statePath = s"/tmp/graft_bench_statedecay_$sfTag"
+    val stateDir = new java.io.File(statePath)
+    if (stateDir.exists()) {
+      java.nio.file.Files.walk(stateDir.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val fpChunk = docsAll.select(
+      xxhash64(col("text")).as("fp"), pmod(col("doc_id"), lit(50L)).as("b"))
+    (0 until 50).foreach(i => fpChunk.filter(col("b") === i).select(col("fp"))
+      .coalesce(1).write.parquet(s"$statePath/fingerprints/batch=$i"))
+    val stateSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("batch",
+        org.apache.spark.sql.types.LongType)))
+    def stateRead(): Unit = spark.read.schema(stateSchema)
+      .parquet(s"$statePath/fingerprints")
+      .filter(col("batch") =!= lit(50L))
+      .agg(count(col("fp"))).collect(): Unit
+    val tState50 = timeMedian("x_state_read_50deltas_sec") { stateRead() }
+    graft.streaming.StreamingCuration.compactState(spark, statePath,
+      upToBatch = 50L)
+    val tStateCompacted = timeMedian("x_state_read_compacted_sec") {
+      stateRead()
+    }
     // Dedup scale probe: 10× the documents fixture with remapped ids —
     // every doc gains 10 near-identical copies, the adversarial case for
     // candidate generation (each cluster of 10 yields 45 candidate pairs).
@@ -780,6 +824,15 @@ object Bench {
           threshold = 0.8)
         .agg(count(lit(1))).collect(): Unit
     }
+    // per-stage stamps INSIDE the same flow (round-7 verdict item 2: the
+    // whole-path median drifted 16.6→22.9 s while every component moved
+    // the other way — the probe measured stages the components don't).
+    // One staged run, each stage materialized: pairs (mine+verify),
+    // clusters (label propagation), anti (losers anti-join + count).
+    // stage_total ≈ the fused median + materialization overhead, so any
+    // future drift names its stage.
+    val (_, dedup10Stages) = graft.operators.Dedup.dropNearDupsStaged(
+      docs10, "doc_id", "text", threshold = 0.8)
     // stage attribution for the near-dup flow on the same fixture:
     // candidates (bands + bucket-collect) alone, then +verify (pairs),
     // with the full-path median above completing clusters + anti-join —
@@ -985,7 +1038,14 @@ object Bench {
       Seq(
       "x_pipeline_staged_total_sec" -> pipelineStages.map(_._2).sum,
       "x_dedup10x_docs" -> nDocs10.toDouble,
-      "x_dedup10x_neardup_sec" -> tDedup10Near,
+      "x_dedup10x_neardup_sec" -> tDedup10Near) ++
+      dedup10Stages.map { case (name, t) =>
+        s"x_dedup10x_stage_${name}_sec" -> t } ++
+      Seq(
+      "x_dedup10x_stage_total_sec" -> dedup10Stages.map(_._2).sum,
+      "x_state_read_50deltas_sec" -> tState50,
+      "x_state_read_compacted_sec" -> tStateCompacted,
+      "x_state_compaction_speedup" -> tState50 / tStateCompacted,
       "x_dedup10x_cands_sec" -> tDedup10Cands,
       "x_dedup10x_pairs_sec" -> tDedup10Pairs,
       "x_dedup10x_dupngram_sec" -> tDedup10Gram,

@@ -487,6 +487,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropNearDups]] with PER-STAGE wall-clock attribution: each stage
+    * (pairs → clusters → anti-join) is materialized and timed, so the
+    * end-to-end probe always reconciles with its parts (round-7 verdict
+    * item 2 — the whole-path median had drifted with no component moving,
+    * and nothing inside the fused plan could say which stage pays).
+    * Returns (survivor count, stage seconds). Bench-only instrumentation:
+    * the production path stays [[dropNearDups]] (fused, no forced
+    * materialization). */
+  def dropNearDupsStaged(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): (Long, Seq[(String, Double)]) = {
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      stages += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+    val pairs = timed("pairs") {
+      nearDupPairs(df, idCol, textCol, threshold, shingleN, numHashes, bands)
+    } // nearDupPairs returns an eager localCheckpoint — already materialized
+    val clusters = timed("clusters") {
+      dupClusters(pairs) // labels end localCheckpointed (eager) per round
+    }
+    val n = timed("anti") {
+      val losers = clusters.filter(col("id") =!= col("cluster"))
+        .select(col("id").as(idCol))
+      df.join(losers, Seq(idCol), "left_anti").count()
+    }
+    (n, stages.toSeq)
+  }
+
   /** [[dropNearDups]] with an explicit survivor POLICY: within each
     * near-dup cluster keep the member maximizing `qualityCol` (ties broken
     * by highest id — a total order, so the survivor set is deterministic).
