@@ -349,6 +349,48 @@ object InventoryScale {
  CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors,
  TRUE AS no_deleted_neighbor, TRUE AS full_k_for_all FROM embeddings""")),
 
+    QueryDef("q193_curation_recipe",
+      // The COMPOSED crawl-drop recipe (round-7 verdict item 8): the
+      // individually-gated stages q182 (keep-first span dedup) → q187
+      // (winnow containment triage; drop the smaller side of any
+      // ≥60%-contained pair, ties drop the larger id) → q178 (DSIR
+      // selection toward the English target) run as ONE flow over the
+      // documents fixture, so a regression in the COMPOSITION — not just
+      // an operator — fails the gate. Stage accounting (n_input /
+      // n_after_span / n_after_triage) rides every output row. The
+      // DuckDB oracle is the literal chain of the three stage oracles'
+      // CTEs, replaying the whole recipe bit-for-bit.
+      (s, d) => {
+        val docs = documents(s, d)
+        val nInput = docs.count()
+        val cleaned = graft.operators.Dedup.removeDuplicatedSpans(
+            docs, "doc_id", "text", k = 8, keepFirst = true)
+          .filter(col("n_removed") < col("n_words"))
+          .select(col("doc_id"), col("clean_text"))
+          .localCheckpoint(true)
+        val nSpan = cleaned.count()
+        val pairs = graft.operators.Dedup.winnowContainmentPairs(
+          cleaned, "doc_id", "clean_text", k = 4, w = 8, minShared = 2)
+        val T = 600000L
+        val dropA = pairs.filter(col("cont_a_ppm") >= T &&
+            col("sz_a") < col("sz_b"))
+          .select(col("id_a").as("doc_id"))
+        val dropB = pairs.filter(col("cont_b_ppm") >= T &&
+            (col("sz_b") < col("sz_a") || col("sz_a") === col("sz_b")))
+          .select(col("id_b").as("doc_id"))
+        val triaged = cleaned.join(dropA.union(dropB).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint(true)
+        val nTriage = triaged.count()
+        val pool = triaged.withColumnRenamed("clean_text", "text")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        graft.operators.Dsir.select(pool, pool.filter(col("lang") === "en"),
+            "doc_id", "text", k = 25, buckets = 512, keep = Seq("lang"))
+          .withColumn("n_input", lit(nInput))
+          .withColumn("n_after_span", lit(nSpan))
+          .withColumn("n_after_triage", lit(nTriage))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1), clean AS (SELECT res.doc_id, res.clean_text AS text FROM res WHERE res.n_kept > 0), w2 AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM clean), o2 AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w2), g2 AS (SELECT o2.doc_id, o2.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w2.w[o2.i:o2.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o2 JOIN w2 ON o2.doc_id = w2.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g2 GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), sz AS (SELECT doc_id, COUNT(*) AS sz FROM fp0 GROUP BY 1), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS dfc FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.dfc BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2), cpairs AS (SELECT pr.id_a, pr.id_b, sa.sz AS sz_a, sb.sz AS sz_b, CAST(pr.n_shared * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm, CAST(pr.n_shared * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id WHERE pr.n_shared >= 2), drops AS (SELECT id_a AS doc_id FROM cpairs WHERE cont_a_ppm >= 600000 AND sz_a < sz_b UNION SELECT id_b AS doc_id FROM cpairs WHERE cont_b_ppm >= 600000 AND (sz_b < sz_a OR sz_a = sz_b)), pool AS (SELECT c.doc_id, c.text, documents.lang FROM clean c JOIN documents USING (doc_id) WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)), tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM pool), b AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS (SELECT bucket, COUNT(*) AS ct FROM b JOIN pool USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), wgt AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT p.doc_id, p.lang, CAST(COALESCE(SUM(wgt.wppm), 0) AS BIGINT) AS score_ppm FROM pool p LEFT JOIN b ON p.doc_id = b.doc_id LEFT JOIN wgt ON b.bucket = wgt.bucket GROUP BY 1, 2) SELECT sc.doc_id, sc.lang, sc.score_ppm, (SELECT COUNT(*) FROM documents) AS n_input, (SELECT COUNT(*) FROM clean) AS n_after_span, (SELECT COUNT(*) FROM pool) AS n_after_triage FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 25""")),
+
     QueryDef("q173_grouped_adaptive_cli",
       // --error N WITH GROUP BY through the real CLI executor path
       // (SpecExecutor → AdaptiveExecutor.runGroupedDeterministic): the

@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   * `quality`, `n_tokens`, `mix_step`, `split` columns and drops rows, never
   * reorders semantics. Stages toggle off via their config; the result is a
   * plain DataFrame to write/pack downstream.
+  *
+  * For a crawl-drop TRIAGE flow (select what to ingest, rather than scrub
+  * what was ingested), the recommended recipe composes the span/winnow/
+  * DSIR operators instead: [[Dedup.removeDuplicatedSpans]] (keep-first) →
+  * [[Dedup.winnowContainmentPairs]] triage (drop the smaller side of any
+  * mostly-contained pair) → [[graft.operators.Dsir.select]] toward the
+  * target distribution. That composition is itself hash-gated end-to-end
+  * as inventory query `q193_curation_recipe` (InventoryScale.scala), with
+  * per-stage row accounting, so regressions in the composition — not just
+  * the operators — get caught.
   */
 object CurationPipeline {
 
