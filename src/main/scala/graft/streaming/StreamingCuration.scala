@@ -314,18 +314,21 @@ object StreamingCuration {
     * never excluded.
     *
     * Crash safety, per table — the new snapshot is GENERATION-NAMED, so
-    * no live data is ever overwritten in place: (1) any incomplete
-    * snapshot dir (negative id, no _SUCCESS — a crashed prior attempt)
-    * is deleted; (2) the set-distinct fold of [old snapshots + deltas
-    * < upToBatch] is written to the fresh `batch=-(upToBatch+1)` dir;
-    * (3) only after that write completes are the folded sources deleted.
-    * A crash inside (2) leaves a partial new dir whose rows are a SUBSET
-    * of the still-present sources; a crash inside (3) leaves the full
-    * new snapshot plus some undeleted sources — in both cases state
-    * reads see duplicates, never loss, and duplicates are harmless
-    * because every state table is consumed with set semantics
+    * no live data is ever overwritten in place: (1) the set-distinct
+    * fold of [every existing snapshot + deltas < upToBatch] is written
+    * to a FRESH dir `batch=min(-(upToBatch+1), lowest snapshot − 1)`;
+    * (2) only after that write returns are the folded sources deleted.
+    * A crash inside (1) leaves a partial new dir; a crash inside (2)
+    * leaves the full new snapshot plus some undeleted sources — in both
+    * cases state reads see DUPLICATES, never loss, and duplicates are
+    * harmless because every state table is consumed with set semantics
     * (anti-join / semi-join / distinct-after-join); the next
-    * compaction's `.distinct()` removes them. */
+    * compaction's `.distinct()` removes them. Partial snapshots from
+    * crashed attempts need no detection (deliberately no _SUCCESS
+    * check — markers can be disabled cluster-wide): a snapshot's
+    * sources are only deleted after it completes, so a partial one is
+    * always a SUBSET of the surviving sources, and the next compaction
+    * simply folds it in and deletes it. */
   def compactState(spark: SparkSession, storePath: String,
       upToBatch: Long): Unit = {
     import org.apache.hadoop.fs.Path
@@ -335,17 +338,13 @@ object StreamingCuration {
       val fs = new Path(tablePath).getFileSystem(conf)
       val (deltas, _) = listStateDir(spark, tablePath)
       def id(d: String): Long = d.stripPrefix("batch=").toLong
-      // 1. clear crashed prior snapshot attempts (negative id, no _SUCCESS)
       val (snaps, committed) = deltas.partition(id(_) < 0)
-      val (complete, crashed) = snaps.partition(d =>
-        fs.exists(new Path(s"$tablePath/$d/_SUCCESS")))
-      crashed.foreach(d => fs.delete(new Path(s"$tablePath/$d"), true))
-      val foldable = complete ++ committed.filter(id(_) < upToBatch)
+      val foldable = snaps ++ committed.filter(id(_) < upToBatch)
       // generation id strictly below every existing snapshot, so a retry
       // of a partially-cleaned compaction never reads and overwrites the
       // same path
       val newId = math.min(snapshotId(upToBatch),
-        (complete.map(id) :+ 0L).min - 1)
+        (snaps.map(id) :+ 0L).min - 1)
       val newSnap = s"batch=$newId"
       // fold only when it shrinks something: >1 source, or 1 non-snapshot
       if (foldable.size > 1 || foldable.exists(id(_) >= 0)) {
@@ -354,7 +353,7 @@ object StreamingCuration {
           .parquet(foldable.map(d => s"$tablePath/$d"): _*)
           .distinct()
           .write.mode("overwrite").parquet(s"$tablePath/$newSnap")
-        foldable.filter(_ != newSnap).foreach(d =>
+        foldable.foreach(d =>
           fs.delete(new Path(s"$tablePath/$d"), true))
       }
     }

@@ -716,6 +716,19 @@ class StreamingSpec extends SparkSpec {
     val fpB3 = spark.read.parquet(s"$storeB/fingerprints")
       .select("fp").collect().map(_.getLong(0)).toSet
     assert(fpB3 === fpA + 999L)
+    // a PARTIAL snapshot from a crashed attempt (markerless — _SUCCESS may
+    // be disabled cluster-wide, so completeness is never inferred from it)
+    // is by construction a subset of surviving sources: the next
+    // compaction folds it in and deletes it, losing nothing
+    val partial = s"$storeB/fingerprints/batch=-30"
+    spark.read.parquet(s"$storeB/fingerprints").select("fp").limit(2)
+      .coalesce(1).write.parquet(partial)
+    new java.io.File(partial, "_SUCCESS").delete()
+    StreamingCuration.compactState(spark, storeB, upToBatch = 11L)
+    assert(!new java.io.File(partial).exists(), "partial snapshot not folded")
+    val fpB4 = spark.read.parquet(s"$storeB/fingerprints")
+      .select("fp").collect().map(_.getLong(0)).toSet
+    assert(fpB4 === fpB3, "fold of a subset snapshot must change nothing")
   }
 
   test("sessionize emits both sessions when a gap splits inside one batch") {
