@@ -211,10 +211,15 @@ object AdaptiveExecutor {
           .filter(col("__g").isin(active.toSeq: _*) &&
             pmod(col("__k"), lit(step)) === 0)
           .groupBy(col("__g"))
+          // count mode needs only the n-moment — skip the two decimal
+          // sums entirely (at 100 TB they are the round's decode cost)
           .agg(count(col("__xc")).cast("double").as("n"),
-            sum(col("__xc").cast("decimal(28,0)")).cast("double").as("sc"),
-            sum((col("__xc") * col("__xc")).cast("decimal(38,0)"))
-              .cast("double").as("s2c"))
+            (if (agg == "count") lit(0.0)
+             else sum(col("__xc").cast("decimal(28,0)")).cast("double"))
+              .as("sc"),
+            (if (agg == "count") lit(0.0)
+             else sum((col("__xc") * col("__xc")).cast("decimal(38,0)"))
+               .cast("double")).as("s2c"))
           .collect()
           .map(r => r.getString(0) ->
             ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
@@ -266,7 +271,8 @@ object AdaptiveExecutor {
         .filter(col("__g").isin(smallGroups.keySet.toSeq: _*))
         .groupBy(col("__g"))
         .agg(count(lit(1)).as("n"),
-          (sum(col("__xc").cast("decimal(28,0)")).cast("double") / 100.0)
+          (if (agg == "count") lit(0.0)
+           else sum(col("__xc").cast("decimal(28,0)")).cast("double") / 100.0)
             .as("s"),
           count(col("__xc")).as("nx"))
         .collect()
