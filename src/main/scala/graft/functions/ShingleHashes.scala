@@ -165,6 +165,100 @@ object SortedLongJaccard {
     // NaN = internal 0/0 marker; the Expression translates it to NULL
     if (union == 0) Double.NaN else inter.toDouble / union
   }
+
+  /** Threshold-gated merge: returns the EXACT Jaccard when it is >= `t`,
+    * NaN otherwise (the caller's filter discards sub-threshold pairs, so
+    * their exact value is never needed) — which licenses two
+    * decision-exact early exits the plain kernel cannot take:
+    *
+    *  - entry: even a full overlap of the smaller set cannot reach `t`
+    *    (the size-ratio bound J <= min/max, here per pair and free);
+    *  - per step: the remaining elements cannot lift the intersection to
+    *    `need` = the minimal k with k/(la+lb-k) >= t (k/(total-k) is
+    *    increasing in k, so inter_max < need proves the final J < t under
+    *    the SAME IEEE >= the filter would apply).
+    *
+    * On candidate streams where most pairs fail (cross-size LSH noise at
+    * high thresholds) the merge stops after a prefix instead of walking
+    * both arrays. Kept pairs compute the full merge — value bit-identical
+    * to [[compute]]. */
+  def computeGE(a: ArrayData, b: ArrayData, t: Double): Double = {
+    val la = a.numElements()
+    val lb = b.numElements()
+    val total = la + lb
+    if (total == 0) return Double.NaN // 0/0 edge, same as compute()
+    // minimal integer k with k.toDouble/(total-k) >= t, by the exact
+    // double compare the filter uses (closed form then +-1 adjust so
+    // float rounding can never make the exit unsound)
+    var need = math.ceil(t * total / (1.0 + t)).toInt
+    while (need > 0 && (need - 1).toDouble / (total - (need - 1)) >= t)
+      need -= 1
+    while (need <= total && need.toDouble / (total - need) < t) need += 1
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < la && j < lb) {
+      // inter can only grow by the shorter remainder
+      val rem = math.min(la - i, lb - j)
+      if (inter + rem < need) return Double.NaN
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = total - inter
+    if (union == 0) Double.NaN
+    else {
+      val v = inter.toDouble / union
+      if (v >= t) v else Double.NaN
+    }
+  }
+}
+
+/** [[SortedLongJaccard]] fused with its `>= threshold` filter: the exact
+  * Jaccard when it meets the threshold, SQL NULL otherwise — so
+  * `filter(jaccard_ge IS NOT NULL)` keeps EXACTLY the rows
+  * `filter(jaccard >= t)` keeps, with the same jaccard values, while
+  * sub-threshold pairs exit the merge as soon as the intersection bound
+  * proves they cannot pass ([[SortedLongJaccard.computeGE]]). The
+  * empty/empty 0/0 pair returns NULL like the plain kernel. */
+case class SortedLongJaccardGE(left: Expression, right: Expression,
+    threshold: Double) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted_hashes_ge expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = SortedLongJaccard.computeGE(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+    if (java.lang.Double.isNaN(v)) null else v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.SortedLongJaccard.computeGE($a, $b, $threshold);
+         |if (java.lang.Double.isNaN(${ev.value})) {
+         |  ${ev.isNull} = true;
+         |  ${ev.value} = 0.0;
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedLongJaccardGE =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "jaccard_sorted_hashes_ge"
 }
 
 /** POSITIONAL k-gram fold hashes of a string — the scan-stage kernel

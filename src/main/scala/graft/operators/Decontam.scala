@@ -198,7 +198,7 @@ object Decontam {
     val flagged = cands
       .join(sh.select(col("__fid").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("__fid").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(Dedup.jaccardHashed(col("sh_a"), col("sh_b")) >= threshold)
+      .filter(Dedup.jaccardHashedGE(col("sh_a"), col("sh_b"), threshold).isNotNull)
       .select((when(pmod(col("id_a"), lit(2L)) === 0, col("id_a"))
         .otherwise(col("id_b")) / lit(2L)).cast("long").as(idCol))
       .distinct()

@@ -78,6 +78,19 @@ object Dedup {
       ColumnShim.expression(a), ColumnShim.expression(b)))
   }
 
+  /** [[jaccardHashed]] FUSED with its `>= threshold` filter: the exact
+    * Jaccard when it passes, NULL otherwise, with sub-threshold pairs
+    * exiting the merge at the first provable bound
+    * ([[graft.functions.SortedLongJaccardGE]]). `filter(isNotNull)` on
+    * this column ≡ `filter(jaccardHashed >= t)` — decision AND value
+    * exact — while the dominant failing candidates (cross-size LSH noise)
+    * stop after a prefix of the merge. */
+  def jaccardHashedGE(a: Column, b: Column, threshold: Double): Column = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    ColumnShim.column(graft.functions.SortedLongJaccardGE(
+      ColumnShim.expression(a), ColumnShim.expression(b), threshold))
+  }
+
   // -- 1. exact / 2. fingerprint dedup ------------------------------------
 
   /** Groups of byte-identical values of `keyCol` with their multiplicity;
@@ -351,8 +364,12 @@ object Dedup {
     val verified = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccardHashed(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      // threshold-fused kernel: failing candidates exit the merge at the
+      // first provable bound; survivors carry the exact value (≡ the old
+      // jaccardHashed >= threshold filter, decision and value)
+      .select(col("id_a"), col("id_b"),
+        jaccardHashedGE(col("sh_a"), col("sh_b"), threshold).as("jaccard"))
+      .filter(col("jaccard").isNotNull)
       // Eager localCheckpoint: materializes the (small) verified pair list
       // once — every caller branch reuses the blocks, the candidate cache
       // can be released NOW, and the blocks are freed by the ContextCleaner

@@ -246,8 +246,8 @@ object StreamingCuration {
     val internalPairs = internalCands
       .join(batchSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(batchSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .filter(Dedup.jaccardHashed(col("sh_a"), col("sh_b")) >=
-        config.nearDupThreshold)
+      .filter(Dedup.jaccardHashedGE(col("sh_a"), col("sh_b"),
+        config.nearDupThreshold).isNotNull)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
     val droppedByStore = storeCands
@@ -255,8 +255,8 @@ object StreamingCuration {
         "new_id")
       .join(keptSh.select(col("id").as("__kept_id"), col("sh").as("sh_b")),
         "__kept_id")
-      .filter(Dedup.jaccardHashed(col("sh_a"), col("sh_b")) >=
-        config.nearDupThreshold)
+      .filter(Dedup.jaccardHashedGE(col("sh_a"), col("sh_b"),
+        config.nearDupThreshold).isNotNull)
       .select(col("new_id").as(idCol)).distinct()
     // in-batch representatives: component-min over verified batch pairs
     val internalLosers = Dedup.dupClusters(internalPairs)

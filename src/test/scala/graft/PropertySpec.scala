@@ -116,4 +116,59 @@ class PropertySpec extends SparkSpec {
       assert(est(1.0) <= lo + width * nBins)
     }
   }
+
+  test("threshold-fused Jaccard kernel == plain kernel + filter (property)") {
+    // SortedLongJaccardGE licenses early exits for sub-threshold pairs;
+    // this locks its contract: NaN exactly when the plain J < t (or the
+    // 0/0 edge), the EXACT plain value otherwise — over random sorted
+    // distinct arrays including adversarial shapes (disjoint, identical,
+    // subset, skewed sizes, empty).
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.SortedLongJaccard
+    def arr(xs: Seq[Long]): ArrayData =
+      ArrayData.toArrayData(xs.distinct.sorted.toArray)
+    val kRng = new scala.util.Random(20260815L)
+    def randomSet(): Seq[Long] =
+      Seq.fill(kRng.nextInt(60))(kRng.nextInt(40).toLong)
+    val shapes = Seq[(Seq[Long], Seq[Long])](
+      (Nil, Nil), (Nil, Seq(1L, 2L)), (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),
+      (Seq(1L, 2L), Seq(3L, 4L)), (Seq(1L), (1L to 50L)),
+      ((1L to 50L), Seq(50L))) ++
+      Seq.fill(200)((randomSet(), randomSet()))
+    val thresholds = Seq(0.0, 0.1, 0.3333333333333333, 0.5, 0.8, 0.99, 1.0)
+    shapes.foreach { case (xs, ys) =>
+      val a = arr(xs); val b = arr(ys)
+      val plain = SortedLongJaccard.compute(a, b)
+      thresholds.foreach { t =>
+        val ge = SortedLongJaccard.computeGE(a, b, t)
+        if (java.lang.Double.isNaN(plain) || plain < t)
+          assert(java.lang.Double.isNaN(ge),
+            s"expected NaN for xs=$xs ys=$ys t=$t plain=$plain got $ge")
+        else assert(ge === plain,
+          s"value drift for xs=$xs ys=$ys t=$t: $ge != $plain")
+      }
+    }
+    // codegen path: the fused filter keeps exactly the rows the plain
+    // filter keeps, with identical values, on the real fixture kernels
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf0001).limit(400)
+      .select(col("doc_id"), Dedup.shingleHashes64(col("text"), 3).as("sh"))
+    // sampled cross pairs (mostly sub-threshold) + planted exact copies
+    // (J = 1), so both the early-exit and the exact-value paths fire
+    val left = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val right = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = left.join(right,
+        (col("id_a") < col("id_b") &&
+          pmod(col("id_a") + col("id_b"), lit(37L)) === 0) ||
+        col("id_b") === col("id_a"))
+    def rows(c: org.apache.spark.sql.Column, keep: org.apache.spark.sql.Column) =
+      pairs.select(col("id_a"), col("id_b"), c.as("j")).filter(keep)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plainRows = rows(Dedup.jaccardHashed(col("sh_a"), col("sh_b")),
+      col("j") >= 0.3)
+    assert(plainRows.nonEmpty, "fixture must yield passing pairs")
+    val fusedRows = rows(Dedup.jaccardHashedGE(col("sh_a"), col("sh_b"), 0.3),
+      col("j").isNotNull)
+    assert(plainRows === fusedRows && fusedRows.nonEmpty)
+  }
 }
