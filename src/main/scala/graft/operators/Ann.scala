@@ -383,6 +383,8 @@ object Ann {
     * Centroids are untouched — [[appendToIvfIndex]]'s drift caveat in
     * reverse: heavy deletion shifts the true centroids, and retraining is
     * the caller's offline rebuild cadence. */
+  // Touched-cid discovery scans the index's (id, cid) columns only —
+  // parquet pruning keeps the vectors (the index's mass) unread.
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteIds: DataFrame, idCol: String): Long = {
     requireIntegralId(deleteIds, idCol, "deleteFromIvfIndex")
