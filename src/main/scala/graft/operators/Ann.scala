@@ -416,6 +416,27 @@ object Ann {
     nBefore - nKept
   }
 
+  /** Idempotent UPSERT into a persisted [[buildIvfIndex]] index:
+    * [[deleteFromIvfIndex]] of the incoming ids (a no-op for ids not in
+    * the index) followed by [[appendToIvfIndex]]. Two jobs, but the
+    * operation a serving store actually needs —
+    *
+    *  - recrawled documents REPLACE their stale vectors instead of
+    *    coexisting with them;
+    *  - re-running the same batch converges to the same index state, so
+    *    an at-least-once delivery (foreachBatch retry, replayed ingest
+    *    job) never double-inserts — the property bare append lacks.
+    *
+    * The delete leg reads only the (id, cid) columns (parquet pruning);
+    * the append leg touches only the assigned cid directories. */
+  def upsertIntoIvfIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    requireIntegralId(newVecs, idCol, "upsertIntoIvfIndex")
+    deleteFromIvfIndex(newVecs.sparkSession, path,
+      newVecs.select(col(idCol)), idCol)
+    appendToIvfIndex(newVecs, idCol, vecCol, path)
+  }
+
   /** Compact append-fragmented inverted lists: [[appendToIvfIndex]] adds
     * up to WriteSalt files to every touched list per batch, so a long
     * append cadence decays a list into many small files and its scans

@@ -254,6 +254,58 @@ class AnnIndexSpec extends SparkSpec {
     assert(Ann.compactIvfIndex(spark, cPath, maxFilesPerList = 64) === Nil)
   }
 
+  test("streaming index ingest: upserts idempotent, recrawls replace, in-stream compaction safe") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val all = embs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val b0 = all.filter(_._1 % 3 == 0)
+    val b1 = all.filter(_._1 % 3 == 1)
+    val b2 = all.filter(_._1 % 3 == 2)
+    // recrawl: b0's first id re-delivered in batch 1 with a NEW vector —
+    // must replace the stale one, not coexist with it
+    val recrawlId = b0.head._1
+    val shifted = b0.head._2.map(v => -v)
+    val path = "/tmp/graft_test_ivf_stream"
+    val d = new java.io.File(path)
+    if (d.exists()) {
+      java.nio.file.Files.walk(d.toPath)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.StreamingIndexIngest.runStream(
+      input.toDF().toDF("vec_id", "embedding"), path, "vec_id", "embedding",
+      numCentroids = 8, compactEvery = Some(1), maxFilesPerList = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      Seq(b0.toSeq, b1.toSeq :+ ((recrawlId, shifted)), b2.toSeq).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val corpus = spark.read.parquet(s"$path/corpus")
+    assert(corpus.count() === all.length,
+      "recrawled id must replace its stale vector, not duplicate it")
+    val stored = corpus.filter(col("id") === recrawlId)
+      .select(col("vec")).collect()
+    assert(stored.length === 1 &&
+      stored.head.getSeq[Float](0) === shifted.toSeq,
+      "index must hold the recrawled vector")
+    // at-least-once redelivery: replaying the last batch converges to the
+    // same state (bare append would double-insert here)
+    Ann.upsertIntoIvfIndex(b2.toSeq.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path)
+    assert(spark.read.parquet(s"$path/corpus").count() === all.length)
+    // index is searchable end to end after build + upserts + compactions
+    val probes = embs.filter(col("vec_id") < 6)
+    val res = Ann.searchIvfIndex(spark, path, probes, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    assert(res.groupBy(col("query_id")).count()
+      .filter(col("count") === 5).count() === probes.count())
+  }
+
   test("string id columns are refused loudly across the index API") {
     val sPath = "/tmp/graft_test_ivf_strids"
     val strEmbs = embs.select(concat(lit("doc-"), col("vec_id")).as("vec_id"),
