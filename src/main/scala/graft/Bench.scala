@@ -386,6 +386,19 @@ object Bench {
     }
     val idxBytesFloat = indexCorpusBytes(ivfIndexPath)
     val idxBytesInt8 = indexCorpusBytes(ivfIndex8Path)
+    // index maintenance cycle: delete a ~9% id slice (touched-list
+    // anti-join rewrite) then upsert it back — the repeatable
+    // takedown/recrawl unit. The ratio vs a full rebuild is the measured
+    // claim behind deleteFromIvfIndex/upsertIntoIvfIndex: maintenance
+    // must beat retraining + rewriting everything.
+    val maintIds = emb.filter(pmod(col("vec_id"), lit(11L)) === 5)
+    val tIndexMaint = timeMedian("x_ann_index_maint_cycle_sec") {
+      graft.operators.Ann.deleteFromIvfIndex(spark, ivfIndexPath,
+        maintIds.select(col("vec_id")), "vec_id"): Unit
+      graft.operators.Ann.upsertIntoIvfIndex(
+        maintIds.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", ivfIndexPath)
+    }
     // Shuffle-write bytes of the measured workload ONLY: accumulation is
     // scoped to the stages of jobs carrying our job group (concurrent or
     // straggling jobs from other probes can neither overcount nor
@@ -1094,6 +1107,8 @@ object Bench {
       "x_ann_ivf_int8_recall" -> ivf8Recall,
       "x_ann_index_build_sec" -> tIndexBuild,
       "x_ann_index_search_sec" -> tIndexSearch,
+      "x_ann_index_maint_cycle_sec" -> tIndexMaint,
+      "x_ann_index_maint_vs_rebuild" -> tIndexBuild / tIndexMaint,
       "x_ann_index_amortized_speedup" ->
         (if (tIndexSearch > 0) tIvfFloat / tIndexSearch else -1.0),
       // build-once pitch as a CURVE, not one contested ratio: number of

@@ -349,6 +349,45 @@ object InventoryScale {
  CAST(SUM(CASE WHEN vec_id % 7 = 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_survivors,
  TRUE AS no_deleted_neighbor, TRUE AS full_k_for_all FROM embeddings""")),
 
+    QueryDef("q194_ann_index_upsert",
+      // Idempotent index UPSERT (Ann.upsertIntoIvfIndex = delete-then-
+      // append): recrawled ids REPLACE their stale vectors, and a
+      // replayed batch converges to the same state — the property bare
+      // append lacks, and what makes StreamingIndexIngest's foreachBatch
+      // at-least-once delivery effectively exactly-once. The recrawl
+      // re-delivers every vec_id % 11 == 5 with the NEGATED vector,
+      // TWICE (simulated redelivery). Gated: total count unchanged
+      // (replaced, not duplicated, even when replayed), every recrawled
+      // id stores exactly the negated vector, non-recrawled vectors
+      // untouched.
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val sfTag = new java.io.File(d).getName
+        val path = s"/tmp/graft_q194_index_$sfTag"
+        Ann.buildIvfIndex(emb, "vec_id", "embedding", path, numCentroids = 16)
+        val recrawl = emb.filter(pmod(col("vec_id"), lit(11L)) === 5)
+          .select(col("vec_id"),
+            transform(col("embedding"), v => -v).as("embedding"))
+        Ann.upsertIntoIvfIndex(recrawl, "vec_id", "embedding", path)
+        Ann.upsertIntoIvfIndex(recrawl, "vec_id", "embedding", path)
+        val stored = s.read.parquet(s"$path/corpus")
+          .select(col("id").as("vec_id"), col("vec"))
+        val nTotal = stored.count()
+        val wanted = emb.select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(11L)) === 5,
+            transform(col("embedding"), v => -v))
+            .otherwise(col("embedding")).as("want"))
+        val nCorrect = wanted.join(stored, "vec_id")
+          .filter(col("want") === col("vec")).count()
+        s.range(1).select(
+          lit(nTotal).as("n_total"),
+          lit(recrawl.count()).as("n_recrawled"),
+          lit(nCorrect == nTotal).as("all_vectors_correct"))
+      },
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+ CAST(SUM(CASE WHEN vec_id % 11 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_recrawled,
+ TRUE AS all_vectors_correct FROM embeddings""")),
+
     QueryDef("q193_curation_recipe",
       // The COMPOSED crawl-drop recipe (round-7 verdict item 8): the
       // individually-gated stages q182 (keep-first span dedup) → q187
