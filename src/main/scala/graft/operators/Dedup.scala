@@ -464,17 +464,21 @@ object Dedup {
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
-      // candidate labels flowing across edges, then min per id (incl. own)
+      // candidate labels flowing across edges, then min per id (incl. own).
+      // The own label rides the same aggregate (min over the single
+      // own=true row), so convergence detection is a filter-count over
+      // the checkpointed frame — no per-round join back onto labels.
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("cluster"))
-      val next = labels.select(col("id"), col("cluster"))
+        .select(col("src").as("id"), col("cluster"), lit(false).as("own"))
+      val next = labels.select(col("id"), col("cluster"), lit(true).as("own"))
         .union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("cluster")).as("cluster"))
+        .groupBy(col("id"))
+        .agg(min(col("cluster")).as("cluster"),
+          min(when(col("own"), col("cluster"))).as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster", "old"), "id")
-        .filter(col("cluster") =!= col("old")).count()
-      labels = next
+      val changed = next.filter(col("cluster") < col("old")).count()
+      labels = next.select(col("id"), col("cluster"))
       converged = changed == 0
       round += 1
     }
