@@ -399,6 +399,21 @@ object Bench {
         maintIds.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", ivfIndexPath)
     }
+    // the SCALE claim behind targeted deletes is bytes-rewritten ∝
+    // touched lists, not local wall-clock (at fixture size every
+    // maintenance shape is job-overhead-bound, and a UNIFORM id slice
+    // touches every list by construction — recorded honestly above). A
+    // clustered takedown touches few lists: measure the rewrite
+    // fraction for a one-list delete directly from the layout.
+    def dirBytes(p: String): Double = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        else if (f.getName.startsWith("part-")) f.length() else 0L
+      walk(new java.io.File(p)).toDouble
+    }
+    val oneListBytes = dirBytes(s"$ivfIndexPath/corpus/cid=0").max(1.0)
+    val allListsBytes = dirBytes(s"$ivfIndexPath/corpus").max(1.0)
     // Shuffle-write bytes of the measured workload ONLY: accumulation is
     // scoped to the stages of jobs carrying our job group (concurrent or
     // straggling jobs from other probes can neither overcount nor
@@ -1109,6 +1124,7 @@ object Bench {
       "x_ann_index_search_sec" -> tIndexSearch,
       "x_ann_index_maint_cycle_sec" -> tIndexMaint,
       "x_ann_index_maint_vs_rebuild" -> tIndexBuild / tIndexMaint,
+      "x_ann_index_1list_rewrite_frac" -> oneListBytes / allListsBytes,
       "x_ann_index_amortized_speedup" ->
         (if (tIndexSearch > 0) tIvfFloat / tIndexSearch else -1.0),
       // build-once pitch as a CURVE, not one contested ratio: number of
