@@ -86,6 +86,28 @@ final case class ApproxTable(df: DataFrame, samplingKey: Column) {
   def adaptiveAvg(value: Column, errorThresholdPct: Double): ApproxResult =
     adaptiveAgg(AggKind.Avg, value, errorThresholdPct)
 
+  /** GROUP BY adaptive: the per-group deterministic CLT ladder
+    * ([[AdaptiveExecutor.runGroupedDeterministic]]) — each group stops at
+    * ITS first converged round over the table's sampling key, sub-floor
+    * groups route exact, NULL groups report as SQL NULL. SUM, AVG (mean
+    * CI, no scale factor) and COUNT (n-moment alone), the same contract
+    * as the CLI's `--error` + GROUP BY. One row per group:
+    * (group, n_rows, sum_est, ci_lower, ci_upper, n_used, rounds_used,
+    * status). */
+  def adaptiveAggBy(agg: AggKind, value: Column, group: Column,
+      errorThresholdPct: Double, confidence: Double = 0.95): DataFrame = {
+    val ladderAgg = agg match {
+      case AggKind.Sum => "sum"
+      case AggKind.Avg => "avg"
+      case AggKind.Count => "count"
+      case other => throw new IllegalArgumentException(
+        s"grouped adaptive undefined for $other (SUM/AVG/COUNT only)")
+    }
+    AdaptiveExecutor.runGroupedDeterministic(df, value, samplingKey, group,
+      errorThresholdPct = errorThresholdPct, confidence = confidence,
+      agg = ladderAgg)
+  }
+
   // -- exact-vs-approx benchmark (reference benchmark_query,
   //    custom_scheduler.cpp:207-245) ---------------------------------------
   def benchmark(agg: AggKind, value: Column, strategy: SamplingStrategy): BenchmarkRow = {

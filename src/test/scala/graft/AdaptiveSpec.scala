@@ -158,6 +158,26 @@ class AdaptiveSpec extends SparkSpec {
     }
   }
 
+  test("AqeSession.adaptiveAggBy routes the grouped ladder (API parity with the CLI)") {
+    import org.apache.spark.sql.functions._
+    val t = graft.api.AqeSession(spark).table(li,
+      col("l_orderkey") * 8191 + col("l_linenumber") * 131)
+    val out = t.adaptiveAggBy(graft.model.AggKind.Avg,
+        col("l_extendedprice"), col("l_returnflag"), errorThresholdPct = 5.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_extendedprice"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet === exact.keySet)
+    out.foreach { case (g, est) =>
+      assert(math.abs(est - exact(g)) / exact(g) < 0.2, s"$g: $est vs ${exact(g)}")
+    }
+    intercept[IllegalArgumentException] {
+      t.adaptiveAggBy(graft.model.AggKind.Max, col("l_extendedprice"),
+        col("l_returnflag"), errorThresholdPct = 5.0)
+    }
+  }
+
   test("deterministic ladder rejects non-nested steps and flags tiny samples") {
     intercept[IllegalArgumentException] {
       AdaptiveExecutor.runDeterministic(li, col("l_extendedprice"), liKey,
