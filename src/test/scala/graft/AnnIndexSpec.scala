@@ -224,6 +224,21 @@ class AnnIndexSpec extends SparkSpec {
       "fully-deleted list directory must be removed")
     assert(Ann.searchIvfIndex(spark, delPath, probes, "vec_id", "embedding",
       k = 5, nProbe = 16).count() > 0)
+    // the int8-coded layout deletes and upserts through the same path
+    // (the kept rewrite carries whatever payload column the index stores)
+    val i8Path = "/tmp/graft_test_ivf_delete_int8"
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", i8Path,
+      numCentroids = 16, codec = "int8")
+    assert(Ann.deleteFromIvfIndex(spark, i8Path, delIds, "vec_id") === nDel)
+    Ann.upsertIntoIvfIndex(
+      embs.join(delIds, Seq("vec_id"), "left_semi"),
+      "vec_id", "embedding", i8Path)
+    val i8Corpus = spark.read.parquet(s"$i8Path/corpus")
+    assert(i8Corpus.count() === embs.count())
+    assert(i8Corpus.schema.fieldNames.contains("code"),
+      "int8 payload must survive delete+upsert")
+    assert(Ann.searchIvfIndex(spark, i8Path, probes, "vec_id", "embedding",
+      k = 5, nProbe = 16).count() > 0)
   }
 
   test("compactIvfIndex: fragmented lists fold to few files, search unchanged") {
