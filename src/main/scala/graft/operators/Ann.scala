@@ -470,19 +470,14 @@ object Ann {
   /** Shared commit for [[deleteFromIvfIndex]]/[[compactIvfIndex]]:
     * dynamic-partition-overwrite `kept` (already materialized, already
     * salt-repartitioned) into the index corpus — only the cid partitions
-    * present in `kept` are replaced. */
+    * present in `kept` are replaced. The mode rides the WRITE as an
+    * option (not a session conf mutation), so concurrent writers in the
+    * same session never observe a flipped global default. */
   private def rewriteLists(spark: org.apache.spark.sql.SparkSession,
-      path: String, kept: DataFrame): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "dynamic")
-    try kept.write.partitionBy("cid").mode("overwrite")
+      path: String, kept: DataFrame): Unit =
+    kept.write.partitionBy("cid").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$path/corpus")
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
-  }
 
   /** Load the centroid matrix of a persisted index as the flat row-major
     * array [[graft.functions.TopCentroids]] consumes:
