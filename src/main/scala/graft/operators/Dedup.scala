@@ -337,15 +337,16 @@ object Dedup {
       threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, seed: Long = 42L,
       maxBucket: Int = MaxBucket, sizePrune: Boolean = false): DataFrame = {
-    // Materialize the (tiny) candidate list: it feeds three plan branches
-    // (two id projections + the verify join) and an unpersisted DataFrame
-    // would re-run the whole MinHash+shuffle subtree once per branch.
+    // Materialize the (tiny) candidate list EAGERLY: it feeds three plan
+    // branches (two id projections + the verify join). A lazy persist()
+    // let the final action plan all three branches as CONCURRENT stages
+    // that raced to populate the cache — each racing stage re-ran the
+    // whole MinHash+shuffle subtree (measured: the fused path cost ~2.5×
+    // the sum of its stages at the 10× fixture before this and the `sh`
+    // checkpoint below; tools/NearDupProbe decomposes it).
     val rawCands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
       bands, seed, maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // The pruned list feeds the same three branches; eager localCheckpoint
-    // materializes it once (it is at most the candidate list, usually far
-    // smaller) so the sizes pass runs exactly once.
+      .localCheckpoint(true)
     val cands =
       if (sizePrune) sizePrunePairs(rawCands, df, idCol, textCol, shingleN,
         threshold).localCheckpoint(true)
@@ -357,10 +358,13 @@ object Dedup {
     // Jaccard is one merge pass instead of two string-keyed hash-set
     // builds; equal to the string answer up to 64-bit collisions
     // (< 1e-12/pair, oracle-replayed exactly — see [[jaccardHashed]]).
+    // Checkpointed: both verify-join sides consume it, and lazily each
+    // side would re-run the semi-join + shingle kernel.
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     val sh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashes64(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(true)
     val verified = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -376,7 +380,8 @@ object Dedup {
       // when the frame becomes unreachable. No caller-must-unpersist
       // contract: external users cannot leak executor memory by default.
       .localCheckpoint(true)
-    rawCands.unpersist(blocking = false)
+    // rawCands/sh are eager localCheckpoints — their blocks are released
+    // by the ContextCleaner once the frames become unreachable
     verified
   }
 
