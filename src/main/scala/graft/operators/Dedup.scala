@@ -427,18 +427,20 @@ object Dedup {
         lit(threshold) * greatest(col("p.sz_a"), col("p.sz_b")).cast("double"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // eager: three consumer branches, no races
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
+    // materialized once: both verify-join sides consume it (lazily each
+    // side would recompute the semi-join + string shingles)
     val strSh = df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(col(textCol), shingleN).as("s"))
+      .localCheckpoint(true)
     val verified = cands
       .join(strSh.select(col(idCol).as("id_a"), col("s").as("s_a")), "id_a")
       .join(strSh.select(col(idCol).as("id_b"), col("s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .localCheckpoint(true) // eager; blocks auto-freed — see nearDupPairs
-    cands.unpersist(blocking = false)
     verified
   }
 
