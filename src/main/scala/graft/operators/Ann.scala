@@ -676,14 +676,8 @@ object Ann {
       .filter(size(col("ids")) > 1)
       .select(explode(Dedup.cappedPairCombos(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .localCheckpoint(true) // eager: three consumer branches, no races
-    // candidate vectors materialized ONCE: both verify-join sides consume
-    // them, and lazily each side would rescan the embedding column (the
-    // table's mass) for the whole corpus instead of the candidates
-    val candIds = pairs.select(col("id_a").as(idCol))
-      .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val vecs = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), col(vecCol)).localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = df.select(col(idCol), col(vecCol))
     val verified = pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
@@ -694,6 +688,7 @@ object Ann {
       // branch, blocks ContextCleaner-freed when unreachable — no
       // caller-must-unpersist contract (see Dedup.nearDupPairs)
       .localCheckpoint(true)
+    pairs.unpersist(blocking = false)
     verified
   }
 
@@ -735,12 +730,8 @@ object Ann {
       .filter(size(col("ids")) > 1)
       .select(explode(Dedup.cappedPairCombos(col("ids"), maxBucket)).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
-      .localCheckpoint(true) // eager: multi-branch consumer, no races
-    // candidate vectors once — see semDedupPairs
-    val candIds = pairs.select(col("id_a").as(idCol))
-      .union(pairs.select(col("id_b").as(idCol))).distinct()
-    val vecs = df.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), col(vecCol)).localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = df.select(col(idCol), col(vecCol))
     val verified = pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
       .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
@@ -748,6 +739,7 @@ object Ann {
         VectorOps.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .localCheckpoint(true) // eager; auto-freed — see Dedup.nearDupPairs
+    pairs.unpersist(blocking = false)
     verified
   }
 
