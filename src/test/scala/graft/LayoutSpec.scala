@@ -73,7 +73,7 @@ class LayoutSpec extends SparkSpec {
 
   test("manifest pruning opens only intersecting files, same rows as full scan") {
     import graft.sources.Manifest
-    val dir = "/tmp/graft_test_manifest"
+    val dir = tmpPath("layout_manifest")
     // clustered layout -> disjoint file ranges -> pruning can bite
     Layout.clusteredWrite(spark.range(10000).toDF("id")
       .withColumn("v", col("id").cast("double")), dir, "v", files = 10)
@@ -112,7 +112,7 @@ class LayoutSpec extends SparkSpec {
 
   test("bloomFilteredWrite: filters land in the footers, results identical, absent-key row groups rejectable") {
     import org.apache.spark.sql.functions._
-    val path = "/tmp/graft_test_bloom_layout"
+    val path = tmpPath("bloom_layout")
     // high-cardinality scattered keys: min/max zone maps span the whole
     // domain in every file, so only the bloom filter can prune
     val df = spark.range(20000)
@@ -146,8 +146,8 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("compactSmallFiles rewrites only small files and preserves rows") {
-    val dir = "/tmp/graft_test_compact_in"
-    val out = "/tmp/graft_test_compact_out"
+    val dir = tmpPath("layout_compact_in")
+    val out = tmpPath("layout_compact_out")
     // 2000 rows scattered over 20 tiny files
     spark.range(2000).toDF("id").repartition(20)
       .write.mode("overwrite").parquet(dir)

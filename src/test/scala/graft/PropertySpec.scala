@@ -171,4 +171,21 @@ class PropertySpec extends SparkSpec {
       col("j").isNotNull)
     assert(plainRows === fusedRows && fusedRows.nonEmpty)
   }
+
+  test("fused Jaccard kernel refuses non-finite and out-of-range thresholds") {
+    // round-8 ADVICE: the threshold is interpolated into generated Java
+    // source — NaN/Infinity would fail janino at runtime (and NaN would
+    // split interpreted vs codegen semantics). Construction must throw.
+    import graft.operators.Dedup
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+        -0.1, 1.5).foreach { t =>
+      val e = intercept[IllegalArgumentException] {
+        Dedup.jaccardHashedGE(col("a"), col("b"), t)
+      }
+      assert(e.getMessage.contains("threshold"), s"t=$t: ${e.getMessage}")
+    }
+    // the boundary values stay legal
+    Dedup.jaccardHashedGE(col("a"), col("b"), 0.0): Unit
+    Dedup.jaccardHashedGE(col("a"), col("b"), 1.0): Unit
+  }
 }

@@ -8,9 +8,27 @@ trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sf0001 = "/root/testdata/sf0.001"
   val sf001 = "/root/testdata/sf0.01"
+
+  /** Per-JVM-unique scratch path for suites that persist state (index
+    * dirs, streaming state stores, layouts). Round-8 verdict item 1: two
+    * concurrent test JVMs on fixed `/tmp/graft_test_*` paths corrupted
+    * each other's on-disk state mid-test; every state-store path is now
+    * caller-owned and process-unique, removed on JVM exit. */
+  def tmpPath(name: String): String = s"${SparkSpec.runRoot}/$name"
 }
 
 object SparkSpec {
+  lazy val runRoot: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+    dir.toString
+  }
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -18,7 +36,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_test_warehouse")
+      .config("spark.sql.warehouse.dir", s"$runRoot/warehouse")
       // installed for CatalystSpec; inert elsewhere unless a bare sum/count
       // sits directly over a Sample node
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -414,8 +414,8 @@ class StreamingSpec extends SparkSpec {
       (25L, "!!! ??? !!! ??? !!!", "web"))
     val eval = Seq((100L, "the secret benchmark answer is forty two obviously"))
       .toDF("doc_id", "text")
-    val storePath = "/tmp/graft_test_streamcur_store"
-    val outPath = "/tmp/graft_test_streamcur_out"
+    val storePath = tmpPath("streamcur_store")
+    val outPath = tmpPath("streamcur_out")
     Seq(storePath, outPath).foreach { p =>
       val d = new java.io.File(p)
       if (d.exists()) {
@@ -477,8 +477,8 @@ class StreamingSpec extends SparkSpec {
     val batch2 = Seq(
       (11L, s"another later document $boiler trailing words here", "web"),
       (12L, "yet another unique text body entirely different", "books"))
-    val storePath = "/tmp/graft_test_streamspan_store"
-    val outPath = "/tmp/graft_test_streamspan_out"
+    val storePath = tmpPath("streamspan_store")
+    val outPath = tmpPath("streamspan_out")
     Seq(storePath, outPath).foreach { p =>
       val d = new java.io.File(p)
       if (d.exists()) {
@@ -532,8 +532,8 @@ class StreamingSpec extends SparkSpec {
       (11L, "a fresh unique document about catalyst optimizer rules", "web"),
       (12L, "exact duplicate content appearing in both batches here", "web"))
       .toDF("doc_id", "text", "source")
-    val dirs = Seq("/tmp/graft_test_replay_storeA", "/tmp/graft_test_replay_outA",
-      "/tmp/graft_test_replay_storeB", "/tmp/graft_test_replay_outB")
+    val dirs = Seq(tmpPath("replay_storeA"), tmpPath("replay_outA"),
+      tmpPath("replay_storeB"), tmpPath("replay_outB"))
     dirs.foreach { p =>
       val d = new java.io.File(p)
       if (d.exists()) {
@@ -583,7 +583,7 @@ class StreamingSpec extends SparkSpec {
     // Hadoop FileSystem API. A java.io.File fallback would treat the
     // "file:/..." URI as a relative local path, find no deltas, and batch
     // 1 would silently re-admit batch 0's duplicate.
-    val localDir = "/tmp/graft_test_streamuri_store"
+    val localDir = tmpPath("streamuri_store")
     val d = new java.io.File(localDir)
     if (d.exists()) {
       java.nio.file.Files.walk(d.toPath)
@@ -615,7 +615,7 @@ class StreamingSpec extends SparkSpec {
     // round-7 ADVICE: a store written by the old append-mode layout (flat
     // part files under fingerprints/) must not be silently read as EMPTY
     // state — that would re-admit every previously-seen doc with no error.
-    val storePath = "/tmp/graft_test_streamflat_store"
+    val storePath = tmpPath("streamflat_store")
     val d = new java.io.File(storePath)
     if (d.exists()) {
       java.nio.file.Files.walk(d.toPath)
@@ -653,7 +653,7 @@ class StreamingSpec extends SparkSpec {
       (31L, "final unique document on shuffle partitioning strategies", "web"),
       (32L, "exact duplicate content appearing in many batches here", "web"))
       .toDF("doc_id", "text", "source")
-    val dirs = Seq("/tmp/graft_test_compact_storeA", "/tmp/graft_test_compact_storeB")
+    val dirs = Seq(tmpPath("compact_storeA"), tmpPath("compact_storeB"))
     dirs.foreach { p =>
       val dd = new java.io.File(p)
       if (dd.exists()) {
