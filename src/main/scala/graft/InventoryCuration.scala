@@ -14,6 +14,7 @@ import graft.operators.{BloomJoin, Decontam, Dedup, Mixing, Multimodal, Profilin
   * casts before any cross-row double sum.
   */
 object InventoryCuration {
+  import graft.OracleSnippets._
   import graft.Tables._
 
   // DuckDB mirrors of TextAnalysis token/stopword/punct counts (q31 twins).
@@ -311,7 +312,7 @@ object InventoryCuration {
           bands = 16)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id")),
-      Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT doc_id, source FROM documents WHERE doc_id NOT IN (SELECT id FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) WHERE cluster < id) ORDER BY doc_id""")),
+      Some(s"""WITH RECURSIVE $blockedJaccardCtes, pairs AS MATERIALIZED (SELECT id_a, id_b FROM pr WHERE $blockedJaccardExpr >= 0.8), edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT doc_id, source FROM documents WHERE doc_id NOT IN (SELECT id FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) WHERE cluster < id) ORDER BY doc_id""")),
 
     QueryDef("q81_multimodal_plans",
       // gates the resize + frame-sampling multimodal plans (q44 gates the

@@ -20,6 +20,7 @@ import graft.operators.{Ann, AsofJoin, Dedup, HeavyHitters, Mixing, Multimodal, 
   *    semantics, the Spark plan is the scalable path.
   */
 object InventoryPipeline {
+  import graft.OracleSnippets._
   import graft.Tables._
 
   /** DuckDB left-fold dot product mirroring VectorOps.dot (defined before
@@ -422,33 +423,40 @@ object InventoryPipeline {
     // MinHash+LSH near-dup, verified by exact Jaccard: equals the exact
     // all-pairs answer whenever LSH recall = 1 (16 bands x 4 rows at
     // j >= 0.8 -> miss probability < 1e-6; see Dedup.scaladoc).
+    // The oracle is shared-shingle BLOCKED, not all-pairs (round-8
+    // verdict item 7): any pair with J >= t > 0 shares a shingle, so the
+    // gram join loses nothing, and inter/(na+nb-inter) is the same two
+    // exact integers the list_intersect form divided — bit-identical
+    // (measured: 25/25 identical rows at sf0.01, 83x faster; tri-scale
+    // no longer needs to skip this oracle).
     QueryDef("q35_minhash_neardup_pairs",
       (s, d) => Dedup.nearDupPairs(documents(s, d), "doc_id", "text",
         threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
         .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8 ORDER BY id_a, id_b"""),
+      Some(s"""WITH $blockedJaccardCtes SELECT id_a, id_b, $blockedJaccardExpr AS jaccard FROM pr WHERE $blockedJaccardExpr >= 0.8 ORDER BY id_a, id_b"""),
       headline = true),
 
     QueryDef("q45_dup_clusters",
       // transitive dup groups: MinHash near-dup pairs → connected components
       // (min-label propagation); DuckDB mirrors with a recursive CTE over
-      // the same exact-Jaccard pair semantics
+      // the same exact-Jaccard pair semantics (shared-shingle blocked, q35)
       (s, d) => {
         val pairs = Dedup.nearDupPairs(documents(s, d), "doc_id", "text",
           threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
         Dedup.dupClusters(pairs).withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id"))
       },
-      Some("""WITH RECURSIVE sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)), pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8), edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
+      Some(s"""WITH RECURSIVE $blockedJaccardCtes, pairs AS MATERIALIZED (SELECT id_a, id_b FROM pr WHERE $blockedJaccardExpr >= 0.8), edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id) SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // exact n-gram Jaccard join (prefix filtering): guaranteed recall at
     // ANY threshold — run at 0.7 where LSH's 16x4 banding would start
-    // missing pairs; the oracle is the same all-pairs semantics
+    // missing pairs; the oracle is the same exact-pair semantics,
+    // shared-shingle blocked (q35)
     QueryDef("q49_ngram_jaccard_pairs",
       (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
         threshold = 0.7, shingleN = 3)
         .orderBy(col("id_a"), col("id_b")),
-      Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.7 ORDER BY id_a, id_b""")),
+      Some(s"""WITH $blockedJaccardCtes SELECT id_a, id_b, $blockedJaccardExpr AS jaccard FROM pr WHERE $blockedJaccardExpr >= 0.7 ORDER BY id_a, id_b""")),
 
     QueryDef("q36_simhash_neardup_pairs",
       // SimHash, ORACLE-GATED on its recall against the exact Jaccard-0.8
@@ -471,7 +479,7 @@ object InventoryPipeline {
           lit(nTrue).as("n_true_pairs"),
           lit(nFound.toDouble >= 0.5 * nTrue.toDouble).as("recall_ge_050"))
       },
-      Some("""WITH sh AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents)) SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ge_050 FROM sh a JOIN sh b ON a.doc_id < b.doc_id WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.8""")),
+      Some(s"""WITH $blockedJaccardCtes SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ge_050 FROM pr WHERE $blockedJaccardExpr >= 0.8""")),
 
     QueryDef("q37_embedding_neardup_pairs",
       (s, d) => Ann.allPairsCosine(embeddings(s, d), "vec_id", "embedding", 0.4)

@@ -13,6 +13,7 @@ import graft.operators.{Ann, Mixing, QualityModel}
   * in-query against exact in-engine twins (the q29/q39/q46 pattern).
   */
 object InventoryScale {
+  import graft.OracleSnippets._
   import graft.Tables._
 
   private val liKeySql = "(l_orderkey * 8191 + l_linenumber * 131)"
@@ -53,7 +54,7 @@ object InventoryScale {
             .as("n_kept"),
           sum(col("margin_cents")).as("margin_cents_total"))
         .orderBy(col("source")),
-      Some(s"""WITH wt AS (SELECT CAST(i AS INTEGER) AS bucket, CAST((i * 127 + 17) % 101 - 50 AS BIGINT) AS w FROM range(${QualityModel.Buckets}) t(i)), tok AS (SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM documents), b AS (SELECT doc_id, source, CAST((length(tok) * 31 + unicode(tok)) % ${QualityModel.Buckets} AS INTEGER) AS bucket FROM tok), m AS (SELECT doc_id, SUM(wt.w) AS mc FROM b LEFT JOIN wt USING (bucket) GROUP BY 1) SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(CASE WHEN COALESCE(m.mc, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(SUM(COALESCE(m.mc, 0)) AS BIGINT) AS margin_cents_total FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id GROUP BY 1 ORDER BY 1""")),
+      Some(s"""WITH wt AS (SELECT CAST(i AS INTEGER) AS bucket, CAST((i * 127 + 17) % 101 - 50 AS BIGINT) AS w FROM range(${QualityModel.Buckets}) t(i)), tok AS MATERIALIZED (SELECT doc_id, source, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM documents), b AS MATERIALIZED (SELECT doc_id, source, CAST((length(tok) * 31 + unicode(tok)) % ${QualityModel.Buckets} AS INTEGER) AS bucket FROM tok), m AS (SELECT doc_id, SUM(wt.w) AS mc FROM b LEFT JOIN wt USING (bucket) GROUP BY 1) SELECT d.source, COUNT(*) AS n_docs, CAST(SUM(CASE WHEN COALESCE(m.mc, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, CAST(SUM(COALESCE(m.mc, 0)) AS BIGINT) AS margin_cents_total FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id GROUP BY 1 ORDER BY 1""")),
 
     QueryDef("q164_grouped_priority_cli",
       // --method priority WITH GROUP BY through the real CLI executor
@@ -428,7 +429,62 @@ object InventoryScale {
           .withColumn("n_after_span", lit(nSpan))
           .withColumn("n_after_triage", lit(nTriage))
       },
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1), clean AS (SELECT res.doc_id, res.clean_text AS text FROM res WHERE res.n_kept > 0), w2 AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM clean), o2 AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w2), g2 AS (SELECT o2.doc_id, o2.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w2.w[o2.i:o2.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o2 JOIN w2 ON o2.doc_id = w2.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g2 GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), sz AS (SELECT doc_id, COUNT(*) AS sz FROM fp0 GROUP BY 1), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS dfc FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.dfc BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2), cpairs AS (SELECT pr.id_a, pr.id_b, sa.sz AS sz_a, sb.sz AS sz_b, CAST(pr.n_shared * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm, CAST(pr.n_shared * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id WHERE pr.n_shared >= 2), drops AS (SELECT id_a AS doc_id FROM cpairs WHERE cont_a_ppm >= 600000 AND sz_a < sz_b UNION SELECT id_b AS doc_id FROM cpairs WHERE cont_b_ppm >= 600000 AND (sz_b < sz_a OR sz_a = sz_b)), pool AS (SELECT c.doc_id, c.text, documents.lang FROM clean c JOIN documents USING (doc_id) WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)), tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM pool), b AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS (SELECT bucket, COUNT(*) AS ct FROM b JOIN pool USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), wgt AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT p.doc_id, p.lang, CAST(COALESCE(SUM(wgt.wppm), 0) AS BIGINT) AS score_ppm FROM pool p LEFT JOIN b ON p.doc_id = b.doc_id LEFT JOIN wgt ON b.bucket = wgt.bucket GROUP BY 1, 2) SELECT sc.doc_id, sc.lang, sc.score_ppm, (SELECT COUNT(*) FROM documents) AS n_input, (SELECT COUNT(*) FROM clean) AS n_after_span, (SELECT COUNT(*) FROM pool) AS n_after_triage FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 25""")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS MATERIALIZED (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1), clean AS MATERIALIZED (SELECT res.doc_id, res.clean_text AS text FROM res WHERE res.n_kept > 0), w2 AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM clean), o2 AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w2), g2 AS (SELECT o2.doc_id, o2.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w2.w[o2.i:o2.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o2 JOIN w2 ON o2.doc_id = w2.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g2 GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), sz AS (SELECT doc_id, COUNT(*) AS sz FROM fp0 GROUP BY 1), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS dfc FROM fp0 GROUP BY 1), fpk AS MATERIALIZED (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.dfc BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2), cpairs AS (SELECT pr.id_a, pr.id_b, sa.sz AS sz_a, sb.sz AS sz_b, CAST(pr.n_shared * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm, CAST(pr.n_shared * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id WHERE pr.n_shared >= 2), drops AS (SELECT id_a AS doc_id FROM cpairs WHERE cont_a_ppm >= 600000 AND sz_a < sz_b UNION SELECT id_b AS doc_id FROM cpairs WHERE cont_b_ppm >= 600000 AND (sz_b < sz_a OR sz_a = sz_b)), pool AS MATERIALIZED (SELECT c.doc_id, c.text, documents.lang FROM clean c JOIN documents USING (doc_id) WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)), tok AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM pool), b AS MATERIALIZED (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS MATERIALIZED (SELECT bucket, COUNT(*) AS ct FROM b JOIN pool USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS MATERIALIZED (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), wgt AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT p.doc_id, p.lang, CAST(COALESCE(SUM(wgt.wppm), 0) AS BIGINT) AS score_ppm FROM pool p LEFT JOIN b ON p.doc_id = b.doc_id LEFT JOIN wgt ON b.bucket = wgt.bucket GROUP BY 1, 2) SELECT sc.doc_id, sc.lang, sc.score_ppm, (SELECT COUNT(*) FROM documents) AS n_input, (SELECT COUNT(*) FROM clean) AS n_after_span, (SELECT COUNT(*) FROM pool) AS n_after_triage FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 25""")),
+
+    QueryDef("q195_curation_recipe_neardup",
+      // The FULL four-stage crawl-drop recipe (round-8 verdict item 6):
+      // q193 composed span→winnow→DSIR, but production triage runs
+      // MinHash NEAR-DEDUP between span excision and containment triage —
+      // this gates that composition: q182 (keep-first span dedup) → q35/
+      // q80 (MinHash-LSH near-dup pairs over the CLEANED texts, connected
+      // components, keep each cluster's min id) → q187 (winnow
+      // containment triage over the dedup survivors) → q178 (DSIR toward
+      // the English target). Per-stage row accounting rides every output
+      // row, so a drift in ANY stage (or in how stages hand off) fails
+      // the hash. The DuckDB oracle chains the four stage oracles' CTEs,
+      // replaying the whole recipe bit-for-bit — near-dup as the same
+      // exact-Jaccard recursive-reach clustering q45/q80 replay (LSH
+      // recall-1 argument: 16×4 banding at 0.8 ⇒ miss < 1e-6).
+      (s, d) => {
+        val docs = documents(s, d)
+        val nInput = docs.count()
+        val cleaned = graft.operators.Dedup.removeDuplicatedSpans(
+            docs, "doc_id", "text", k = 8, keepFirst = true)
+          .filter(col("n_removed") < col("n_words"))
+          .select(col("doc_id"), col("clean_text"))
+          .localCheckpoint(true)
+        val nSpan = cleaned.count()
+        val ndPairs = graft.operators.Dedup.nearDupPairs(
+          cleaned.withColumnRenamed("clean_text", "text"), "doc_id", "text",
+          threshold = 0.8, shingleN = 3, numHashes = 64, bands = 16)
+        val ndLosers = graft.operators.Dedup.dupClusters(ndPairs)
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        val deduped = cleaned.join(ndLosers, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        val nNear = deduped.count()
+        val pairs = graft.operators.Dedup.winnowContainmentPairs(
+          deduped, "doc_id", "clean_text", k = 4, w = 8, minShared = 2)
+        val T = 600000L
+        val dropA = pairs.filter(col("cont_a_ppm") >= T &&
+            col("sz_a") < col("sz_b"))
+          .select(col("id_a").as("doc_id"))
+        val dropB = pairs.filter(col("cont_b_ppm") >= T &&
+            (col("sz_b") < col("sz_a") || col("sz_a") === col("sz_b")))
+          .select(col("id_b").as("doc_id"))
+        val triaged = deduped.join(dropA.union(dropB).distinct(),
+          Seq("doc_id"), "left_anti").localCheckpoint(true)
+        val nTriage = triaged.count()
+        val pool = triaged.withColumnRenamed("clean_text", "text")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        graft.operators.Dsir.select(pool, pool.filter(col("lang") === "en"),
+            "doc_id", "text", k = 25, buckets = 512, keep = Seq("lang"))
+          .withColumn("n_input", lit(nInput))
+          .withColumn("n_after_span", lit(nSpan))
+          .withColumn("n_after_near", lit(nNear))
+          .withColumn("n_after_triage", lit(nTriage))
+      },
+      Some("""WITH RECURSIVE w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS MATERIALIZED (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1), clean AS MATERIALIZED (SELECT res.doc_id, res.clean_text AS text FROM res WHERE res.n_kept > 0), nd_sh AS (SELECT doc_id, list_distinct([cw[i] || ' ' || cw[i+1] || ' ' || cw[i+2] for i in range(1, len(cw) - 1)]) AS sh FROM (SELECT doc_id, string_split_regex(text, ' +') AS cw FROM clean)), nd_ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM nd_sh), nd_pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, ANY_VALUE(a.n) AS na, ANY_VALUE(b.n) AS nb, COUNT(*) AS inter FROM nd_ex a JOIN nd_ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), nd_pairs AS MATERIALIZED (SELECT id_a, id_b FROM nd_pr WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= 0.8), nd_edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM nd_pairs UNION SELECT id_b, id_a FROM nd_pairs), nd_reach(id, r) AS (SELECT src, src FROM nd_edges UNION SELECT e.src, nd_reach.r FROM nd_edges e JOIN nd_reach ON e.dst = nd_reach.id), nd_losers AS (SELECT id FROM (SELECT id, MIN(r) AS cluster FROM nd_reach GROUP BY id) WHERE cluster < id), dedup AS MATERIALIZED (SELECT doc_id, text FROM clean WHERE doc_id NOT IN (SELECT id FROM nd_losers)), w2 AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM dedup), o2 AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w2), g2 AS (SELECT o2.doc_id, o2.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w2.w[o2.i:o2.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o2 JOIN w2 ON o2.doc_id = w2.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g2 GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), sz AS (SELECT doc_id, COUNT(*) AS sz FROM fp0 GROUP BY 1), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS dfc FROM fp0 GROUP BY 1), fpk AS MATERIALIZED (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.dfc BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2), cpairs AS (SELECT pr.id_a, pr.id_b, sa.sz AS sz_a, sb.sz AS sz_b, CAST(pr.n_shared * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm, CAST(pr.n_shared * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id WHERE pr.n_shared >= 2), drops AS (SELECT id_a AS doc_id FROM cpairs WHERE cont_a_ppm >= 600000 AND sz_a < sz_b UNION SELECT id_b AS doc_id FROM cpairs WHERE cont_b_ppm >= 600000 AND (sz_b < sz_a OR sz_a = sz_b)), pool AS MATERIALIZED (SELECT c.doc_id, c.text, documents.lang FROM dedup c JOIN documents USING (doc_id) WHERE c.doc_id NOT IN (SELECT doc_id FROM drops)), tok AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM pool), b AS MATERIALIZED (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS MATERIALIZED (SELECT bucket, COUNT(*) AS ct FROM b JOIN pool USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS MATERIALIZED (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), wgt AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT p.doc_id, p.lang, CAST(COALESCE(SUM(wgt.wppm), 0) AS BIGINT) AS score_ppm FROM pool p LEFT JOIN b ON p.doc_id = b.doc_id LEFT JOIN wgt ON b.bucket = wgt.bucket GROUP BY 1, 2) SELECT sc.doc_id, sc.lang, sc.score_ppm, (SELECT COUNT(*) FROM documents) AS n_input, (SELECT COUNT(*) FROM clean) AS n_after_span, (SELECT COUNT(*) FROM dedup) AS n_after_near, (SELECT COUNT(*) FROM pool) AS n_after_triage FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 25""")),
 
     QueryDef("q173_grouped_adaptive_cli",
       // --error N WITH GROUP BY through the real CLI executor path
@@ -731,7 +787,7 @@ FROM sel ORDER BY g"""
           docs.filter(col("lang") === "en"), "doc_id", "text",
           k = 50, buckets = 512, keep = Seq("lang"))
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM documents), b AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS (SELECT bucket, COUNT(*) AS ct FROM b JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), w AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT d.doc_id, d.lang, CAST(COALESCE(SUM(w.wppm), 0) AS BIGINT) AS score_ppm FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id LEFT JOIN w ON b.bucket = w.bucket GROUP BY 1, 2) SELECT doc_id, lang, score_ppm FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 50""")),
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS tok FROM documents), b AS MATERIALIZED (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(tok, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) % 512 AS bucket FROM tok), tc AS MATERIALIZED (SELECT bucket, COUNT(*) AS ct FROM b JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1), rc AS MATERIALIZED (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY 1), tot AS (SELECT (SELECT COALESCE(SUM(ct), 0) FROM tc) AS tt, (SELECT COALESCE(SUM(cr), 0) FROM rc) AS tr), w AS (SELECT r.i AS bucket, (COALESCE(tc.ct, 0) + 1) * 1000000 // (tot.tt + 512) - (COALESCE(rc.cr, 0) + 1) * 1000000 // (tot.tr + 512) AS wppm FROM range(512) r(i) LEFT JOIN tc ON tc.bucket = r.i LEFT JOIN rc ON rc.bucket = r.i CROSS JOIN tot), sc AS (SELECT d.doc_id, d.lang, CAST(COALESCE(SUM(w.wppm), 0) AS BIGINT) AS score_ppm FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id LEFT JOIN w ON b.bucket = w.bucket GROUP BY 1, 2) SELECT doc_id, lang, score_ppm FROM sc ORDER BY score_ppm DESC, doc_id LIMIT 50""")),
 
     QueryDef("q179_novelty_curve_by_shard",
       // Corpus NOVELTY CURVE over the deterministic training shards
@@ -746,7 +802,7 @@ FROM sel ORDER BY g"""
       // including fold-hash collisions.
       (s, d) => graft.operators.CorpusOverlap.noveltyByShard(
         documents(s, d), "doc_id", "text", nShards = 8, seed = 1L),
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gram FROM w), h AS (SELECT ((doc_id + 7919) * 1299709 + 104729) % 1000003 % 8 AS shard, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(gram, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS hh FROM g), dd AS (SELECT DISTINCT shard, hh FROM h), f AS (SELECT hh, MIN(shard) AS shard FROM dd GROUP BY 1), fc AS (SELECT shard, COUNT(*) AS n_first FROM f GROUP BY 1), tc AS (SELECT shard, COUNT(*) AS n_distinct FROM dd GROUP BY 1) SELECT tc.shard, tc.n_distinct, COALESCE(fc.n_first, 0) AS n_first FROM tc LEFT JOIN fc ON tc.shard = fc.shard ORDER BY 1""")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])) AS gram FROM w), h AS (SELECT ((doc_id + 7919) * 1299709 + 104729) % 1000003 % 8 AS shard, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(gram, '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS hh FROM g), dd AS (SELECT DISTINCT shard, hh FROM h), f AS (SELECT hh, MIN(shard) AS shard FROM dd GROUP BY 1), fc AS (SELECT shard, COUNT(*) AS n_first FROM f GROUP BY 1), tc AS MATERIALIZED (SELECT shard, COUNT(*) AS n_distinct FROM dd GROUP BY 1) SELECT tc.shard, tc.n_distinct, COALESCE(fc.n_first, 0) AS n_first FROM tc LEFT JOIN fc ON tc.shard = fc.shard ORDER BY 1""")),
 
     QueryDef("q180_span_dedup",
       // EXACT duplicated-span removal (Lee et al. 2022 ExactSubstr,
@@ -760,7 +816,7 @@ FROM sel ORDER BY g"""
       // bit-for-bit — fold-hash collisions included.
       (s, d) => graft.operators.Dedup.removeDuplicatedSpans(
         documents(s, d), "doc_id", "text", k = 8).orderBy("doc_id"),
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS MATERIALIZED (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
 
     QueryDef("q182_span_dedup_keepfirst",
       // q180's machinery under the paper's keep-one-copy policy: each
@@ -772,7 +828,7 @@ FROM sel ORDER BY g"""
       (s, d) => graft.operators.Dedup.removeDuplicatedSpans(
         documents(s, d), "doc_id", "text", k = 8, keepFirst = true)
         .orderBy("doc_id"),
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS MATERIALIZED (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
 
     QueryDef("q183_span_dedup_incremental",
       // Corpus-refresh fold of q182: split the corpus into two
@@ -798,7 +854,7 @@ FROM sel ORDER BY g"""
             "doc_id", "text", k = 8, bloomExpectedItems = 1 << 20)
         c1.unionAll(c2).orderBy("doc_id")
       },
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h, MIN(doc_id * 2097152 + i) AS firstocc FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS MATERIALIZED (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h) WHERE g.doc_id * 2097152 + g.i <> d.firstocc), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.p = cov.p WHERE cov.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
 
     QueryDef("q185_span_dedup_long_only",
       // q180 under the paper's LONG-span policy (minSpanWords = 12 > k):
@@ -810,7 +866,7 @@ FROM sel ORDER BY g"""
       (s, d) => graft.operators.Dedup.removeDuplicatedSpans(
         documents(s, d), "doc_id", "text", k = 8, minSpanWords = 12)
         .orderBy("doc_id"),
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), isl AS (SELECT doc_id, p, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov), runs AS (SELECT doc_id, MIN(p) AS s, MAX(p) AS e FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 12), covl AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS p FROM runs), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN covl ON pos.doc_id = covl.doc_id AND pos.p = covl.p WHERE covl.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS MATERIALIZED (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), isl AS (SELECT doc_id, p, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp FROM cov), runs AS (SELECT doc_id, MIN(p) AS s, MAX(p) AS e FROM isl GROUP BY doc_id, grp HAVING COUNT(*) >= 12), covl AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS p FROM runs), pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p FROM w), kept AS (SELECT pos.doc_id, pos.p FROM pos LEFT JOIN covl ON pos.doc_id = covl.doc_id AND pos.p = covl.p WHERE covl.doc_id IS NULL), res AS (SELECT k.doc_id, string_agg(w.w[CAST(k.p AS INT)], ' ' ORDER BY k.p) AS clean_text, COUNT(*) AS n_kept FROM kept k JOIN w ON k.doc_id = w.doc_id GROUP BY 1) SELECT w.doc_id, COALESCE(res.clean_text, '') AS clean_text, len(w.w) AS n_words, len(w.w) - COALESCE(res.n_kept, 0) AS n_removed FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id""")),
 
     QueryDef("q186_winnow_partial_overlap",
       // PARTIAL-overlap pairs via winnowing fingerprints (Schleimer et
@@ -824,7 +880,7 @@ FROM sel ORDER BY g"""
       (s, d) => graft.operators.Dedup.winnowOverlapPairs(
         documents(s, d), "doc_id", "text", k = 4, w = 8, minShared = 2)
         .orderBy("id_a", "id_b"),
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2 ORDER BY id_a, id_b""")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS MATERIALIZED (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) SELECT id_a, id_b, n_shared FROM pr WHERE n_shared >= 2 ORDER BY id_a, id_b""")),
 
     QueryDef("q187_winnow_containment",
       // ASYMMETRIC containment on the winnow sketches: shared-fingerprint
@@ -835,7 +891,7 @@ FROM sel ORDER BY g"""
       (s, d) => graft.operators.Dedup.winnowContainmentPairs(
         documents(s, d), "doc_id", "text", k = 4, w = 8, minShared = 2)
         .orderBy("id_a", "id_b"),
-      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), sz AS (SELECT doc_id, COUNT(*) AS sz FROM fp0 GROUP BY 1), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) SELECT pr.id_a, pr.id_b, pr.n_shared, sa.sz AS sz_a, sb.sz AS sz_b, CAST(pr.n_shared * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm, CAST(pr.n_shared * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id WHERE pr.n_shared >= 2 ORDER BY pr.id_a, pr.id_b""")),
+      Some("""WITH w AS (SELECT doc_id, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), sz AS (SELECT doc_id, COUNT(*) AS sz FROM fp0 GROUP BY 1), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS MATERIALIZED (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2) SELECT pr.id_a, pr.id_b, pr.n_shared, sa.sz AS sz_a, sb.sz AS sz_b, CAST(pr.n_shared * 1000000 // sa.sz AS BIGINT) AS cont_a_ppm, CAST(pr.n_shared * 1000000 // sb.sz AS BIGINT) AS cont_b_ppm FROM pr JOIN sz sa ON pr.id_a = sa.doc_id JOIN sz sb ON pr.id_b = sb.doc_id WHERE pr.n_shared >= 2 ORDER BY pr.id_a, pr.id_b""")),
 
     QueryDef("q188_gram_novelty_scores",
       // Novelty-at-ingest triage: split the corpus into two append-
@@ -867,7 +923,7 @@ FROM sel ORDER BY g"""
         documents(s, d), "doc_id", "text", "source",
         k = 4, w = 8, minShared = 2)
         .orderBy("sa", "sb"),
-      Some("""WITH w AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2), sp AS (SELECT LEAST(wa.source, wb.source) AS sa, GREATEST(wa.source, wb.source) AS sb, pr.n_shared FROM pr JOIN w wa ON pr.id_a = wa.doc_id JOIN w wb ON pr.id_b = wb.doc_id) SELECT sa, sb, COUNT(*) AS n_pairs, CAST(SUM(n_shared) AS BIGINT) AS n_shared_fps FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
+      Some("""WITH w AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 4 THEN len(w) - 2 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+3], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), hl AS (SELECT doc_id, list(h ORDER BY i) AS hs FROM g GROUP BY 1), fp0 AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(hs) < 8 THEN [list_min(hs)] ELSE [list_min(hs[i:i+7]) for i in range(1, len(hs) - 6)] END)) AS fp FROM hl), dfc AS (SELECT fp, COUNT(DISTINCT doc_id) AS d FROM fp0 GROUP BY 1), fpk AS MATERIALIZED (SELECT fp0.doc_id, fp0.fp FROM fp0 JOIN dfc ON fp0.fp = dfc.fp WHERE dfc.d BETWEEN 2 AND 64), pr AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS n_shared FROM fpk x JOIN fpk y ON x.fp = y.fp AND x.doc_id < y.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= 2), sp AS (SELECT LEAST(wa.source, wb.source) AS sa, GREATEST(wa.source, wb.source) AS sb, pr.n_shared FROM pr JOIN w wa ON pr.id_a = wa.doc_id JOIN w wb ON pr.id_b = wb.doc_id) SELECT sa, sb, COUNT(*) AS n_pairs, CAST(SUM(n_shared) AS BIGINT) AS n_shared_fps FROM sp GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     QueryDef("q184_contamination_by_source",
       // Contamination MATRIX by source (Decontam.contaminationBySource):
@@ -896,6 +952,6 @@ FROM sel ORDER BY g"""
       (s, d) => graft.operators.Dedup.duplicatedSpanProfile(
         documents(s, d), "doc_id", "text", "source", k = 8)
         .orderBy("source"),
-      Some("""WITH w AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), tot AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS n_tokens FROM w GROUP BY 1), dt AS (SELECT w.source, COUNT(*) AS n_dup_tokens FROM cov JOIN w ON cov.doc_id = w.doc_id GROUP BY 1) SELECT tot.source, tot.n_docs, tot.n_tokens, COALESCE(dt.n_dup_tokens, 0) AS n_dup_tokens, CAST(CASE WHEN tot.n_tokens = 0 THEN 0 ELSE COALESCE(dt.n_dup_tokens, 0) * 1000000 // tot.n_tokens END AS BIGINT) AS dup_ppm FROM tot LEFT JOIN dt ON tot.source = dt.source ORDER BY tot.source"""))
+      Some("""WITH w AS (SELECT doc_id, source, string_split_regex(text, ' +') AS w FROM documents), o AS (SELECT doc_id, unnest(range(1, CASE WHEN len(w) >= 8 THEN len(w) - 6 ELSE 1 END)) AS i FROM w), g AS (SELECT o.doc_id, o.i, list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ascii(c) AS BIGINT) for c in string_split(array_to_string(w.w[o.i:o.i+7], ' '), '')]), (acc, x) -> (acc * 31 + x) % 1000000007) AS h FROM o JOIN w ON o.doc_id = w.doc_id), d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2), cov AS MATERIALIZED (SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + 8)) AS p FROM g JOIN d USING (h)), tot AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(len(w)) AS BIGINT) AS n_tokens FROM w GROUP BY 1), dt AS (SELECT w.source, COUNT(*) AS n_dup_tokens FROM cov JOIN w ON cov.doc_id = w.doc_id GROUP BY 1) SELECT tot.source, tot.n_docs, tot.n_tokens, COALESCE(dt.n_dup_tokens, 0) AS n_dup_tokens, CAST(CASE WHEN tot.n_tokens = 0 THEN 0 ELSE COALESCE(dt.n_dup_tokens, 0) * 1000000 // tot.n_tokens END AS BIGINT) AS dup_ppm FROM tot LEFT JOIN dt ON tot.source = dt.source ORDER BY tot.source"""))
   )
 }

@@ -30,6 +30,8 @@ import graft.operators.{Decontam, Dedup, Mixing, TextAnalysis}
   *   `spangrams/`    (h)                 — span-dedup gram index (opt-in)
   *   `bands/`        (id, band, band_sig) — LSH index of kept docs
   *   `kept/`         (id, text)           — texts for the verify stage
+  *   `duppairs/`     (id_a, id_b)         — verified near-dup edge log
+  *                                          (feeds [[reconcileKept]])
   *
   * CRASH SAFETY (foreachBatch is at-least-once): every state delta and
   * the kept output are keyed by the engine's batchId and written
@@ -50,8 +52,10 @@ import graft.operators.{Decontam, Dedup, Mixing, TextAnalysis}
   * a clique member holds its min id, so the greedy keep-first rule and
   * the batch component-min rule choose the same representatives. On
   * chain-shaped near-dup graphs (A~B, B~C, A≁C) the greedy fold may
-  * keep MORE docs than the batch component collapse — the documented
-  * divergence every streaming dedup shares.
+  * keep MORE docs than the batch component collapse — the divergence
+  * every streaming dedup shares; no longer permanent here, because
+  * [[reconcileKept]] re-collapses the persisted edge log on the
+  * `reconcileEvery` cadence and retracts the over-kept members.
   *
   * 100 TB posture: per batch, one scan of the batch (signatures in the
   * scan stage), one hash join per state table keyed on fp / (band,
@@ -82,7 +86,13 @@ object StreamingCuration {
         * every N micro-batches (before curating a batch whose id is a
         * multiple of N), so state-read cost stays flat over a long run.
         * None leaves compaction to the caller's cadence. */
-      compactEvery: Option[Int] = None)
+      compactEvery: Option[Int] = None,
+      /** Re-collapse chain-shaped near-dup components via
+        * [[reconcileKept]] every N micro-batches (before curating a
+        * batch whose id is a multiple of N); the retracted ids land
+        * under `storePath/retractions/batch=<id>` for downstream
+        * excision. None leaves reconciliation to the caller. */
+      reconcileEvery: Option[Int] = None)
 
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
 
@@ -96,7 +106,16 @@ object StreamingCuration {
     "bands" -> StructType(Seq(StructField("id", LongType),
       StructField("band", IntegerType), StructField("band_sig", LongType))),
     "kept" -> StructType(Seq(StructField("id", LongType),
-      StructField("text", StringType))))
+      StructField("text", StringType))),
+    // every VERIFIED near-dup edge (in-batch and batch-vs-store), kept so
+    // [[reconcileKept]] can re-collapse chain-shaped components whose
+    // connector was dropped in an earlier batch (its text and bands are
+    // gone, but its edges survive here)
+    "duppairs" -> StructType(Seq(StructField("id_a", LongType),
+      StructField("id_b", LongType))))
+
+  private val StateTables = Seq("fingerprints", "spangrams", "bands",
+    "kept", "duppairs")
 
   /** Snapshot partitions written by [[compactState]] carry NEGATIVE batch
     * ids (`batch=-(upToBatch+1)`). Engine batch ids are non-negative, so a
@@ -250,14 +269,16 @@ object StreamingCuration {
         config.nearDupThreshold).isNotNull)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    val droppedByStore = storeCands
+    val storePairs = storeCands
       .join(batchSh.select(col("id").as("new_id"), col("sh").as("sh_a")),
         "new_id")
       .join(keptSh.select(col("id").as("__kept_id"), col("sh").as("sh_b")),
         "__kept_id")
       .filter(Dedup.jaccardHashedGE(col("sh_a"), col("sh_b"),
         config.nearDupThreshold).isNotNull)
-      .select(col("new_id").as(idCol)).distinct()
+      .select(col("new_id"), col("__kept_id"))
+      .localCheckpoint(true)
+    val droppedByStore = storePairs.select(col("new_id").as(idCol)).distinct()
     // in-batch representatives: component-min over verified batch pairs
     val internalLosers = Dedup.dupClusters(internalPairs)
       .filter(col("id") =!= col("cluster"))
@@ -299,7 +320,76 @@ object StreamingCuration {
       .write.mode("overwrite").parquet(s"$bandsPath/batch=$batchId")
     postNear.select(col(idCol).as("id"), col(textCol).as("text"))
       .write.mode("overwrite").parquet(s"$keptPath/batch=$batchId")
+    // the verified near-dup EDGE set, normalized (least, greatest) — the
+    // pair graph [[reconcileKept]] re-collapses over; edges through docs
+    // this very batch drops are exactly the chain evidence a kept/-only
+    // re-scan could never recover
+    internalPairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .union(storePairs.select(
+        least(col("new_id"), col("__kept_id")).cast("long"),
+        greatest(col("new_id"), col("__kept_id")).cast("long")))
+      .toDF("id_a", "id_b").distinct()
+      .write.mode("overwrite").parquet(s"$storePath/duppairs/batch=$batchId")
     kept
+  }
+
+  /** Periodic RE-COLLAPSE of the kept set (round-8 verdict item 8): the
+    * greedy per-batch fold over-keeps on chain-shaped near-dup graphs —
+    * A(batch 1) kept, C(batch 2) kept (A≁C), B(batch 3) arrives, matches
+    * both, and is dropped… leaving A AND C where the one-shot batch
+    * pipeline's component collapse keeps only A. The kept docs are
+    * pairwise non-near-dup by construction (anything matching a kept doc
+    * was dropped), so re-scanning kept/ finds nothing — the chain runs
+    * through B, whose text and bands are gone. The persisted `duppairs/`
+    * EDGE LOG still holds A–B and B–C (both verified when B arrived), so
+    * collapsing the edge graph recovers the full component: every kept
+    * doc that is not its component's minimum id is removed from `kept/`
+    * and `bands/`, and returned (one `id` column) so the caller can
+    * retract it downstream. Under ascending-id arrival the component
+    * minimum is always kept (its earliest member had nothing to match),
+    * so the post-pass kept set equals the batch pipeline's on any chain
+    * the edge log witnessed. Residual divergence: an edge between two
+    * docs that were BOTH already dropped when they could have met is
+    * never verified, so components bridged only by such an edge stay
+    * split — bounded, no longer permanent, and shrinking every pass.
+    *
+    * State rewrite is crash-safe the same way [[compactState]] is:
+    * the shrunk table is written as a fresh generation snapshot before
+    * the folded sources are deleted — a crash leaves duplicates
+    * (over-keeping until the retry), never loss. Call between batches
+    * (`upToBatch` = next engine batch id), as [[runStream]] does on the
+    * `reconcileEvery` cadence. */
+  def reconcileKept(spark: SparkSession, storePath: String,
+      upToBatch: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val pairs = readState(spark, s"$storePath/duppairs",
+      StateSchemas("duppairs"), excludeBatch = upToBatch)
+    val keptIds = readState(spark, s"$storePath/kept",
+      StateSchemas("kept"), excludeBatch = upToBatch).select(col("id"))
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster")).select(col("id"))
+      .join(keptIds, Seq("id"), "left_semi")
+      .localCheckpoint(true)
+    if (losers.isEmpty) return losers
+    val conf = spark.sessionState.newHadoopConf()
+    for (sub <- Seq("kept", "bands")) {
+      val tablePath = s"$storePath/$sub"
+      val fs = new Path(tablePath).getFileSystem(conf)
+      val (deltas, _) = listStateDir(spark, tablePath)
+      def id(d: String): Long = d.stripPrefix("batch=").toLong
+      val foldable = deltas.filter(d => id(d) < 0 || id(d) < upToBatch)
+      val newId = math.min(snapshotId(upToBatch),
+        (deltas.map(id).filter(_ < 0) :+ 0L).min - 1)
+      val schema = StateSchemas(sub)
+      spark.read.schema(schema)
+        .parquet(foldable.map(d => s"$tablePath/$d"): _*)
+        .distinct()
+        .join(losers, Seq("id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$tablePath/batch=$newId")
+      foldable.foreach(d => fs.delete(new Path(s"$tablePath/$d"), true))
+    }
+    losers
   }
 
   /** Fold every committed `batch=<id>` delta with `0 <= id < upToBatch`,
@@ -333,7 +423,7 @@ object StreamingCuration {
       upToBatch: Long): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
-    for (sub <- Seq("fingerprints", "spangrams", "bands", "kept")) {
+    for (sub <- StateTables) {
       val tablePath = s"$storePath/$sub"
       val fs = new Path(tablePath).getFileSystem(conf)
       val (deltas, _) = listStateDir(spark, tablePath)
@@ -373,6 +463,11 @@ object StreamingCuration {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // every committed batch is < id here, so id is a safe watermark
+        config.reconcileEvery.foreach(n =>
+          if (id > 0 && id % n == 0)
+            reconcileKept(batch.sparkSession, storePath, upToBatch = id)
+              .write.mode("overwrite")
+              .parquet(s"$storePath/retractions/batch=$id"))
         config.compactEvery.foreach(n =>
           if (id > 0 && id % n == 0)
             compactState(batch.sparkSession, storePath, upToBatch = id))

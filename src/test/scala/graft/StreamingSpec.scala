@@ -760,4 +760,58 @@ class StreamingSpec extends SparkSpec {
       assert(u1(1).n_events == 2 && u1(1).sum_value == 7.0, s"session B wrong: ${u1(1)}")
     } finally q.stop()
   }
+
+  test("reconcileKept re-collapses a chain whose connector was dropped: post-pass kept set equals the batch pipeline") {
+    import spark.implicits._
+    import graft.streaming.StreamingCuration
+    // round-8 verdict item 8. Chain A~B, B~C, A≁C built from a 40-word
+    // base: B swaps word 10, C swaps words 10 and 25 — one swapped word
+    // changes 3 of 38 trigram shingles, so J(A,B)=J(B,C)=35/41≈0.854≥0.8
+    // and J(A,C)=32/44≈0.727<0.8. Arrival A, C, B: C survives (≁A), B
+    // matches BOTH and is dropped — the greedy fold keeps {A, C} where
+    // the one-shot batch pipeline's component collapse keeps only A.
+    val base = (0 until 40).map(i => s"tok$i").toArray
+    def doc(swaps: (Int, String)*): String = {
+      val w = base.clone()
+      swaps.foreach { case (i, t) => w(i) = t }
+      w.mkString(" ")
+    }
+    val a = (1L, doc(), "web")
+    val b = (3L, doc(10 -> "altb"), "web")
+    val c = (2L, doc(10 -> "altb", 25 -> "altc"), "web")
+    val store = tmpPath("reconcile_store")
+    val cfg = StreamingCuration.Config()
+    StreamingCuration.curateBatch(Seq(a).toDF("doc_id", "text", "source"),
+      store, None, "doc_id", "text", cfg, batchId = 0L)
+    StreamingCuration.curateBatch(Seq(c).toDF("doc_id", "text", "source"),
+      store, None, "doc_id", "text", cfg, batchId = 1L)
+    StreamingCuration.curateBatch(Seq(b).toDF("doc_id", "text", "source"),
+      store, None, "doc_id", "text", cfg, batchId = 2L)
+    def keptState(): Set[Long] = spark.read
+      .parquet(s"$store/kept").select("id").collect().map(_.getLong(0)).toSet
+    assert(keptState() === Set(1L, 2L),
+      "precondition: the greedy fold over-keeps the chain end")
+    val dropped = StreamingCuration.reconcileKept(spark, store,
+      upToBatch = 3L).collect().map(_.getLong(0)).toSet
+    assert(dropped === Set(2L), "reconcile must retract the over-kept end")
+    val batchKept = graft.operators.CurationPipeline.run(
+        Seq(a, b, c).toDF("doc_id", "text", "source"), None,
+        "doc_id", "text", "source", graft.operators.CurationPipeline.Config())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptState() === batchKept && batchKept === Set(1L),
+      s"post-pass kept ${keptState()} must equal batch ${batchKept}")
+    // bands of the retracted doc are gone too — the LSH index stays
+    // consistent with the kept set
+    assert(spark.read.parquet(s"$store/bands").filter(col("id") === 2L)
+      .count() === 0L)
+    // idempotent: a second pass retracts nothing
+    assert(StreamingCuration.reconcileKept(spark, store, upToBatch = 3L)
+      .count() === 0L)
+    // and a later batch folds against the reconciled state cleanly
+    val d = (11L, "an entirely different document about query planners", "web")
+    val k3 = StreamingCuration.curateBatch(
+      Seq(d).toDF("doc_id", "text", "source"), store, None, "doc_id",
+      "text", cfg, batchId = 3L)
+    assert(k3.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+  }
 }
