@@ -1211,17 +1211,26 @@ object Bench {
          else -1.0))
 
     // END-OF-RUN REDEMPTION: probes that stayed slow+unstable in place get
-    // ONE more batch now (mid-run co-load is usually transient — round 5's
-    // arrived after minute 2 and the affected probes were clean again by
-    // the end). A stable, co-load-free re-batch replaces the probe's value
-    // and clears its stamp; derived ratios are recomputed from the
-    // redeemed bases so the artifact is internally consistent.
+    // up to THREE more batches now, with settle sleeps between co-loaded
+    // attempts (mid-run co-load is usually transient — round 5's arrived
+    // after minute 2 and the affected probes were clean again by the end;
+    // the round-8 driver artifact's single redemption batch itself ran
+    // under loadavg 22 and could redeem nothing). A stable, co-load-free
+    // re-batch replaces the probe's value and clears its stamp; derived
+    // ratios are recomputed from the redeemed bases so the artifact is
+    // internally consistent.
     val redeemed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     probeRedo.foreach { case (name, once) =>
-      val (b, oc) = batchOf(once)
-      if (spreadOf(b) <= 0.30 && oc <= CoLoadCores) {
-        probeDirty -= name
-        redeemed(name) = b(1)
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 3) {
+        val (b, oc) = batchOf(once)
+        if (spreadOf(b) <= 0.30 && oc <= CoLoadCores) {
+          probeDirty -= name
+          redeemed(name) = b(1)
+          done = true
+        } else if (oc > CoLoadCores) Thread.sleep(15000)
+        attempt += 1
       }
     }
     val resultsFinal = results.map { case (k, v) =>
