@@ -284,9 +284,10 @@ object Ann {
     *                                path-selection time — unprobed lists
     *                                are never even listed, let alone
     *                                footer-read)
-    *   `path/_meta_<N>`           — the COMMIT MANIFEST: one `C G` line
-    *                                per live list; readers take the
-    *                                highest N
+    *   `path/_meta_<N>`           — the COMMIT MANIFEST: a `#codec` header
+    *                                plus one `C G` line per live list;
+    *                                readers take the highest N (and never
+    *                                sniff a parquet footer for the codec)
     *
     * Maintenance ops ([[deleteFromIvfIndex]] / [[upsertIntoIvfIndex]] /
     * [[compactIvfIndex]]) write the touched lists' new content into
@@ -353,7 +354,8 @@ object Ann {
       .write.partitionBy("cid", "gen").mode("overwrite")
       .parquet(s"$path/corpus")
     // manifest = the lists that actually materialized (bounded listing)
-    writeManifest(spark, path, 0L, listCidDirs(fs, path).map(_ -> 0L).toMap)
+    writeManifest(spark, path, 0L,
+      listCidDirs(fs, path).map(_ -> 0L).toMap, codec)
   }
 
   // ---- generation-manifest plumbing (shared by every persisted-index op)
@@ -382,10 +384,18 @@ object Ann {
       path: String): Boolean =
     listManifests(hadoopFs(spark, path), path).nonEmpty
 
-  /** Highest committed manifest at `path`: (manifest number, cid → live
-    * generation). Fails fast — never reads rubble as an empty index. */
+  /** Parsed commit manifest: number, cid → live generation, and the
+    * stored payload codec (recorded at build time so no op has to sniff
+    * a parquet footer to learn it). */
+  private final case class IndexMeta(gen: Long, gens: Map[Int, Long],
+      codec: String) {
+    def int8: Boolean = codec == "int8"
+  }
+
+  /** Highest committed manifest at `path`. Fails fast — never reads
+    * rubble as an empty index. */
   private def readManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Long, Map[Int, Long]) = {
+      path: String): IndexMeta = {
     val fs = hadoopFs(spark, path)
     val metas = listManifests(fs, path)
     if (metas.isEmpty) throw new IllegalStateException(
@@ -398,12 +408,16 @@ object Ann {
     val txt =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-    val gens = txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty)
+    val lines = txt.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val codec = lines.collectFirst {
+      case l if l.startsWith("#codec ") => l.stripPrefix("#codec ") }
+      .getOrElse("float")
+    val gens = lines.filterNot(_.startsWith("#"))
       .map { line =>
         val parts = line.split(" ")
         parts(0).toInt -> parts(1).toLong
       }.toMap
-    (n, gens)
+    IndexMeta(n, gens, codec)
   }
 
   /** Publish manifest `metaGen`: write to a dot-temp (invisible to
@@ -412,13 +426,14 @@ object Ann {
     * file, and a racing second writer dies here instead of corrupting
     * state. Superseded manifests are swept after the publish. */
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, metaGen: Long, gens: Map[Int, Long]): Unit = {
+      path: String, metaGen: Long, gens: Map[Int, Long],
+      codec: String): Unit = {
     val fs = hadoopFs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.meta_tmp_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write(gens.toSeq.sorted
-      .map { case (c, g) => s"$c $g" }.mkString("", "\n", "\n")
+    try out.write((s"#codec $codec" +: gens.toSeq.sorted
+      .map { case (c, g) => s"$c $g" }).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new org.apache.hadoop.fs.Path(s"$path/$MetaPrefix$metaGen")
@@ -481,8 +496,7 @@ object Ann {
     * uncommitted generations — always come through here. */
   def readIndexCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
       cids: Option[Seq[Int]] = None): DataFrame = {
-    val (_, gens) = readManifest(spark, path)
-    readLists(spark, path, gens, cids)
+    readLists(spark, path, readManifest(spark, path).gens, cids)
   }
 
   private def readLists(spark: org.apache.spark.sql.SparkSession,
@@ -505,13 +519,13 @@ object Ann {
     * list writes nothing), publish the manifest, sweep superseded and
     * emptied generations. Returns the new live map. */
   private def commitRewrite(spark: org.apache.spark.sql.SparkSession,
-      path: String, oldGens: Map[Int, Long], touched: Seq[Int],
+      path: String, meta: IndexMeta, touched: Seq[Int],
       newGen: Long): Map[Int, Long] = {
     val fs = hadoopFs(spark, path)
     val materialized = touched.filter(c => fs.exists(
       new org.apache.hadoop.fs.Path(liveListDir(path, c, newGen))))
-    val newGens = (oldGens -- touched) ++ materialized.map(_ -> newGen)
-    writeManifest(spark, path, newGen, newGens)
+    val newGens = (meta.gens -- touched) ++ materialized.map(_ -> newGen)
+    writeManifest(spark, path, newGen, newGens, meta.codec)
     gcStaleGens(spark, path, newGens)
     newGens
   }
@@ -534,10 +548,11 @@ object Ann {
     import graft.functions.TopCentroids
     requireIntegralId(newVecs, idCol, "appendToIvfIndex")
     val spark = newVecs.sparkSession
-    val (metaGen, gens) = readManifest(spark, path)
+    val meta = readManifest(spark, path)
+    val (metaGen, gens) = (meta.gen, meta.gens)
     val (flat, numCentroids, _) = loadCentroids(spark, path)
     // codec is a property of the existing index: appended rows must match
-    val int8 = indexIsInt8(spark, path, gens)
+    val int8 = meta.int8
     val assign = ColumnShim.column(TopCentroids(
       ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
     val payload =
@@ -557,16 +572,8 @@ object Ann {
     val appeared = listCidDirs(hadoopFs(spark, path), path)
       .filterNot(gens.contains)
     if (appeared.nonEmpty)
-      writeManifest(spark, path, newGen, gens ++ appeared.map(_ -> newGen))
-  }
-
-  /** Codec of the stored payload, from ONE live list's parquet schema. */
-  private def indexIsInt8(spark: org.apache.spark.sql.SparkSession,
-      path: String, gens: Map[Int, Long]): Boolean = {
-    require(gens.nonEmpty, s"IVF index at $path has no live lists " +
-      "(everything was deleted) — rebuild it")
-    readLists(spark, path, gens, Some(Seq(gens.keysIterator.min)))
-      .schema.fieldNames.contains("code")
+      writeManifest(spark, path, newGen,
+        gens ++ appeared.map(_ -> newGen), meta.codec)
   }
 
   /** Fail loudly when `idCol` is not integral: index ids are normalized
@@ -609,28 +616,33 @@ object Ann {
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deleteIds: DataFrame, idCol: String): Long = {
     requireIntegralId(deleteIds, idCol, "deleteFromIvfIndex")
-    val (metaGen, gens) = readManifest(spark, path)
+    val meta = readManifest(spark, path)
+    val (metaGen, gens) = (meta.gen, meta.gens)
     gcStaleGens(spark, path, gens) // sweep crashed-op staging first
     val ids = deleteIds.select(col(idCol).cast("long").as("__del")).distinct()
-    val touched = readLists(spark, path, gens, None).select("id", "cid")
+    // ONE file index for the whole op: the scoped rewrite below filters
+    // this same frame on the cid partition column, which prunes at
+    // planning time — no second listing, no second schema read
+    val corpus = readLists(spark, path, gens, None)
+    // touched-list discovery AND the deleted-row count in ONE job: the
+    // per-cid match counts are the touched set's keys and the deleted
+    // total at once (bounded: ≤ numCentroids rows reach the driver)
+    val perCid = corpus.select("id", "cid")
       .join(ids, col("id").cast("long") === col("__del"), "left_semi")
-      .select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded: ≤ numCentroids
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val touched = perCid.map(_._1).toSeq
     if (touched.isEmpty) return 0L
-    val scoped = readLists(spark, path, gens, Some(touched))
-    val nBefore = scoped.count()
+    val nDeleted = perCid.map(_._2).sum
+    val scoped = corpus.filter(col("cid").isin(touched: _*))
     val newGen = metaGen + 1
     scoped.join(ids, col("id").cast("long") === col("__del"), "left_anti")
       .withColumn("gen", lit(newGen))
       .repartition(col("cid"),
         pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
       .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
-    val newGens = commitRewrite(spark, path, gens, touched, newGen)
-    val keptTouched = touched.filter(newGens.contains)
-    val nKept =
-      if (keptTouched.isEmpty) 0L
-      else readLists(spark, path, newGens, Some(keptTouched)).count()
-    nBefore - nKept
+    commitRewrite(spark, path, meta, touched, newGen): Unit
+    nDeleted
   }
 
   /** Idempotent ATOMIC upsert into a persisted [[buildIvfIndex]] index —
@@ -659,10 +671,15 @@ object Ann {
     import graft.functions.TopCentroids
     requireIntegralId(newVecs, idCol, "upsertIntoIvfIndex")
     val spark = newVecs.sparkSession
-    val (metaGen, gens) = readManifest(spark, path)
+    val meta = readManifest(spark, path)
+    val (metaGen, gens) = (meta.gen, meta.gens)
     gcStaleGens(spark, path, gens) // sweep crashed-op staging first
     val (flat, numCentroids, _) = loadCentroids(spark, path)
-    val int8 = indexIsInt8(spark, path, gens)
+    // ONE file index for the whole op (touched discovery and the scoped
+    // rewrite share it — cid filters prune at planning time); the codec
+    // rides the manifest, so nothing sniffs a footer
+    val corpus = readLists(spark, path, gens, None)
+    val int8 = meta.int8
     val assign = ColumnShim.column(TopCentroids(
       ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
     val payload =
@@ -673,7 +690,7 @@ object Ann {
     // unhinted joins: the incoming batch is unbounded at the 100 TB
     // posture (mass recrawls) — AQE picks the strategy (round-8 ADVICE)
     val ids = incoming.select(col("id").cast("long").as("__del")).distinct()
-    val touchedDel = readLists(spark, path, gens, None).select("id", "cid")
+    val touchedDel = corpus.select("id", "cid")
       .join(ids, col("id").cast("long") === col("__del"), "left_semi")
       .select(col("cid")).distinct().collect().map(_.getInt(0))
     val touchedApp = incoming.select(col("cid")).distinct()
@@ -682,7 +699,7 @@ object Ann {
     val liveTouched = touched.filter(gens.contains)
     val keptOld =
       if (liveTouched.isEmpty) None
-      else Some(readLists(spark, path, gens, Some(liveTouched))
+      else Some(corpus.filter(col("cid").isin(liveTouched: _*))
         .join(ids, col("id").cast("long") === col("__del"), "left_anti"))
     val content = keptOld.map(_.unionByName(incoming)).getOrElse(incoming)
     val newGen = metaGen + 1
@@ -691,7 +708,7 @@ object Ann {
       .repartition(col("cid"),
         pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
       .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
-    commitRewrite(spark, path, gens, touched, newGen): Unit
+    commitRewrite(spark, path, meta, touched, newGen): Unit
   }
 
   /** Compact append-fragmented inverted lists: [[appendToIvfIndex]] adds
@@ -704,7 +721,8 @@ object Ann {
     * [[deleteFromIvfIndex]]. Returns the compacted cids. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       maxFilesPerList: Int = 4 * WriteSalt): Seq[Int] = {
-    val (metaGen, gens) = readManifest(spark, path)
+    val meta = readManifest(spark, path)
+    val (metaGen, gens) = (meta.gen, meta.gens)
     gcStaleGens(spark, path, gens) // sweep crashed-op staging first
     val fs = hadoopFs(spark, path)
     val frag = gens.toSeq.filter { case (c, g) =>
@@ -720,7 +738,7 @@ object Ann {
       .repartition(col("cid"),
         pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
       .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
-    commitRewrite(spark, path, gens, frag, newGen)
+    commitRewrite(spark, path, meta, frag, newGen)
     frag
   }
 
@@ -768,8 +786,11 @@ object Ann {
     import graft.functions.TopCentroids
     requireIntegralId(probes, idCol, "searchIvfIndex")
     val (flat, numCentroids, _) = loadCentroids(spark, path)
-    val (_, gens) = readManifest(spark, path)
-    val int8 = indexIsInt8(spark, path, gens)
+    val meta = readManifest(spark, path)
+    val gens = meta.gens
+    require(gens.nonEmpty, s"IVF index at $path has no live lists " +
+      "(everything was deleted) — rebuild it")
+    val int8 = meta.int8
     // probe payload mirrors the stored codec: float probes against float
     // lists (bit-identical to ivfTopK), coded probes against coded lists
     // (bit-identical to ivfTopKInt8 — the scales cancel per pair)
