@@ -339,9 +339,8 @@ object Ann {
       lloydIters)
     val flat = centroids.flatten.toArray
     import spark.implicits._
-    centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
-      .toDF("cid", "vec")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/centroids"), true)
+    writeCentroids(spark, path, 0L, centroids)
     val assign = ColumnShim.column(TopCentroids(
       ColumnShim.expression(col(vecCol)), flat, numCentroids, 1)).getItem(0)
     val payload =
@@ -354,8 +353,8 @@ object Ann {
       .write.partitionBy("cid", "gen").mode("overwrite")
       .parquet(s"$path/corpus")
     // manifest = the lists that actually materialized (bounded listing)
-    writeManifest(spark, path, 0L,
-      listCidDirs(fs, path).map(_ -> 0L).toMap, codec)
+    writeManifest(spark, path,
+      IndexMeta(0L, listCidDirs(fs, path).map(_ -> 0L).toMap, codec, 0L))
   }
 
   // ---- generation-manifest plumbing (shared by every persisted-index op)
@@ -388,7 +387,7 @@ object Ann {
     * stored payload codec (recorded at build time so no op has to sniff
     * a parquet footer to learn it). */
   private final case class IndexMeta(gen: Long, gens: Map[Int, Long],
-      codec: String) {
+      codec: String, centGen: Long) {
     def int8: Boolean = codec == "int8"
   }
 
@@ -412,12 +411,16 @@ object Ann {
     val codec = lines.collectFirst {
       case l if l.startsWith("#codec ") => l.stripPrefix("#codec ") }
       .getOrElse("float")
+    val centGen = lines.collectFirst {
+      case l if l.startsWith("#centroids ") =>
+        l.stripPrefix("#centroids ").toLong }
+      .getOrElse(0L)
     val gens = lines.filterNot(_.startsWith("#"))
       .map { line =>
         val parts = line.split(" ")
         parts(0).toInt -> parts(1).toLong
       }.toMap
-    IndexMeta(n, gens, codec)
+    IndexMeta(n, gens, codec, centGen)
   }
 
   /** Publish manifest `metaGen`: write to a dot-temp (invisible to
@@ -426,16 +429,17 @@ object Ann {
     * file, and a racing second writer dies here instead of corrupting
     * state. Superseded manifests are swept after the publish. */
   private def writeManifest(spark: org.apache.spark.sql.SparkSession,
-      path: String, metaGen: Long, gens: Map[Int, Long],
-      codec: String): Unit = {
+      path: String, meta: IndexMeta): Unit = {
     val fs = hadoopFs(spark, path)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path/.meta_tmp_${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
-    try out.write((s"#codec $codec" +: gens.toSeq.sorted
+    try out.write((Seq(s"#codec ${meta.codec}",
+      s"#centroids ${meta.centGen}") ++ meta.gens.toSeq.sorted
       .map { case (c, g) => s"$c $g" }).mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val metaGen = meta.gen
     val dest = new org.apache.hadoop.fs.Path(s"$path/$MetaPrefix$metaGen")
     if (!fs.rename(tmp, dest)) {
       fs.delete(tmp, false)
@@ -461,14 +465,20 @@ object Ann {
   private def liveListDir(path: String, cid: Int, gen: Long): String =
     s"$path/corpus/cid=$cid/gen=$gen"
 
-  /** Sweep every corpus directory `gens` does not reference: superseded
-    * generations after a publish, partial generations left by a crashed
-    * op (which never published), and cid dirs with no live generation
-    * (fully-deleted lists). Bounded driver work: ≤ numCentroids × a few
-    * listings. */
+  /** Sweep every corpus (and centroid) directory the manifest does not
+    * reference: superseded generations after a publish, partial
+    * generations left by a crashed op (which never published), and cid
+    * dirs with no live generation (fully-deleted lists). Bounded driver
+    * work: ≤ numCentroids × a few listings. */
   private def gcStaleGens(spark: org.apache.spark.sql.SparkSession,
-      path: String, gens: Map[Int, Long]): Unit = {
+      path: String, meta: IndexMeta): Unit = {
+    val gens = meta.gens
     val fs = hadoopFs(spark, path)
+    val centp = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    if (fs.exists(centp)) fs.listStatus(centp).toSeq
+      .filter(e => e.isDirectory && e.getPath.getName.startsWith("gen="))
+      .filter(_.getPath.getName.stripPrefix("gen=").toLong != meta.centGen)
+      .foreach(e => fs.delete(e.getPath, true))
     val cp = new org.apache.hadoop.fs.Path(s"$path/corpus")
     if (!fs.exists(cp)) return
     fs.listStatus(cp).toSeq
@@ -525,8 +535,9 @@ object Ann {
     val materialized = touched.filter(c => fs.exists(
       new org.apache.hadoop.fs.Path(liveListDir(path, c, newGen))))
     val newGens = (meta.gens -- touched) ++ materialized.map(_ -> newGen)
-    writeManifest(spark, path, newGen, newGens, meta.codec)
-    gcStaleGens(spark, path, newGens)
+    val newMeta = meta.copy(gen = newGen, gens = newGens)
+    writeManifest(spark, path, newMeta)
+    gcStaleGens(spark, path, newMeta)
     newGens
   }
 
@@ -550,7 +561,7 @@ object Ann {
     val spark = newVecs.sparkSession
     val meta = readManifest(spark, path)
     val (metaGen, gens) = (meta.gen, meta.gens)
-    val (flat, numCentroids, _) = loadCentroids(spark, path)
+    val (flat, numCentroids, _) = loadCentroids(spark, path, meta)
     // codec is a property of the existing index: appended rows must match
     val int8 = meta.int8
     val assign = ColumnShim.column(TopCentroids(
@@ -572,8 +583,8 @@ object Ann {
     val appeared = listCidDirs(hadoopFs(spark, path), path)
       .filterNot(gens.contains)
     if (appeared.nonEmpty)
-      writeManifest(spark, path, newGen,
-        gens ++ appeared.map(_ -> newGen), meta.codec)
+      writeManifest(spark, path,
+        meta.copy(gen = newGen, gens = gens ++ appeared.map(_ -> newGen)))
   }
 
   /** Fail loudly when `idCol` is not integral: index ids are normalized
@@ -618,7 +629,7 @@ object Ann {
     requireIntegralId(deleteIds, idCol, "deleteFromIvfIndex")
     val meta = readManifest(spark, path)
     val (metaGen, gens) = (meta.gen, meta.gens)
-    gcStaleGens(spark, path, gens) // sweep crashed-op staging first
+    gcStaleGens(spark, path, meta) // sweep crashed-op staging first
     val ids = deleteIds.select(col(idCol).cast("long").as("__del")).distinct()
     // ONE file index for the whole op: the scoped rewrite below filters
     // this same frame on the cid partition column, which prunes at
@@ -673,8 +684,8 @@ object Ann {
     val spark = newVecs.sparkSession
     val meta = readManifest(spark, path)
     val (metaGen, gens) = (meta.gen, meta.gens)
-    gcStaleGens(spark, path, gens) // sweep crashed-op staging first
-    val (flat, numCentroids, _) = loadCentroids(spark, path)
+    gcStaleGens(spark, path, meta) // sweep crashed-op staging first
+    val (flat, numCentroids, _) = loadCentroids(spark, path, meta)
     // ONE file index for the whole op (touched discovery and the scoped
     // rewrite share it — cid filters prune at planning time); the codec
     // rides the manifest, so nothing sniffs a footer
@@ -723,7 +734,7 @@ object Ann {
       maxFilesPerList: Int = 4 * WriteSalt): Seq[Int] = {
     val meta = readManifest(spark, path)
     val (metaGen, gens) = (meta.gen, meta.gens)
-    gcStaleGens(spark, path, gens) // sweep crashed-op staging first
+    gcStaleGens(spark, path, meta) // sweep crashed-op staging first
     val fs = hadoopFs(spark, path)
     val frag = gens.toSeq.filter { case (c, g) =>
       val d = new org.apache.hadoop.fs.Path(liveListDir(path, c, g))
@@ -742,12 +753,86 @@ object Ann {
     frag
   }
 
+  /** RETRAIN the centroids of a persisted index from its CURRENT live
+    * corpus and re-assign every row — the offline-cadence op the
+    * [[appendToIvfIndex]]/[[deleteFromIvfIndex]] drift caveats defer to,
+    * with the same atomic commit as every other maintenance op: the new
+    * centroid matrix lands in `centroids/gen=<n+1>`, every re-assigned
+    * inverted list in `cid=<c>/gen=<n+1>`, and ONE manifest publish swaps
+    * BOTH together — search serves either the old (centroids, lists)
+    * pair or the new pair, never a centroids/assignment mix. A crash at
+    * any point leaves the old pair fully live; the staged new
+    * generations are swept by the next op's GC.
+    *
+    * Scale shape: one full corpus rewrite (inherent — retraining
+    * re-assigns every row) = one Lloyd training pass (shuffles only
+    * numCentroids × dim partials per iteration) + one assign-and-write
+    * scan; run it on the retrain cadence, not per batch.
+    *
+    * Float-codec only: int8 codes are per-vector-scaled with NO stored
+    * scale (the scales cancel in the cosine), so the vectors cannot be
+    * reconstructed from the index — rebuild an int8 index from the
+    * source corpus instead (loud error here). Returns the number of
+    * centroids trained. */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numCentroids: Option[Int] = None,
+      lloydIters: Int = 1): Int = {
+    import org.apache.spark.sql.graftshim.ColumnShim
+    import graft.functions.TopCentroids
+    val meta = readManifest(spark, path)
+    require(!meta.int8, "retrainIvfIndex requires the float codec: int8 " +
+      "codes are per-vector-scaled with no stored scale, so the vectors " +
+      "cannot be reconstructed from the index — rebuild from the source " +
+      "corpus instead")
+    gcStaleGens(spark, path, meta) // sweep crashed-op staging first
+    val (_, curK, _) = loadCentroids(spark, path, meta)
+    val k = numCentroids.getOrElse(curK)
+    val corpus = readLists(spark, path, meta.gens, None)
+      .select(col("id"), col("vec"))
+    val centroids = lloydCentroids(corpus, "id", "vec", k, lloydIters)
+    val newGen = meta.gen + 1
+    // stage: centroids first, then the re-assigned lists — both invisible
+    // until the manifest flips
+    writeCentroids(spark, path, newGen, centroids)
+    val assign = ColumnShim.column(TopCentroids(
+      ColumnShim.expression(col("vec")), centroids.flatten.toArray, k, 1))
+      .getItem(0)
+    corpus.select(col("id"), col("vec"), assign.as("cid"))
+      .withColumn("gen", lit(newGen))
+      .repartition(col("cid"),
+        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+      .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
+    // publish: every OLD list is superseded (touched = all old cids plus
+    // every possible new cid), centroid generation flips in the same swap
+    val touched = (meta.gens.keySet ++ (0 until k)).toSeq.sorted
+    val fs = hadoopFs(spark, path)
+    val materialized = touched.filter(c => fs.exists(
+      new org.apache.hadoop.fs.Path(liveListDir(path, c, newGen))))
+    val newMeta = IndexMeta(newGen,
+      materialized.map(_ -> newGen).toMap, meta.codec, centGen = newGen)
+    writeManifest(spark, path, newMeta)
+    gcStaleGens(spark, path, newMeta)
+    k
+  }
+
+  /** Write one centroid generation (numCentroids rows, one file). */
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String, gen: Long,
+      centroids: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "vec")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$path/centroids/gen=$gen")
+  }
+
   /** Load the centroid matrix of a persisted index as the flat row-major
     * array [[graft.functions.TopCentroids]] consumes:
     * (flat, numCentroids, dim). Bounded driver state by construction. */
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
-      path: String): (Array[Double], Int, Int) = {
-    val centRows = spark.read.parquet(s"$path/centroids")
+      path: String, meta: IndexMeta): (Array[Double], Int, Int) = {
+    val centRows = spark.read
+      .parquet(s"$path/centroids/gen=${meta.centGen}")
       .select(col("cid"), col("vec")).collect()
     val numCentroids = centRows.length
     val dim = centRows.head.getSeq[Double](1).length
@@ -766,7 +851,8 @@ object Ann {
       probes: DataFrame, idCol: String, vecCol: String, nProbe: Int): Long = {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
-    val (flat, numCentroids, _) = loadCentroids(spark, path)
+    val (flat, numCentroids, _) =
+      loadCentroids(spark, path, readManifest(spark, path))
     probes.select(explode(ColumnShim.column(TopCentroids(
         ColumnShim.expression(col(vecCol)), flat, numCentroids, nProbe)))
         .as("cid"))
@@ -785,8 +871,8 @@ object Ann {
     import org.apache.spark.sql.graftshim.ColumnShim
     import graft.functions.TopCentroids
     requireIntegralId(probes, idCol, "searchIvfIndex")
-    val (flat, numCentroids, _) = loadCentroids(spark, path)
     val meta = readManifest(spark, path)
+    val (flat, numCentroids, _) = loadCentroids(spark, path, meta)
     val gens = meta.gens
     require(gens.nonEmpty, s"IVF index at $path has no live lists " +
       "(everything was deleted) — rebuild it")

@@ -332,6 +332,52 @@ class AnnIndexSpec extends SparkSpec {
     assert(Ann.deleteFromIvfIndex(spark, mPath, noTouch, "vec_id") === 0L)
   }
 
+  test("retrainIvfIndex: centroids+assignments swap atomically; exhaustive search invariant; int8 refused") {
+    import org.apache.hadoop.fs.Path
+    val rPath = tmpPath("ivf_retrain")
+    // half-trained index + appended other half = the drift shape retrain fixes
+    Ann.buildIvfIndex(embs.filter(pmod(col("vec_id"), lit(2L)) === 0),
+      "vec_id", "embedding", rPath, numCentroids = 16)
+    Ann.appendToIvfIndex(embs.filter(pmod(col("vec_id"), lit(2L)) === 1),
+      "vec_id", "embedding", rPath)
+    val probes = embs.filter(col("vec_id") < 6)
+    def exhaustive() = Ann.searchIvfIndex(spark, rPath, probes, "vec_id",
+        "embedding", k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // probing every list = exact top-k among the corpus, independent of
+    // centroids — so it must be BIT-IDENTICAL across a retrain
+    val before = exhaustive()
+    val n = Ann.readIndexCorpus(spark, rPath).count()
+    assert(Ann.retrainIvfIndex(spark, rPath) === 16)
+    assert(Ann.readIndexCorpus(spark, rPath).count() === n,
+      "retrain must preserve every row")
+    assert(exhaustive() === before,
+      "exhaustive search must be invariant under re-assignment")
+    // old generations (lists AND centroids) are swept; one manifest lives
+    val fs = new Path(rPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val centGens = fs.listStatus(new Path(s"$rPath/centroids")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+    assert(centGens === Seq("gen=1"), s"stale centroid gens: $centGens")
+    val metas = fs.listStatus(new Path(rPath)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_meta_"))
+    assert(metas.size === 1)
+    // retrained index still prunes and searches at the default nProbe
+    assert(Ann.searchIvfIndex(spark, rPath, probes, "vec_id", "embedding",
+      k = 5, nProbe = 8).count() === probes.count() * 5)
+    // shrinking k on retrain is allowed (fewer, fuller lists)
+    assert(Ann.retrainIvfIndex(spark, rPath, numCentroids = Some(8)) === 8)
+    assert(Ann.readIndexCorpus(spark, rPath).count() === n)
+    // int8 indexes cannot be retrained in place: vectors are not
+    // reconstructible from per-vector-scaled codes
+    val r8Path = tmpPath("ivf_retrain_int8")
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", r8Path,
+      numCentroids = 8, codec = "int8")
+    val e = intercept[IllegalArgumentException] {
+      Ann.retrainIvfIndex(spark, r8Path)
+    }
+    assert(e.getMessage.contains("float codec"))
+  }
+
   test("streaming index ingest: upserts idempotent, recrawls replace, in-stream compaction safe") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
