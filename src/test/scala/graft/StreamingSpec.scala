@@ -814,4 +814,44 @@ class StreamingSpec extends SparkSpec {
       "text", cfg, batchId = 3L)
     assert(k3.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
   }
+
+  test("runStream wires reconcileEvery: retractions land under the store on the cadence") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingCuration
+    // same A~B~C chain as the direct-API case, driven through the real
+    // foreachBatch sink with reconcileEvery = 1: the pass before batch 3
+    // retracts the over-kept chain end and records it under retractions/
+    val base = (0 until 40).map(i => s"tok$i").toArray
+    def doc(swaps: (Int, String)*): String = {
+      val w = base.clone()
+      swaps.foreach { case (i, t) => w(i) = t }
+      w.mkString(" ")
+    }
+    val store = tmpPath("reconcile_stream_store")
+    val out = tmpPath("reconcile_stream_out")
+    val cfg = StreamingCuration.Config(reconcileEvery = Some(1))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String)]
+    val q = StreamingCuration.runStream(
+      input.toDF().toDF("doc_id", "text", "source"), store, out,
+      None, "doc_id", "text", cfg,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      Seq(
+        Seq((1L, doc(), "web")),
+        Seq((2L, doc(10 -> "altb", 25 -> "altc"), "web")),
+        Seq((3L, doc(10 -> "altb"), "web")),
+        // batch 3 triggers the reconcile pass over batches 0..2
+        Seq((11L, "an entirely different document about query planners", "web"))
+      ).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val keptState = spark.read.parquet(s"$store/kept")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptState === Set(1L, 11L),
+      s"stream-cadence reconcile must retract the chain end, kept $keptState")
+    val retracted = spark.read.parquet(s"$store/retractions")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(retracted === Set(2L), s"retractions must name the removed doc")
+  }
 }
