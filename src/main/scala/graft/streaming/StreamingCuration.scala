@@ -449,6 +449,31 @@ object StreamingCuration {
     }
   }
 
+  /** The curated corpus with retractions applied at READ time: the
+    * `outPath` rows minus every id a [[reconcileKept]] pass has
+    * retracted — tombstone semantics, so the already-committed batch
+    * outputs are never rewritten (no crash window, no partial-batch
+    * risk). Consumers that want the tombstones folded into the files
+    * rewrite `outPath` from this view on their own cadence. With no
+    * retractions recorded this is exactly `spark.read.parquet(outPath)`. */
+  def readCurated(spark: SparkSession, storePath: String, outPath: String,
+      idCol: String): DataFrame = {
+    val out = spark.read.parquet(outPath)
+    val rRoot = s"$storePath/retractions"
+    val hPath = new org.apache.hadoop.fs.Path(rRoot)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath)) out
+    else {
+      val retracted = spark.read
+        .schema(StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", LongType),
+          org.apache.spark.sql.types.StructField("batch", LongType))))
+        .parquet(rRoot)
+        .select(col("id").as("__retracted_id"))
+      out.join(retracted, col(idCol) === col("__retracted_id"), "left_anti")
+    }
+  }
+
   /** Wire [[curateBatch]] as a `foreachBatch` sink: each micro-batch is
     * curated against the persisted state and its kept rows landed under
     * `outPath/batch=<id>` (committed BEFORE the state — the engine's

@@ -853,5 +853,14 @@ class StreamingSpec extends SparkSpec {
     val retracted = spark.read.parquet(s"$store/retractions")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(retracted === Set(2L), s"retractions must name the removed doc")
+    // tombstone read: the raw output still carries the retracted doc
+    // (batch outputs are never rewritten); readCurated excludes it
+    val raw = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(raw.contains(2L), "raw output keeps the already-emitted doc")
+    val curated = StreamingCuration.readCurated(spark, store, out, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(curated === raw - 2L,
+      s"readCurated must apply the tombstones, got $curated")
   }
 }
