@@ -399,6 +399,13 @@ object Bench {
         maintIds.select(col("vec_id"), col("embedding")),
         "vec_id", "embedding", ivfIndexPath)
     }
+    // atomic centroid retrain (full re-assignment by construction): the
+    // honest claim is retrain ≈ one build minus the reset/centroid-dump
+    // overhead — the drift-cadence op is priced like a rebuild of the
+    // lists, amortized over the append/delete traffic between cadences
+    val tIndexRetrain = timeMedian("x_ann_index_retrain_sec") {
+      graft.operators.Ann.retrainIvfIndex(spark, ivfIndexPath): Unit
+    }
     // the SCALE claim behind targeted deletes is bytes-rewritten ∝
     // touched lists, not local wall-clock (at fixture size every
     // maintenance shape is job-overhead-bound, and a UNIFORM id slice
@@ -1124,6 +1131,7 @@ object Bench {
       "x_ann_index_search_sec" -> tIndexSearch,
       "x_ann_index_maint_cycle_sec" -> tIndexMaint,
       "x_ann_index_maint_vs_rebuild" -> tIndexBuild / tIndexMaint,
+      "x_ann_index_retrain_sec" -> tIndexRetrain,
       "x_ann_index_1list_rewrite_frac" -> oneListBytes / allListsBytes,
       "x_ann_index_amortized_speedup" ->
         (if (tIndexSearch > 0) tIvfFloat / tIndexSearch else -1.0),

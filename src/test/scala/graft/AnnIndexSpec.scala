@@ -332,6 +332,27 @@ class AnnIndexSpec extends SparkSpec {
     assert(Ann.deleteFromIvfIndex(spark, mPath, noTouch, "vec_id") === 0L)
   }
 
+  test("deleting every row leaves an empty manifest; readers fail loudly, rebuild recovers") {
+    val ePath = tmpPath("ivf_empty")
+    val slice = embs.filter(col("vec_id") < 200)
+    Ann.buildIvfIndex(slice, "vec_id", "embedding", ePath, numCentroids = 8)
+    assert(Ann.deleteFromIvfIndex(spark, ePath,
+      slice.select("vec_id"), "vec_id") === slice.count())
+    assert(Ann.indexExists(spark, ePath),
+      "an emptied index is still a committed index (empty manifest)")
+    val e = intercept[IllegalArgumentException] {
+      Ann.readIndexCorpus(spark, ePath).count()
+    }
+    assert(e.getMessage.contains("no live lists"))
+    intercept[IllegalArgumentException] {
+      Ann.searchIvfIndex(spark, ePath, slice.limit(2), "vec_id",
+        "embedding", k = 3)
+    }
+    // rebuild recovers the path
+    Ann.buildIvfIndex(slice, "vec_id", "embedding", ePath, numCentroids = 8)
+    assert(Ann.readIndexCorpus(spark, ePath).count() === slice.count())
+  }
+
   test("retrainIvfIndex: centroids+assignments swap atomically; exhaustive search invariant; int8 refused") {
     import org.apache.hadoop.fs.Path
     val rPath = tmpPath("ivf_retrain")
