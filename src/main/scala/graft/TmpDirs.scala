@@ -14,9 +14,10 @@ object TmpDirs {
     val dir = java.nio.file.Files.createTempDirectory("graft_run_")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try {
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder())
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
       } catch { case _: Throwable => () }))
     dir.toString
   }

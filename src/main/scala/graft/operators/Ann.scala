@@ -518,7 +518,10 @@ object Ann {
       case Some(cs) => cs.filter(gens.contains).map(c => c -> gens(c))
       case None => gens.toSeq
     }
-    if (selected.isEmpty) readLists(spark, path, gens, None).limit(0)
+    // empty cid selection: zero rows with the index's real schema, at the
+    // cost of ONE live dir's listing — not the whole index's
+    if (selected.isEmpty)
+      readLists(spark, path, gens, Some(Seq(gens.keysIterator.min))).limit(0)
     else spark.read.option("basePath", s"$path/corpus")
       .parquet(selected.map { case (c, g) => liveListDir(path, c, g) }: _*)
       .drop("gen")
@@ -561,6 +564,11 @@ object Ann {
     val spark = newVecs.sparkSession
     val meta = readManifest(spark, path)
     val (metaGen, gens) = (meta.gen, meta.gens)
+    // sweep crashed-op staging FIRST — `appeared` below is derived from
+    // a disk listing, and a crashed op's staged gen is exactly
+    // metaGen+1, so skipping the sweep would PUBLISH its partial rows
+    // as live data (resurrected deletes, duplicated neighbors)
+    gcStaleGens(spark, path, meta)
     val (flat, numCentroids, _) = loadCentroids(spark, path, meta)
     // codec is a property of the existing index: appended rows must match
     val int8 = meta.int8
@@ -696,8 +704,13 @@ object Ann {
     val payload =
       if (int8) VectorOps.int8Code(col(vecCol)).as("code")
       else col(vecCol).as("vec")
+    // assigned ONCE (eager checkpoint): the discovery joins, the
+    // touched-cid collect and the content write below all consume this
+    // frame — without it each branch re-runs the assignment scan of the
+    // batch (batch-sized blocks; a lost executor just retries the batch,
+    // the same acceptance as StreamingCuration.curateBatch)
     val incoming = newVecs.select(col(idCol).as("id"), payload,
-      assign.as("cid"))
+      assign.as("cid")).localCheckpoint(true)
     // unhinted joins: the incoming batch is unbounded at the 100 TB
     // posture (mass recrawls) — AQE picks the strategy (round-8 ADVICE)
     val ids = incoming.select(col("id").cast("long").as("__del")).distinct()

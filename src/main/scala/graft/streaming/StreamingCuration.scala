@@ -89,9 +89,10 @@ object StreamingCuration {
       compactEvery: Option[Int] = None,
       /** Re-collapse chain-shaped near-dup components via
         * [[reconcileKept]] every N micro-batches (before curating a
-        * batch whose id is a multiple of N); the retracted ids land
-        * under `storePath/retractions/batch=<id>` for downstream
-        * excision. None leaves reconciliation to the caller. */
+        * batch whose id is a multiple of N); retracted ids are
+        * TOMBSTONES under `storePath/retractions/` — state tables keep
+        * the evidence, [[readCurated]] applies them. None leaves
+        * reconciliation to the caller. */
       reconcileEvery: Option[Int] = None)
 
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
@@ -334,6 +335,23 @@ object StreamingCuration {
     kept
   }
 
+  /** Union of every retraction tombstone recorded so far (one `id`
+    * column); empty frame when none. */
+  private def readRetractions(spark: SparkSession,
+      storePath: String): DataFrame = {
+    val rRoot = s"$storePath/retractions"
+    val hPath = new org.apache.hadoop.fs.Path(rRoot)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", LongType))))
+    else spark.read
+      .schema(StructType(Seq(StructField("id", LongType),
+        StructField("batch", LongType))))
+      .parquet(rRoot).select(col("id")).distinct()
+  }
+
   /** Periodic RE-COLLAPSE of the kept set (round-8 verdict item 8): the
     * greedy per-batch fold over-keeps on chain-shaped near-dup graphs —
     * A(batch 1) kept, C(batch 2) kept (A≁C), B(batch 3) arrives, matches
@@ -341,54 +359,69 @@ object StreamingCuration {
     * pipeline's component collapse keeps only A. The kept docs are
     * pairwise non-near-dup by construction (anything matching a kept doc
     * was dropped), so re-scanning kept/ finds nothing — the chain runs
-    * through B, whose text and bands are gone. The persisted `duppairs/`
+    * through B, whose bands were never stored. The persisted `duppairs/`
     * EDGE LOG still holds A–B and B–C (both verified when B arrived), so
-    * collapsing the edge graph recovers the full component: every kept
-    * doc that is not its component's minimum id is removed from `kept/`
-    * and `bands/`, and returned (one `id` column) so the caller can
-    * retract it downstream. Under ascending-id arrival the component
-    * minimum is always kept (its earliest member had nothing to match),
-    * so the post-pass kept set equals the batch pipeline's on any chain
-    * the edge log witnessed. Residual divergence: an edge between two
-    * docs that were BOTH already dropped when they could have met is
-    * never verified, so components bridged only by such an edge stay
-    * split — bounded, no longer permanent, and shrinking every pass.
+    * collapsing the edge graph recovers the full component.
     *
-    * State rewrite is crash-safe the same way [[compactState]] is:
-    * the shrunk table is written as a fresh generation snapshot before
-    * the folded sources are deleted — a crash leaves duplicates
-    * (over-keeping until the retry), never loss. Call between batches
-    * (`upToBatch` = next engine batch id), as [[runStream]] does on the
-    * `reconcileEvery` cadence. */
+    * Semantics are TOMBSTONES, not a state rewrite: within each
+    * component, the minimum-id member of the EFFECTIVE kept set (kept/
+    * minus prior tombstones) is the representative and every other
+    * effective-kept member is retracted — recorded by a merge into
+    * `storePath/retractions/batch=<upToBatch>` BEFORE anything else, and
+    * returned (one `id` column). Three properties fall out:
+    *
+    *  - crash/redelivery-proof: the record write merges with whatever a
+    *    previous attempt left, so an at-least-once retry (whose second
+    *    pass computes no new losers) can never wipe it — the tombstone
+    *    set only grows;
+    *  - no lost representative: the rule keeps the minimum KEPT member,
+    *    so a component whose global minimum was never kept (it arrived
+    *    late and was dropped on sight) still has exactly one survivor —
+    *    retracting everything but an un-emitted doc would have removed
+    *    the component from the corpus entirely;
+    *  - evidence is preserved: kept/ and bands/ are NOT shrunk, so a
+    *    future arrival that near-dups ONLY a retracted doc still
+    *    matches it, is dropped, and logs its edge — exactly what the
+    *    one-shot batch pipeline (which keeps every doc in its corpus)
+    *    would decide. Consumers read the curated corpus through
+    *    [[readCurated]], which applies the tombstones.
+    *
+    * Under ascending-id arrival the effective representative equals the
+    * batch pipeline's component minimum on any chain the edge log
+    * witnessed. Residual divergence: an edge between two docs that were
+    * BOTH already dropped when they could have met is never verified,
+    * so components bridged only by such an edge stay split — bounded,
+    * no longer permanent. Call between batches (`upToBatch` = next
+    * engine batch id), as [[runStream]] does on the `reconcileEvery`
+    * cadence. */
   def reconcileKept(spark: SparkSession, storePath: String,
       upToBatch: Long): DataFrame = {
-    import org.apache.hadoop.fs.Path
     val pairs = readState(spark, s"$storePath/duppairs",
       StateSchemas("duppairs"), excludeBatch = upToBatch)
     val keptIds = readState(spark, s"$storePath/kept",
       StateSchemas("kept"), excludeBatch = upToBatch).select(col("id"))
-    val losers = Dedup.dupClusters(pairs)
-      .filter(col("id") =!= col("cluster")).select(col("id"))
-      .join(keptIds, Seq("id"), "left_semi")
+    val effectiveKept = keptIds
+      .join(readRetractions(spark, storePath), Seq("id"), "left_anti")
+    val keptClusters = Dedup.dupClusters(pairs)
+      .join(effectiveKept, Seq("id"), "left_semi")
+    val reps = keptClusters.groupBy(col("cluster"))
+      .agg(min(col("id")).as("__rep"))
+    val losers = keptClusters.join(reps, "cluster")
+      .filter(col("id") =!= col("__rep")).select(col("id"))
       .localCheckpoint(true)
     if (losers.isEmpty) return losers
-    val conf = spark.sessionState.newHadoopConf()
-    for (sub <- Seq("kept", "bands")) {
-      val tablePath = s"$storePath/$sub"
-      val fs = new Path(tablePath).getFileSystem(conf)
-      val (deltas, _) = listStateDir(spark, tablePath)
-      def id(d: String): Long = d.stripPrefix("batch=").toLong
-      val foldable = deltas.filter(d => id(d) < 0 || id(d) < upToBatch)
-      val newId = math.min(snapshotId(upToBatch),
-        (deltas.map(id).filter(_ < 0) :+ 0L).min - 1)
-      val schema = StateSchemas(sub)
-      spark.read.schema(schema)
-        .parquet(foldable.map(d => s"$tablePath/$d"): _*)
-        .distinct()
-        .join(losers, Seq("id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$tablePath/batch=$newId")
-      foldable.foreach(d => fs.delete(new Path(s"$tablePath/$d"), true))
-    }
+    // merge-record FIRST (superset-safe): read any previous attempt's
+    // content for this pass, union, materialize, then overwrite
+    val dir = s"$storePath/retractions/batch=$upToBatch"
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (!fs.exists(hDir)) losers
+      else spark.read
+        .schema(StructType(Seq(StructField("id", LongType))))
+        .parquet(dir).union(losers).distinct()
+        .localCheckpoint(true) // must not stream from the dir it replaces
+    merged.write.mode("overwrite").parquet(dir)
     losers
   }
 
@@ -488,11 +521,11 @@ object StreamingCuration {
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // every committed batch is < id here, so id is a safe watermark
+        // (reconcileKept persists its own tombstones, merge-safe under
+        // redelivery — nothing to write here)
         config.reconcileEvery.foreach(n =>
           if (id > 0 && id % n == 0)
-            reconcileKept(batch.sparkSession, storePath, upToBatch = id)
-              .write.mode("overwrite")
-              .parquet(s"$storePath/retractions/batch=$id"))
+            reconcileKept(batch.sparkSession, storePath, upToBatch = id): Unit)
         config.compactEvery.foreach(n =>
           if (id > 0 && id % n == 0)
             compactState(batch.sparkSession, storePath, upToBatch = id))

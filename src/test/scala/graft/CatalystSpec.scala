@@ -111,7 +111,7 @@ class CatalystSpec extends SparkSpec {
       // forgets the table but the location survives -> LOCATION_ALREADY_EXISTS)
       Seq("li_bkt_test", "ord_bkt_test").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
-        val root = java.nio.file.Paths.get(SparkSpec.runRoot, "warehouse", t)
+        val root = java.nio.file.Paths.get(TmpDirs.path("warehouse"), t)
         if (java.nio.file.Files.exists(root)) {
           java.nio.file.Files.walk(root)
             .sorted(java.util.Comparator.reverseOrder())

@@ -10,25 +10,16 @@ trait SparkSpec extends AnyFunSuite {
   val sf001 = "/root/testdata/sf0.01"
 
   /** Per-JVM-unique scratch path for suites that persist state (index
-    * dirs, streaming state stores, layouts). Round-8 verdict item 1: two
-    * concurrent test JVMs on fixed `/tmp/graft_test_*` paths corrupted
-    * each other's on-disk state mid-test; every state-store path is now
-    * caller-owned and process-unique, removed on JVM exit. */
-  def tmpPath(name: String): String = s"${SparkSpec.runRoot}/$name"
+    * dirs, streaming state stores, layouts) — delegates to the ONE
+    * process-unique temp root ([[graft.TmpDirs]], removed on JVM exit).
+    * Round-8 verdict item 1: two concurrent test JVMs on fixed
+    * `/tmp/graft_test_*` paths corrupted each other's on-disk state
+    * mid-test; every state-store path is caller-owned and
+    * process-unique now. */
+  def tmpPath(name: String): String = TmpDirs.path(name)
 }
 
 object SparkSpec {
-  lazy val runRoot: String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_test_")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        java.nio.file.Files.walk(dir)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-      } catch { case _: Throwable => () }))
-    dir.toString
-  }
-
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -36,7 +27,7 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", s"$runRoot/warehouse")
+      .config("spark.sql.warehouse.dir", TmpDirs.path("warehouse"))
       // installed for CatalystSpec; inert elsewhere unless a bare sum/count
       // sits directly over a Sample node
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

@@ -789,30 +789,53 @@ class StreamingSpec extends SparkSpec {
       store, None, "doc_id", "text", cfg, batchId = 2L)
     def keptState(): Set[Long] = spark.read
       .parquet(s"$store/kept").select("id").collect().map(_.getLong(0)).toSet
+    def tombstones(): Set[Long] = spark.read
+      .parquet(s"$store/retractions").select("id")
+      .collect().map(_.getLong(0)).toSet
     assert(keptState() === Set(1L, 2L),
       "precondition: the greedy fold over-keeps the chain end")
     val dropped = StreamingCuration.reconcileKept(spark, store,
       upToBatch = 3L).collect().map(_.getLong(0)).toSet
     assert(dropped === Set(2L), "reconcile must retract the over-kept end")
+    assert(tombstones() === Set(2L))
+    // TOMBSTONE semantics: the state tables keep the evidence (a future
+    // arrival near-dupping only doc 2 must still match and drop) — the
+    // EFFECTIVE kept set (kept ∖ tombstones) equals the batch pipeline's
+    assert(keptState() === Set(1L, 2L), "state keeps the evidence")
+    assert(spark.read.parquet(s"$store/bands").filter(col("id") === 2L)
+      .count() > 0L, "retracted doc's bands stay as dedup evidence")
     val batchKept = graft.operators.CurationPipeline.run(
         Seq(a, b, c).toDF("doc_id", "text", "source"), None,
         "doc_id", "text", "source", graft.operators.CurationPipeline.Config())
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(keptState() === batchKept && batchKept === Set(1L),
-      s"post-pass kept ${keptState()} must equal batch ${batchKept}")
-    // bands of the retracted doc are gone too — the LSH index stays
-    // consistent with the kept set
-    assert(spark.read.parquet(s"$store/bands").filter(col("id") === 2L)
-      .count() === 0L)
-    // idempotent: a second pass retracts nothing
+    assert(keptState() -- tombstones() === batchKept && batchKept === Set(1L),
+      s"effective kept must equal batch ${batchKept}")
+    // idempotent: a second pass retracts nothing new, tombstones unchanged
     assert(StreamingCuration.reconcileKept(spark, store, upToBatch = 3L)
       .count() === 0L)
-    // and a later batch folds against the reconciled state cleanly
-    val d = (11L, "an entirely different document about query planners", "web")
+    assert(tombstones() === Set(2L))
+    // evidence preserved: a batch-4 doc near-dup ONLY to the RETRACTED
+    // doc 2 is still dropped and its edge logged — exactly the one-shot
+    // batch pipeline's decision (2 is in ITS corpus too)
+    val dNear = (11L, doc(10 -> "altb", 25 -> "altc", 30 -> "altd"), "web")
     val k3 = StreamingCuration.curateBatch(
-      Seq(d).toDF("doc_id", "text", "source"), store, None, "doc_id",
+      Seq(dNear).toDF("doc_id", "text", "source"), store, None, "doc_id",
       "text", cfg, batchId = 3L)
-    assert(k3.select("doc_id").collect().map(_.getLong(0)).toSet === Set(11L))
+    assert(k3.isEmpty, "doc near-dup to a retracted doc must still drop")
+    // a component whose minimum was NEVER kept keeps its minimum KEPT
+    // member: doc 0 (< all ids) arrives now as a NEAR-dup of kept doc 1
+    // (one swapped word — an exact dup would be caught by the
+    // fingerprint stage and log no edge), drops, logs edge (0,1) —
+    // reconcile must NOT retract doc 1 (retracting everything but the
+    // never-emitted doc 0 would leave the component with no survivor)
+    val zero = (0L, doc(35 -> "altz"), "web")
+    StreamingCuration.curateBatch(Seq(zero).toDF("doc_id", "text", "source"),
+      store, None, "doc_id", "text", cfg, batchId = 4L)
+    assert(StreamingCuration.reconcileKept(spark, store, upToBatch = 5L)
+      .count() === 0L,
+      "min KEPT member is the representative — never retract it for an" +
+        " un-emitted smaller id")
+    assert(keptState() -- tombstones() === Set(1L))
   }
 
   test("runStream wires reconcileEvery: retractions land under the store on the cadence") {
@@ -848,11 +871,11 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val keptState = spark.read.parquet(s"$store/kept")
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(keptState === Set(1L, 11L),
-      s"stream-cadence reconcile must retract the chain end, kept $keptState")
     val retracted = spark.read.parquet(s"$store/retractions")
       .select("id").collect().map(_.getLong(0)).toSet
     assert(retracted === Set(2L), s"retractions must name the removed doc")
+    assert(keptState -- retracted === Set(1L, 11L),
+      s"stream-cadence reconcile must tombstone the chain end, kept $keptState")
     // tombstone read: the raw output still carries the retracted doc
     // (batch outputs are never rewritten); readCurated excludes it
     val raw = spark.read.parquet(out)
