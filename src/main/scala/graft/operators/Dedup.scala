@@ -451,10 +451,21 @@ object Dedup {
     *
     * 100 TB posture: operates on the PAIR list (∝ duplicate density, not
     * corpus size); each round is one join + one groupBy of that list;
-    * convergence in O(log diameter) rounds (near-dup components are
+    * convergence in O(diameter) rounds (near-dup components are
     * low-diameter in practice — chains of borderline pairs are rare).
     * `localCheckpoint` per round truncates the growing lineage. The driver
     * loop stops when a round changes no label (one scalar count per round).
+    *
+    * NON-CONVERGENCE IS AN ERROR: a component of diameter > `maxRounds`
+    * would leave the propagation mid-collapse, and every consumer of this
+    * labeling (min-id representative picks, [[graft.streaming
+    * .StreamingCuration.reconcileKept]]'s retraction rule, the q195
+    * recipe) silently assumes FULL collapse — a partially-labeled
+    * component would split one dup cluster into several, each keeping its
+    * own "representative". So the loop throws instead of returning a
+    * mislabeling (round-9 verdict item 3); raise `maxRounds` (cost is per
+    * ROUND, and only unconverged rounds run) if a legitimately
+    * long-chain graph ever hits it.
     *
     * Output: (id, cluster) for every id that appears in a pair — min member
     * id of its component, a deterministic labeling any engine reproduces
@@ -490,6 +501,12 @@ object Dedup {
       round += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within maxRounds=$maxRounds: the pair " +
+        "graph holds a component of diameter > maxRounds, and a partial " +
+        "labeling would silently split dup clusters (every consumer " +
+        "assumes full collapse). Raise maxRounds — only unconverged " +
+        "rounds actually run.")
     labels
   }
 

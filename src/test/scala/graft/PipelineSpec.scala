@@ -469,6 +469,24 @@ class PipelineSpec extends SparkSpec {
     assert(chainGot.values.toSet === Set(1L) && chainGot.size === 7)
   }
 
+  test("dupClusters fails loudly on a component of diameter > maxRounds instead of mislabeling") {
+    import spark.implicits._
+    // a path graph of diameter 6 cannot collapse in 3 rounds of 1-hop
+    // min-label propagation: every consumer (min-id representative rule,
+    // reconcileKept) assumes FULL collapse, so a silent partial labeling
+    // would split one cluster into several — the loop must throw
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dupClusters(path, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // the same graph converges with enough rounds — and stops EARLY on
+    // convergence, so the default 20 costs nothing extra here
+    val ok = Dedup.dupClusters(path, maxRounds = 7).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet === Set(1L) && ok.size === 7)
+  }
+
   test("codegen simhashSketch is bit-identical to the expression-form simhash64") {
     val viaExpr = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("sk"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
