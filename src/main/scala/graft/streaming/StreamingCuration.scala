@@ -352,6 +352,81 @@ object StreamingCuration {
       .parquet(rRoot).select(col("id")).distinct()
   }
 
+  /** Record `losers` as retraction tombstones — STAGE-THEN-SWEEP, never
+    * an in-place overwrite (round-9 ADVICE: `mode("overwrite")` deletes
+    * the old record before the new one is durable, so a crash in that
+    * window transiently resurrected retracted duplicates): the union of
+    * every existing tombstone batch and the new losers is written to a
+    * FRESH `batch=<n>` directory (n strictly above every existing), and
+    * only after that write returns are the folded sources deleted. A
+    * crash mid-write leaves the old record intact (plus, at worst, a
+    * partial new directory — whose rows are all valid tombstones, since
+    * tombstones are monotone: recording one is correct the moment it is
+    * derivable); a crash mid-sweep leaves duplicates, which the
+    * set-semantics consumer ([[readRetractions]] `.distinct()`)
+    * absorbs and the next record pass folds away. The fold also BOUNDS
+    * the table: after any pass at most one live tombstone directory
+    * remains (round-9 verdict item 1's snapshot treatment). */
+  private def recordRetractions(spark: SparkSession, storePath: String,
+      losers: DataFrame, upToBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val rRoot = s"$storePath/retractions"
+    val fs = new Path(rRoot).getFileSystem(spark.sessionState.newHadoopConf())
+    val existing =
+      if (!fs.exists(new Path(rRoot))) Seq.empty[Long]
+      else fs.listStatus(new Path(rRoot)).toSeq
+        .filter(e => e.isDirectory && e.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+    val newId = math.max(upToBatch, (existing :+ -1L).max + 1L)
+    val merged =
+      if (existing.isEmpty) losers.select(col("id")).distinct()
+      else spark.read
+        .schema(StructType(Seq(StructField("id", LongType),
+          StructField("batch", LongType))))
+        .parquet(existing.map(b => s"$rRoot/batch=$b"): _*)
+        .select(col("id"))
+        .union(losers.select(col("id"))).distinct()
+        // must not stream from the directories the sweep below deletes
+        .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(s"$rRoot/batch=$newId")
+    existing.foreach(b => fs.delete(new Path(s"$rRoot/batch=$b"), true))
+  }
+
+  /** Fold the `duppairs/` edge log into its STAR FORM — one edge
+    * `(component-min, member)` per non-representative member, written as
+    * a snapshot partition and the folded sources deleted (round-9
+    * verdict item 1): the star graph has the same connected components
+    * and the same min labels as the full edge set (every member connects
+    * directly to its component's min id), so every future
+    * [[reconcileKept]] collapse — including components later bridged by
+    * NEW edges through any member — is unchanged, while the stored edge
+    * count drops from Σ clique-edges to Σ (members − 1) and stops
+    * growing with stream lifetime for already-resolved components.
+    * Crash safety mirrors [[compactState]]: the snapshot is written to a
+    * fresh negative-id partition BEFORE sources are deleted (a partial
+    * snapshot is a subset of still-present sources — duplicates, never
+    * loss), and only fully-committed deltas (`id < upToBatch`) fold. */
+  private def foldDupPairs(spark: SparkSession, storePath: String,
+      labels: DataFrame, upToBatch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val tablePath = s"$storePath/duppairs"
+    val fs = new Path(tablePath).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val (deltas, _) = listStateDir(spark, tablePath)
+    def id(d: String): Long = d.stripPrefix("batch=").toLong
+    val (snaps, committed) = deltas.partition(id(_) < 0)
+    val foldable = snaps ++ committed.filter(id(_) < upToBatch)
+    if (foldable.size <= 1 && !foldable.exists(id(_) >= 0)) return
+    val newId = math.min(snapshotId(upToBatch), (snaps.map(id) :+ 0L).min - 1)
+    val star = labels.filter(col("id") =!= col("cluster"))
+      .select(col("cluster").cast("long").as("id_a"),
+        col("id").cast("long").as("id_b"))
+      // labels derive from the very directories the sweep deletes
+      .localCheckpoint(true)
+    star.write.mode("overwrite").parquet(s"$tablePath/batch=$newId")
+    foldable.foreach(d => fs.delete(new Path(s"$tablePath/$d"), true))
+  }
+
   /** Periodic RE-COLLAPSE of the kept set (round-8 verdict item 8): the
     * greedy per-batch fold over-keeps on chain-shaped near-dup graphs —
     * A(batch 1) kept, C(batch 2) kept (A≁C), B(batch 3) arrives, matches
@@ -366,14 +441,16 @@ object StreamingCuration {
     * Semantics are TOMBSTONES, not a state rewrite: within each
     * component, the minimum-id member of the EFFECTIVE kept set (kept/
     * minus prior tombstones) is the representative and every other
-    * effective-kept member is retracted — recorded by a merge into
-    * `storePath/retractions/batch=<upToBatch>` BEFORE anything else, and
+    * effective-kept member is retracted — recorded by
+    * [[recordRetractions]] (stage-then-sweep fold of every prior
+    * tombstone batch plus the new losers) BEFORE anything else, and
     * returned (one `id` column). Three properties fall out:
     *
-    *  - crash/redelivery-proof: the record write merges with whatever a
-    *    previous attempt left, so an at-least-once retry (whose second
-    *    pass computes no new losers) can never wipe it — the tombstone
-    *    set only grows;
+    *  - crash/redelivery-proof: the record write folds in whatever any
+    *    previous attempt left and never deletes a prior record before
+    *    its replacement is durable, so an at-least-once retry (whose
+    *    second pass computes no new losers) can never wipe it — the
+    *    tombstone set only grows;
     *  - no lost representative: the rule keeps the minimum KEPT member,
     *    so a component whose global minimum was never kept (it arrived
     *    late and was dropped on sight) still has exactly one survivor —
@@ -393,35 +470,37 @@ object StreamingCuration {
     * so components bridged only by such an edge stay split — bounded,
     * no longer permanent. Call between batches (`upToBatch` = next
     * engine batch id), as [[runStream]] does on the `reconcileEvery`
-    * cadence. */
+    * cadence.
+    *
+    * Each pass also COMPACTS the state it read (disable with
+    * `compactPairs = false`): the edge log folds to its star form
+    * ([[foldDupPairs]] — the collapse was already computed, so the fold
+    * is one write + sweep) and the tombstone batches fold to one
+    * ([[recordRetractions]]) — the two structures that previously grew
+    * monotonically with stream lifetime now stay ∝ resolved members,
+    * and the reconcile read stops re-walking an ever-longer log. */
   def reconcileKept(spark: SparkSession, storePath: String,
-      upToBatch: Long): DataFrame = {
+      upToBatch: Long, compactPairs: Boolean = true): DataFrame = {
     val pairs = readState(spark, s"$storePath/duppairs",
       StateSchemas("duppairs"), excludeBatch = upToBatch)
     val keptIds = readState(spark, s"$storePath/kept",
       StateSchemas("kept"), excludeBatch = upToBatch).select(col("id"))
     val effectiveKept = keptIds
       .join(readRetractions(spark, storePath), Seq("id"), "left_anti")
-    val keptClusters = Dedup.dupClusters(pairs)
-      .join(effectiveKept, Seq("id"), "left_semi")
+    // full labeling retained: the star fold below needs EVERY node's
+    // component, including dropped docs (their edges are the chain
+    // evidence) — the kept filter applies only to the retraction rule
+    val labels = Dedup.dupClusters(pairs).localCheckpoint(true)
+    val keptClusters = labels.join(effectiveKept, Seq("id"), "left_semi")
     val reps = keptClusters.groupBy(col("cluster"))
       .agg(min(col("id")).as("__rep"))
     val losers = keptClusters.join(reps, "cluster")
       .filter(col("id") =!= col("__rep")).select(col("id"))
       .localCheckpoint(true)
-    if (losers.isEmpty) return losers
-    // merge-record FIRST (superset-safe): read any previous attempt's
-    // content for this pass, union, materialize, then overwrite
-    val dir = s"$storePath/retractions/batch=$upToBatch"
-    val hDir = new org.apache.hadoop.fs.Path(dir)
-    val fs = hDir.getFileSystem(spark.sessionState.newHadoopConf())
-    val merged =
-      if (!fs.exists(hDir)) losers
-      else spark.read
-        .schema(StructType(Seq(StructField("id", LongType))))
-        .parquet(dir).union(losers).distinct()
-        .localCheckpoint(true) // must not stream from the dir it replaces
-    merged.write.mode("overwrite").parquet(dir)
+    // record FIRST (tombstones are the correctness-bearing output; the
+    // edge fold is an equivalent rewrite and can lag a crash)
+    if (!losers.isEmpty) recordRetractions(spark, storePath, losers, upToBatch)
+    if (compactPairs) foldDupPairs(spark, storePath, labels, upToBatch)
     losers
   }
 

@@ -886,4 +886,87 @@ class StreamingSpec extends SparkSpec {
     assert(curated === raw - 2L,
       s"readCurated must apply the tombstones, got $curated")
   }
+
+  test("reconcile compaction: star-folded edge log and folded tombstones are outcome-identical to the uncompacted store") {
+    import spark.implicits._
+    import graft.streaming.StreamingCuration
+    // round-9 verdict item 1 + ADVICE 4. Twin stores fold the same
+    // batches; one reconciles with compactPairs = true (star-fold the
+    // duppairs log, fold tombstone batches), the other with false. Every
+    // observable — tombstones, retraction decisions, readCurated — must
+    // be row-identical; only the stored file layout may differ.
+    val base = (0 until 40).map(i => s"tok$i").toArray
+    def doc(pre: String, swaps: (Int, String)*): String = {
+      val w = base.clone()
+      swaps.foreach { case (i, t) => w(i) = t }
+      w.map(t => pre + t).mkString(" ")
+    }
+    // two independent A~B~C chains (disjoint token spaces): arrival
+    // A, C, B over-keeps C; reconcile must retract both chain ends
+    val batches = Seq(
+      Seq((1L, doc("p")), (11L, doc("q"))),
+      Seq((2L, doc("p", 10 -> "b", 25 -> "c")),
+        (12L, doc("q", 10 -> "b", 25 -> "c"))),
+      Seq((3L, doc("p", 10 -> "b")), (13L, doc("q", 10 -> "b"))))
+    val cfg = StreamingCuration.Config()
+    val stores = Seq(tmpPath("reccomp_on"), tmpPath("reccomp_off"))
+    val outs = Seq(tmpPath("reccomp_on_out"), tmpPath("reccomp_off_out"))
+    def run(i: Int, compact: Boolean): Unit = {
+      batches.zipWithIndex.foreach { case (b, bi) =>
+        StreamingCuration.curateBatch(
+          b.map { case (id, t) => (id, t, "web") }
+            .toDF("doc_id", "text", "source"),
+          stores(i), None, "doc_id", "text", cfg, batchId = bi.toLong,
+          outPath = Some(outs(i)))
+      }
+      val dropped = StreamingCuration.reconcileKept(spark, stores(i),
+        upToBatch = 3L, compactPairs = compact)
+        .collect().map(_.getLong(0)).toSet
+      assert(dropped === Set(2L, 12L), s"store $i retracted $dropped")
+      // a later arrival near-dupping only a RETRACTED doc still matches
+      // its kept evidence, drops, and logs the edge — on BOTH stores
+      StreamingCuration.curateBatch(
+        Seq((21L, doc("p", 10 -> "b", 25 -> "c", 30 -> "d"), "web"))
+          .toDF("doc_id", "text", "source"),
+        stores(i), None, "doc_id", "text", cfg, batchId = 3L,
+        outPath = Some(outs(i)))
+      // second pass: nothing new to retract; retry-idempotent
+      assert(StreamingCuration.reconcileKept(spark, stores(i),
+        upToBatch = 4L, compactPairs = compact).count() === 0L)
+    }
+    run(0, compact = true)
+    run(1, compact = false)
+    def tombs(i: Int): Set[Long] = spark.read
+      .parquet(s"${stores(i)}/retractions").select("id")
+      .collect().map(_.getLong(0)).toSet
+    def curated(i: Int): Set[Long] =
+      StreamingCuration.readCurated(spark, stores(i), outs(i), "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(tombs(0) === tombs(1) && tombs(0) === Set(2L, 12L))
+    assert(curated(0) === curated(1),
+      s"compacted ${curated(0)} vs uncompacted ${curated(1)}")
+    assert(curated(0) === Set(1L, 11L))
+    def dirCount(p: String): Int = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(hp)) 0
+      else fs.listStatus(hp).count(_.getPath.getName.startsWith("batch="))
+    }
+    // the compacted store's edge log folded to ONE snapshot partition
+    // (the second reconcile folded the post-fold batch-3 delta too);
+    // the uncompacted store kept every per-batch delta
+    assert(dirCount(s"${stores(0)}/duppairs") === 1,
+      "star fold must leave one snapshot")
+    assert(dirCount(s"${stores(1)}/duppairs") === 4)
+    // tombstones fold to one directory on both (recordRetractions is
+    // stage-then-sweep everywhere — the crash window ADVICE closed)
+    assert(dirCount(s"${stores(0)}/retractions") === 1)
+    assert(dirCount(s"${stores(1)}/retractions") === 1)
+    // the star snapshot preserved chain evidence THROUGH dropped
+    // connectors: a fresh doc near-dup only to the (dropped) chain
+    // middle still reconciles into the component on the compacted store
+    val keptB4 = spark.read.parquet(s"${stores(0)}/kept")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptB4 -- tombs(0) === Set(1L, 11L))
+  }
 }
