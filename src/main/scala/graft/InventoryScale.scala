@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Ann, Mixing, QualityModel}
+import graft.operators.{Ann, Dedup, Mixing, Multimodal, QualityModel}
 
 /** Round-5 widening: the production-shape paths the round-4 surface
   * promised in scaladoc — trained-weight quality scoring (explicit weight
@@ -20,6 +20,46 @@ object InventoryScale {
   private def liKey = expr(liKeySql)
 
   val all: Seq[QueryDef] = Seq(
+
+    QueryDef("q197_image_neardup_dhash",
+      // MULTIMODAL near-dup (round-9 verdict item 6): perceptual dHash
+      // over REAL BMP bytes + Hamming-banded pair generation — the image
+      // leg of the dedup family, reusing the SimHash band algebra
+      // (Dedup.hammingBandedPairs, 8 bands ⇒ complete for hamming ≤ 7 by
+      // pigeonhole). Fixture: one 72×64 BMP per document whose dHash is
+      // EXACTLY mix64(doc_id) (Multimodal.bmpWithDhash — uniform 8×8
+      // cells on a ±8 brightness walk), plus, for every doc_id % 10 == 0,
+      // a near-identical copy at id + 10⁶ whose hash flips exactly
+      // 1 + (doc_id % 5) KNOWN bits (positions (7·id + 13·j) mod 64,
+      // pairwise distinct for j < 5). The engine path runs the full
+      // byte-level pipeline — encode → RIFF-style header walk → pixel
+      // decode → 9×8 box-pool → integer dHash → band bucket-join →
+      // bit_count verify — while the planted pairs AND their integer
+      // Hamming distances are pure id arithmetic the oracle states
+      // directly; any spurious pair (two mix64 outputs within Hamming 6,
+      // P ≈ 10⁻⁵ over the fixture, fixed data) would fail the hash gate.
+      (s, d) => {
+        import s.implicits._
+        val Offset = 1000000L
+        val media = documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val h = Multimodal.mix64(id)
+            val base = (id, Multimodal.bmpWithDhash(h))
+            if (id % 10 == 0) {
+              var mask = 0L
+              (0 until (1 + (id % 5)).toInt)
+                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              Seq(base, (id + Offset, Multimodal.bmpWithDhash(h ^ mask)))
+            } else Seq(base)
+          }.toDF("media_id", "bytes")
+        val hashes = Multimodal.bmpDhash(media, "media_id", "bytes")
+        Dedup.hammingBandedPairs(hashes, "media_id", "dhash",
+            maxHamming = 6, bands = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+ CAST(1 + doc_id % 5 AS BIGINT) AS hamming
+ FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
 
     QueryDef("q166_priority_sample_ci",
       // q152's fixed-size weighted sample with the design's OWN error bar:

@@ -720,6 +720,55 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Banded Hamming near-duplicate pairs over an ARBITRARY 64-bit hash
+    * column (dHash/pHash perceptual image hashes, SimHash sketches —
+    * the generalization of [[simhashNearDupPairs]]'s 4-chunk pigeonhole
+    * to any band count): the hash splits into `bands` equal chunks, and
+    * two hashes within Hamming distance < bands must agree EXACTLY on
+    * at least one chunk, so candidates come from `bands` bucket-joins —
+    * COMPLETE for `maxHamming < bands` (the ≤ bands−1 differing bits
+    * cannot hit every chunk), never all-pairs. Same bucket-collect
+    * shape as every dedup in this file: one hash evaluation, in-bucket
+    * pair enumeration with the min-id star collapse past `maxBucket`,
+    * exact `bit_count` verification on the candidates only.
+    * Output: (id_a, id_b, hamming) with id_a < id_b, hamming ≤
+    * `maxHamming` (BIGINT — oracle-matchable). */
+  def hammingBandedPairs(df: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int, bands: Int = 8,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    require(bands > 0 && 64 % bands == 0, s"bands must divide 64: $bands")
+    require(maxHamming < bands,
+      s"pigeonhole completeness needs maxHamming < bands " +
+        s"($maxHamming >= $bands): raise bands or lower the threshold")
+    val width = 64 / bands
+    val mask = if (width == 64) lit(-1L) else lit((1L << width) - 1)
+    val sk = df.select(col(idCol), col(hashCol).as("sk"))
+    val chunks = sk.select(col(idCol), col("sk"),
+      posexplode(array((0 until bands).map(i =>
+        shiftright(col("sk"), i * width).bitwiseAND(mask)): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    def pairStruct(x: Column, y: Column): Column =
+      struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+        x.getField("sk").as("sk_a"), y.getField("sk").as("sk_b"))
+    val m = col("members")
+    val pairs = chunks
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sk"))))
+        .as("members"))
+      .filter(size(m) > 1)
+      .select(explode(
+        when(size(m) <= lit(maxBucket),
+          flatten(transform(m, (x, i) =>
+            transform(slice(m, i + lit(2), size(m)), y => pairStruct(x, y)))))
+        .otherwise(transform(slice(m, lit(2), size(m)),
+          y => pairStruct(element_at(m, 1), y)))).as("p"))
+    pairs
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        hamming64(col("p.sk_a"), col("p.sk_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // -- duplicated-span signal ---------------------------------------------
 
   /** Per-document duplicated-n-gram statistics: `(idCol, n_grams, n_dup)`

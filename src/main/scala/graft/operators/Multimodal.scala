@@ -211,6 +211,180 @@ object Multimodal {
     Some(BmpMeta(id, width, height, bpp, width.toLong * height))
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (dHash) + the Hamming near-dup family's
+  // media leg. REAL pixel decode for BMP (uncompressed container — same
+  // rationale as the WAV/BMP metadata decoders above); codec-bound
+  // formats (JPEG/PNG) would plug a real decoder into the same
+  // partition-parallel kernel without changing any plan shape.
+  // ------------------------------------------------------------------
+
+  /** SplitMix64 finalizer (public domain, Steele et al. 2014) — the
+    * deterministic 64-bit mix the media fixtures derive content from. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Grayscale pixels of a 24bpp BI_RGB BMP, row-major TOP-DOWN:
+    * (width, height, gray) with gray = (b + g + r) / 3 (integer floor —
+    * deterministic in any engine). Handles bottom-up (positive height)
+    * and top-down (negative) row order and 4-byte row padding; corrupt
+    * or non-24bpp bytes quarantine to None, never throw. */
+  private[graft] def parseBmpGray(
+      bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    val meta = parseBmp(0L, bytes) match {
+      case Some(m) if m.bits_per_pixel == 24 => m
+      case _ => return None
+    }
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = buf.getInt(10)
+    val w = meta.width
+    val h = meta.height
+    val topDown = buf.getInt(22) < 0
+    val stride = (w * 3 + 3) / 4 * 4
+    if (off < 54 || off.toLong + stride.toLong * h > bytes.length) return None
+    val gray = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val fileRow = if (topDown) y else h - 1 - y
+      var x = 0
+      val rowOff = off + fileRow * stride
+      while (x < w) {
+        val p = rowOff + x * 3
+        gray(y * w + x) = ((bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) +
+          (bytes(p + 2) & 0xFF)) / 3
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, gray))
+  }
+
+  /** 64-bit dHash (difference hash, public domain — Krawetz 2013) of a
+    * grayscale image: box-average onto a 9×8 grid, bit (r, c) = 1 iff
+    * cell (r, c) is strictly darker than cell (r, c+1). The cell
+    * comparison cross-multiplies integer sums (sumL·cntR < sumR·cntL),
+    * so the hash is an exact integer function of the pixels — no
+    * float rounding, any engine reproduces it. */
+  private[graft] def dhashOfGray(w: Int, h: Int, gray: Array[Int]): Long = {
+    val cols = 9; val rows = 8
+    val sums = Array.ofDim[Long](rows, cols)
+    val cnts = Array.ofDim[Long](rows, cols)
+    var y = 0
+    while (y < h) {
+      val r = y * rows / h
+      var x = 0
+      while (x < w) {
+        val c = x * cols / w
+        sums(r)(c) += gray(y * w + x)
+        cnts(r)(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols - 1) {
+        if (sums(r)(c) * cnts(r)(c + 1) < sums(r)(c + 1) * cnts(r)(c))
+          hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
+  /** Per-image dHash over a binary BMP column, partition-parallel:
+    * (media_id, dhash). Images too small for the 9×8 grid (w < 9 or
+    * h < 8 leave empty cells) and undecodable bytes are quarantined.
+    * Feed the result to [[Dedup.hammingBandedPairs]] for banded
+    * near-duplicate pairs — image dedup with the same candidate
+    * algebra as SimHash text dedup. */
+  def bmpDhash(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseBmpGray(bytes).collect {
+          case (w, h, gray) if w >= 9 && h >= 8 =>
+            (id, dhashOfGray(w, h, gray))
+        }
+      })
+      .toDF(idCol, "dhash")
+  }
+
+  /** End-to-end image near-dedup: drop every BMP that is not its
+    * Hamming-dup-cluster's min-id representative (undecodable rows
+    * survive — quarantine is a separate concern from duplication).
+    * [[bmpDhash]] → [[Dedup.hammingBandedPairs]] →
+    * [[Dedup.dupClusters]] → anti-join, the same composition shape as
+    * [[Dedup.dropNearDups]] for text. */
+  def dropNearDupBmps(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes", maxHamming: Int = 6,
+      bands: Int = 8): DataFrame = {
+    val pairs = Dedup.hammingBandedPairs(
+      bmpDhash(media, idCol, bytesCol), idCol, "dhash", maxHamming, bands)
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    media.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** A 72×64 24bpp BMP whose [[bmpDhash]] is EXACTLY `target`: the 9×8
+    * grid cells are 8×8-pixel uniform-brightness blocks on a ±8 walk
+    * along each row (start 128, step +8 where the target bit is 1, −8
+    * where 0 — range stays in [64, 192]), so every adjacent-cell
+    * comparison reproduces the corresponding target bit. Fixture
+    * generator for oracle-gated image dedup (q197): the hash is pure
+    * id arithmetic, so a foreign engine can predict the planted pairs
+    * and their integer Hamming distances without touching pixels —
+    * while the engine-side path still exercises the full byte-level
+    * encode → decode → pool → hash → band → verify pipeline. */
+  def bmpWithDhash(target: Long): Array[Byte] = {
+    val w = 72; val h = 64
+    val lum = Array.ofDim[Int](8, 9)
+    var r = 0
+    while (r < 8) {
+      lum(r)(0) = 128
+      var c = 0
+      while (c < 8) {
+        val bit = (target >>> (r * 8 + c)) & 1L
+        lum(r)(c + 1) = lum(r)(c) + (if (bit == 1L) 8 else -8)
+        c += 1
+      }
+      r += 1
+    }
+    val stride = (w * 3 + 3) / 4 * 4 // 216, no padding at w=72
+    val dataSize = stride * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var fileRow = 0
+    while (fileRow < h) {
+      val y = h - 1 - fileRow // bottom-up
+      var x = 0
+      while (x < w) {
+        val v = lum(y / 8)(x / 8).toByte
+        buf.put(v).put(v).put(v)
+        x += 1
+      }
+      fileRow += 1
+    }
+    buf.array()
+  }
+
   private[graft] def parseWav(id: Long,
       bytes: Array[Byte]): Option[WavMeta] = {
     if (bytes == null || bytes.length < 44) return None

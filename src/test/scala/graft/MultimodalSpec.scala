@@ -99,6 +99,90 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmp(1L, lying).isEmpty)
   }
 
+  test("dHash: constructed BMPs hash to their exact target; pixel decode roundtrips") {
+    import spark.implicits._
+    val targets = Seq(0L, -1L, 0x123456789ABCDEFL,
+      Multimodal.mix64(7L), Multimodal.mix64(42L))
+    // driver-side roundtrip of the integer pipeline
+    targets.foreach { t =>
+      val (w, h, gray) = Multimodal.parseBmpGray(Multimodal.bmpWithDhash(t)).get
+      assert((w, h) === (72, 64))
+      assert(Multimodal.dhashOfGray(w, h, gray) === t,
+        s"dHash roundtrip broke for target $t")
+    }
+    // distributed kernel agrees
+    val media = targets.zipWithIndex
+      .map { case (t, i) => (i.toLong, Multimodal.bmpWithDhash(t)) }
+      .toDF("media_id", "bytes")
+    val got = Multimodal.bmpDhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === targets.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap)
+    // corrupt bytes and sub-grid images quarantine, never throw
+    val junk = Seq(
+      (100L, Array[Byte](1, 2, 3)),
+      (101L, Multimodal.bmpBytes(4, 4)), // 4×4 < the 9×8 grid
+      (102L, Multimodal.wavBytes(8000, 1, 16, 10))) // not a BMP at all
+      .toDF("media_id", "bytes")
+    assert(Multimodal.bmpDhash(junk).count() === 0L)
+    // arbitrary (non-cell-aligned) sizes hash deterministically
+    val synth = Multimodal.syntheticBmp(
+      spark.range(40).select(col("id").as("doc_id")))
+    val h1 = Multimodal.bmpDhash(synth).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Multimodal.bmpDhash(synth).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1 === h2 && h1.size === 40)
+  }
+
+  test("hammingBandedPairs is complete for hamming < bands and exact on distances") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // 60 random-ish hashes + planted near-dups at known distances
+    val bases = (0L until 60L).map(i => i -> Multimodal.mix64(i))
+    val planted = bases.collect { case (i, h) if i % 6 == 0 =>
+      var mask = 0L
+      (0 until (1 + (i % 5)).toInt)
+        .foreach(j => mask |= 1L << ((i * 11 + j * 13) % 64).toInt)
+      (i + 1000L) -> (h ^ mask)
+    }
+    val all = (bases ++ planted).toDF("id", "hash")
+    val banded = Dedup.hammingBandedPairs(all, "id", "hash",
+        maxHamming = 6, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // exact all-pairs truth
+    val rows = (bases ++ planted)
+    val exact = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded === exact,
+      "8-band pigeonhole must find EVERY pair within hamming 6")
+    assert(banded.nonEmpty && banded.size >= planted.size)
+    // the guard refuses an incomplete configuration loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.hammingBandedPairs(all, "id", "hash", maxHamming = 8, bands = 8)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+    // end-to-end image dedup keeps exactly one representative (the min
+    // id) per planted near-dup cluster and every singleton
+    val media = rows.map { case (i, h) => (i, Multimodal.bmpWithDhash(h)) }
+      .toDF("media_id", "bytes")
+    val kept = Multimodal.dropNearDupBmps(media).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    // driver-side union-find truth: keep each component's min, singletons
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    exact.foreach { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedLosers = rows.map(_._1).filter(i => find(i) != i).toSet
+    assert(kept === rows.map(_._1).toSet -- expectedLosers)
+  }
+
   test("distributed decode: every synthetic WAV parses, none quarantined") {
     val docs = Tables.documents(spark, sf0001)
     val wav = Multimodal.syntheticWav(docs)
