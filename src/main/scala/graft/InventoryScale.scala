@@ -61,6 +61,44 @@ object InventoryScale {
  CAST(1 + doc_id % 5 AS BIGINT) AS hamming
  FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
 
+    QueryDef("q198_audio_neardup_fingerprint",
+      // AUDIO near-dup — the WAV twin of q197: 64-bit energy-difference
+      // fingerprint (Haitsma–Kalker direction: adjacent-window energy
+      // comparisons) over REAL PCM-16 decode, banded through the same
+      // Dedup.hammingBandedPairs pigeonhole. Fixture mirrors q197's
+      // construct-to-target trick in the audio domain: one 65×64-sample
+      // mono WAV per document whose fingerprint is EXACTLY
+      // mix64(doc_id ⊕ GOLDEN) (amplitude walk — q197 uses brightness),
+      // plus near-identical copies at id + 10⁶ flipping exactly
+      // 1 + (doc_id % 5) known bits for doc_id % 10 == 0. The engine
+      // runs RIFF walk → PCM decode → window energies → hash → band →
+      // bit_count verify on spec-valid audio bytes; the oracle states
+      // the planted pairs and their integer Hamming distances as pure
+      // id arithmetic.
+      (s, d) => {
+        import s.implicits._
+        val Offset = 1000000L
+        val media = documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            // decorrelated from q197's image hashes (different mix input)
+            val h = Multimodal.mix64(id ^ 0x5DEECE66DL)
+            val base = (id, Multimodal.wavWithFingerprint(h))
+            if (id % 10 == 0) {
+              var mask = 0L
+              (0 until (1 + (id % 5)).toInt)
+                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              Seq(base, (id + Offset, Multimodal.wavWithFingerprint(h ^ mask)))
+            } else Seq(base)
+          }.toDF("media_id", "bytes")
+        val prints = Multimodal.wavFingerprint(media, "media_id", "bytes")
+        Dedup.hammingBandedPairs(prints, "media_id", "afp",
+            maxHamming = 6, bands = 8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+ CAST(1 + doc_id % 5 AS BIGINT) AS hamming
+ FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
+
     QueryDef("q166_priority_sample_ci",
       // q152's fixed-size weighted sample with the design's OWN error bar:
       // the Duffield–Lund–Thorup variance estimator Σ max(w,τ)·max(τ−w,0)

@@ -385,6 +385,148 @@ object Multimodal {
     buf.array()
   }
 
+  // ------------------------------------------------------------------
+  // Audio fingerprinting: the energy-difference hash (Haitsma–Kalker
+  // 2002 direction, simplified to its time-domain core) over REAL PCM
+  // WAV decode — the audio leg of the Hamming near-dup family, feeding
+  // the same Dedup.hammingBandedPairs algebra as dHash for images.
+  // ------------------------------------------------------------------
+
+  /** Channel-summed 16-bit PCM samples of a WAV file (one Int per
+    * frame, exact integer arithmetic — summing channels instead of
+    * averaging avoids a division); None for non-PCM-16/corrupt bytes.
+    * Walks the RIFF chunk list like [[parseWav]]. */
+  private[graft] def parsePcm16(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 44) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var channels = -1; var bits = -1
+    var dataOff = -1; var dataSize = -1
+    while (off + 8 <= bytes.length) {
+      val id4 = tag(off)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off.toLong + 8L + size > bytes.length) return None
+      if (id4 == "fmt " && size >= 16) {
+        if (buf.getShort(off + 8) != 1) return None // PCM only
+        channels = buf.getShort(off + 10).toInt
+        bits = buf.getShort(off + 22).toInt
+      } else if (id4 == "data") { dataOff = off + 8; dataSize = size }
+      off += 8 + size + (size & 1)
+    }
+    if (channels <= 0 || bits != 16 || dataOff < 0 || dataSize < 0) return None
+    val frameBytes = channels * 2
+    val n = dataSize / frameBytes
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      var s = 0; var ch = 0
+      while (ch < channels) {
+        s += buf.getShort(dataOff + i * frameBytes + ch * 2).toInt
+        ch += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    Some(out)
+  }
+
+  /** 64-bit energy-difference fingerprint of a PCM stream: the samples
+    * split into 65 equal windows (tail remainder dropped), window
+    * energy = Σ |sample| (exact integers), bit i = energy(i) strictly
+    * less than energy(i+1) — the audio analogue of dHash, robust to
+    * gain-preserving edits and deterministic in any engine. */
+  private[graft] def energyFingerprint(samples: Array[Int]): Long = {
+    val windows = 65
+    val w = samples.length / windows
+    if (w == 0) return 0L // guarded by the caller's min-length check
+    val energy = new Array[Long](windows)
+    var i = 0
+    while (i < windows * w) {
+      energy(i / w) += math.abs(samples(i).toLong)
+      i += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b) < energy(b + 1)) hash |= 1L << b
+      b += 1
+    }
+    hash
+  }
+
+  /** Per-clip audio fingerprint over a binary WAV column, partition-
+    * parallel: (media_id, afp). Non-PCM-16, corrupt, or sub-window
+    * (< 65 samples) clips quarantine. Feed to
+    * [[Dedup.hammingBandedPairs]] for banded audio near-dup pairs. */
+  def wavFingerprint(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parsePcm16(bytes).collect {
+          case s if s.length >= 65 => (id, energyFingerprint(s))
+        }
+      })
+      .toDF(idCol, "afp")
+  }
+
+  /** End-to-end audio near-dedup: min-id representative per Hamming
+    * cluster of [[wavFingerprint]] — the audio twin of
+    * [[dropNearDupBmps]]. */
+  def dropNearDupWavs(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes", maxHamming: Int = 6,
+      bands: Int = 8): DataFrame = {
+    val pairs = Dedup.hammingBandedPairs(
+      wavFingerprint(media, idCol, bytesCol), idCol, "afp", maxHamming, bands)
+    val losers = Dedup.dupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    media.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** A mono PCM-16 WAV whose [[wavFingerprint]] is EXACTLY `target`:
+    * 65 windows of 64 samples, window amplitudes on a ±8 walk from 1024
+    * (range [512, 1536] — strictly positive so |amplitude| is monotone
+    * with the walk, far from Short clipping, every adjacent-energy
+    * comparison strict), samples alternate ±amplitude (no DC). Fixture
+    * generator
+    * for oracle-gated audio dedup (q198) — the planted pair set and
+    * integer Hamming distances are pure id arithmetic while the engine
+    * exercises the full RIFF-walk → PCM decode → window-energy → hash
+    * → band → verify pipeline on spec-valid audio bytes. */
+  def wavWithFingerprint(target: Long): Array[Byte] = {
+    val windows = 65; val w = 64
+    val amp = new Array[Int](windows)
+    amp(0) = 1024
+    var b = 0
+    while (b < 64) {
+      amp(b + 1) = amp(b) + (if (((target >>> b) & 1L) == 1L) 8 else -8)
+      b += 1
+    }
+    val samples = new Array[Short](windows * w)
+    var i = 0
+    while (i < samples.length) {
+      val a = amp(i / w)
+      samples(i) = (if (i % 2 == 0) a else -a).toShort
+      i += 1
+    }
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000)
+      .putInt(16000 * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(s => buf.putShort(s): Unit)
+    buf.array()
+  }
+
   private[graft] def parseWav(id: Long,
       bytes: Array[Byte]): Option[WavMeta] = {
     if (bytes == null || bytes.length < 44) return None

@@ -183,6 +183,46 @@ class MultimodalSpec extends SparkSpec {
     assert(kept === rows.map(_._1).toSet -- expectedLosers)
   }
 
+  test("audio fingerprint: constructed WAVs hash to their exact target; near-dedup keeps representatives") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val targets = Seq(0L, -1L, 0x0F0F0F0F0F0F0F0FL,
+      Multimodal.mix64(9L), Multimodal.mix64(77L))
+    // driver-side roundtrip of the integer pipeline
+    targets.foreach { t =>
+      val samples = Multimodal.parsePcm16(Multimodal.wavWithFingerprint(t)).get
+      assert(samples.length === 65 * 64)
+      assert(Multimodal.energyFingerprint(samples) === t,
+        s"fingerprint roundtrip broke for target $t")
+    }
+    // stereo decode channel-sums per frame (exact integers, no division)
+    assert(Multimodal.parsePcm16(
+      Multimodal.wavBytes(8000, 2, 16, 200)).get.length === 200)
+    // distributed kernel agrees; quarantine on junk
+    val media = targets.zipWithIndex
+      .map { case (t, i) => (i.toLong, Multimodal.wavWithFingerprint(t)) }
+      .toDF("media_id", "bytes")
+    val got = Multimodal.wavFingerprint(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === targets.zipWithIndex.map { case (t, i) => i.toLong -> t }.toMap)
+    val junk = Seq(
+      (100L, Array[Byte](82, 73, 70, 70)),
+      (101L, Multimodal.bmpBytes(16, 16)), // not a WAV
+      (102L, Multimodal.wavBytes(8000, 1, 16, 30))) // < 65 samples
+      .toDF("media_id", "bytes")
+    assert(Multimodal.wavFingerprint(junk).count() === 0L)
+    // end-to-end audio dedup: planted near-identical clip drops, its
+    // base and all singletons survive
+    val withDup = (targets.zipWithIndex.map { case (t, i) =>
+      (i.toLong, Multimodal.wavWithFingerprint(t)) } :+
+      (1000L, Multimodal.wavWithFingerprint(targets(3) ^ 3L))) // hamming 2 to id 3
+      .toDF("media_id", "bytes")
+    val kept = Multimodal.dropNearDupWavs(withDup).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 2L, 3L, 4L),
+      s"near-identical clip must fold into its base, got $kept")
+  }
+
   test("distributed decode: every synthetic WAV parses, none quarantined") {
     val docs = Tables.documents(spark, sf0001)
     val wav = Multimodal.syntheticWav(docs)
