@@ -61,6 +61,52 @@ object InventoryScale {
  CAST(1 + doc_id % 5 AS BIGINT) AS hamming
  FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
 
+    QueryDef("q199_video_neardup_frames",
+      // VIDEO near-dup — the third modality: real AVI (RIFF) container
+      // decode (uncompressed 24bpp DIB '00db' frames — the same chunk
+      // grammar as the WAV walker, the same pixel grid as the BMP
+      // decoder), per-frame dHash, ONE banded-Hamming pass over the
+      // packed (video, frame) key space, aligned-slot filter, per-pair
+      // matched-frame rollup with a ≥ minCloseFrames gate. Fixture:
+      // 4-frame clips whose frame hashes are pure id arithmetic
+      // (dibFrameWithDhash); copies at id + 10⁶ for doc_id % 10 == 0
+      // REPLACE one frame with an unrelated image (no match), FLIP
+      // 1 + (id % 5) known bits in another (matches within hamming 6),
+      // keep two exact — so every planted pair matches on EXACTLY 3 of
+      // 4 frames. Single-frame flukes (the q197/q198 spurious class)
+      // cannot fake a pair here: the ≥ 3 rollup floor filters them.
+      (s, d) => {
+        import s.implicits._
+        val Offset = 1000000L
+        val media = documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            def fh(f: Int): Long =
+              Multimodal.mix64(id * 131 + f * 7919 + 99L)
+            def avi(hs: Seq[Long]): Array[Byte] = Multimodal.aviBytes(
+              72, 64, hs.map(Multimodal.dibFrameWithDhash))
+            val base = (id, avi((0 until 4).map(fh)))
+            if (id % 10 == 0) {
+              var mask = 0L
+              (0 until (1 + (id % 5)).toInt)
+                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              val drop = (id % 4).toInt
+              val flip = ((id + 1) % 4).toInt
+              val copyHs = (0 until 4).map { f =>
+                if (f == drop) Multimodal.mix64(id * 977 + f + 7L)
+                else if (f == flip) fh(f) ^ mask
+                else fh(f)
+              }
+              Seq(base, (id + Offset, avi(copyHs)))
+            } else Seq(base)
+          }.toDF("media_id", "bytes")
+        Multimodal.videoNearDupPairs(media, "media_id", "bytes",
+            maxHamming = 6, minCloseFrames = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+ CAST(3 AS BIGINT) AS n_close_frames
+ FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
+
     QueryDef("q198_audio_neardup_fingerprint",
       // AUDIO near-dup — the WAV twin of q197: 64-bit energy-difference
       // fingerprint (Haitsma–Kalker direction: adjacent-window energy

@@ -348,6 +348,22 @@ object Multimodal {
     * while the engine-side path still exercises the full byte-level
     * encode → decode → pool → hash → band → verify pipeline. */
   def bmpWithDhash(target: Long): Array[Byte] = {
+    val frame = dibFrameWithDhash(target)
+    val buf = java.nio.ByteBuffer.allocate(54 + frame.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + frame.length)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(72).putInt(64)
+      .putShort(1).putShort(24)
+      .putInt(0).putInt(frame.length)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(frame)
+    buf.array()
+  }
+
+  /** The bottom-up 24bpp pixel payload of [[bmpWithDhash]] (no headers)
+    * — exactly an AVI '00db' DIB frame for [[aviBytes]] at 72×64. */
+  def dibFrameWithDhash(target: Long): Array[Byte] = {
     val w = 72; val h = 64
     val lum = Array.ofDim[Int](8, 9)
     var r = 0
@@ -362,27 +378,20 @@ object Multimodal {
       r += 1
     }
     val stride = (w * 3 + 3) / 4 * 4 // 216, no padding at w=72
-    val dataSize = stride * h
-    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
-      .putShort(0).putShort(0).putInt(54)
-    buf.putInt(40).putInt(w).putInt(h)
-      .putShort(1).putShort(24)
-      .putInt(0).putInt(dataSize)
-      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val out = new Array[Byte](stride * h)
     var fileRow = 0
     while (fileRow < h) {
       val y = h - 1 - fileRow // bottom-up
       var x = 0
       while (x < w) {
         val v = lum(y / 8)(x / 8).toByte
-        buf.put(v).put(v).put(v)
+        val p = fileRow * stride + x * 3
+        out(p) = v; out(p + 1) = v; out(p + 2) = v
         x += 1
       }
       fileRow += 1
     }
-    buf.array()
+    out
   }
 
   // ------------------------------------------------------------------
@@ -525,6 +534,171 @@ object Multimodal {
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
     samples.foreach(s => buf.putShort(s): Unit)
     buf.array()
+  }
+
+  // ------------------------------------------------------------------
+  // Video: minimal REAL AVI (RIFF) container with uncompressed 24bpp
+  // DIB frames ('00db' chunks) — the third modality whose decode can be
+  // fully real in this sandbox (AVI is the same RIFF chunk grammar the
+  // WAV walker uses; frames are the same DIB pixel grid the BMP decoder
+  // pools). Codec-bound formats (H.264/MP4) would replace ONLY the
+  // frame-bytes → pixels step.
+  // ------------------------------------------------------------------
+
+  /** A spec-shaped AVI: RIFF('AVI ') → LIST('hdrl') with avih + one
+    * video stream (strh 'vids'/'DIB ', strf BITMAPINFOHEADER) →
+    * LIST('movi') with one '00db' uncompressed bottom-up 24bpp DIB
+    * chunk per frame. Every frame must share `w × h`. */
+  def aviBytes(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val stride = (w * 3 + 3) / 4 * 4
+    require(frames.forall(_.length == stride * h), "frame size mismatch")
+    val perFrame = frames.map(f => 8 + f.length + (f.length & 1))
+    val moviSize = 4 + perFrame.sum
+    val strfSize = 40
+    val strhSize = 56
+    val strlSize = 4 + (8 + strhSize) + (8 + strfSize)
+    val avihSize = 56
+    val hdrlSize = 4 + (8 + avihSize) + (8 + strlSize)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(s: String): Unit = { buf.put(s.getBytes("US-ASCII")): Unit }
+    tag("RIFF"); buf.putInt(riffSize); tag("AVI ")
+    tag("LIST"); buf.putInt(hdrlSize); tag("hdrl")
+    tag("avih"); buf.putInt(avihSize)
+    buf.putInt(40000).putInt(0).putInt(0).putInt(0) // µs/frame, rates
+      .putInt(frames.size).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(strlSize); tag("strl")
+    tag("strh"); buf.putInt(strhSize)
+    tag("vids"); tag("DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+      .putInt(1).putInt(25) // scale, rate
+      .putInt(0).putInt(frames.size).putInt(0).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    tag("strf"); buf.putInt(strfSize)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    tag("LIST"); buf.putInt(moviSize); tag("movi")
+    frames.foreach { f =>
+      tag("00db"); buf.putInt(f.length); buf.put(f): Unit
+      if ((f.length & 1) == 1) buf.put(0.toByte): Unit
+    }
+    buf.array()
+  }
+
+  /** Decode an AVI produced in the shape above (or any RIFF AVI whose
+    * video stream is uncompressed 24bpp '00db'/'00dc' DIB chunks):
+    * (width, height, frames as top-down grayscale). Dims come from the
+    * strf BITMAPINFOHEADER; the movi LIST is walked chunk by chunk.
+    * Corrupt/compressed bytes quarantine to None. */
+  private[graft] def parseAviGray(
+      bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+    if (bytes == null || bytes.length < 24) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String =
+      if (off + 4 <= bytes.length) new String(bytes, off, 4, "US-ASCII")
+      else ""
+    if (tag(0) != "RIFF" || tag(8) != "AVI ") return None
+    var w = -1; var h = -1; var bpp = -1
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+    // walk (possibly nested) chunks; recurse into LISTs
+    def walk(start: Int, end: Int): Boolean = {
+      var off = start
+      while (off + 8 <= end) {
+        val id4 = tag(off)
+        val size = buf.getInt(off + 4)
+        if (size < 0 || off.toLong + 8L + size > end) return false
+        if (id4 == "LIST") {
+          if (!walk(off + 12, off + 8 + size)) return false
+        } else if (id4 == "strf" && size >= 40) {
+          w = buf.getInt(off + 12); h = buf.getInt(off + 16)
+          bpp = buf.getShort(off + 22).toInt
+        } else if ((id4 == "00db" || id4 == "00dc") && w > 0 && h != 0 &&
+            bpp == 24) {
+          val stride = (w * 3 + 3) / 4 * 4
+          val hh = math.abs(h)
+          if (size < stride * hh) return false
+          val topDown = h < 0
+          val gray = new Array[Int](w * hh)
+          var y = 0
+          while (y < hh) {
+            val fileRow = if (topDown) y else hh - 1 - y
+            val rowOff = off + 8 + fileRow * stride
+            var x = 0
+            while (x < w) {
+              val p = rowOff + x * 3
+              gray(y * w + x) = ((bytes(p) & 0xFF) + (bytes(p + 1) & 0xFF) +
+                (bytes(p + 2) & 0xFF)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          frames += gray
+        }
+        off += 8 + size + (size & 1)
+      }
+      true
+    }
+    if (!walk(12, bytes.length)) return None
+    if (w < 9 || math.abs(h) < 8 || bpp != 24 || frames.isEmpty) None
+    else Some((w, math.abs(h), frames.toSeq))
+  }
+
+  /** Per-frame dHash over a binary AVI column, partition-parallel:
+    * (media_id, frame_idx, dhash) — the video modality's perceptual
+    * signature stream. Join aligned frame hashes through
+    * [[Dedup.hammingBandedPairs]] and roll up matches per video pair
+    * for video near-dup (q199's shape); undecodable clips quarantine. */
+  def aviFrameDhashes(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseAviGray(bytes).toSeq.flatMap { case (w, h, frames) =>
+          frames.iterator.zipWithIndex.map { case (gray, i) =>
+            (id, i, dhashOfGray(w, h, gray))
+          }
+        }
+      })
+      .toDF(idCol, "frame_idx", "dhash")
+  }
+
+  /** Video near-duplicate pairs: two clips are near-dup when at least
+    * `minCloseFrames` ALIGNED frames are within `maxHamming` of each
+    * other. Candidates come from ONE [[Dedup.hammingBandedPairs]] pass
+    * over the packed (video, frame) key space — buckets are (chunk,
+    * value) across all slots, the aligned-slot filter prunes after the
+    * verify, and the hot-bucket star cap bounds any pathological pool;
+    * the rollup counts matched frames per video pair.
+    * Output: (id_a, id_b, n_close_frames).
+    * Frame-shifted copies are out of scope (alignment-free matching
+    * would bucket on hash alone — drop frame_idx from the packing). */
+  def videoNearDupPairs(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes", maxHamming: Int = 6,
+      minCloseFrames: Int = 3, bands: Int = 8,
+      maxFrames: Int = 1 << 16): DataFrame = {
+    val hashes = aviFrameDhashes(media, idCol, bytesCol)
+    // pack (media_id, frame_idx) into one long key so the banded join
+    // buckets on (frame slot, chunk, value) in a single pass; aligned
+    // frames of different videos share the low bits
+    val packed = hashes
+      .select((col(idCol) * maxFrames + col("frame_idx")).as("pk"),
+        col("dhash"))
+    val framePairs = Dedup.hammingBandedPairs(packed, "pk", "dhash",
+        maxHamming, bands)
+      // same frame slot in BOTH videos (aligned comparison only)
+      .filter(pmod(col("id_a"), lit(maxFrames.toLong)) ===
+        pmod(col("id_b"), lit(maxFrames.toLong)))
+    framePairs
+      .select(floor(col("id_a") / maxFrames).cast("long").as("id_a"),
+        floor(col("id_b") / maxFrames).cast("long").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_close_frames"))
+      .filter(col("n_close_frames") >= minCloseFrames)
   }
 
   private[graft] def parseWav(id: Long,

@@ -223,6 +223,50 @@ class MultimodalSpec extends SparkSpec {
       s"near-identical clip must fold into its base, got $kept")
   }
 
+  test("AVI roundtrip: real RIFF walk recovers per-frame dHashes; video near-dup counts aligned frames") {
+    import spark.implicits._
+    // encode 3 frames with known hashes, decode, hash — bit-exact
+    val targets = Seq(Multimodal.mix64(1L), Multimodal.mix64(2L), 0L)
+    val avi = Multimodal.aviBytes(72, 64,
+      targets.map(Multimodal.dibFrameWithDhash))
+    val parsed = Multimodal.parseAviGray(avi).get
+    assert((parsed._1, parsed._2, parsed._3.size) === (72, 64, 3))
+    parsed._3.zip(targets).foreach { case (gray, t) =>
+      assert(Multimodal.dhashOfGray(72, 64, gray) === t)
+    }
+    // junk quarantines (truncated, non-AVI RIFF, random bytes)
+    assert(Multimodal.parseAviGray(avi.take(100)) === None)
+    assert(Multimodal.parseAviGray(
+      Multimodal.wavBytes(8000, 1, 16, 50)) === None)
+    assert(Multimodal.parseAviGray(Array[Byte](1, 2, 3)) === None)
+    // distributed per-frame hashes
+    val media = Seq((5L, avi)).toDF("media_id", "bytes")
+    val hashes = Multimodal.aviFrameDhashes(media).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(hashes === targets.zipWithIndex
+      .map { case (t, i) => (5L, i, t) }.toSet)
+    // near-dup: clip B shares 3 of A's 4 frames (one within hamming 2),
+    // clip C shares only 1 — with minCloseFrames = 3, (A,B) pairs, C
+    // stays out despite its single aligned match
+    def clip(hs: Seq[Long]) =
+      Multimodal.aviBytes(72, 64, hs.map(Multimodal.dibFrameWithDhash))
+    val hA = (0 until 4).map(f => Multimodal.mix64(100L + f))
+    val hB = Seq(hA(0), hA(1) ^ 3L, hA(2), Multimodal.mix64(999L))
+    val hC = Seq(hA(0), Multimodal.mix64(777L), Multimodal.mix64(778L),
+      Multimodal.mix64(779L))
+    val clips = Seq((1L, clip(hA)), (2L, clip(hB)), (3L, clip(hC)))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.videoNearDupPairs(clips, minCloseFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 3L)))
+    // alignment matters: the same frames SHIFTED by one slot don't pair
+    val hShift = Seq(Multimodal.mix64(998L), hA(0), hA(1), hA(2))
+    val shifted = Seq((1L, clip(hA)), (9L, clip(hShift)))
+      .toDF("media_id", "bytes")
+    assert(Multimodal.videoNearDupPairs(shifted, minCloseFrames = 3)
+      .count() === 0L)
+  }
+
   test("distributed decode: every synthetic WAV parses, none quarantined") {
     val docs = Tables.documents(spark, sf0001)
     val wav = Multimodal.syntheticWav(docs)
