@@ -630,7 +630,10 @@ object Ann {
     if (gens.isEmpty) return Some(Nil)
     val fs = hadoopFs(spark, path)
     var budget = BloomDriverBudgetBytes
-    val bloomBytes = gens.toSeq.flatMap { case (c, g) =>
+    val acc = Map.newBuilder[Int, Array[Byte]]
+    val it = gens.iterator
+    while (it.hasNext) {
+      val (c, g) = it.next()
       val p = new org.apache.hadoop.fs.Path(bloomFile(path, c, g))
       try {
         val len = fs.getFileStatus(p).getLen
@@ -643,9 +646,10 @@ object Ann {
         // failure later
         org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(bytes))
-        Some(c -> bytes)
-      } catch { case _: java.io.IOException => None }
-    }.toMap
+        acc += c -> bytes
+      } catch { case _: java.io.IOException => () }
+    }
+    val bloomBytes = acc.result()
     if (bloomBytes.isEmpty) return None
     val missing = (gens.keySet -- bloomBytes.keySet).toSeq
     import spark.implicits._
