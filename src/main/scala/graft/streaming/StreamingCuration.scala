@@ -31,7 +31,11 @@ import graft.operators.{Decontam, Dedup, Mixing, TextAnalysis}
   *   `bands/`        (id, band, band_sig) — LSH index of kept docs
   *   `kept/`         (id, text)           — texts for the verify stage
   *   `duppairs/`     (id_a, id_b)         — verified near-dup edge log
-  *                                          (feeds [[reconcileKept]])
+  *                                          (feeds [[reconcileKept]],
+  *                                          which star-folds it)
+  *   `retractions/`  (id)                 — reconcile tombstones, folded
+  *                                          to one dir per record pass;
+  *                                          [[readCurated]] applies them
   *
   * CRASH SAFETY (foreachBatch is at-least-once): every state delta and
   * the kept output are keyed by the engine's batchId and written
