@@ -61,6 +61,72 @@ object InventoryScale {
  CAST(1 + doc_id % 5 AS BIGINT) AS hamming
  FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
 
+    QueryDef("q200_multimodal_dedup_recipe",
+      // CROSS-MODALITY dedup recipe: a document is a duplicate if its
+      // TEXT near-dups another (q35's MinHash-LSH pairs over the real
+      // fixture texts), OR its IMAGE perceptually matches (q197's dHash
+      // band algebra), OR its AUDIO fingerprint matches (q198) — the
+      // three edge sets union into ONE graph, one component collapse
+      // picks min-id representatives across modalities (a text-unique
+      // doc can still drop because its image duplicates another doc's).
+      // Media are construct-to-target per doc id; planted cross-doc
+      // copies: image of id % 9 == 0 near-matches doc id−1's, audio of
+      // id % 7 == 0 near-matches doc id−2's — so components freely mix
+      // text chains with media bridges. The DuckDB oracle chains the
+      // q35 blocked-Jaccard pair CTEs with the arithmetic media pair
+      // sets and the q45 recursive-reach collapse; per-modality pair
+      // counts ride every row, so a spurious hash fluke OR a missed
+      // planted pair in ANY modality fails the hash.
+      (s, d) => {
+        import s.implicits._
+        val docs = documents(s, d)
+        val textPairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id",
+            "text", threshold = 0.8, shingleN = 3, numHashes = 64,
+            bands = 16)
+          .select(col("id_a"), col("id_b"))
+        def smallMask(id: Long): Long = {
+          var m = 0L
+          (0 until (1 + (id % 5)).toInt)
+            .foreach(j => m |= 1L << ((id * 7 + j * 13) % 64).toInt)
+          m
+        }
+        val images = docs.select(col("doc_id")).as[Long].map { id =>
+          val h =
+            if (id % 9 == 0 && id > 0)
+              Multimodal.mix64((id - 1) * 3 + 1) ^ smallMask(id)
+            else Multimodal.mix64(id * 3 + 1)
+          (id, Multimodal.bmpWithDhash(h))
+        }.toDF("media_id", "bytes")
+        val imgPairs = Dedup.hammingBandedPairs(
+            Multimodal.bmpDhash(images), "media_id", "dhash",
+            maxHamming = 6, bands = 8)
+          .select(col("id_a"), col("id_b"))
+        val audio = docs.select(col("doc_id")).as[Long].map { id =>
+          val h =
+            if (id % 7 == 0 && id > 1)
+              Multimodal.mix64((id - 2) * 5 + 2) ^ smallMask(id)
+            else Multimodal.mix64(id * 5 + 2)
+          (id, Multimodal.wavWithFingerprint(h))
+        }.toDF("media_id", "bytes")
+        val audPairs = Dedup.hammingBandedPairs(
+            Multimodal.wavFingerprint(audio), "media_id", "afp",
+            maxHamming = 6, bands = 8)
+          .select(col("id_a"), col("id_b"))
+        val nText = textPairs.count()
+        val nImg = imgPairs.count()
+        val nAud = audPairs.count()
+        val losers = Dedup.dupClusters(
+            textPairs.union(imgPairs).union(audPairs))
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        docs.select(col("doc_id")).join(losers, Seq("doc_id"), "left_anti")
+          .withColumn("n_text_pairs", lit(nText))
+          .withColumn("n_image_pairs", lit(nImg))
+          .withColumn("n_audio_pairs", lit(nAud))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $blockedJaccardCtes, tpairs AS MATERIALIZED (SELECT id_a, id_b FROM pr WHERE $blockedJaccardExpr >= 0.8), ipairs AS MATERIALIZED (SELECT doc_id - 1 AS id_a, doc_id AS id_b FROM documents WHERE doc_id % 9 = 0 AND doc_id > 0), apairs AS MATERIALIZED (SELECT doc_id - 2 AS id_a, doc_id AS id_b FROM documents WHERE doc_id % 7 = 0 AND doc_id > 1), allp AS MATERIALIZED (SELECT id_a, id_b FROM tpairs UNION SELECT id_a, id_b FROM ipairs UNION SELECT id_a, id_b FROM apairs), edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM allp UNION SELECT id_b, id_a FROM allp), reach(id, r) AS (SELECT src, src FROM edges UNION SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id), losers AS (SELECT id FROM (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id) WHERE cluster < id) SELECT d.doc_id, (SELECT COUNT(*) FROM tpairs) AS n_text_pairs, (SELECT COUNT(*) FROM ipairs) AS n_image_pairs, (SELECT COUNT(*) FROM apairs) AS n_audio_pairs FROM documents d WHERE d.doc_id NOT IN (SELECT id FROM losers) ORDER BY d.doc_id""")),
+
     QueryDef("q199_video_neardup_frames",
       // VIDEO near-dup — the third modality: real AVI (RIFF) container
       // decode (uncompressed 24bpp DIB '00db' frames — the same chunk
