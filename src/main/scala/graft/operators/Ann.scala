@@ -710,14 +710,20 @@ object Ann {
       .foreach(e => fs.delete(e.getPath, true))
     val bp = new org.apache.hadoop.fs.Path(s"$path/blooms")
     if (fs.exists(bp)) fs.listStatus(bp).toSeq
-      .filter(e => e.isFile && (e.getPath.getName.startsWith("c=") ||
-        e.getPath.getName.startsWith(".tmp_")))
+      .filter(_.isFile)
       .filter { e =>
         val n = e.getPath.getName
-        n.startsWith(".tmp_") || {
-          val parts = n.stripPrefix("c=").stripSuffix(".bloom").split("_g=")
-          !gens.get(parts(0).toInt).contains(parts(1).toLong)
+        // live sidecar = exactly c=<cid>_g=<liveGen>.bloom; anything
+        // else in OUR private dir (crashed tmp, unparseable stray) is
+        // swept rather than crashing the GC on a malformed name
+        val live = n.startsWith("c=") && n.endsWith(".bloom") && {
+          n.stripPrefix("c=").stripSuffix(".bloom").split("_g=") match {
+            case Array(c, g) if c.forall(_.isDigit) && g.forall(_.isDigit) =>
+              gens.get(c.toInt).contains(g.toLong)
+            case _ => false
+          }
         }
+        !live
       }
       .foreach(e => fs.delete(e.getPath, false))
     val cp = new org.apache.hadoop.fs.Path(s"$path/corpus")

@@ -676,7 +676,10 @@ object Multimodal {
     * the rollup counts matched frames per video pair.
     * Output: (id_a, id_b, n_close_frames).
     * Frame-shifted copies are out of scope (alignment-free matching
-    * would bucket on hash alone — drop frame_idx from the packing). */
+    * would bucket on hash alone — drop frame_idx from the packing).
+    * Ids must be NON-NEGATIVE and < Long.MaxValue / maxFrames: the
+    * (id × maxFrames + frame) packing and its floor/pmod unpacking
+    * disagree on negative ids. */
   def videoNearDupPairs(media: DataFrame, idCol: String = "media_id",
       bytesCol: String = "bytes", maxHamming: Int = 6,
       minCloseFrames: Int = 3, bands: Int = 8,
