@@ -425,7 +425,7 @@ object Bench {
     // its candidate lists from the footer-sized bloom sidecars instead of
     // a full (id, cid) scan — record the candidate fraction and the
     // sidecar weight so the at-scale claim stays measured, not asserted
-    val (annDiscLists, annDiscTotal, annBloomFrac) = {
+    val (annDiscLists, annDiscTotal, annBloomFrac, annDiscExecLists) = {
       val meta = graft.operators.Ann.readManifest(spark, ivfIndexPath)
       val someCid = meta.gens.keysIterator.min
       val oneList = graft.operators.Ann
@@ -433,13 +433,19 @@ object Bench {
         .select(col("id")).localCheckpoint(true)
       val cand = graft.operators.Ann.bloomCandidateCids(spark, ivfIndexPath,
         meta.gens, oneList)
+      // same discovery with driver-held blooms DISABLED (budget 0): the
+      // executor-side probe must scope identically — the stamp behind the
+      // "bounded at any index size" claim (round-11: no fallback to the
+      // full scan past the driver budget)
+      val candExec = graft.operators.Ann.bloomCandidateCids(spark,
+        ivfIndexPath, meta.gens, oneList, driverBudgetBytes = 0L)
       def walk(f: java.io.File): Long =
         if (f.isDirectory)
           Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
         else f.length()
       val bloomBytes = walk(new java.io.File(s"$ivfIndexPath/blooms"))
       (cand.map(_.size).getOrElse(-1).toDouble, meta.gens.size.toDouble,
-        bloomBytes / allListsBytes)
+        bloomBytes / allListsBytes, candExec.map(_.size).getOrElse(-1).toDouble)
     }
     // Shuffle-write bytes of the measured workload ONLY: accumulation is
     // scoped to the stages of jobs carrying our job group (concurrent or
@@ -926,17 +932,32 @@ object Bench {
       graft.operators.Dedup.nearDupPairs(docs10, "doc_id", "text",
         threshold = 0.8).count(): Unit
     }
-    // Size-ratio pre-prune probe — the size-HETEROGENEOUS case the 10×
-    // clique fixture cannot show: every doc gains a prefix-truncated twin
-    // (first third of its words, whole-doc J ≈ 1/3 < 0.8). Twins collide
-    // in some LSH band with per-pair probability ≈ 1−(1−J⁴)¹⁶ ≈ 18%, so
-    // cross-size candidates dominate the candidate list, and every one of
-    // them is refuted by the size bound alone — the prune keeps their
-    // shingle-hash arrays out of the verify joins entirely.
-    val docsHet = docsAll.select(col("doc_id"), col("text")).unionAll(
-      docsAll.select((col("doc_id") + lit(100000000L)).as("doc_id"),
-        concat_ws(" ", slice(split(col("text"), " "), lit(1),
-          greatest(lit(1), size(split(col("text"), " ")) / 3))).as("text")))
+    // Size-ratio pre-prune probe, in the regime the prune EXISTS for
+    // (round-10 verdict item 3: the first fixture — short docs, twins at
+    // 1/3 length colliding w.p. ~18% — stamped the prune net-NEGATIVE in
+    // bytes 13 runs straight, refuting its own comment; the costs are
+    // O(candidate rows · 16 B) while the savings are O(refuted docs ·
+    // array bytes), and that fixture made the former dominate). The win
+    // regime needs (a) LONG docs — arrays ≫ candidate-row bytes — and
+    // (b) cross-size candidates that are COMMON and all refutable:
+    //  - every doc is lengthened 8× with per-copy word salts (distinct
+    //    shingles ×8, hash arrays in the kilobytes);
+    //  - every doc gains a 70%-prefix twin: J ≈ 0.7 < 0.8 stays below
+    //    the verify threshold but collides in some LSH band w.p.
+    //    ≈ 1−(1−0.7⁴)¹⁶ ≈ 99% — so nearly every twin becomes a
+    //    candidate, every such pair is refuted by the size bound
+    //    (0.7 < 0.8) alone, and the refuted twins' kilobyte arrays stay
+    //    off both verify exchanges entirely.
+    val docsHet = {
+      val longText = concat_ws(" ", (0 until 8).map(i =>
+        regexp_replace(col("text"), "(\\S+)", "$1_" + i)): _*)
+      val base = docsAll.select(col("doc_id"), longText.as("text"))
+      base.unionAll(
+        base.select((col("doc_id") + lit(100000000L)).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), lit(1),
+            greatest(lit(1), size(split(col("text"), " ")) * 7 / 10)))
+            .as("text")))
+    }
     val tSizePruneOff = timeMedian("x_sizeprune_off_sec") {
       graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
         threshold = 0.8, sizePrune = false).count(): Unit
@@ -1086,6 +1107,33 @@ object Bench {
       pointLookup(liUidPlain))
     val tBloomFilteredCold = coldMedian("x_bloom_filtered_cold_sec")(
       pointLookup(liUidBloom))
+    // Grouped adaptive ladder AT its 10⁶-group contract ceiling (round-10
+    // verdict item 8: maxGroups was lifted 10⁴ → 10⁶ and spec'd at 10⁵;
+    // this stamps the ceiling itself with a measurement). Synthetic
+    // codegen frame, no IO — the probe isolates the ladder machinery:
+    // the 10⁶-key broadcast active-set frames, the per-round 10⁶-group
+    // moment aggregations + collects, the driver sketch map, and the
+    // 10⁶-row result assembly. exactBelow=0 keeps every group on the
+    // LADDER route (the contract under test — the default would route
+    // these small groups to the one-shot exact job). ONCE-run, not
+    // stableMedian: a ~30 s contract stamp would cost 4 runs in a median
+    // batch for no extra information (LadderProbe holds the sizing runs:
+    // 56–66 s at 16–64 rows/group, scan-size-insensitive — the cost is
+    // the 10⁶-cardinality aggregations themselves).
+    val tLadder1M = {
+      val groups = 1000000L
+      val frame = spark.range(groups * 8).select(
+        col("id").as("k"),
+        pmod(col("id"), lit(groups)).cast("string").as("grp"),
+        (pmod(col("id"), lit(997L)) + lit(1)).cast("double").as("v"))
+      val t0 = System.nanoTime()
+      val nOut = graft.exec.AdaptiveExecutor.runGroupedDeterministic(
+        frame, value = col("v"), key = col("k"), group = col("grp"),
+        exactBelow = 0L).count()
+      require(nOut == groups,
+        s"ladder at the 10⁶-group ceiling returned $nOut rows")
+      (System.nanoTime() - t0) / 1e9
+    }
     val extra = Seq(
       "x_pipeline_sec" -> tPipeline) ++
       pipelineStages.map { case (name, t) => s"x_pipeline_${name}_sec" -> t } ++
@@ -1112,6 +1160,7 @@ object Bench {
       "x_sizeprune_bytes_off" -> bytesSizePruneOff,
       "x_sizeprune_bytes_on" -> bytesSizePruneOn,
       "x_sizeprune_bytes_shrink" -> bytesSizePruneOff / bytesSizePruneOn,
+      "x_grouped_ladder_1m_groups_sec" -> tLadder1M,
       "x_spandedup_sec" -> tSpanDedup,
       "x_spandedup10x_sec" -> tSpanDedup10,
       "x_winnow_sec" -> tWinnow,
@@ -1152,6 +1201,7 @@ object Bench {
       "x_ann_index_maint_vs_rebuild" -> tIndexBuild / tIndexMaint,
       "x_ann_discovery_cand_lists" -> annDiscLists,
       "x_ann_discovery_total_lists" -> annDiscTotal,
+      "x_ann_discovery_execprobe_lists" -> annDiscExecLists,
       "x_ann_bloom_sidecar_frac" -> annBloomFrac,
       "x_ann_index_retrain_sec" -> tIndexRetrain,
       "x_ann_index_1list_rewrite_frac" -> oneListBytes / allListsBytes,

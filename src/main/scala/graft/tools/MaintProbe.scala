@@ -56,10 +56,18 @@ object MaintProbe {
       val oneList = Ann.readIndexCorpus(spark, path, Some(Seq(someCid)))
         .select(col("id")).localCheckpoint(true)
       val cand = Ann.bloomCandidateCids(spark, path, meta.gens, oneList)
+      // driver budget 0: every bloom is "too big for the driver", so
+      // discovery must go through the round-11 executor-side probe —
+      // the stamp behind "bounded at ANY index size" (no fallback to
+      // the full (id, cid) scan past ~25 M ids anymore)
+      val candExec = Ann.bloomCandidateCids(spark, path, meta.gens, oneList,
+        driverBudgetBytes = 0L)
       val bloomBytes = treeBytes(s"$path/blooms")
       val corpusBytes = treeBytes(s"$path/corpus")
       println(f"[maintprobe] discovery one-list batch: candidates=" +
-        s"${cand.map(_.size).getOrElse(-1)} of ${meta.gens.size} lists; " +
+        s"${cand.map(_.size).getOrElse(-1)} of ${meta.gens.size} lists " +
+        s"(executor-probe, driver blooms disabled: " +
+        s"${candExec.map(_.size).getOrElse(-1)}); " +
         f"bloom sidecar bytes=$bloomBytes (${bloomBytes * 100.0 / corpusBytes}%.2f%% " +
         s"of corpus $corpusBytes)")
     }

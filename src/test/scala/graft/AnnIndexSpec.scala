@@ -654,4 +654,38 @@ class AnnIndexSpec extends SparkSpec {
           s"bloom-less list $c missing from candidates"))
     }
   }
+
+  test("executor-side bloom probe (driver budget 0) matches the driver probe") {
+    import org.apache.hadoop.fs.Path
+    val p = tmpPath("ivf_bloom_exec")
+    Ann.buildIvfIndex(embs, "vec_id", "embedding", p, numCentroids = 16)
+    val meta = Ann.readManifest(spark, p)
+    val someCid = meta.gens.keysIterator.min
+    val oneListIds = Ann.readIndexCorpus(spark, p, Some(Seq(someCid)))
+      .select(col("id")).localCheckpoint(true)
+    // budget 0 forces every list's bloom OFF the driver: discovery must
+    // go through the executor-side probe and return the SAME candidates
+    val driverSide = Ann.bloomCandidateCids(spark, p, meta.gens, oneListIds)
+    val execSide = Ann.bloomCandidateCids(spark, p, meta.gens, oneListIds,
+      driverBudgetBytes = 0L)
+    assert(driverSide.isDefined && execSide.isDefined)
+    assert(execSide.get === driverSide.get,
+      s"executor probe diverged: ${execSide.get} vs ${driverSide.get}")
+    assert(execSide.get.contains(someCid))
+    assert(execSide.get.size < meta.gens.size,
+      "executor probe did not scope discovery")
+    // a bit-corrupted (not just torn) sidecar degrades to an
+    // unconditional candidate on BOTH legs, never an exception
+    val fs = new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+    val otherCid = meta.gens.keysIterator.max
+    val victim = new Path(s"$p/blooms/c=${otherCid}_g=${meta.gens(otherCid)}.bloom")
+    val out = fs.create(victim, true)
+    try out.write(Array.fill[Byte](64)(0x55)) finally out.close()
+    for (budget <- Seq(Ann.bloomCandidateCidsDefaultBudget, 0L)) {
+      val cand = Ann.bloomCandidateCids(spark, p, meta.gens, oneListIds,
+        driverBudgetBytes = budget)
+      assert(cand.isDefined && cand.get.contains(otherCid),
+        s"corrupt sidecar not an unconditional candidate at budget $budget")
+    }
+  }
 }

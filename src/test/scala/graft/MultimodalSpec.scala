@@ -277,4 +277,140 @@ class MultimodalSpec extends SparkSpec {
     assert(r.sample_rate == 8000 + (7 % 4) * 4000 && r.channels == 1 + 7 % 2)
     assert(r.n_samples == 50 + 7 % 100)
   }
+
+  test("crafted overflow headers quarantine in the pixel decoders, never throw") {
+    // BMP: width 0x55555556 makes (w*3+3)/4*4 Int-overflow to a small
+    // positive stride — the Long-math bound + pixel cap must reject it
+    // BEFORE any allocation (round-10 ADVICE)
+    val bmp = Multimodal.bmpBytes(16, 9)
+    val evil = bmp.clone()
+    val bb = java.nio.ByteBuffer.wrap(evil)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 0x55555556) // width
+    bb.putInt(22, 1) // height
+    assert(Multimodal.parseBmpGray(evil) === None)
+    bb.putInt(22, Int.MinValue) // |height| still negative
+    assert(Multimodal.parseBmpGray(evil) === None)
+    // huge-but-individually-plausible dims past the pixel cap
+    val evil2 = bmp.clone()
+    val bb2 = java.nio.ByteBuffer.wrap(evil2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb2.putInt(18, 100000); bb2.putInt(22, 100000)
+    assert(Multimodal.parseBmpGray(evil2) === None)
+    // AVI: same class via an unvalidated strf header — size check used
+    // to Int-overflow negative and pass; the clip must quarantine whole
+    val avi = Multimodal.aviBytes(72, 64,
+      Seq(Multimodal.dibFrameWithDhash(0L)))
+    def corruptStrf(w: Int, h: Int): Array[Byte] = {
+      val c = avi.clone()
+      // strf BITMAPINFOHEADER starts right after the 'strf'+size tags;
+      // find it by scanning for the tag (fixed layout in aviBytes)
+      val idx = c.indexOfSlice("strf".getBytes("US-ASCII"))
+      val cb = java.nio.ByteBuffer.wrap(c)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      cb.putInt(idx + 12, w) // biWidth
+      cb.putInt(idx + 16, h) // biHeight
+      c
+    }
+    assert(Multimodal.parseAviGray(corruptStrf(0x55555556, 1)) === None)
+    assert(Multimodal.parseAviGray(corruptStrf(0x55555556, -2)) === None)
+    assert(Multimodal.parseAviGray(corruptStrf(100000, 100000)) === None)
+    assert(Multimodal.parseAviGray(corruptStrf(72, Int.MinValue)) === None)
+    // and the distributed kernels survive a poisoned row alongside good ones
+    import spark.implicits._
+    val mixed = Seq((1L, Multimodal.bmpWithDhash(7L)), (2L, evil))
+      .toDF("media_id", "bytes")
+    assert(Multimodal.bmpDhash(mixed).count() === 1L)
+  }
+
+  test("videoNearDupPairs enforces its id-packing contract loudly") {
+    import spark.implicits._
+    def clip(hs: Seq[Long]) =
+      Multimodal.aviBytes(72, 64, hs.map(Multimodal.dibFrameWithDhash))
+    val good = clip((0 until 4).map(f => Multimodal.mix64(50L + f)))
+    // a negative id would silently alias into another video's key space
+    // — the packed-key guard must fail the job with the named error
+    val negative = Seq((-1L, good), (2L, good)).toDF("media_id", "bytes")
+    val eNeg = intercept[Exception] {
+      Multimodal.videoNearDupPairs(negative).collect()
+    }
+    assert(eNeg.getMessage != null &&
+      eNeg.getMessage.contains("id-packing contract"),
+      s"wrong error: ${eNeg.getMessage}")
+    // a clip longer than maxFrames aliases its tail frames: loud too
+    val long = Seq((1L, clip((0 until 5).map(f => Multimodal.mix64(60L + f)))))
+      .toDF("media_id", "bytes")
+    val eLong = intercept[Exception] {
+      Multimodal.videoNearDupPairs(long, maxFrames = 4).collect()
+    }
+    assert(eLong.getMessage != null &&
+      eLong.getMessage.contains("id-packing contract"),
+      s"wrong error: ${eLong.getMessage}")
+    // ids at the contract edge still work
+    val maxOkId = Long.MaxValue / (1 << 16) - 1
+    val edge = Seq((maxOkId, good), (maxOkId - 1, good))
+      .toDF("media_id", "bytes")
+    assert(Multimodal.videoNearDupPairs(edge, minCloseFrames = 3)
+      .count() === 1L)
+  }
+
+  test("alignment-free video matching pairs shifted clips; padding cannot fake a pair") {
+    import spark.implicits._
+    def clip(hs: Seq[Long]) =
+      Multimodal.aviBytes(72, 64, hs.map(Multimodal.dibFrameWithDhash))
+    val hA = (0 until 4).map(f => Multimodal.mix64(300L + f))
+    // B = A shifted one slot (trim+prepend) with one frame within hamming 2
+    val hShift = Seq(Multimodal.mix64(998L), hA(0), hA(1) ^ 3L, hA(2))
+    // C repeats ONE of A's frames 4 times — a static-scene pad; counting
+    // matched PAIRS would score 4, the distinct-min rollup scores 1
+    val hPad = Seq(hA(3), hA(3), hA(3), hA(3))
+    val clips = Seq((1L, clip(hA)), (2L, clip(hShift)), (3L, clip(hPad)))
+      .toDF("media_id", "bytes")
+    // the aligned mode misses the shifted copy by construction...
+    assert(Multimodal.videoNearDupPairs(clips, minCloseFrames = 3)
+      .count() === 0L)
+    // ...the alignment-free mode finds exactly it, and the padded clip
+    // stays out (min(distinct-a, distinct-b) = 1 < 3)
+    val pairs = Multimodal.videoNearDupPairsShifted(clips, minCloseFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 3L)))
+  }
+
+  test("ImageIO decode: PNG lossless and JPEG MCU-aligned constructs keep their exact dHash") {
+    import spark.implicits._
+    val targets = Seq(0L, -1L, 0x123456789ABCDEFL,
+      Multimodal.mix64(11L), Multimodal.mix64(23L))
+    for (fmt <- Seq("png", "jpg")) {
+      targets.foreach { t =>
+        val bytes = Multimodal.imageWithDhash(t, fmt)
+        val (w, h, gray) = Multimodal.parseImageGray(bytes).get
+        assert((w, h) === (72, 64))
+        assert(Multimodal.dhashOfGray(w, h, gray) === t,
+          s"$fmt round-trip broke dHash for target $t")
+      }
+    }
+    // ImageIO also reads the hand-rolled BMP encoder's output, and both
+    // decode paths agree bit-for-bit on the same bytes
+    val bmp = Multimodal.bmpWithDhash(Multimodal.mix64(5L))
+    val viaImageIO = Multimodal.parseImageGray(bmp).get
+    val viaWalker = Multimodal.parseBmpGray(bmp).get
+    assert(viaImageIO._3.toSeq === viaWalker._3.toSeq)
+    // distributed kernel: mixed-format corpus, one dHash column out
+    val media = Seq(
+      (1L, Multimodal.imageWithDhash(Multimodal.mix64(1L), "png")),
+      (2L, Multimodal.imageWithDhash(Multimodal.mix64(1L) ^ 5L, "jpg")),
+      (3L, Multimodal.bmpWithDhash(Multimodal.mix64(99L))),
+      (4L, Array[Byte](9, 9, 9))) // junk quarantines
+      .toDF("media_id", "bytes")
+    val hashes = Multimodal.imageDhash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes.size === 3)
+    assert(hashes(1L) === Multimodal.mix64(1L))
+    assert(hashes(2L) === (Multimodal.mix64(1L) ^ 5L))
+    // cross-format near-dedup: the PNG and its 2-bit-off JPEG cluster;
+    // min-id representative survives
+    val kept = Multimodal.dropNearDupImages(media)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
 }
