@@ -364,17 +364,18 @@ object Ann {
     val content = corpus.select(col(idCol).as("id"), payload,
         assign.as("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    content
-      .withColumn("gen", lit(0L))
-      .repartition(col("cid"),
-        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-      .write.partitionBy("cid", "gen").mode("overwrite")
-      .parquet(s"$path/corpus")
+    stageConcurrently(
+      write = content
+        .withColumn("gen", lit(0L))
+        .repartition(col("cid"),
+          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+        .write.partitionBy("cid", "gen").mode("overwrite")
+        .parquet(s"$path/corpus"),
+      blooms = writeListBlooms(spark, path, 0L,
+        content.select("id", "cid")))
+    content.unpersist()
     // manifest = the lists that actually materialized (bounded listing)
     val materialized = listCidDirs(fs, path)
-    writeListBlooms(spark, path, materialized, 0L,
-      Some(content.select("id", "cid")))
-    content.unpersist()
     writeManifest(spark, path,
       IndexMeta(0L, materialized.map(_ -> 0L).toMap, codec, 0L))
   }
@@ -569,21 +570,38 @@ object Ann {
   private def bloomFile(path: String, cid: Int, gen: Long): String =
     s"$path/blooms/c=${cid}_g=$gen.bloom"
 
-  /** Write one id-bloom per inverted list for the given `(cids, gen)`.
+  /** Stage the corpus write and the sidecar build CONCURRENTLY: both
+    * consume the same persisted pre-write frame and both are invisible
+    * until the manifest publish, so their order cannot matter — running
+    * them on two threads makes the bloom build cost max(write, blooms)
+    * wall instead of write + blooms (round-10 measured the serial bloom
+    * job as most of a +45% maintenance-cycle regression; at toy scale
+    * every op is job-overhead-bound, so one overlapped job IS the
+    * cycle's margin). A failure on either side surfaces after both
+    * settle (write's error wins), and a half-staged crash leaves only
+    * unreferenced files for the next op's GC — the same guarantee as
+    * the serial order. */
+  private def stageConcurrently(write: => Unit, blooms: => Unit): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val bf = Future(blooms)(scala.concurrent.ExecutionContext.global)
+    try write
+    finally Await.ready(bf, Duration.Inf)
+    Await.result(bf, Duration.Inf): Unit // rethrow a bloom-side failure
+  }
+
+  /** Write one id-bloom per inverted list present in `source` at `gen`.
     *
-    * `source`: the exact (id, cid) content the caller just wrote for
-    * this generation — persisted or checkpointed by the caller, so the
-    * bloom pass consumes the cache instead of reading the fresh parquet
-    * BACK from the (possibly remote) index filesystem. Round 10 built
-    * blooms exclusively from read-back and measured it as most of a
-    * +45% maintenance-cycle / +35% build regression; the source path
-    * erases the second read while keeping the same guarantee, because
-    * the write job consumed the SAME cached rows — bloom content ≡ disk
-    * content. Contract: `source` must hold exactly the rows written for
-    * `(cids, gen)` (pre-filtered by the caller when the written batch
-    * spans other generations, e.g. append). `source = None` reads back
-    * from the list directories — correct by construction for any
-    * caller, kept as the fallback.
+    * `source` is the exact (id, cid) content the caller stages for this
+    * generation — persisted or checkpointed by the caller, so this pass
+    * consumes the cache instead of reading the fresh parquet BACK from
+    * the (possibly remote) index filesystem (round 10 built blooms
+    * exclusively from read-back and measured it as most of a +45%
+    * maintenance-cycle / +35% build regression). The guarantee is
+    * unchanged — bloom content ≡ disk content — because the write job
+    * consumes the SAME frame. Contract: `source` must hold exactly the
+    * rows written for `gen` (pre-filtered by the caller when the
+    * written batch spans other generations, e.g. append).
     *
     * Sidecars ride the same generation staging discipline as the lists:
     * invisible until a manifest references the generation, swept by
@@ -596,23 +614,10 @@ object Ann {
     * files land tmp + rename; a torn file from a dying executor
     * deserializes as missing → unconditional-candidate fallback. */
   private def writeListBlooms(spark: org.apache.spark.sql.SparkSession,
-      path: String, cids: Seq[Int], gen: Long,
-      source: Option[DataFrame] = None): Unit = {
-    if (cids.isEmpty) return
-    val ids: DataFrame = source match {
-      case Some(df) =>
-        df.select(col("id").cast("long").as("id"),
-          col("cid").cast("int").as("cid"))
-      case None =>
-        val fs = hadoopFs(spark, path)
-        val existing = cids.filter(c => fs.exists(
-          new org.apache.hadoop.fs.Path(liveListDir(path, c, gen))))
-        if (existing.isEmpty) return
-        spark.read.option("basePath", s"$path/corpus")
-          .parquet(existing.map(c => liveListDir(path, c, gen)): _*)
-          .select(col("id").cast("long").as("id"),
-            col("cid").cast("int").as("cid"))
-    }
+      path: String, gen: Long, source: DataFrame): Unit = {
+    val ids: DataFrame = source
+      .select(col("id").cast("long").as("id"),
+        col("cid").cast("int").as("cid"))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val fpp = BloomFpp
@@ -988,20 +993,26 @@ object Ann {
     // missing bloom just makes the list an unconditional discovery
     // candidate until the next rewrite op refreshes it
     dropListBlooms(spark, path, gens, batchCids.filter(gens.contains).toSeq)
-    assigned
+    def writeRows(): Unit = assigned
       .withColumn("gen", genCol)
       .repartition(col("cid"),
         pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
       .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
-    val appeared = listCidDirs(hadoopFs(spark, path), path)
-      .filterNot(gens.contains)
-    if (appeared.nonEmpty) {
-      // staged: pre-publish. Source = the checkpointed batch scoped to
-      // the fresh lists (rows routed to LIVE generations are excluded —
-      // their blooms were dropped above, not rewritten)
-      writeListBlooms(spark, path, appeared, newGen,
-        Some(assigned.filter(col("cid").isin(appeared: _*))
-          .select("id", "cid")))
+    // fresh lists are known BEFORE the write (every batch cid
+    // materializes a dir, and the pre-write GC swept any stray dir not
+    // in the live map — so batchCids ∖ gens ≡ the post-write listing the
+    // old code derived this from), which lets the sidecar build overlap
+    // the row write. Source = the checkpointed batch scoped to the
+    // fresh lists (rows routed to LIVE generations are excluded — their
+    // blooms were dropped above, not rewritten).
+    val appeared = batchCids.filterNot(gens.contains).toSeq.sorted
+    if (appeared.isEmpty) writeRows()
+    else {
+      stageConcurrently(
+        write = writeRows(),
+        blooms = writeListBlooms(spark, path, newGen,
+          assigned.filter(col("cid").isin(appeared: _*))
+            .select("id", "cid")))
       writeManifest(spark, path,
         meta.copy(gen = newGen, gens = gens ++ appeared.map(_ -> newGen)))
     }
@@ -1080,13 +1091,15 @@ object Ann {
     val kept = scoped
       .join(ids, col("id").cast("long") === col("__del"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    kept
-      .withColumn("gen", lit(newGen))
-      .repartition(col("cid"),
-        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-      .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
-    writeListBlooms(spark, path, touched, newGen, // staged: pre-publish
-      Some(kept.select("id", "cid")))
+    stageConcurrently( // both staged: pre-publish
+      write = kept
+        .withColumn("gen", lit(newGen))
+        .repartition(col("cid"),
+          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+        .write.partitionBy("cid", "gen").mode("append")
+        .parquet(s"$path/corpus"),
+      blooms = writeListBlooms(spark, path, newGen,
+        kept.select("id", "cid")))
     kept.unpersist()
     commitRewrite(spark, path, meta, touched, newGen): Unit
     nDeleted
@@ -1167,13 +1180,15 @@ object Ann {
     val content = keptOld.map(_.unionByName(incoming)).getOrElse(incoming)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newGen = metaGen + 1
-    content
-      .withColumn("gen", lit(newGen))
-      .repartition(col("cid"),
-        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-      .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
-    writeListBlooms(spark, path, touched, newGen, // staged: pre-publish
-      Some(content.select("id", "cid")))
+    stageConcurrently( // both staged: pre-publish
+      write = content
+        .withColumn("gen", lit(newGen))
+        .repartition(col("cid"),
+          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+        .write.partitionBy("cid", "gen").mode("append")
+        .parquet(s"$path/corpus"),
+      blooms = writeListBlooms(spark, path, newGen,
+        content.select("id", "cid")))
     content.unpersist()
     commitRewrite(spark, path, meta, touched, newGen): Unit
   }
@@ -1202,13 +1217,15 @@ object Ann {
     val newGen = metaGen + 1
     val content = readLists(spark, path, gens, Some(frag))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    content
-      .withColumn("gen", lit(newGen))
-      .repartition(col("cid"),
-        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-      .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
-    writeListBlooms(spark, path, frag, newGen, // refreshes append-dropped blooms
-      Some(content.select("id", "cid")))
+    stageConcurrently( // blooms refresh the append-dropped sidecars too
+      write = content
+        .withColumn("gen", lit(newGen))
+        .repartition(col("cid"),
+          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+        .write.partitionBy("cid", "gen").mode("append")
+        .parquet(s"$path/corpus"),
+      blooms = writeListBlooms(spark, path, newGen,
+        content.select("id", "cid")))
     content.unpersist()
     commitRewrite(spark, path, meta, frag, newGen)
     frag
@@ -1260,20 +1277,22 @@ object Ann {
       .getItem(0)
     val content = corpus.select(col("id"), col("vec"), assign.as("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    content
-      .withColumn("gen", lit(newGen))
-      .repartition(col("cid"),
-        pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-      .write.partitionBy("cid", "gen").mode("append").parquet(s"$path/corpus")
+    stageConcurrently( // both staged: pre-publish
+      write = content
+        .withColumn("gen", lit(newGen))
+        .repartition(col("cid"),
+          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+        .write.partitionBy("cid", "gen").mode("append")
+        .parquet(s"$path/corpus"),
+      blooms = writeListBlooms(spark, path, newGen,
+        content.select("id", "cid")))
+    content.unpersist()
     // publish: every OLD list is superseded (touched = all old cids plus
     // every possible new cid), centroid generation flips in the same swap
     val touched = (meta.gens.keySet ++ (0 until k)).toSeq.sorted
     val fs = hadoopFs(spark, path)
     val materialized = touched.filter(c => fs.exists(
       new org.apache.hadoop.fs.Path(liveListDir(path, c, newGen))))
-    writeListBlooms(spark, path, materialized, newGen, // staged: pre-publish
-      Some(content.select("id", "cid")))
-    content.unpersist()
     val newMeta = IndexMeta(newGen,
       materialized.map(_ -> newGen).toMap, meta.codec, centGen = newGen)
     writeManifest(spark, path, newMeta)
