@@ -885,8 +885,11 @@ object Multimodal {
     * Scale shape vs the aligned mode: buckets pool across frame slots,
     * so hot buckets are `nVideos × framesPerSlot` instead of `nVideos`
     * — the star cap in [[Dedup.hammingBandedPairs]] still bounds any
-    * pathological pool, and the distinct-rollup adds one partial-agg
-    * exchange keyed on (pair, frame), the same two-exchange plan. */
+    * pathological pool. The two-sided distinct rollup plans as Spark's
+    * Expand + two partial-agged exchanges (plan audit: decode+hash
+    * still fuse into the scan stage, one bucket exchange, then the
+    * rollup pair), all keyed on MATCH-bounded rows — candidate pairs,
+    * not corpus rows — so the extra exchange is output-sized. */
   def videoNearDupPairsShifted(media: DataFrame, idCol: String = "media_id",
       bytesCol: String = "bytes", maxHamming: Int = 6,
       minCloseFrames: Int = 3, bands: Int = 8,
