@@ -222,6 +222,54 @@ object InventoryScale {
  CAST(1 + doc_id % 5 AS BIGINT) AS hamming
  FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
 
+    QueryDef("q203_image_resize_pipeline",
+      // REAL image resize (round-11: the byte-level op resizePlan only
+      // planned): ImageIO decode → integer box-average downscale →
+      // lossless PNG re-encode, partition-parallel. Gated END-TO-END on
+      // a pixel-level invariant: box-average downscale of block-uniform
+      // constructs preserves dHash EXACTLY (each 2×2 source box lands
+      // inside one uniform 8×8 cell — 2 divides 8 — so every resized
+      // pixel is its cell's exact value and the 9×8 pooling reproduces
+      // the same comparisons), so the planted q201-style pairs must
+      // survive a 72×64 → 36×32 resize bit-for-bit, and every resized
+      // row must carry the floor-formula dims. A resampling-kernel bug,
+      // an off-by-one in the box banding, or a lossy re-encode would
+      // scramble hashes and fail the gate; the oracle states pairs,
+      // Hamming distances, and both counts as pure id arithmetic.
+      (s, d) => {
+        import s.implicits._
+        val Offset = 1000000L
+        val media = documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            // decorrelated from the q197/q198/q200/q201 hash streams
+            val h = Multimodal.mix64(id ^ 0x2E5123L)
+            val base = (id, Multimodal.imageWithDhash(h, "png"))
+            if (id % 10 == 0) {
+              var mask = 0L
+              (0 until (1 + (id % 5)).toInt)
+                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              Seq(base, (id + Offset, Multimodal.imageWithDhash(h ^ mask, "png")))
+            } else Seq(base)
+          }.toDF("media_id", "bytes")
+        // checkpointed: the dims gate and the dHash path both consume
+        // it — one decode+resize per image (the q200 pattern)
+        val resized = Multimodal.resizeImages(media, "media_id", "bytes",
+          maxSide = 36).localCheckpoint(true)
+        val nResized = resized.count()
+        val nDimsOk = resized
+          .filter(col("width") === 36 && col("height") === 32).count()
+        Dedup.hammingBandedPairs(Multimodal.imageDhash(resized),
+            "media_id", "dhash", maxHamming = 6, bands = 8)
+          .withColumn("n_resized", lit(nResized))
+          .withColumn("n_dims_ok", lit(nDimsOk))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+ CAST(1 + doc_id % 5 AS BIGINT) AS hamming,
+ (SELECT COUNT(*) + COUNT(*) FILTER (WHERE doc_id % 10 = 0) FROM documents) AS n_resized,
+ (SELECT COUNT(*) + COUNT(*) FILTER (WHERE doc_id % 10 = 0) FROM documents) AS n_dims_ok
+ FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
+
     QueryDef("q202_video_neardup_shifted",
       // ALIGNMENT-FREE video near-dup (round-10 verdict item 3): the
       // most common real video edit is a trim/shift, which q199's

@@ -425,6 +425,94 @@ object Multimodal {
     media.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** REAL image resize over a binary column — the byte-level op
+    * [[resizePlan]] only planned (its aspect-preserving floor formulas
+    * are exactly the dims produced here): decode via [[javax.imageio]],
+    * box-average downscale per RGB channel in EXACT integer arithmetic
+    * (each target pixel = channel sums / counts over its source box,
+    * integer floor — no resampling kernel, no float rounding, any JVM
+    * reproduces it), re-encode as PNG (lossless, so downstream decode
+    * sees precisely these pixels). Images already within `maxSide` pass
+    * through UNCHANGED bytes (scale 1 — no decode-re-encode churn);
+    * undecodable bytes quarantine (dropped rows), the
+    * [[MaxDecodePixels]] cap applies. Output: (idCol, bytes, width,
+    * height) with the POST-resize dims. Partition-parallel
+    * mapPartitions — the same plan shape as every decoder here.
+    *
+    * Box-average downscale of block-uniform images preserves [[dhashOfGray]]
+    * exactly (cell ordering is scale-invariant when cells stay uniform)
+    * — q203 gates the whole decode → resize → re-encode → decode →
+    * dHash chain on that invariant. */
+  def resizeImages(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes", maxSide: Int = 512): DataFrame = {
+    import media.sparkSession.implicits._
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        resizeOneImage(bytes, maxSide).map { case (out, w, h) =>
+          (id, out, w, h)
+        }
+      })
+      .toDF(idCol, bytesCol, "width", "height")
+  }
+
+  private[graft] def resizeOneImage(bytes: Array[Byte],
+      maxSide: Int): Option[(Array[Byte], Int, Int)] =
+    try {
+      if (bytes == null || bytes.length == 0) return None
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
+      if (w <= maxSide && h <= maxSide) return Some((bytes, w, h))
+      // floor dims exactly as resizePlan's column math:
+      // floor(dim * maxSide / max(w, h)), computed in Long
+      val longSide = math.max(w, h).toLong
+      val tw = math.max(1L, w.toLong * maxSide / longSide).toInt
+      val th = math.max(1L, h.toLong * maxSide / longSide).toInt
+      val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+      val out = new java.awt.image.BufferedImage(tw, th,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // per-target-cell integer box average; the source box of target
+      // row r is [r*h/th, (r+1)*h/th) — the same integer-floor banding
+      // as dhashOfGray's pooling, so bands tile the source exactly
+      val outRow = new Array[Int](tw)
+      var ty = 0
+      while (ty < th) {
+        val y0 = ty.toLong * h / th
+        val y1 = (ty + 1).toLong * h / th
+        var tx = 0
+        while (tx < tw) {
+          val x0 = tx.toLong * w / tw
+          val x1 = (tx + 1).toLong * w / tw
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = y0
+          while (y < y1) {
+            val base = y.toInt * w
+            var x = x0
+            while (x < x1) {
+              val p = rgb(base + x.toInt)
+              sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          val cnt = (y1 - y0) * (x1 - x0)
+          outRow(tx) = (((sr / cnt).toInt & 0xFF) << 16) |
+            (((sg / cnt).toInt & 0xFF) << 8) | ((sb / cnt).toInt & 0xFF)
+          tx += 1
+        }
+        out.setRGB(0, ty, tw, 1, outRow, 0, tw)
+        ty += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some((bos.toByteArray, tw, th))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** JPEG (or PNG/GIF/BMP — any ImageIO-writable format) bytes of the
     * same 72×64 construct-to-target image as [[bmpWithDhash]]: 8×8
     * uniform-brightness cells on the ±8 walk, so [[imageDhash]] of the

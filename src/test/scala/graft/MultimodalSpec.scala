@@ -376,6 +376,39 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 3L)))
   }
 
+  test("resizeImages: integer box-average keeps exact dHash, floors dims, passes small images through") {
+    import spark.implicits._
+    val t = Multimodal.mix64(77L)
+    // 72×64 construct → 36×32: every resized pixel is its uniform cell's
+    // exact value, so the dHash survives the full decode → resize →
+    // re-encode → decode chain bit-for-bit
+    val (outBytes, tw, th) =
+      Multimodal.resizeOneImage(Multimodal.imageWithDhash(t, "png"), 36).get
+    assert((tw, th) === (36, 32))
+    val (w2, h2, gray2) = Multimodal.parseImageGray(outBytes).get
+    assert((w2, h2) === (36, 32))
+    assert(Multimodal.dhashOfGray(w2, h2, gray2) === t)
+    // non-multiple dims floor like resizePlan's column math
+    val bmp = Multimodal.bmpBytes(33, 21)
+    val (_, rw, rh) = Multimodal.resizeOneImage(bmp, 16).get
+    assert((rw, rh) === (16, 21 * 16 / 33))
+    // already-small images pass through with UNCHANGED bytes
+    val small = Multimodal.imageWithDhash(t, "png")
+    val (same, sw, sh) = Multimodal.resizeOneImage(small, 100).get
+    assert(same eq small)
+    assert((sw, sh) === (72, 64))
+    // junk quarantines; distributed kernel drops it and resizes the rest
+    assert(Multimodal.resizeOneImage(Array[Byte](1, 2, 3), 36) === None)
+    val media = Seq(
+      (1L, Multimodal.imageWithDhash(t, "png")),
+      (2L, Multimodal.imageWithDhash(t, "jpg")),
+      (3L, Array[Byte](7, 7, 7)))
+      .toDF("media_id", "bytes")
+    val resized = Multimodal.resizeImages(media, maxSide = 36).collect()
+    assert(resized.length === 2)
+    assert(resized.forall(r => r.getInt(2) == 36 && r.getInt(3) == 32))
+  }
+
   test("ImageIO decode: PNG lossless and JPEG MCU-aligned constructs keep their exact dHash") {
     import spark.implicits._
     val targets = Seq(0L, -1L, 0x123456789ABCDEFL,
