@@ -270,6 +270,40 @@ object InventoryScale {
  (SELECT COUNT(*) + COUNT(*) FILTER (WHERE doc_id % 10 = 0) FROM documents) AS n_dims_ok
  FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
 
+    QueryDef("q204_image_meta_sweep",
+      // HEADER-ONLY metadata sweep over a mixed PNG/JPEG corpus
+      // (round-11): decodeImageMeta pulls format + dimensions from the
+      // ImageIO READER's header parse — no pixel decode — which is the
+      // only affordable first pass over a 100 TB image corpus (header
+      // bytes per blob, not decode CPU). Fixture dims and formats are
+      // pure doc_id arithmetic (the syntheticBmp trick, codec edition),
+      // so the rollup — per-format counts, total pixels, dim extremes —
+      // hash-gates the real header walk of real PNG/JPEG bytes against
+      // an oracle that never touches an image.
+      (s, d) => {
+        import s.implicits._
+        val media = documents(s, d).select(col("doc_id")).as[Long].map { id =>
+          val w = 16 + (id % 7).toInt * 8
+          val h = 9 + (id % 5).toInt * 6
+          (id, Multimodal.encodedImage(w, h, if (id % 2 == 0) "png" else "jpg"))
+        }.toDF("media_id", "bytes")
+        Multimodal.decodeImageMeta(media)
+          .groupBy(col("format"))
+          .agg(count(lit(1)).as("n_images"),
+            sum(col("n_pixels")).as("sum_pixels"),
+            min(col("width")).as("min_w"),
+            max(col("height")).as("max_h"))
+          .orderBy(col("format"))
+      },
+      Some("""WITH dims AS (SELECT doc_id,
+ 16 + (doc_id % 7) * 8 AS w, 9 + (doc_id % 5) * 6 AS h,
+ CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+ FROM documents)
+ SELECT format, COUNT(*) AS n_images,
+ CAST(SUM(w * h) AS BIGINT) AS sum_pixels,
+ CAST(MIN(w) AS INTEGER) AS min_w, CAST(MAX(h) AS INTEGER) AS max_h
+ FROM dims GROUP BY 1 ORDER BY 1""")),
+
     QueryDef("q202_video_neardup_shifted",
       // ALIGNMENT-FREE video near-dup (round-10 verdict item 3): the
       // most common real video edit is a trim/shift, which q199's

@@ -425,6 +425,48 @@ object Multimodal {
     media.join(losers, Seq(idCol), "left_anti")
   }
 
+  case class ImageMeta(media_id: Long, format: String, width: Int,
+      height: Int, n_pixels: Long)
+
+  /** HEADER-ONLY image metadata over a binary column of JDK-decodable
+    * images: format name + dimensions from the ImageIO READER — the
+    * reader parses the container header (PNG IHDR, JPEG SOF, ...) and
+    * never decodes pixels, so a metadata sweep over a 100 TB image
+    * corpus costs header bytes per blob, not decode CPU. The codec twin
+    * of [[decodeBmpMeta]]/[[decodeWavMeta]]: same quarantine contract
+    * (unrecognized/corrupt bytes drop, never throw), same
+    * partition-parallel shape. Formats are reported lowercase. */
+  def decodeImageMeta(media: DataFrame, idCol: String = "media_id",
+      bytesCol: String = "bytes"): Dataset[ImageMeta] = {
+    import media.sparkSession.implicits._
+    media.select(col(idCol).cast("long"), col(bytesCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseImageMeta(id, bytes)
+      })
+  }
+
+  private[graft] def parseImageMeta(id: Long,
+      bytes: Array[Byte]): Option[ImageMeta] =
+    try {
+      if (bytes == null || bytes.length == 0) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val w = reader.getWidth(0) // header fields only — no decode
+          val h = reader.getHeight(0)
+          if (w <= 0 || h <= 0) None
+          else Some(ImageMeta(id, reader.getFormatName.toLowerCase, w, h,
+            w.toLong * h))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** REAL image resize over a binary column — the byte-level op
     * [[resizePlan]] only planned (its aspect-preserving floor formulas
     * are exactly the dims produced here): decode via [[javax.imageio]],
@@ -544,6 +586,28 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val v = lum(y / 8)(x / 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, bos),
+      s"no ImageIO writer for format '$format'")
+    bos.toByteArray
+  }
+
+  /** Deterministic w×h image encoded via ImageIO in `format` — fixture
+    * generator for metadata-level gates (q204), where only the header
+    * matters: pixels are a fixed gradient. */
+  def encodedImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (x * 7 + y * 13) % 256
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1
       }

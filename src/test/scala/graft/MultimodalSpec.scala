@@ -376,6 +376,25 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L, 3L)))
   }
 
+  test("decodeImageMeta reads dims from headers; quarantines junk") {
+    import spark.implicits._
+    val m1 = Multimodal.parseImageMeta(1L, Multimodal.encodedImage(33, 21, "png")).get
+    assert((m1.format, m1.width, m1.height, m1.n_pixels) === ("png", 33, 21, 693L))
+    val m2 = Multimodal.parseImageMeta(2L, Multimodal.encodedImage(64, 48, "jpg")).get
+    assert((m2.format, m2.width, m2.height) === ("jpeg", 64, 48))
+    // the hand-rolled BMP encoder's output reads through the same path
+    val m3 = Multimodal.parseImageMeta(3L, Multimodal.bmpBytes(16, 9)).get
+    assert((m3.format, m3.width, m3.height) === ("bmp", 16, 9))
+    assert(Multimodal.parseImageMeta(4L, Array[Byte](1, 2, 3)) === None)
+    assert(Multimodal.parseImageMeta(5L, null) === None)
+    // distributed: junk rows drop, good rows keep exact dims
+    val media = Seq(
+      (1L, Multimodal.encodedImage(20, 10, "png")),
+      (2L, Array[Byte](9, 9))).toDF("media_id", "bytes")
+    val got = Multimodal.decodeImageMeta(media).collect()
+    assert(got.length === 1 && got.head.width === 20 && got.head.height === 10)
+  }
+
   test("resizeImages: integer box-average keeps exact dHash, floors dims, passes small images through") {
     import spark.implicits._
     val t = Multimodal.mix64(77L)
