@@ -19,6 +19,19 @@ object InventoryScale {
   private val liKeySql = "(l_orderkey * 8191 + l_linenumber * 131)"
   private def liKey = expr(liKeySql)
 
+  /** The planted near-dup bit mask shared by every media fixture
+    * (q197–q203): flips exactly 1 + (id % 5) KNOWN bits at positions
+    * (7·id + 13·j) mod 64, pairwise distinct for j < 5 — so each
+    * oracle can state the integer Hamming distance as 1 + id % 5.
+    * ONE definition: the oracles depend on popcount(mask) = 1 + id % 5,
+    * and a drifted copy would silently break a gate. */
+  private def plantMask(id: Long): Long = {
+    var mask = 0L
+    (0 until (1 + (id % 5)).toInt)
+      .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+    mask
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef("q197_image_neardup_dhash",
@@ -46,9 +59,7 @@ object InventoryScale {
             val h = Multimodal.mix64(id)
             val base = (id, Multimodal.bmpWithDhash(h))
             if (id % 10 == 0) {
-              var mask = 0L
-              (0 until (1 + (id % 5)).toInt)
-                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              val mask = plantMask(id)
               Seq(base, (id + Offset, Multimodal.bmpWithDhash(h ^ mask)))
             } else Seq(base)
           }.toDF("media_id", "bytes")
@@ -91,16 +102,10 @@ object InventoryScale {
             "text", threshold = 0.8, shingleN = 3, numHashes = 64,
             bands = 16)
           .select(col("id_a"), col("id_b")).localCheckpoint(true)
-        def smallMask(id: Long): Long = {
-          var m = 0L
-          (0 until (1 + (id % 5)).toInt)
-            .foreach(j => m |= 1L << ((id * 7 + j * 13) % 64).toInt)
-          m
-        }
         val images = docs.select(col("doc_id")).as[Long].map { id =>
           val h =
             if (id % 9 == 0 && id > 0)
-              Multimodal.mix64((id - 1) * 3 + 1) ^ smallMask(id)
+              Multimodal.mix64((id - 1) * 3 + 1) ^ plantMask(id)
             else Multimodal.mix64(id * 3 + 1)
           (id, Multimodal.bmpWithDhash(h))
         }.toDF("media_id", "bytes")
@@ -111,7 +116,7 @@ object InventoryScale {
         val audio = docs.select(col("doc_id")).as[Long].map { id =>
           val h =
             if (id % 7 == 0 && id > 1)
-              Multimodal.mix64((id - 2) * 5 + 2) ^ smallMask(id)
+              Multimodal.mix64((id - 2) * 5 + 2) ^ plantMask(id)
             else Multimodal.mix64(id * 5 + 2)
           (id, Multimodal.wavWithFingerprint(h))
         }.toDF("media_id", "bytes")
@@ -159,9 +164,7 @@ object InventoryScale {
               72, 64, hs.map(Multimodal.dibFrameWithDhash))
             val base = (id, avi((0 until 4).map(fh)))
             if (id % 10 == 0) {
-              var mask = 0L
-              (0 until (1 + (id % 5)).toInt)
-                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              val mask = plantMask(id)
               val drop = (id % 4).toInt
               val flip = ((id + 1) % 4).toInt
               val copyHs = (0 until 4).map { f =>
@@ -206,9 +209,7 @@ object InventoryScale {
             def fmt(i: Long): String = if (i % 2 == 0) "png" else "jpg"
             val base = (id, Multimodal.imageWithDhash(h, fmt(id)))
             if (id % 10 == 0) {
-              var mask = 0L
-              (0 until (1 + (id % 5)).toInt)
-                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              val mask = plantMask(id)
               Seq(base,
                 (id + Offset, Multimodal.imageWithDhash(h ^ mask, fmt(id + 1))))
             } else Seq(base)
@@ -245,9 +246,7 @@ object InventoryScale {
             val h = Multimodal.mix64(id ^ 0x2E5123L)
             val base = (id, Multimodal.imageWithDhash(h, "png"))
             if (id % 10 == 0) {
-              var mask = 0L
-              (0 until (1 + (id % 5)).toInt)
-                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              val mask = plantMask(id)
               Seq(base, (id + Offset, Multimodal.imageWithDhash(h ^ mask, "png")))
             } else Seq(base)
           }.toDF("media_id", "bytes")
@@ -330,9 +329,7 @@ object InventoryScale {
               72, 64, hs.map(Multimodal.dibFrameWithDhash))
             val base = (id, avi((0 until 4).map(fh)))
             if (id % 10 == 0) {
-              var mask = 0L
-              (0 until (1 + (id % 5)).toInt)
-                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              val mask = plantMask(id)
               // one-slot shift: [junk, f0, f1^mask, f2] vs [f0, f1, f2, f3]
               val copyHs = Seq(Multimodal.mix64(id * 977 + 11L),
                 fh(0), fh(1) ^ mask, fh(2))
@@ -370,9 +367,7 @@ object InventoryScale {
             val h = Multimodal.mix64(id ^ 0x5DEECE66DL)
             val base = (id, Multimodal.wavWithFingerprint(h))
             if (id % 10 == 0) {
-              var mask = 0L
-              (0 until (1 + (id % 5)).toInt)
-                .foreach(j => mask |= 1L << ((id * 7 + j * 13) % 64).toInt)
+              val mask = plantMask(id)
               Seq(base, (id + Offset, Multimodal.wavWithFingerprint(h ^ mask)))
             } else Seq(base)
           }.toDF("media_id", "bytes")

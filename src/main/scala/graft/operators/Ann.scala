@@ -357,13 +357,18 @@ object Ann {
     val payload =
       if (codec == "int8") VectorOps.int8Code(col(vecCol)).as("code")
       else col(vecCol).as("vec")
-    // persisted so the bloom pass below re-reads the cache instead of
-    // reading the fresh corpus back from the index filesystem (the write
-    // job populates it; MEMORY_AND_DISK — a spill to local disk still
-    // beats a remote read-back)
+    // LAZY local checkpoint (no extra job — whichever staging job runs
+    // first materializes it): the bloom pass re-reads these blocks
+    // instead of reading the fresh corpus back from the index
+    // filesystem, and the TRUNCATED LINEAGE means the write and bloom
+    // jobs can never diverge by recomputing a nondeterministic source
+    // frame — a divergent recompute would plant bloom FALSE NEGATIVES
+    // (silently wrong discovery); with the checkpoint, losing a
+    // materialized block fails the op loudly instead (retry-the-batch,
+    // the same acceptance as upsert's checkpointed assignment).
     val content = corpus.select(col(idCol).as("id"), payload,
         assign.as("cid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     stageConcurrently(
       write = content
         .withColumn("gen", lit(0L))
@@ -373,7 +378,6 @@ object Ann {
         .parquet(s"$path/corpus"),
       blooms = writeListBlooms(spark, path, 0L,
         content.select("id", "cid")))
-    content.unpersist()
     // manifest = the lists that actually materialized (bounded listing)
     val materialized = listCidDirs(fs, path)
     writeManifest(spark, path,
@@ -571,7 +575,7 @@ object Ann {
     s"$path/blooms/c=${cid}_g=$gen.bloom"
 
   /** Stage the corpus write and the sidecar build CONCURRENTLY: both
-    * consume the same persisted pre-write frame and both are invisible
+    * consume the same checkpointed pre-write frame and both are invisible
     * until the manifest publish, so their order cannot matter — running
     * them on two threads makes the bloom build cost max(write, blooms)
     * wall instead of write + blooms (round-10 measured the serial bloom
@@ -582,12 +586,21 @@ object Ann {
     * unreferenced files for the next op's GC — the same guarantee as
     * the serial order. */
   private def stageConcurrently(write: => Unit, blooms: => Unit): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    val bf = Future(blooms)(scala.concurrent.ExecutionContext.global)
-    try write
-    finally Await.ready(bf, Duration.Inf)
-    Await.result(bf, Duration.Inf): Unit // rethrow a bloom-side failure
+    // a FRESH thread, not ExecutionContext.global: Spark's job-local
+    // properties (job group, description, scheduler pool) live in
+    // InheritableThreadLocals, which copy at THREAD CREATION — a pooled
+    // EC thread created earlier carries stale/empty properties, so
+    // cancelJobGroup would miss the bloom job and job-group-scoped
+    // accounting would mis-attribute its stages. One short-lived thread
+    // per maintenance op is noise.
+    @volatile var bloomErr: Throwable = null
+    val t = new Thread(() =>
+      try blooms catch { case e: Throwable => bloomErr = e },
+      "graft-bloom-stage")
+    t.setDaemon(true)
+    t.start()
+    try write finally t.join()
+    if (bloomErr != null) throw bloomErr
   }
 
   /** Write one id-bloom per inverted list present in `source` at `gen`.
@@ -685,15 +698,17 @@ object Ann {
     * ADVICE). A malformed sidecar reads as missing, never as wrong. */
   private def readSidecar(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path, len: Long)
-      : Option[org.apache.spark.util.sketch.BloomFilter] =
+      : Option[(Array[Byte], org.apache.spark.util.sketch.BloomFilter)] =
     try {
       if (len <= 0 || len > MaxSidecarBytes) None
       else {
         val in = fs.open(p)
         val bytes = new Array[Byte](len.toInt)
         try in.readFully(bytes) finally in.close()
-        Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(bytes)))
+        // raw bytes returned WITH the filter so the broadcast leg can
+        // ship what was already read instead of re-serializing
+        Some((bytes, org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bytes))))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -772,7 +787,10 @@ object Ann {
     // typical maintenance batches (takedowns, recrawl slices) are small:
     // one bounded collect sizes the batch and feeds the driver-side legs
     val DriverProbeMaxIds = 100000
-    val head = idFrame.limit(ExecProbeMaxIds + 1).collect()
+    // sized for the common case: legs 1/2 only need to know whether the
+    // batch clears 100 k; the larger executor-leg head is collected only
+    // when that leg is actually taken
+    val head = idFrame.limit(DriverProbeMaxIds + 1).collect()
     val underBudget = lens.valuesIterator.sum <= driverBudgetBytes
     if (underBudget) {
       // sidecars fit on the driver: read them here (leg 1/2); a
@@ -781,18 +799,16 @@ object Ann {
         c -> readSidecar(fs,
           new org.apache.hadoop.fs.Path(bloomFile(path, c, gens(c))), len)
       }
-      val blooms = loaded.collect { case (c, Some(b)) => c -> b }.toArray
+      val blooms = loaded.collect { case (c, Some((_, b))) => c -> b }.toArray
       val corrupt = loaded.collect { case (c, None) => c }
       val hits =
         if (blooms.isEmpty) Array.empty[Int]
         else if (head.length <= DriverProbeMaxIds)
           probe(head.iterator, blooms).toArray // leg 1: zero Spark jobs
         else { // leg 2: broadcast blooms, one probe job over the ids
-          val ser = blooms.map { case (c, b) =>
-            val bos = new java.io.ByteArrayOutputStream()
-            b.writeTo(bos)
-            c -> bos.toByteArray
-          }
+          // ship the raw sidecar bytes already read — no re-serialize
+          val ser = loaded.collect { case (c, Some((bytes, _))) =>
+            c -> bytes }.toArray
           val bc = spark.sparkContext.broadcast(ser)
           idFrame.mapPartitions { it =>
             val des = bc.value.map { case (c, bytes) =>
@@ -803,13 +819,16 @@ object Ann {
           }.distinct().collect()
         }
       Some((hits.toSeq ++ corrupt ++ missing).distinct.sorted)
-    } else if (head.length > ExecProbeMaxIds) {
-      None // huge batch AND huge index: the full scan is the right plan
     } else {
+      val fullHead =
+        if (head.length <= DriverProbeMaxIds) head
+        else idFrame.limit(ExecProbeMaxIds + 1).collect()
+      if (fullHead.length > ExecProbeMaxIds)
+        return None // huge batch AND huge index: full scan is the right plan
       // leg 3: executor-side probe — broadcast the (small) id batch and
       // open each sidecar in the task that probes it. Driver holds the
       // batch and the hit cids, never the blooms.
-      val idBc = spark.sparkContext.broadcast(head)
+      val idBc = spark.sparkContext.broadcast(fullHead)
       val conf = new org.apache.spark.util.SerializableConfiguration(
         spark.sessionState.newHadoopConf())
       val work = lens.toSeq.map { case (c, len) =>
@@ -826,7 +845,7 @@ object Ann {
               new org.apache.hadoop.fs.Path(bloomFile(path, c, g)), len)
             match {
               case None => Iterator(c) // malformed → unconditional candidate
-              case Some(b) =>
+              case Some((_, b)) =>
                 var i = 0
                 var hit = false
                 while (i < batch.length && !hit) {
@@ -1086,11 +1105,12 @@ object Ann {
     val nDeleted = perCid.map(_._2).sum
     val scoped = corpus.filter(col("cid").isin(touched: _*))
     val newGen = metaGen + 1
-    // kept rows persisted: the write populates the cache, the bloom pass
-    // consumes it — no read-back of the fresh generation
+    // lazy local checkpoint: no read-back of the fresh generation, and
+    // the truncated lineage keeps the concurrent write/bloom jobs from
+    // ever diverging on a recompute (see buildIvfIndex's note)
     val kept = scoped
       .join(ids, col("id").cast("long") === col("__del"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     stageConcurrently( // both staged: pre-publish
       write = kept
         .withColumn("gen", lit(newGen))
@@ -1100,7 +1120,6 @@ object Ann {
         .parquet(s"$path/corpus"),
       blooms = writeListBlooms(spark, path, newGen,
         kept.select("id", "cid")))
-    kept.unpersist()
     commitRewrite(spark, path, meta, touched, newGen): Unit
     nDeleted
   }
@@ -1175,10 +1194,11 @@ object Ann {
       if (liveTouched.isEmpty) None
       else Some(readLists(spark, path, gens, Some(liveTouched))
         .join(ids, col("id").cast("long") === col("__del"), "left_anti"))
-    // persisted: the write populates the cache, the bloom pass consumes
-    // it — no read-back of the fresh generation
+    // lazy local checkpoint: no read-back of the fresh generation, no
+    // recompute divergence between the concurrent staging jobs (see
+    // buildIvfIndex's note)
     val content = keptOld.map(_.unionByName(incoming)).getOrElse(incoming)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val newGen = metaGen + 1
     stageConcurrently( // both staged: pre-publish
       write = content
@@ -1189,7 +1209,6 @@ object Ann {
         .parquet(s"$path/corpus"),
       blooms = writeListBlooms(spark, path, newGen,
         content.select("id", "cid")))
-    content.unpersist()
     commitRewrite(spark, path, meta, touched, newGen): Unit
   }
 
@@ -1216,7 +1235,7 @@ object Ann {
     if (frag.isEmpty) return Nil
     val newGen = metaGen + 1
     val content = readLists(spark, path, gens, Some(frag))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     stageConcurrently( // blooms refresh the append-dropped sidecars too
       write = content
         .withColumn("gen", lit(newGen))
@@ -1226,7 +1245,6 @@ object Ann {
         .parquet(s"$path/corpus"),
       blooms = writeListBlooms(spark, path, newGen,
         content.select("id", "cid")))
-    content.unpersist()
     commitRewrite(spark, path, meta, frag, newGen)
     frag
   }
@@ -1276,7 +1294,7 @@ object Ann {
       ColumnShim.expression(col("vec")), centroids.flatten.toArray, k, 1))
       .getItem(0)
     val content = corpus.select(col("id"), col("vec"), assign.as("cid"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     stageConcurrently( // both staged: pre-publish
       write = content
         .withColumn("gen", lit(newGen))
@@ -1286,7 +1304,6 @@ object Ann {
         .parquet(s"$path/corpus"),
       blooms = writeListBlooms(spark, path, newGen,
         content.select("id", "cid")))
-    content.unpersist()
     // publish: every OLD list is superseded (touched = all old cids plus
     // every possible new cid), centroid generation flips in the same swap
     val touched = (meta.gens.keySet ++ (0 until k)).toSeq.sorted

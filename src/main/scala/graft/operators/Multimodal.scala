@@ -212,7 +212,11 @@ object Multimodal {
     val rawHeight = buf.getInt(22)
     val height = math.abs(rawHeight) // negative = top-down row order
     val bpp = buf.getShort(28).toInt
-    if (width <= 0 || height == 0 || bpp <= 0) return None
+    // height <= 0, not == 0: abs(Int.MinValue) is still negative, and a
+    // crafted MinValue height used to reach parseBmpGray's allocation as
+    // a negative Int product (odd widths dodge the Long bounds check) —
+    // NegativeArraySizeException instead of quarantine
+    if (width <= 0 || height <= 0 || bpp <= 0) return None
     Some(BmpMeta(id, width, height, bpp, width.toLong * height))
   }
 
@@ -461,7 +465,11 @@ object Multimodal {
           val w = reader.getWidth(0) // header fields only — no decode
           val h = reader.getHeight(0)
           if (w <= 0 || h <= 0) None
-          else Some(ImageMeta(id, reader.getFormatName.toLowerCase, w, h,
+          // Locale.ROOT: a tr-TR default locale would dot-strip 'I' in
+          // format names ("TIFF" → "tıff"), splitting metadata rollups
+          // by executor locale
+          else Some(ImageMeta(id,
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT), w, h,
             w.toLong * h))
         } finally reader.dispose()
       } finally iis.close()
@@ -990,8 +998,12 @@ object Multimodal {
       .filter(pmod(col("id_a"), lit(maxFrames.toLong)) ===
         pmod(col("id_b"), lit(maxFrames.toLong)))
     framePairs
-      .select(floor(col("id_a") / maxFrames).cast("long").as("id_a"),
-        floor(col("id_b") / maxFrames).cast("long").as("id_b"))
+      // integral DIV, not floor(a / b): double division loses exactness
+      // past 2^53, and the packing guard deliberately admits ids up to
+      // Long.MaxValue / maxFrames — a pk that large would unpack to the
+      // WRONG video id through a double round-trip
+      .select(expr(s"id_a DIV ${maxFrames}L").as("id_a"),
+        expr(s"id_b DIV ${maxFrames}L").as("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_close_frames"))
       .filter(col("n_close_frames") >= minCloseFrames)
@@ -1050,9 +1062,10 @@ object Multimodal {
     val packed = packFrameKeys(hashes, idCol, maxFrames)
     val framePairs = Dedup.hammingBandedPairs(packed, "pk", "dhash",
         maxHamming, bands)
-      .select(floor(col("id_a") / maxFrames).cast("long").as("vid_a"),
+      // integral DIV — same exactness argument as videoNearDupPairs
+      .select(expr(s"id_a DIV ${maxFrames}L").as("vid_a"),
         pmod(col("id_a"), lit(maxFrames.toLong)).as("frame_a"),
-        floor(col("id_b") / maxFrames).cast("long").as("vid_b"),
+        expr(s"id_b DIV ${maxFrames}L").as("vid_b"),
         pmod(col("id_b"), lit(maxFrames.toLong)).as("frame_b"))
       // intra-video matches (recurring shots) are not duplication
       .filter(col("vid_a") =!= col("vid_b"))

@@ -14,10 +14,12 @@ object LadderProbe {
   def main(args: Array[String]): Unit = {
     val groups = args.headOption.map(_.toLong).getOrElse(1000000L)
     val rowsPerGroup = args.lift(1).map(_.toLong).getOrElse(64L)
+    // NOTE: the heap is whatever -Xmx the launcher gave this JVM —
+    // spark.driver.memory is launcher-time only and has no effect set
+    // programmatically in local mode
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.driver.memory", "16g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -291,6 +291,17 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmpGray(evil) === None)
     bb.putInt(22, Int.MinValue) // |height| still negative
     assert(Multimodal.parseBmpGray(evil) === None)
+    // ODD width + Int.MinValue height: the Long bounds check does NOT
+    // fire (both products negative), so only parseBmp's height <= 0
+    // reject stands between the header and a negative-Int allocation —
+    // the confirmed NegativeArraySizeException repro from self-review
+    val evil3 = bmp.clone()
+    val bb3 = java.nio.ByteBuffer.wrap(evil3)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb3.putInt(18, 17)
+    bb3.putInt(22, Int.MinValue)
+    assert(Multimodal.parseBmp(9L, evil3) === None)
+    assert(Multimodal.parseBmpGray(evil3) === None)
     // huge-but-individually-plausible dims past the pixel cap
     val evil2 = bmp.clone()
     val bb2 = java.nio.ByteBuffer.wrap(evil2)
