@@ -211,10 +211,41 @@ object AdaptiveExecutor {
     def unescape(k: String): String =
       if (k == "\u0000") null else k.substring(1)
 
-    // round 0: per-group row counts (narrow scan — no value decode)
-    val counts = df.select(g).groupBy(col("__g"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // FUSED first pass (round 0 + round 1 in ONE scan): the first
+    // sampling round's active set is every ladder group BY DEFINITION —
+    // nothing has converged yet — so its per-group moments need no
+    // active-set semi-join, and they can ride the same aggregation that
+    // produces the per-group row counts. One full scan replaces the old
+    // two (a narrow counts pass + round 1's key/value pass over all
+    // rows): at the 10⁶-group ceiling those were the two biggest jobs
+    // of the whole ladder, and at 100 TB one fewer full pass is one
+    // fewer full pass. Moments computed for groups that then route
+    // EXACT are simply discarded (the per-group formulas are
+    // independent, so ladder groups' values are bit-identical to the
+    // unfused plan — the q172/q190/q191 oracles replay them unchanged).
+    // The conditional moment columns sum the `key % step == 0` subset —
+    // SUM skips the NULL non-sampled rows, the same subset the old
+    // filter selected.
+    val step1 = steps.head
+    val sampled1 = pmod(col("__k"), lit(step1)) === 0
+    val fusedRows = df
+      .select(g, key.as("__k"), xc.as("__xc"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("nAll"),
+        count(when(sampled1, col("__xc"))).cast("double").as("n"),
+        // coalesce: a group with NO sampled (or all-NULL) rows sums to
+        // SQL NULL here, where the unfused plan simply had no row and
+        // fell to the 0.0 getOrElse default — same value, made explicit
+        // (Row.getDouble throws on NULL)
+        (if (agg == "count") lit(0.0)
+         else coalesce(sum(when(sampled1, col("__xc").cast("decimal(28,0)")))
+           .cast("double"), lit(0.0))).as("sc"),
+        (if (agg == "count") lit(0.0)
+         else coalesce(sum(when(sampled1,
+             (col("__xc") * col("__xc")).cast("decimal(38,0)")))
+           .cast("double"), lit(0.0))).as("s2c"))
+      .collect()
+    val counts = fusedRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     // The ladder's active set travels as a BROADCAST semi-join frame
     // (round-8 item 4's guard, unlocked by round-9 item 5's rewrite),
     // but the per-group sketch history and the round collects are still
@@ -225,6 +256,11 @@ object AdaptiveExecutor {
         s"maxGroups=$maxGroups contract: the driver-side sketch map is " +
         "bounded by group cardinality. Aggregate exactly (groupBy.agg) " +
         "or coarsen the group key instead.")
+    // null moment sums (all-NULL value subsets) read back as 0.0 —
+    // the same value the unfused plan's getOrElse default produced
+    val firstMoments = fusedRows.map(r =>
+      r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
     val (smallGroups, ladderGroups) = counts.partition(_._2 < exactCut)
     import spark.implicits._
     def keyFrame(keys: Iterable[String]): DataFrame =
@@ -237,7 +273,7 @@ object AdaptiveExecutor {
     var active = ladderGroups.keySet
     steps.zipWithIndex.foreach { case (step, i) =>
       if (active.nonEmpty) {
-        val moments = df
+        val moments = if (i == 0) firstMoments else df
           .select(g, key.as("__k"), xc.as("__xc"))
           .filter(pmod(col("__k"), lit(step)) === 0)
           .join(keyFrame(active), Seq("__g"), "left_semi")
