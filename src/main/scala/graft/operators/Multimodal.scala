@@ -477,7 +477,10 @@ object Multimodal {
 
   /** REAL image resize over a binary column — the byte-level op
     * [[resizePlan]] only planned (its aspect-preserving floor formulas
-    * are exactly the dims produced here): decode via [[javax.imageio]],
+    * share the intent of the dims produced here, computed in exact
+    * integer math — floor(dim·maxSide/longSide) — rather than the
+    * plan's double math, which can differ by one pixel on adversarial
+    * dims): decode via [[javax.imageio]],
     * box-average downscale per RGB channel in EXACT integer arithmetic
     * (each target pixel = channel sums / counts over its source box,
     * integer floor — no resampling kernel, no float rounding, any JVM
@@ -518,8 +521,8 @@ object Multimodal {
       val h = img.getHeight
       if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return None
       if (w <= maxSide && h <= maxSide) return Some((bytes, w, h))
-      // floor dims exactly as resizePlan's column math:
-      // floor(dim * maxSide / max(w, h)), computed in Long
+      // aspect-preserving floor dims, computed in exact Long math:
+      // floor(dim * maxSide / max(w, h))
       val longSide = math.max(w, h).toLong
       val tw = math.max(1L, w.toLong * maxSide / longSide).toInt
       val th = math.max(1L, h.toLong * maxSide / longSide).toInt
