@@ -357,31 +357,45 @@ object Ann {
     val payload =
       if (codec == "int8") VectorOps.int8Code(col(vecCol)).as("code")
       else col(vecCol).as("vec")
-    // LAZY local checkpoint (no extra job — whichever staging job runs
-    // first materializes it): the bloom pass re-reads these blocks
-    // instead of reading the fresh corpus back from the index
-    // filesystem, and the TRUNCATED LINEAGE means the write and bloom
-    // jobs can never diverge by recomputing a nondeterministic source
-    // frame — a divergent recompute would plant bloom FALSE NEGATIVES
-    // (silently wrong discovery); with the checkpoint, losing a
-    // materialized block fails the op loudly instead (retry-the-batch,
-    // the same acceptance as upsert's checkpointed assignment).
+    // EAGER local checkpoint (one materialization job BEFORE the two
+    // staging jobs launch): the bloom pass re-reads these blocks instead
+    // of reading the fresh corpus back from the index filesystem, and —
+    // because the blocks are fully materialized first — the CONCURRENT
+    // write and bloom consumers can never independently recompute a
+    // nondeterministic source frame and diverge (divergence would plant
+    // bloom FALSE NEGATIVES: silently wrong discovery). A lazy
+    // checkpoint is NOT enough in distributed mode: lineage truncates
+    // only at first materialization, and Spark's get-or-compute caching
+    // does not globally serialize concurrent computes of one partition
+    // across executors — two racing first-consumers could each compute
+    // it (round-11 ADVICE). Losing a materialized block fails the op
+    // loudly (retry-the-batch, the same acceptance as upsert's
+    // checkpointed assignment).
+    // TRANSIENT STORAGE (round-11 ADVICE): the checkpoint pins the full
+    // (id, payload, cid) batch — for a build, ~1× the index payload —
+    // in executor memory-and-disk for the op's duration; the `finally`
+    // releases it the moment staging settles, so back-to-back
+    // maintenance ops never stack staging generations in cluster
+    // storage (stacked frames also shifted suite-wide GC in the r11
+    // bench — see PLANS.md round-12 notes).
     val content = corpus.select(col(idCol).as("id"), payload,
         assign.as("cid"))
-      .localCheckpoint(false)
-    stageConcurrently(
-      write = content
-        .withColumn("gen", lit(0L))
-        .repartition(col("cid"),
-          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-        .write.partitionBy("cid", "gen").mode("overwrite")
-        .parquet(s"$path/corpus"),
-      blooms = writeListBlooms(spark, path, 0L,
-        content.select("id", "cid")))
-    // manifest = the lists that actually materialized (bounded listing)
-    val materialized = listCidDirs(fs, path)
-    writeManifest(spark, path,
-      IndexMeta(0L, materialized.map(_ -> 0L).toMap, codec, 0L))
+      .localCheckpoint(true)
+    try {
+      stageConcurrently(
+        write = content
+          .withColumn("gen", lit(0L))
+          .repartition(col("cid"),
+            pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+          .write.partitionBy("cid", "gen").mode("overwrite")
+          .parquet(s"$path/corpus"),
+        blooms = writeListBlooms(spark, path, 0L,
+          content.select("id", "cid")))
+      // manifest = the lists that actually materialized (bounded listing)
+      val materialized = listCidDirs(fs, path)
+      writeManifest(spark, path,
+        IndexMeta(0L, materialized.map(_ -> 0L).toMap, codec, 0L))
+    } finally content.unpersist(blocking = false)
   }
 
   // ---- generation-manifest plumbing (shared by every persisted-index op)
@@ -810,13 +824,17 @@ object Ann {
           val ser = loaded.collect { case (c, Some((bytes, _))) =>
             c -> bytes }.toArray
           val bc = spark.sparkContext.broadcast(ser)
-          idFrame.mapPartitions { it =>
+          // destroyed after the collect: repeated maintenance cycles in
+          // a long-lived session must not accumulate broadcast blocks
+          // on the driver and executors (round-11 ADVICE)
+          try idFrame.mapPartitions { it =>
             val des = bc.value.map { case (c, bytes) =>
               c -> org.apache.spark.util.sketch.BloomFilter.readFrom(
                 new java.io.ByteArrayInputStream(bytes))
             }
             probe(it, des)
           }.distinct().collect()
+          finally bc.destroy()
         }
       Some((hits.toSeq ++ corrupt ++ missing).distinct.sorted)
     } else {
@@ -835,26 +853,30 @@ object Ann {
         (c, gens(c), len) }
       val slices = math.min(work.size,
         math.max(spark.sparkContext.defaultParallelism, 1))
-      val hits = spark.sparkContext.parallelize(work, slices)
-        .mapPartitions { it =>
-          val pfs = new org.apache.hadoop.fs.Path(s"$path/blooms")
-            .getFileSystem(conf.value)
-          val batch = idBc.value
-          it.flatMap { case (c, g, len) =>
-            readSidecar(pfs,
-              new org.apache.hadoop.fs.Path(bloomFile(path, c, g)), len)
-            match {
-              case None => Iterator(c) // malformed → unconditional candidate
-              case Some((_, b)) =>
-                var i = 0
-                var hit = false
-                while (i < batch.length && !hit) {
-                  hit = b.mightContainLong(batch(i)); i += 1
-                }
-                if (hit) Iterator(c) else Iterator.empty
+      // batch broadcast destroyed after the collect — same
+      // no-accumulation contract as leg 2 (round-11 ADVICE)
+      val hits =
+        try spark.sparkContext.parallelize(work, slices)
+          .mapPartitions { it =>
+            val pfs = new org.apache.hadoop.fs.Path(s"$path/blooms")
+              .getFileSystem(conf.value)
+            val batch = idBc.value
+            it.flatMap { case (c, g, len) =>
+              readSidecar(pfs,
+                new org.apache.hadoop.fs.Path(bloomFile(path, c, g)), len)
+              match {
+                case None => Iterator(c) // malformed → unconditional candidate
+                case Some((_, b)) =>
+                  var i = 0
+                  var hit = false
+                  while (i < batch.length && !hit) {
+                    hit = b.mightContainLong(batch(i)); i += 1
+                  }
+                  if (hit) Iterator(c) else Iterator.empty
+              }
             }
-          }
-        }.collect()
+          }.collect()
+        finally idBc.destroy()
       Some((hits.toSeq ++ missing).distinct.sorted)
     }
   }
@@ -1004,6 +1026,7 @@ object Ann {
     // the content write both consume this frame
     val assigned = newVecs.select(col(idCol).as("id"), payload,
       assign.as("cid")).localCheckpoint(true)
+    try {
     val batchCids = assigned.select(col("cid")).distinct()
       .collect().map(_.getInt(0)) // bounded: ≤ numCentroids
     // in-place appends invalidate the touched live lists' bloom sidecars
@@ -1035,6 +1058,7 @@ object Ann {
       writeManifest(spark, path,
         meta.copy(gen = newGen, gens = gens ++ appeared.map(_ -> newGen)))
     }
+    } finally assigned.unpersist(blocking = false)
   }
 
   /** Fail loudly when `idCol` is not integral: index ids are normalized
@@ -1105,22 +1129,25 @@ object Ann {
     val nDeleted = perCid.map(_._2).sum
     val scoped = corpus.filter(col("cid").isin(touched: _*))
     val newGen = metaGen + 1
-    // lazy local checkpoint: no read-back of the fresh generation, and
-    // the truncated lineage keeps the concurrent write/bloom jobs from
-    // ever diverging on a recompute (see buildIvfIndex's note)
+    // eager local checkpoint: no read-back of the fresh generation, and
+    // full materialization BEFORE the concurrent write/bloom jobs keeps
+    // them from ever diverging on a recompute; released in the finally
+    // (see buildIvfIndex's note — round-11 ADVICE on both counts)
     val kept = scoped
       .join(ids, col("id").cast("long") === col("__del"), "left_anti")
-      .localCheckpoint(false)
-    stageConcurrently( // both staged: pre-publish
-      write = kept
-        .withColumn("gen", lit(newGen))
-        .repartition(col("cid"),
-          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-        .write.partitionBy("cid", "gen").mode("append")
-        .parquet(s"$path/corpus"),
-      blooms = writeListBlooms(spark, path, newGen,
-        kept.select("id", "cid")))
-    commitRewrite(spark, path, meta, touched, newGen): Unit
+      .localCheckpoint(true)
+    try {
+      stageConcurrently( // both staged: pre-publish
+        write = kept
+          .withColumn("gen", lit(newGen))
+          .repartition(col("cid"),
+            pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+          .write.partitionBy("cid", "gen").mode("append")
+          .parquet(s"$path/corpus"),
+        blooms = writeListBlooms(spark, path, newGen,
+          kept.select("id", "cid")))
+      commitRewrite(spark, path, meta, touched, newGen): Unit
+    } finally kept.unpersist(blocking = false)
     nDeleted
   }
 
@@ -1194,22 +1221,27 @@ object Ann {
       if (liveTouched.isEmpty) None
       else Some(readLists(spark, path, gens, Some(liveTouched))
         .join(ids, col("id").cast("long") === col("__del"), "left_anti"))
-    // lazy local checkpoint: no read-back of the fresh generation, no
-    // recompute divergence between the concurrent staging jobs (see
-    // buildIvfIndex's note)
+    // eager local checkpoint: no read-back of the fresh generation, and
+    // full materialization BEFORE the concurrent staging jobs — no
+    // recompute divergence (see buildIvfIndex's note; round-11 ADVICE)
     val content = keptOld.map(_.unionByName(incoming)).getOrElse(incoming)
-      .localCheckpoint(false)
-    val newGen = metaGen + 1
-    stageConcurrently( // both staged: pre-publish
-      write = content
-        .withColumn("gen", lit(newGen))
-        .repartition(col("cid"),
-          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-        .write.partitionBy("cid", "gen").mode("append")
-        .parquet(s"$path/corpus"),
-      blooms = writeListBlooms(spark, path, newGen,
-        content.select("id", "cid")))
-    commitRewrite(spark, path, meta, touched, newGen): Unit
+      .localCheckpoint(true)
+    try {
+      val newGen = metaGen + 1
+      stageConcurrently( // both staged: pre-publish
+        write = content
+          .withColumn("gen", lit(newGen))
+          .repartition(col("cid"),
+            pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+          .write.partitionBy("cid", "gen").mode("append")
+          .parquet(s"$path/corpus"),
+        blooms = writeListBlooms(spark, path, newGen,
+          content.select("id", "cid")))
+      commitRewrite(spark, path, meta, touched, newGen): Unit
+    } finally {
+      content.unpersist(blocking = false)
+      incoming.unpersist(blocking = false)
+    }
   }
 
   /** Compact append-fragmented inverted lists: [[appendToIvfIndex]] adds
@@ -1234,18 +1266,21 @@ object Ann {
     }.map(_._1).sorted
     if (frag.isEmpty) return Nil
     val newGen = metaGen + 1
+    // eager + released: see buildIvfIndex's checkpoint note
     val content = readLists(spark, path, gens, Some(frag))
-      .localCheckpoint(false)
-    stageConcurrently( // blooms refresh the append-dropped sidecars too
-      write = content
-        .withColumn("gen", lit(newGen))
-        .repartition(col("cid"),
-          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-        .write.partitionBy("cid", "gen").mode("append")
-        .parquet(s"$path/corpus"),
-      blooms = writeListBlooms(spark, path, newGen,
-        content.select("id", "cid")))
-    commitRewrite(spark, path, meta, frag, newGen)
+      .localCheckpoint(true)
+    try {
+      stageConcurrently( // blooms refresh the append-dropped sidecars too
+        write = content
+          .withColumn("gen", lit(newGen))
+          .repartition(col("cid"),
+            pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+          .write.partitionBy("cid", "gen").mode("append")
+          .parquet(s"$path/corpus"),
+        blooms = writeListBlooms(spark, path, newGen,
+          content.select("id", "cid")))
+      commitRewrite(spark, path, meta, frag, newGen)
+    } finally content.unpersist(blocking = false)
     frag
   }
 
@@ -1293,27 +1328,30 @@ object Ann {
     val assign = ColumnShim.column(TopCentroids(
       ColumnShim.expression(col("vec")), centroids.flatten.toArray, k, 1))
       .getItem(0)
+    // eager + released: see buildIvfIndex's checkpoint note
     val content = corpus.select(col("id"), col("vec"), assign.as("cid"))
-      .localCheckpoint(false)
-    stageConcurrently( // both staged: pre-publish
-      write = content
-        .withColumn("gen", lit(newGen))
-        .repartition(col("cid"),
-          pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
-        .write.partitionBy("cid", "gen").mode("append")
-        .parquet(s"$path/corpus"),
-      blooms = writeListBlooms(spark, path, newGen,
-        content.select("id", "cid")))
-    // publish: every OLD list is superseded (touched = all old cids plus
-    // every possible new cid), centroid generation flips in the same swap
-    val touched = (meta.gens.keySet ++ (0 until k)).toSeq.sorted
-    val fs = hadoopFs(spark, path)
-    val materialized = touched.filter(c => fs.exists(
-      new org.apache.hadoop.fs.Path(liveListDir(path, c, newGen))))
-    val newMeta = IndexMeta(newGen,
-      materialized.map(_ -> newGen).toMap, meta.codec, centGen = newGen)
-    writeManifest(spark, path, newMeta)
-    gcStaleGens(spark, path, newMeta)
+      .localCheckpoint(true)
+    try {
+      stageConcurrently( // both staged: pre-publish
+        write = content
+          .withColumn("gen", lit(newGen))
+          .repartition(col("cid"),
+            pmod(xxhash64(col("id")), lit(WriteSalt.toLong)))
+          .write.partitionBy("cid", "gen").mode("append")
+          .parquet(s"$path/corpus"),
+        blooms = writeListBlooms(spark, path, newGen,
+          content.select("id", "cid")))
+      // publish: every OLD list is superseded (touched = all old cids plus
+      // every possible new cid), centroid generation flips in the same swap
+      val touched = (meta.gens.keySet ++ (0 until k)).toSeq.sorted
+      val fs = hadoopFs(spark, path)
+      val materialized = touched.filter(c => fs.exists(
+        new org.apache.hadoop.fs.Path(liveListDir(path, c, newGen))))
+      val newMeta = IndexMeta(newGen,
+        materialized.map(_ -> newGen).toMap, meta.codec, centGen = newGen)
+      writeManifest(spark, path, newMeta)
+      gcStaleGens(spark, path, newMeta)
+    } finally content.unpersist(blocking = false)
     k
   }
 
