@@ -645,10 +645,12 @@ object InventoryPipeline {
   private val multimodalQueries: Seq[QueryDef] = Seq(
     QueryDef("q44_multimodal_stats",
       // drives the REAL multimodal path end-to-end: binary media table →
-      // mapPartitions feature extraction (stub decode; real batching/schema)
-      // → per-kind rollup. kind and byte counts are pure functions of the
-      // documents fixture, so DuckDB can oracle the metadata contract; the
-      // stub feature VALUES are asserted separately in MultimodalSpec.
+      // mapPartitions feature extraction (real pooled decode for
+      // image/audio/video bytes; this fixture's UTF-8 payloads exercise
+      // the stub FALLBACK leg — the model-inference seam) → per-kind
+      // rollup. kind and byte counts are pure functions of the documents
+      // fixture, so DuckDB can oracle the metadata contract; the real
+      // and fallback feature VALUES are pinned in MultimodalSpec.
       (s, d) => {
         val media = Multimodal.syntheticMedia(documents(s, d))
         Multimodal.extractFeatures(media).toDF()

@@ -20,7 +20,7 @@ object InventoryScale {
   private def liKey = expr(liKeySql)
 
   /** The planted near-dup bit mask shared by every media fixture
-    * (q197–q203): flips exactly 1 + (id % 5) KNOWN bits at positions
+    * (q197–q206): flips exactly 1 + (id % 5) KNOWN bits at positions
     * (7·id + 13·j) mod 64, pairwise distinct for j < 5 — so each
     * oracle can state the integer Hamming distance as 1 + id % 5.
     * ONE definition: the oracles depend on popcount(mask) = 1 + id % 5,
@@ -378,6 +378,92 @@ object InventoryScale {
       },
       Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
  CAST(1 + doc_id % 5 AS BIGINT) AS hamming
+ FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
+
+    QueryDef("q205_audio_neardup_shifted",
+      // ALIGNMENT-FREE audio near-dup (round-11 verdict item 2): the
+      // commonest audio edit is a trim/prepend, which q198's whole-clip
+      // fingerprint misses BY CONSTRUCTION (all 65 window boundaries
+      // shift) — this is the q202 recipe transferred to audio: per-window
+      // LOCAL fingerprints (Multimodal.wavWindowFingerprints), ONE banded
+      // pass bucketed on hash chunks alone (any window of A may match any
+      // window of B), and the least(countDistinct) two-sided rollup so
+      // looped/static padding cannot fake a pair. Fixture: 4-window clips
+      // (65·64 samples per window) whose window fingerprints are pure id
+      // arithmetic; for doc_id % 10 == 0 a SHIFTED copy at id + 10⁶ —
+      // drop the last window, prepend an unrelated one, flip 1 + (id % 5)
+      // known bits in one carried window — so every planted pair matches
+      // on exactly 3 distinct windows per side at SHIFTED positions
+      // (recall 1.0 on the planted set, where the aligned q198 mode
+      // scores 0 — MultimodalSpec pins that contrast on this fixture
+      // shape).
+      (s, d) => {
+        import s.implicits._
+        val Offset = 1000000L
+        val media = documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            def wh(wdx: Int): Long =
+              Multimodal.mix64(id * 131 + wdx * 7919 + 205L)
+            val base = (id,
+              Multimodal.wavWithWindowFingerprints((0 until 4).map(wh)))
+            if (id % 10 == 0) {
+              val mask = plantMask(id)
+              // one-window shift: [junk, w0, w1^mask, w2] vs [w0..w3]
+              val copyWs = Seq(Multimodal.mix64(id * 977 + 17L),
+                wh(0), wh(1) ^ mask, wh(2))
+              Seq(base,
+                (id + Offset, Multimodal.wavWithWindowFingerprints(copyWs)))
+            } else Seq(base)
+          }.toDF("media_id", "bytes")
+        Multimodal.audioNearDupPairsShifted(media, "media_id", "bytes",
+            maxHamming = 6, minCloseWindows = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+ CAST(3 AS BIGINT) AS n_close_windows
+ FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
+
+    QueryDef("q206_video_neardup_mjpeg",
+      // MOTION-JPEG video near-dup (round-11 verdict item 3): the "video
+      // codecs have no JDK decoder" caveat was one codec too broad — an
+      // MJPEG AVI's '00dc' chunks are plain JPEG images, which the same
+      // header-gated ImageIO path already decodes, so parseAviGray routes
+      // 'MJPG'-compression streams through it and a CODEC video format
+      // now runs the full q199 recipe on real compressed frame bytes.
+      // Fixture: 4-frame MJPEG clips of the MCU-aligned 72×64 construct
+      // (imageWithDhash "jpg" — survives JPEG's lossy round-trip
+      // bit-exactly, the q201 argument); copies at id + 10⁶ for
+      // doc_id % 10 == 0 replace one frame with an unrelated image (no
+      // match), flip 1 + (id % 5) known bits in another, keep two exact —
+      // every planted pair matches on exactly 3 of 4 aligned frames.
+      (s, d) => {
+        import s.implicits._
+        val Offset = 1000000L
+        val media = documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            def fh(f: Int): Long =
+              Multimodal.mix64(id * 131 + f * 7919 + 206L)
+            def avi(hs: Seq[Long]): Array[Byte] = Multimodal.aviMjpegBytes(
+              72, 64, hs.map(h => Multimodal.imageWithDhash(h, "jpg")))
+            val base = (id, avi((0 until 4).map(fh)))
+            if (id % 10 == 0) {
+              val mask = plantMask(id)
+              val drop = (id % 4).toInt
+              val flip = ((id + 1) % 4).toInt
+              val copyHs = (0 until 4).map { f =>
+                if (f == drop) Multimodal.mix64(id * 977 + f + 23L)
+                else if (f == flip) fh(f) ^ mask
+                else fh(f)
+              }
+              Seq(base, (id + Offset, avi(copyHs)))
+            } else Seq(base)
+          }.toDF("media_id", "bytes")
+        Multimodal.videoNearDupPairs(media, "media_id", "bytes",
+            maxHamming = 6, minCloseFrames = 3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+ CAST(3 AS BIGINT) AS n_close_frames
  FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
 
     QueryDef("q166_priority_sample_ci",

@@ -427,16 +427,67 @@ class MultimodalSpec extends SparkSpec {
     val (same, sw, sh) = Multimodal.resizeOneImage(small, 100).get
     assert(same eq small)
     assert((sw, sh) === (72, 64))
-    // junk quarantines; distributed kernel drops it and resizes the rest
+    // junk quarantines NON-DESTRUCTIVELY (round-11 verdict item 4): the
+    // output IS the replacement corpus, so the row SURVIVES with its
+    // ORIGINAL bytes and NULL dims — cardinality preserved, loss
+    // observable, never a silently deleted document
     assert(Multimodal.resizeOneImage(Array[Byte](1, 2, 3), 36) === None)
+    val junkBytes = Array[Byte](7, 7, 7)
     val media = Seq(
       (1L, Multimodal.imageWithDhash(t, "png")),
       (2L, Multimodal.imageWithDhash(t, "jpg")),
-      (3L, Array[Byte](7, 7, 7)))
+      (3L, junkBytes))
       .toDF("media_id", "bytes")
     val resized = Multimodal.resizeImages(media, maxSide = 36).collect()
-    assert(resized.length === 2)
-    assert(resized.forall(r => r.getInt(2) == 36 && r.getInt(3) == 32))
+    assert(resized.length === 3, "quarantine must preserve cardinality")
+    val byId = resized.map(r => r.getLong(0) -> r).toMap
+    Seq(1L, 2L).foreach { id =>
+      assert(byId(id).getInt(2) === 36 && byId(id).getInt(3) === 32)
+    }
+    assert(byId(3L).isNullAt(2) && byId(3L).isNullAt(3),
+      "NULL dims must flag the quarantined row")
+    assert(byId(3L).getAs[Array[Byte]](1).toSeq === junkBytes.toSeq,
+      "quarantined bytes must pass through unchanged")
+  }
+
+  /** A spec-valid PNG whose IHDR header DECLARES `w`×`h` but carries no
+    * pixel data: the adversarial shape whose decode would allocate the
+    * full raster — the header gate must reject it before ImageIO.read. */
+  private def hugeHeaderPng(w: Int, h: Int): Array[Byte] = {
+    val ihdrBody = java.nio.ByteBuffer.allocate(17)
+    ihdrBody.put("IHDR".getBytes("US-ASCII"))
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(2.toByte) // bit depth 8, truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    val crc = new java.util.zip.CRC32()
+    crc.update(ihdrBody.array())
+    val out = java.nio.ByteBuffer.allocate(8 + 4 + 17 + 4)
+    out.put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A))
+      .putInt(13).put(ihdrBody.array()).putInt(crc.getValue.toInt)
+    out.array()
+  }
+
+  test("header-declared huge dims quarantine BEFORE ImageIO decode allocates") {
+    // round-11 ADVICE (high): ImageIO.read of a 60000×60000 header would
+    // allocate the ~14 GB raster DURING decode and die with an
+    // OutOfMemoryError that NonFatal does not catch — the cap must run
+    // on header fields alone, like the BMP/AVI walkers
+    val evil = hugeHeaderPng(60000, 60000)
+    // the header parse itself sees the declared dims...
+    assert(Multimodal.imageHeaderDims(evil) === Some((60000, 60000)))
+    // ...and every pixel path quarantines on them without decoding
+    assert(Multimodal.parseImageGray(evil) === None)
+    assert(Multimodal.resizeOneImage(evil, 36) === None)
+    // a sane header still decodes through the same gate
+    val ok = Multimodal.imageWithDhash(Multimodal.mix64(3L), "png")
+    assert(Multimodal.imageHeaderDims(ok) === Some((72, 64)))
+    assert(Multimodal.parseImageGray(ok).isDefined)
+    // resizeImages passes the poisoned row through, quarantined
+    import spark.implicits._
+    val media = Seq((1L, ok), (2L, evil)).toDF("media_id", "bytes")
+    val out = Multimodal.resizeImages(media, maxSide = 36).collect()
+      .map(r => r.getLong(0) -> r.isNullAt(2)).toMap
+    assert(out === Map(1L -> false, 2L -> true))
   }
 
   test("ImageIO decode: PNG lossless and JPEG MCU-aligned constructs keep their exact dHash") {
@@ -475,5 +526,146 @@ class MultimodalSpec extends SparkSpec {
     val kept = Multimodal.dropNearDupImages(media)
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(kept === Set(1L, 3L, 4L))
+  }
+
+  test("extractFeatures pools REAL decoded pixels/samples; stub only for undecodable kinds") {
+    import spark.implicits._
+    // image: constant-gray PNG → every grid-cell mean IS that gray
+    def flatPng(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 16).foreach(x =>
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // audio: constant-amplitude mono PCM-16 → every window energy = amp
+    def flatWav(amp: Short, n: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000)
+        .putInt(16000).putShort(2).putShort(16)
+      buf.put("data".getBytes("US-ASCII")).putInt(n * 2)
+      (0 until n).foreach(i =>
+        buf.putShort(if (i % 2 == 0) amp else (-amp).toShort): Unit)
+      buf.array()
+    }
+    // video: uniform-brightness DIB frames → per-frame mean = brightness
+    def flatAvi(vals: Seq[Int]): Array[Byte] = {
+      val stride = (16 * 3 + 3) / 4 * 4
+      Multimodal.aviBytes(16, 16,
+        vals.map(v => Array.fill[Byte](stride * 16)(v.toByte)))
+    }
+    val media = Seq(
+      (1L, "image", flatPng(100)),
+      (2L, "audio", flatWav(500, 4 * 1600)),
+      (3L, "video", flatAvi(Seq(30, 90))),
+      (4L, "text", "hello".getBytes("UTF-8")), // no decoder → stub
+      (5L, "image", Array[Byte](1, 2, 3))) // undecodable → stub fallback
+      .toDF("media_id", "kind", "bytes")
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(feats(1L) === Seq.fill(16)(100.0f),
+      "constant image must pool to its gray in every grid cell")
+    assert(feats(2L) === Seq.fill(16)(500.0f),
+      "constant-amplitude audio must pool to |amp| in every window")
+    assert(feats(3L).take(2) === Seq(30.0f, 90.0f) &&
+      feats(3L).drop(2) === Seq.fill(14)(0.0f),
+      "video features are per-frame mean grays, zero-padded")
+    // the stub fallback is the documented byte-window hash, unchanged
+    def stub(bytes: Array[Byte]): Seq[Float] = {
+      val f = new Array[Float](16)
+      bytes.indices.foreach(i => f(i % 16) += (bytes(i) & 0xFF) * 0.001f)
+      f.toSeq
+    }
+    assert(feats(4L) === stub("hello".getBytes("UTF-8")))
+    assert(feats(5L) === stub(Array[Byte](1, 2, 3)),
+      "undecodable media bytes fall back to the stub, never throw")
+  }
+
+  test("windowed audio fingerprints roundtrip; shifted mode pairs trimmed clips where the aligned mode scores zero") {
+    import spark.implicits._
+    // multi-window construct: each window's LOCAL fingerprint is exactly
+    // its target, and the one-target clip IS wavWithFingerprint
+    val ts = Seq(Multimodal.mix64(1L), Multimodal.mix64(2L),
+      Multimodal.mix64(3L), 0L)
+    assert(Multimodal.wavWithWindowFingerprints(Seq(ts.head)).toSeq ===
+      Multimodal.wavWithFingerprint(ts.head).toSeq,
+      "single-window generator must be byte-identical to wavWithFingerprint")
+    val clip = Multimodal.wavWithWindowFingerprints(ts)
+    val wfps = Multimodal.wavWindowFingerprints(
+        Seq((9L, clip)).toDF("media_id", "bytes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(wfps === ts.zipWithIndex.map { case (t, i) => (9L, i, t) }.toSet)
+    // trimmed copy: drop last window, prepend junk, 2-bit flip in one
+    // carried window — the q202 edit class, audio edition
+    val hA = (0 until 4).map(f => Multimodal.mix64(400L + f))
+    val hShift = Seq(Multimodal.mix64(888L), hA(0), hA(1) ^ 3L, hA(2))
+    // padding control: one window of A looped 4× — two-sided distinct
+    // rollup scores min(1, 4) = 1, not 4
+    val hPad = Seq(hA(3), hA(3), hA(3), hA(3))
+    val clips = Seq(
+      (1L, Multimodal.wavWithWindowFingerprints(hA)),
+      (2L, Multimodal.wavWithWindowFingerprints(hShift)),
+      (3L, Multimodal.wavWithWindowFingerprints(hPad)))
+      .toDF("media_id", "bytes")
+    // the aligned whole-clip mode misses the trim BY CONSTRUCTION
+    // (every one of its 65 window boundaries shifted)...
+    val aligned = graft.operators.Dedup.hammingBandedPairs(
+      Multimodal.wavFingerprint(clips), "media_id", "afp",
+      maxHamming = 6, bands = 8)
+    assert(aligned.count() === 0L, "aligned mode must score recall 0 here")
+    // ...the shifted mode finds exactly the trimmed pair, and padding
+    // cannot fake one
+    val pairs = Multimodal.audioNearDupPairsShifted(clips,
+        minCloseWindows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 3L)))
+    // junk and sub-window clips quarantine
+    val junk = Seq((7L, Array[Byte](1, 2, 3)),
+      (8L, Multimodal.wavBytes(8000, 1, 16, 100))) // < one window
+      .toDF("media_id", "bytes")
+    assert(Multimodal.wavWindowFingerprints(junk).count() === 0L)
+  }
+
+  test("MJPEG AVI: JPEG frame chunks decode through ImageIO; unknown codecs quarantine") {
+    import spark.implicits._
+    // MCU-aligned constructs survive JPEG's lossy round-trip bit-exactly
+    // (the q201 argument), so the full container → JPEG → dHash chain
+    // recovers every frame target
+    val ts = Seq(Multimodal.mix64(21L), Multimodal.mix64(22L), 0L)
+    val avi = Multimodal.aviMjpegBytes(72, 64,
+      ts.map(t => Multimodal.imageWithDhash(t, "jpg")))
+    val (w, h, frames) = Multimodal.parseAviGray(avi).get
+    assert((w, h, frames.size) === (72, 64, 3))
+    frames.zip(ts).foreach { case (gray, t) =>
+      assert(Multimodal.dhashOfGray(72, 64, gray) === t)
+    }
+    // a frame whose decoded dims disagree with the stream header is
+    // corrupt → the whole clip quarantines (loud absence, not wrong dims)
+    val mismatched = Multimodal.aviMjpegBytes(72, 64,
+      Seq(Multimodal.encodedImage(16, 16, "jpg")))
+    assert(Multimodal.parseAviGray(mismatched) === None)
+    // an unknown codec fourcc (no JDK decoder) quarantines too
+    val h264 = avi.clone()
+    val strfAt = h264.indexOfSlice("strf".getBytes("US-ASCII"))
+    "H264".getBytes("US-ASCII").zipWithIndex.foreach { case (b, i) =>
+      h264(strfAt + 8 + 16 + i) = b } // biCompression field
+    assert(Multimodal.parseAviGray(h264) === None)
+    // end-to-end: the aligned near-dup recipe runs on the codec format —
+    // clip B carries 3 of A's 4 frames (one within hamming 2)
+    def clip(hs: Seq[Long]) = Multimodal.aviMjpegBytes(72, 64,
+      hs.map(t => Multimodal.imageWithDhash(t, "jpg")))
+    val hA = (0 until 4).map(f => Multimodal.mix64(500L + f))
+    val hB = Seq(hA(0), hA(1) ^ 3L, hA(2), Multimodal.mix64(654L))
+    val clips = Seq((1L, clip(hA)), (2L, clip(hB)))
+      .toDF("media_id", "bytes")
+    val pairs = Multimodal.videoNearDupPairs(clips, minCloseFrames = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 3L)))
   }
 }
