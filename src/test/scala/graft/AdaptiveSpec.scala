@@ -160,7 +160,8 @@ class AdaptiveSpec extends SparkSpec {
 
   test("grouped ladder refuses group cardinalities above the maxGroups contract") {
     import spark.implicits._
-    // round-8 verdict item 4: the sketches live in a driver map — a
+    // round-8 verdict item 4 (bound now guards the broadcast active-set
+    // frame — the round-12 rewrite removed the driver sketch maps): a
     // caller beyond the contract must get a loud error up front.
     val df = spark.range(200).select(col("id").as("k"),
       lit(1.0).as("v"), col("id").cast("string").as("g"))
