@@ -395,7 +395,7 @@ object Ann {
       val materialized = listCidDirs(fs, path)
       writeManifest(spark, path,
         IndexMeta(0L, materialized.map(_ -> 0L).toMap, codec, 0L))
-    } finally content.unpersist(blocking = false)
+    } finally graft.Checkpoints.release(content)
   }
 
   // ---- generation-manifest plumbing (shared by every persisted-index op)
@@ -1058,7 +1058,7 @@ object Ann {
       writeManifest(spark, path,
         meta.copy(gen = newGen, gens = gens ++ appeared.map(_ -> newGen)))
     }
-    } finally assigned.unpersist(blocking = false)
+    } finally graft.Checkpoints.release(assigned)
   }
 
   /** Fail loudly when `idCol` is not integral: index ids are normalized
@@ -1147,7 +1147,7 @@ object Ann {
         blooms = writeListBlooms(spark, path, newGen,
           kept.select("id", "cid")))
       commitRewrite(spark, path, meta, touched, newGen): Unit
-    } finally kept.unpersist(blocking = false)
+    } finally graft.Checkpoints.release(kept)
     nDeleted
   }
 
@@ -1239,8 +1239,8 @@ object Ann {
           content.select("id", "cid")))
       commitRewrite(spark, path, meta, touched, newGen): Unit
     } finally {
-      content.unpersist(blocking = false)
-      incoming.unpersist(blocking = false)
+      graft.Checkpoints.release(content)
+      graft.Checkpoints.release(incoming)
     }
   }
 
@@ -1280,7 +1280,7 @@ object Ann {
         blooms = writeListBlooms(spark, path, newGen,
           content.select("id", "cid")))
       commitRewrite(spark, path, meta, frag, newGen)
-    } finally content.unpersist(blocking = false)
+    } finally graft.Checkpoints.release(content)
     frag
   }
 
@@ -1351,7 +1351,7 @@ object Ann {
         materialized.map(_ -> newGen).toMap, meta.codec, centGen = newGen)
       writeManifest(spark, path, newMeta)
       gcStaleGens(spark, path, newMeta)
-    } finally content.unpersist(blocking = false)
+    } finally graft.Checkpoints.release(content)
     k
   }
 

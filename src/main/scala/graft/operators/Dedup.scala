@@ -382,13 +382,19 @@ object Dedup {
         jaccardHashedGE(col("sh_a"), col("sh_b"), threshold).as("jaccard"))
       .filter(col("jaccard").isNotNull)
       // Eager localCheckpoint: materializes the (small) verified pair list
-      // once — every caller branch reuses the blocks, the candidate cache
-      // can be released NOW, and the blocks are freed by the ContextCleaner
-      // when the frame becomes unreachable. No caller-must-unpersist
-      // contract: external users cannot leak executor memory by default.
+      // once — every caller branch reuses the blocks. No caller-must-
+      // unpersist contract: external users cannot leak executor memory by
+      // default (the returned frame's own blocks go to the ContextCleaner
+      // when it becomes unreachable).
       .localCheckpoint(true)
-    // rawCands/sh are eager localCheckpoints — their blocks are released
-    // by the ContextCleaner once the frames become unreachable
+    // the internal staging frames' last consumer just materialized —
+    // release their blocks NOW instead of waiting for a driver GC to
+    // reach the ContextCleaner (round-12: eventually-freed internal
+    // checkpoints stack up across a long session and the pressure taxes
+    // every later operator)
+    graft.Checkpoints.release(rawCands)
+    if (sizePrune) graft.Checkpoints.release(cands)
+    graft.Checkpoints.release(sh)
     verified
   }
 
@@ -447,7 +453,10 @@ object Dedup {
       .join(strSh.select(col(idCol).as("id_b"), col("s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true) // eager; blocks auto-freed — see nearDupPairs
+      .localCheckpoint(true) // eager; result contract as in nearDupPairs
+    // internal staging released immediately — see nearDupPairs
+    graft.Checkpoints.release(cands)
+    graft.Checkpoints.release(strSh)
     verified
   }
 
@@ -503,6 +512,10 @@ object Dedup {
           min(when(col("own"), col("cluster"))).as("old"))
         .localCheckpoint(true)
       val changed = next.filter(col("cluster") < col("old")).count()
+      // the previous round's label blocks are dead once `next` is
+      // materialized — release them now rather than stacking one
+      // labels-sized cache entry per round until a driver GC
+      graft.Checkpoints.release(labels)
       labels = next.select(col("id"), col("cluster"))
       converged = changed == 0
       round += 1
