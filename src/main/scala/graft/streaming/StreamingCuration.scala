@@ -336,6 +336,21 @@ object StreamingCuration {
         greatest(col("new_id"), col("__kept_id")).cast("long")))
       .toDF("id_a", "id_b").distinct()
       .write.mode("overwrite").parquet(s"$storePath/duppairs/batch=$batchId")
+    // every internal staging frame's last consumer has now materialized —
+    // free their checkpoint blocks deterministically
+    // (graft.Checkpoints.release; Dataset.unpersist no-ops on local
+    // checkpoints), so a long-running stream holds ONE batch's staging at
+    // a time instead of stacking every past batch's until a driver GC
+    // lets the ContextCleaner run. `kept` is the returned frame (its own
+    // checkpoint) and stays live for the caller.
+    graft.Checkpoints.release(postExact)
+    graft.Checkpoints.release(postSpan)
+    graft.Checkpoints.release(batchBands)
+    graft.Checkpoints.release(batchSh)
+    graft.Checkpoints.release(internalPairs)
+    graft.Checkpoints.release(storePairs)
+    graft.Checkpoints.release(internalLosers)
+    graft.Checkpoints.release(postNear)
     kept
   }
 
