@@ -3,6 +3,7 @@ package graft.exec
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
 import graft.model.{AggKind, ApproxResult, ApproximationStatus, SamplingStrategy}
 
 /** Adaptive CLT-validated approximate aggregation.
@@ -296,7 +297,7 @@ object AdaptiveExecutor {
       .withColumn("cum_n", lit(0L))
       .withColumn("prev_est", lit(null).cast("double"))
       .withColumn("prev_mar", lit(null).cast("double"))
-      .localCheckpoint(true)
+      .staged
     val nGroups = round1.count()
     require(nGroups <= maxGroups,
       s"grouped adaptive ladder saw $nGroups groups, above the " +
@@ -411,7 +412,7 @@ object AdaptiveExecutor {
           est.as("__est"), mar.as("__mar"), rel.as("__rel"),
           selectedCol.as("__sel"))
         val enriched =
-          if (i == 0) enriched0 else enriched0.localCheckpoint(true)
+          if (i == 0) enriched0 else enriched0.staged
         val drifted =
           if (ru < 2) lit(false)
           else ((col("prev_est") + col("prev_mar") <

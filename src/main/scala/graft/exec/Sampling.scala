@@ -3,6 +3,7 @@ package graft.exec
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
 import graft.model.SamplingStrategy
 import graft.model.SamplingStrategy._
 
@@ -309,10 +310,15 @@ object Sampling {
     * broken by `key`, so the selected set — and therefore the estimate —
     * is bit-reproducible in any engine (the hash-gate contract).
     *
-    * Weights must be NON-NEGATIVE (the design's domain): a negative
-    * weight gets a negative priority, is never sampled, and silently
-    * biases the subset-sum estimate. Zero weights are fine (sampled only
-    * once every positive weight is, estimator contribution 0 when τ=0).
+    * Weights must be NON-NEGATIVE (the design's domain) — ENFORCED
+    * IN-PLAN: an `assert_true` fused into the scan-stage select fails the
+    * job with a named error on the first negative weight (the
+    * [[graft.operators.Multimodal]] packSlotKeys pattern — round-12
+    * verdict item 4). A negative weight would get a negative priority,
+    * never be sampled, and silently bias the subset-sum estimate. Zero
+    * weights are fine (sampled only once every positive weight is,
+    * estimator contribution 0 when τ=0); NULL weights pass through
+    * unguarded (they sort last and never enter the estimate).
     *
     * @return the top-(k+1) frame `(ps_key, ps_w, ps_prio)`, priority
     *         descending. Feed to [[prioritySumEstimate]]. */
@@ -322,7 +328,12 @@ object Sampling {
     val m = 1000003L
     val h = pmod(pmod(col("ps_key"), lit(m)) * lit(1299709L) + lit(104729L),
       lit(m)) + lit(1L)
-    df.select(key.as("ps_key"), weight.cast("double").as("ps_w"))
+    val wRaw = weight.cast("double")
+    val guard = assert_true(wRaw.isNull || wRaw >= 0.0,
+      lit("prioritySample weight contract violated: weights must be " +
+        "non-negative — a negative weight gets a negative priority, is " +
+        "never sampled, and silently biases the subset-sum estimate"))
+    df.select(key.as("ps_key"), when(guard.isNull, wRaw).as("ps_w"))
       .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
       .orderBy(col("ps_prio").desc, col("ps_key").asc)
       .limit(k + 1)
@@ -339,7 +350,7 @@ object Sampling {
     // filter); materialize them once (trivial — hundreds of rows) so the
     // underlying TakeOrderedAndProject SCAN runs once, not per branch —
     // at 100 TB the double table scan is the whole query cost
-    val top = topKPlus1.localCheckpoint(true)
+    val top = topKPlus1.staged
     val w = Window.orderBy(col("ps_prio").desc, col("ps_key").asc)
     val ranked = top.withColumn("ps_rn", row_number().over(w))
     val tau = ranked.agg(
@@ -374,7 +385,7 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val z = graft.exec.Estimators.zScore(confidence)
     // one scan, two branches — see prioritySumEstimate
-    val top = topKPlus1.localCheckpoint(true)
+    val top = topKPlus1.staged
     val w = Window.orderBy(col("ps_prio").desc, col("ps_key").asc)
     val ranked = top.withColumn("ps_rn", row_number().over(w))
     val tau = ranked.agg(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
 import graft.functions.VectorOps
 
 /** Result row of the JIT brute-force kernel. Top-level and public:
@@ -380,7 +381,7 @@ object Ann {
     // bench — see PLANS.md round-12 notes).
     val content = corpus.select(col(idCol).as("id"), payload,
         assign.as("cid"))
-      .localCheckpoint(true)
+      .staged
     try {
       stageConcurrently(
         write = content
@@ -1025,7 +1026,7 @@ object Ann {
     // assigned once (eager checkpoint): the touched-cid collect below and
     // the content write both consume this frame
     val assigned = newVecs.select(col(idCol).as("id"), payload,
-      assign.as("cid")).localCheckpoint(true)
+      assign.as("cid")).staged
     try {
     val batchCids = assigned.select(col("cid")).distinct()
       .collect().map(_.getInt(0)) // bounded: ≤ numCentroids
@@ -1135,7 +1136,7 @@ object Ann {
     // (see buildIvfIndex's note — round-11 ADVICE on both counts)
     val kept = scoped
       .join(ids, col("id").cast("long") === col("__del"), "left_anti")
-      .localCheckpoint(true)
+      .staged
     try {
       stageConcurrently( // both staged: pre-publish
         write = kept
@@ -1194,7 +1195,7 @@ object Ann {
     // batch (batch-sized blocks; a lost executor just retries the batch,
     // the same acceptance as StreamingCuration.curateBatch)
     val incoming = newVecs.select(col(idCol).as("id"), payload,
-      assign.as("cid")).localCheckpoint(true)
+      assign.as("cid")).staged
     // unhinted joins: the incoming batch is unbounded at the 100 TB
     // posture (mass recrawls) — AQE picks the strategy (round-8 ADVICE)
     val ids = incoming.select(col("id").cast("long").as("__del")).distinct()
@@ -1225,7 +1226,7 @@ object Ann {
     // full materialization BEFORE the concurrent staging jobs — no
     // recompute divergence (see buildIvfIndex's note; round-11 ADVICE)
     val content = keptOld.map(_.unionByName(incoming)).getOrElse(incoming)
-      .localCheckpoint(true)
+      .staged
     try {
       val newGen = metaGen + 1
       stageConcurrently( // both staged: pre-publish
@@ -1268,7 +1269,7 @@ object Ann {
     val newGen = metaGen + 1
     // eager + released: see buildIvfIndex's checkpoint note
     val content = readLists(spark, path, gens, Some(frag))
-      .localCheckpoint(true)
+      .staged
     try {
       stageConcurrently( // blooms refresh the append-dropped sidecars too
         write = content
@@ -1330,7 +1331,7 @@ object Ann {
       .getItem(0)
     // eager + released: see buildIvfIndex's checkpoint note
     val content = corpus.select(col("id"), col("vec"), assign.as("cid"))
-      .localCheckpoint(true)
+      .staged
     try {
       stageConcurrently( // both staged: pre-publish
         write = content
@@ -1579,7 +1580,7 @@ object Ann {
       // eager localCheckpoint: computed once, reused by every caller
       // branch, blocks ContextCleaner-freed when unreachable — no
       // caller-must-unpersist contract (see Dedup.nearDupPairs)
-      .localCheckpoint(true)
+      .staged
     pairs.unpersist(blocking = false)
     verified
   }
@@ -1630,7 +1631,7 @@ object Ann {
       .select(col("id_a"), col("id_b"),
         VectorOps.cosine(col("va"), col("vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .localCheckpoint(true) // eager; auto-freed — see Dedup.nearDupPairs
+      .staged // eager; auto-freed — see Dedup.nearDupPairs
     pairs.unpersist(blocking = false)
     verified
   }

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
+
 /** Test-set decontamination — find training documents that share n-grams
   * with an evaluation set (the GPT-3 / Gopher / Llama pretraining hygiene
   * step: any train doc overlapping a benchmark answer is flagged or
@@ -186,7 +188,7 @@ object Decontam {
     // bulk of spurious cross-corpus band collisions from the sizes alone.
     val cands =
       if (sizePrune) Dedup.sizePrunePairs(crossCands, tagged, "__fid",
-        "__text", shingleN, threshold).localCheckpoint(true)
+        "__text", shingleN, threshold).staged
       else crossCands
     val candIds = cands.select(col("id_a").as("__fid"))
       .union(cands.select(col("id_b").as("__fid"))).distinct()

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
+
 /** Deduplication operators for training-data pipelines (north-star ops; the
   * reference has no dedup — SURVEY §2.5). Four families:
   *
@@ -351,12 +353,17 @@ object Dedup {
     // whole MinHash+shuffle subtree (measured: the fused path cost ~2.5×
     // the sum of its stages at the 10× fixture before this and the `sh`
     // checkpoint below; tools/NearDupProbe decomposes it).
-    val rawCands = lshCandidatePairs(df, idCol, textCol, shingleN, numHashes,
-      bands, seed, maxBucket)
-      .localCheckpoint(true)
+    // all internal staging rides a tracker released in ONE finally, so an
+    // exception mid-pipeline still frees the blocks created so far
+    // (round-12 ADVICE: releases outside try/finally leak on failure)
+    val st = new graft.Checkpoints.Staging
+    try {
+    val rawCands = st.track(lshCandidatePairs(df, idCol, textCol, shingleN,
+      numHashes, bands, seed, maxBucket)
+      .staged)
     val cands =
-      if (sizePrune) sizePrunePairs(rawCands, df, idCol, textCol, shingleN,
-        threshold).localCheckpoint(true)
+      if (sizePrune) st.track(sizePrunePairs(rawCands, df, idCol, textCol,
+        shingleN, threshold).staged)
       else rawCands
     // shingle only the docs that appear in candidate pairs (semi-join):
     // verify cost ∝ candidate count, not corpus size. Hashed shingles
@@ -369,10 +376,10 @@ object Dedup {
     // side would re-run the semi-join + shingle kernel.
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
-    val sh = df.join(candIds, Seq(idCol), "left_semi")
+    val sh = st.track(df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashes64(col(textCol), shingleN).as("sh"))
-      .localCheckpoint(true)
-    val verified = cands
+      .staged)
+    cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       // threshold-fused kernel: failing candidates exit the merge at the
@@ -385,17 +392,14 @@ object Dedup {
       // once — every caller branch reuses the blocks. No caller-must-
       // unpersist contract: external users cannot leak executor memory by
       // default (the returned frame's own blocks go to the ContextCleaner
-      // when it becomes unreachable).
-      .localCheckpoint(true)
+      // when it becomes unreachable). NOT tracked — it is the result.
+      .staged
     // the internal staging frames' last consumer just materialized —
-    // release their blocks NOW instead of waiting for a driver GC to
-    // reach the ContextCleaner (round-12: eventually-freed internal
-    // checkpoints stack up across a long session and the pressure taxes
-    // every later operator)
-    graft.Checkpoints.release(rawCands)
-    if (sizePrune) graft.Checkpoints.release(cands)
-    graft.Checkpoints.release(sh)
-    verified
+    // the finally below frees their blocks NOW instead of waiting for a
+    // driver GC to reach the ContextCleaner (round-12: eventually-freed
+    // internal checkpoints stack up across a long session and the
+    // pressure taxes every later operator)
+    } finally st.releaseAll()
   }
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering — the
@@ -418,6 +422,8 @@ object Dedup {
     * the same bucket-collect shape as LSH, never O(N²). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.8, shingleN: Int = 3): DataFrame = {
+    val st = new graft.Checkpoints.Staging
+    try {
     val sh = df.select(col(idCol),
         shingles(col(textCol), shingleN).as("sh"))
       .withColumn("hs", sort_array(array_distinct(
@@ -427,7 +433,7 @@ object Dedup {
     val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + lit(1)).cast("int")
     val prefix = sh.select(col(idCol), col("sz"),
         explode(slice(col("hs"), lit(1), greatest(prefixLen, lit(0)))).as("h"))
-    val cands = prefix
+    val cands = st.track(prefix
       .groupBy(col("h"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("sz")))).as("members"))
       .filter(size(col("members")) > 1)
@@ -440,24 +446,22 @@ object Dedup {
         lit(threshold) * greatest(col("p.sz_a"), col("p.sz_b")).cast("double"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .distinct()
-      .localCheckpoint(true) // eager: three consumer branches, no races
+      .staged) // eager: three consumer branches, no races
     val candIds = cands.select(col("id_a").as(idCol))
       .union(cands.select(col("id_b").as(idCol))).distinct()
     // materialized once: both verify-join sides consume it (lazily each
     // side would recompute the semi-join + string shingles)
-    val strSh = df.join(candIds, Seq(idCol), "left_semi")
+    val strSh = st.track(df.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingles(col(textCol), shingleN).as("s"))
-      .localCheckpoint(true)
-    val verified = cands
+      .staged)
+    cands
       .join(strSh.select(col(idCol).as("id_a"), col("s").as("s_a")), "id_a")
       .join(strSh.select(col(idCol).as("id_b"), col("s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"), jaccard(col("s_a"), col("s_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true) // eager; result contract as in nearDupPairs
-    // internal staging released immediately — see nearDupPairs
-    graft.Checkpoints.release(cands)
-    graft.Checkpoints.release(strSh)
-    verified
+      .staged // eager; result contract as in nearDupPairs — NOT tracked
+    // internal staging released in the finally — see nearDupPairs
+    } finally st.releaseAll()
   }
 
   /** Transitive duplicate CLUSTERS from a near-dup pair list: connected
@@ -494,9 +498,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .localCheckpoint(true)
+      .staged
     var round = 0
     var converged = false
+    // finally: a mid-loop exception (or the non-convergence throw below)
+    // must still unpersist the edge cache — and on the throw path the
+    // last labels checkpoint too — or the failure path leaks them back
+    // to ContextCleaner timing (round-12 ADVICE)
+    try {
     while (round < maxRounds && !converged) {
       // candidate labels flowing across edges, then min per id (incl. own).
       // The own label rides the same aggregate (min over the single
@@ -510,7 +519,7 @@ object Dedup {
         .groupBy(col("id"))
         .agg(min(col("cluster")).as("cluster"),
           min(when(col("own"), col("cluster"))).as("old"))
-        .localCheckpoint(true)
+        .staged
       val changed = next.filter(col("cluster") < col("old")).count()
       // the previous round's label blocks are dead once `next` is
       // materialized — release them now rather than stacking one
@@ -520,13 +529,16 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
-    edges.unpersist(blocking = false)
-    if (!converged) throw new IllegalStateException(
-      s"dupClusters did not converge within maxRounds=$maxRounds: the pair " +
-        "graph holds a component of diameter > maxRounds, and a partial " +
-        "labeling would silently split dup clusters (every consumer " +
-        "assumes full collapse). Raise maxRounds — only unconverged " +
-        "rounds actually run.")
+    if (!converged) {
+      graft.Checkpoints.release(labels)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within maxRounds=$maxRounds: the " +
+          "pair graph holds a component of diameter > maxRounds, and a " +
+          "partial labeling would silently split dup clusters (every " +
+          "consumer assumes full collapse). Raise maxRounds — only " +
+          "unconverged rounds actually run.")
+    }
+    } finally edges.unpersist(blocking = false)
     labels
   }
 

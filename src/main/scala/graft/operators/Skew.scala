@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
+
 /** Skew-mitigation operators for hot keys (north-star scale concern; the
   * reference is single-node and has no notion of partition skew).
   *
@@ -106,7 +108,7 @@ object Skew {
       Seq(col("ps_prio").desc, col("ps_key").asc), n = k + 1)
       // ≤ (k+1)·groups rows feeding two branches (τ_g and the estimator
       // join): materialize once so the two-phase window scan runs once
-      .localCheckpoint(true)
+      .staged
     val gk = groupCols.map(col)
     val tau = top.groupBy(gk: _*)
       .agg(when(count(lit(1)) === lit(k + 1), min(col("ps_prio")))

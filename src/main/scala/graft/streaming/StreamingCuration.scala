@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import graft.Checkpoints.StageOps
 import graft.operators.{Decontam, Dedup, Mixing, TextAnalysis}
 
 /** Streaming twin of [[graft.operators.CurationPipeline]] — incremental
@@ -201,6 +202,13 @@ object StreamingCuration {
     val bandsSchema = StateSchemas("bands")
     val keptSchema = StateSchemas("kept")
 
+    // every internal staging frame rides a tracker released in ONE
+    // finally at the bottom, so a batch that fails anywhere between its
+    // eager checkpoints and the commit still frees its staging blocks
+    // instead of leaking them back to ContextCleaner timing (round-12
+    // ADVICE)
+    val st = new graft.Checkpoints.Staging
+    try {
     // 1. exact dedup: in-batch first occurrence per fingerprint, then
     //    anti-join the persisted fingerprint set
     val seenFps = readState(spark, fpPath, fpSchema, batchId)
@@ -208,11 +216,11 @@ object StreamingCuration {
       TextAnalysis.fingerprint(col(textCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__fp")).orderBy(col(idCol))
-    val postExact = withFp
+    val postExact = st.track(withFp
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
       .join(seenFps, col("__fp") === col("fp"), "left_anti")
-      .localCheckpoint(true)
+      .staged)
 
     // 1b. optional incremental duplicated-SPAN excision (keep-first): the
     //     batch is scrubbed against the persisted gram index + intra-batch
@@ -228,19 +236,19 @@ object StreamingCuration {
         val seenGrams = readState(spark, gramsPath, gramSchema, batchId)
         val (cleaned, delta) = Dedup.removeDuplicatedSpansIncremental(
           postExact, seenGrams, idCol, textCol, k)
-        val swapped = postExact.drop(textCol)
+        val swapped = st.track(postExact.drop(textCol)
           .join(cleaned.filter(col("n_removed") < col("n_words"))
             .select(col(idCol), col("clean_text")), Seq(idCol))
           .withColumnRenamed("clean_text", textCol)
-          .localCheckpoint(true)
+          .staged)
         (swapped, Some(delta))
       case None => (postExact, None)
     }
 
     // 2. near dedup: batch-side signatures only; the stored index is
     //    probed by equi-join on (band, band_sig)
-    val batchBands = Dedup.lshBands(postSpan, idCol, textCol)
-      .localCheckpoint(true)
+    val batchBands = st.track(Dedup.lshBands(postSpan, idCol, textCol)
+      .staged)
     val storedBands = readState(spark, bandsPath, bandsSchema, batchId)
     val storedKept = readState(spark, keptPath, keptSchema, batchId)
     // in-batch candidates (bucket-collect, capped like the batch path)
@@ -261,20 +269,21 @@ object StreamingCuration {
     // Dedup.nearDupPairs: 8-byte join payload + one-pass merge Jaccard,
     // exact up to 64-bit collisions), candidates only
     val sh = Dedup.shingleHashes64(col("text"), 3)
-    val batchSh = postSpan.select(col(idCol).as("id"), col(textCol).as("text"))
-      .select(col("id"), sh.as("sh")).localCheckpoint(true)
+    val batchSh = st.track(postSpan
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .select(col("id"), sh.as("sh")).staged)
     val keptSh = storedKept
       .join(storeCands.select(col("__kept_id").as("id")).distinct(), Seq("id"),
         "left_semi")
       .select(col("id"), sh.as("sh"))
-    val internalPairs = internalCands
+    val internalPairs = st.track(internalCands
       .join(batchSh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(batchSh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .filter(Dedup.jaccardHashedGE(col("sh_a"), col("sh_b"),
         config.nearDupThreshold).isNotNull)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    val storePairs = storeCands
+      .staged)
+    val storePairs = st.track(storeCands
       .join(batchSh.select(col("id").as("new_id"), col("sh").as("sh_a")),
         "new_id")
       .join(keptSh.select(col("id").as("__kept_id"), col("sh").as("sh_b")),
@@ -282,16 +291,16 @@ object StreamingCuration {
       .filter(Dedup.jaccardHashedGE(col("sh_a"), col("sh_b"),
         config.nearDupThreshold).isNotNull)
       .select(col("new_id"), col("__kept_id"))
-      .localCheckpoint(true)
+      .staged)
     val droppedByStore = storePairs.select(col("new_id").as(idCol)).distinct()
     // in-batch representatives: component-min over verified batch pairs
-    val internalLosers = Dedup.dupClusters(internalPairs)
+    val internalLosers = st.track(Dedup.dupClusters(internalPairs)
       .filter(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
-    val postNear = postSpan
+      .select(col("id").as(idCol)))
+    val postNear = st.track(postSpan
       .join(internalLosers, Seq(idCol), "left_anti")
       .join(droppedByStore, Seq(idCol), "left_anti")
-      .localCheckpoint(true)
+      .staged)
 
     // 3. decontaminate (stateless), 4. quality + split (stateless)
     val postDecontam = eval match {
@@ -307,7 +316,7 @@ object StreamingCuration {
         .filter(col("quality") >= config.minQuality),
       idCol, config.splitWeights)
       .drop("__fp")
-      .localCheckpoint(true)
+      .staged
 
     // commit: output first, then the four state deltas — each an
     // idempotent overwrite of this batch's own batch=<id> subdirectory
@@ -337,21 +346,15 @@ object StreamingCuration {
       .toDF("id_a", "id_b").distinct()
       .write.mode("overwrite").parquet(s"$storePath/duppairs/batch=$batchId")
     // every internal staging frame's last consumer has now materialized —
-    // free their checkpoint blocks deterministically
+    // the finally frees their checkpoint blocks deterministically
     // (graft.Checkpoints.release; Dataset.unpersist no-ops on local
     // checkpoints), so a long-running stream holds ONE batch's staging at
     // a time instead of stacking every past batch's until a driver GC
-    // lets the ContextCleaner run. `kept` is the returned frame (its own
-    // checkpoint) and stays live for the caller.
-    graft.Checkpoints.release(postExact)
-    graft.Checkpoints.release(postSpan)
-    graft.Checkpoints.release(batchBands)
-    graft.Checkpoints.release(batchSh)
-    graft.Checkpoints.release(internalPairs)
-    graft.Checkpoints.release(storePairs)
-    graft.Checkpoints.release(internalLosers)
-    graft.Checkpoints.release(postNear)
+    // lets the ContextCleaner run — and a FAILED batch frees its staging
+    // too. `kept` is the returned frame (its own checkpoint, not
+    // tracked) and stays live for the caller.
     kept
+    } finally st.releaseAll()
   }
 
   /** Union of every retraction tombstone recorded so far (one `id`
@@ -406,7 +409,7 @@ object StreamingCuration {
         .select(col("id"))
         .union(losers.select(col("id"))).distinct()
         // must not stream from the directories the sweep below deletes
-        .localCheckpoint(true)
+        .staged
     merged.write.mode("overwrite").parquet(s"$rRoot/batch=$newId")
     existing.foreach(b => fs.delete(new Path(s"$rRoot/batch=$b"), true))
   }
@@ -441,7 +444,7 @@ object StreamingCuration {
       .select(col("cluster").cast("long").as("id_a"),
         col("id").cast("long").as("id_b"))
       // labels derive from the very directories the sweep deletes
-      .localCheckpoint(true)
+      .staged
     star.write.mode("overwrite").parquet(s"$tablePath/batch=$newId")
     foldable.foreach(d => fs.delete(new Path(s"$tablePath/$d"), true))
   }
@@ -509,13 +512,13 @@ object StreamingCuration {
     // full labeling retained: the star fold below needs EVERY node's
     // component, including dropped docs (their edges are the chain
     // evidence) — the kept filter applies only to the retraction rule
-    val labels = Dedup.dupClusters(pairs).localCheckpoint(true)
+    val labels = Dedup.dupClusters(pairs).staged
     val keptClusters = labels.join(effectiveKept, Seq("id"), "left_semi")
     val reps = keptClusters.groupBy(col("cluster"))
       .agg(min(col("id")).as("__rep"))
     val losers = keptClusters.join(reps, "cluster")
       .filter(col("id") =!= col("__rep")).select(col("id"))
-      .localCheckpoint(true)
+      .staged
     // record FIRST (tombstones are the correctness-bearing output; the
     // edge fold is an equivalent rewrite and can lag a crash)
     if (!losers.isEmpty) recordRetractions(spark, storePath, losers, upToBatch)

@@ -51,9 +51,11 @@ object LadderProbe {
         exactBelow = 1L) // every group rides the LADDER route
       val rows = out.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // let the async listener bus drain before reading the counter
-      // (no public waitUntilEmpty; task ends land within well under 2 s)
-      Thread.sleep(2000)
+      // drain the async listener bus before reading the counter — a fixed
+      // sleep under-reports when late onTaskEnd events land after it on a
+      // loaded machine (round-12 ADVICE)
+      org.apache.spark.graftshim.ListenerShim
+        .waitUntilListenerBusEmpty(spark.sparkContext)
       val heap1 = rt.totalMemory() - rt.freeMemory()
       println(f"[ladderprobe] run=$i groups=$groups rows_per_group=" +
         f"$rowsPerGroup n=$n out_rows=$rows sec=$sec%.2f " +
