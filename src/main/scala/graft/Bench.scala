@@ -95,6 +95,11 @@ object Bench {
     val probeRedo = scala.collection.mutable.LinkedHashMap
       .empty[String, () => Double]
     val probeDirty = scala.collection.mutable.LinkedHashSet.empty[String]
+    // every probe's single-run thunk, kept so the CANARY attribution pass
+    // (self-defense v3, below) can send a lane to redemption even when
+    // its own spread looked clean
+    val probeOnce = scala.collection.mutable.LinkedHashMap
+      .empty[String, () => Double]
     def spreadOf(b: Seq[Double]): Double =
       (b.last - b.head) / math.max(b(1), 1e-9)
     def batchOf(once: () => Double): (Seq[Double], Double) = {
@@ -103,6 +108,7 @@ object Bench {
       (ts.sorted, oc)
     }
     def stableMedian(name: String, once: () => Double): Double = {
+      probeOnce(name) = once
       var (b, oc) = batchOf(once)
       var tries = 0
       while ((spreadOf(b) > 0.30 || oc > CoLoadCores) && tries < 2) {
@@ -175,6 +181,43 @@ object Bench {
       li10.repartition(40).write.mode("overwrite").parquet(li10Path)
     }
     val li10f = spark.read.parquet(li10Path)
+    // ---- bench self-defense v3: PER-LANE canary attribution (round-12
+    // verdict item 1). The r12 driver stamp carried 4-35x regressions in
+    // five lanes whose code had not changed while the single start-of-run
+    // canary read in-band: one probe per run cannot see a MID-RUN host
+    // collapse (x_loadavg_end 14.6, 18 unstable reruns). A cheap fixed
+    // probe — the exact SUM over the warm 6 M-row li10 frame, best of 2
+    // (max filters one-off GC/JIT blips) — runs BEFORE and AFTER each
+    // heavy lane group; a lane whose bracketing canaries are out-of-band
+    // (min bracket < HALF the run's best canary — r12's collapse read
+    // 0.3-0.45x while healthy within-run spread stays above 0.6x, and a
+    // sanity run at sf0.01 showed 0.6 self-flags healthy lanes) is stamped
+    // unstable-by-canary and sent to end-of-run redemption (which itself
+    // now requires an in-band canary) instead of standing as a clean
+    // number.
+    val canarySeq =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val canaryBrackets =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    def canaryProbe(tag: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        li10f.agg(sum(col("l_extendedprice"))).collect(): Unit
+        nRows / ((System.nanoTime() - t0) / 1e9) / 1e6
+      }
+      val mrows = math.max(once(), once())
+      canarySeq(tag) = mrows
+      mrows
+    }
+    var canaryPending: (Seq[String], Double) = null
+    def canaryPre(lanes: String*): Unit =
+      canaryPending = (lanes.toSeq, canaryProbe("pre_" + lanes.head))
+    def canaryPost(): Unit = if (canaryPending != null) {
+      val post = canaryProbe("post_" + canaryPending._1.head)
+      canaryPending._1.foreach(n =>
+        canaryBrackets(n) = (canaryPending._2, post))
+      canaryPending = null
+    }
     val tExact = timeMedian("x10_exact_sum_sec") {
       li10f.agg(sum(col("l_extendedprice"))).collect(): Unit
     }
@@ -621,6 +664,7 @@ object Bench {
     // the whole table — the plan that dies first at 100 TB). Both branches
     // read the SAME 600 k-row frame (`li`) so the ratio isolates the
     // plan-shape difference, not a data-volume difference.
+    canaryPre("x_priority_topk_sec", "x_priority_sort_sec")
     val (tPrioTopk, tPrioSort) = {
       val pw = col("l_extendedprice")
       def topkOnce(): Double = {
@@ -644,8 +688,13 @@ object Bench {
       topkOnce(); sortOnce()
       val pairs = Seq.fill(3)((topkOnce(), sortOnce()))
       val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
+      // interleaved machinery, not stableMedian — register the thunks so
+      // a canary-flagged lane can still be redeemed at end of run
+      probeOnce("x_priority_topk_sec") = () => topkOnce()
+      probeOnce("x_priority_sort_sec") = () => sortOnce()
       (med(pairs.map(_._1)), med(pairs.map(_._2)))
     }
+    canaryPost()
     // The same priority fight at 60 M rows — the scale where the naive
     // global-window twin was EXPECTED to die in a single-partition sort.
     // Two findings get separated: (a) the FAIR fight — Spark 4's
@@ -657,6 +706,8 @@ object Bench {
     // the identical query with that rule EXCLUDED is the plan every
     // pre-3.5 engine runs, single-partition-sorting all 60 M rows. One
     // run for the demo leg (it is the point, not the fight).
+    canaryPre("x_priority60_topk_sec", "x_priority60_sort_sec",
+      "x_priority60_sort_nolimit_sec")
     val (tPrio60Topk, tPrio60Sort, tPrio60SortNoLimit) = {
       import org.apache.spark.sql.expressions.Window
       val pw = col("l_extendedprice")
@@ -681,6 +732,8 @@ object Bench {
       topkOnce(); sortOnce()
       val pairs = Seq.fill(3)((topkOnce(), sortOnce()))
       val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
+      probeOnce("x_priority60_topk_sec") = () => topkOnce()
+      probeOnce("x_priority60_sort_sec") = () => sortOnce()
       val noLimit = {
         val saved = spark.conf.getOption("spark.sql.optimizer.excludedRules")
         spark.conf.set("spark.sql.optimizer.excludedRules",
@@ -693,12 +746,14 @@ object Bench {
       }
       (med(pairs.map(_._1)), med(pairs.map(_._2)), noLimit)
     }
+    canaryPost()
     // The same universe probe at 60 M fact rows: at 6 M the join is
     // scan-bound and the band filter shows ~1.3×; here the shuffle legs
     // dominate (60 M rows exchanged vs 6 M), which is the regime 100 TB
     // lives in — the measured speedup should widen toward the volume
     // ratio as scan cost amortizes. 3 interleaved pairs (each exact run
     // shuffles 60 M rows; the ratio, not the absolute, is the result).
+    canaryPre("x_unijoin60_exact_sec", "x_unijoin60_sampled_sec")
     val (tUni60Exact, tUni60Sampled) = {
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -724,12 +779,14 @@ object Bench {
         (ex, sa)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+    canaryPost()
     // Skew probe at 6 M rows: ~30% of fact rows forced onto ONE supplier
     // key, broadcast disabled (at 100 TB the build side may be too big to
     // broadcast and the hot key pins a reducer). Measures the plain
     // shuffle join (AQE's skew-split gets its honest shot — it only helps
     // when the skewed partition exceeds its size thresholds) against
     // Skew.saltedJoin's 8-way content-hash scatter of the same join.
+    canaryPre("x_skew_plain_sec", "x_skew_salted_sec")
     val (tSkewPlain, tSkewSalted) = {
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -753,12 +810,14 @@ object Bench {
         (plain, salted)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+    canaryPost()
     // argmax-vs-window probe at 6 M rows: latest-per-supplier via the
     // window sort (shuffles + sorts every row) vs max(struct(...))
     // aggregation (partial agg ships one candidate per task×key). The
     // ratio is the q97 scale story, measured.
     val argmaxIn = li10f.select(col("l_suppkey"), col("l_extendedprice"),
       col("l_orderkey"), col("l_linenumber"))
+    canaryPre("x_argmax_window_sec", "x_argmax_agg_sec", "x_argmax_join_sec")
     val tLatestWindow = timeMedian("x_argmax_window_sec") {
       graft.operators.Packing.latestPerKey(argmaxIn, Seq("l_suppkey"),
           Seq("l_extendedprice", "l_orderkey", "l_linenumber"))
@@ -780,6 +839,7 @@ object Bench {
           broadcastMaxes = true)
         .agg(count(lit(1))).collect(): Unit
     }
+    canaryPost()
     // Approx-mode rewrite probe: the same COUNT(DISTINCT) SQL text, exact
     // vs plan-rewritten to HLL (ApproxAggregateRewrite, attached here via
     // experimental.extraOptimizations — same rule object the extension
@@ -891,6 +951,9 @@ object Bench {
         col("source")))
       .reduce(_ union _)
     val nDocs10 = docs10.count()
+    canaryPre("x_dedup10x_neardup_sec", "x_dedup10x_cands_sec",
+      "x_dedup10x_pairs_sec", "x_dedup10x_dupngram_sec",
+      "x_dedup10x_segdedup_sec", "x_dedup10x_segdedup_hashed_sec")
     val tDedup10Near = timeMedian("x_dedup10x_neardup_sec") {
       graft.operators.Dedup.dropNearDups(docs10, "doc_id", "text",
           threshold = 0.8)
@@ -936,14 +999,17 @@ object Bench {
           segmentWords = 8, hashedKeys = true)
         .agg(count(lit(1)), sum(col("n_kept"))).collect(): Unit
     }
+    canaryPost()
     // q35's MinHash pair mining on the 10× fixture — the scale trend for
     // the most expensive gated near-dup query (companion to x_unijoin60's
     // join trend): candidate density grows ∝ clique size², so this is the
     // adversarial-but-honest growth curve, not a regression alarm
+    canaryPre("x_q35_10x_sec")
     val tQ35at10x = timeMedian("x_q35_10x_sec") {
       graft.operators.Dedup.nearDupPairs(docs10, "doc_id", "text",
         threshold = 0.8).count(): Unit
     }
+    canaryPost()
     // Size-ratio pre-prune probe, in the regime the prune EXISTS for
     // (round-10 verdict item 3: the first fixture — short docs, twins at
     // 1/3 length colliding w.p. ~18% — stamped the prune net-NEGATIVE in
@@ -1049,6 +1115,7 @@ object Bench {
     // q20's star-join plan at 60 M fact rows (the li100 fixture): pruned
     // dims broadcast, fact scans once into partial agg — the scale trend
     // for the most expensive gated join query
+    canaryPre("x_q20_60m_sec")
     val tQ20at60m = {
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       val cust = Tables.customer(spark, sfDir)
@@ -1066,6 +1133,7 @@ object Bench {
           .collect(): Unit
       }
     }
+    canaryPost()
     // Poisson-bootstrap overhead: B = 50 replica sums in the same scan vs
     // the single scaled sum over the same systematic sample — the honest
     // price of a bootstrap CI in the one-pass formulation (should be a
@@ -1132,6 +1200,7 @@ object Bench {
     // batch for no extra information (LadderProbe holds the sizing runs:
     // 56–66 s at 16–64 rows/group, scan-size-insensitive — the cost is
     // the 10⁶-cardinality aggregations themselves).
+    canaryPre("x_grouped_ladder_1m_groups_sec")
     val tLadder1M = {
       val groups = 1000000L
       val frame = spark.range(groups * 8).select(
@@ -1144,8 +1213,16 @@ object Bench {
         exactBelow = 0L).count()
       require(nOut == groups,
         s"ladder at the 10⁶-group ceiling returned $nOut rows")
+      probeOnce("x_grouped_ladder_1m_groups_sec") = () => {
+        val t1 = System.nanoTime()
+        graft.exec.AdaptiveExecutor.runGroupedDeterministic(
+          frame, value = col("v"), key = col("k"), group = col("grp"),
+          exactBelow = 0L).count(): Unit
+        (System.nanoTime() - t1) / 1e9
+      }
       (System.nanoTime() - t0) / 1e9
     }
+    canaryPost()
     val extra = Seq(
       "x_pipeline_sec" -> tPipeline) ++
       pipelineStages.map { case (name, t) => s"x_pipeline_${name}_sec" -> t } ++
@@ -1313,14 +1390,36 @@ object Bench {
     // re-batch replaces the probe's value and clears its stamp; derived
     // ratios are recomputed from the redeemed bases so the artifact is
     // internally consistent.
+    // self-defense v3: CANARY ATTRIBUTION. A lane whose bracketing
+    // canaries read out-of-band ran (at least partly) on a degraded
+    // host — its value cannot stand as clean even when its own spread
+    // looked stable (spread can't see a collapse that lasts the whole
+    // batch). Flag it dirty and send it to redemption; redemption
+    // itself must now re-run under an IN-BAND canary, so a redeemed
+    // number is one measured at host speed.
+    val CanaryBand = 0.5
+    val bestCanary =
+      if (canarySeq.nonEmpty) canarySeq.values.max else 0.0
+    val canaryFlagged =
+      scala.collection.mutable.LinkedHashSet.empty[String]
+    canaryBrackets.foreach { case (name, (pre, post)) =>
+      if (math.min(pre, post) < CanaryBand * bestCanary) {
+        canaryFlagged += name
+        probeDirty += name
+        if (!probeRedo.contains(name))
+          probeOnce.get(name).foreach(o => probeRedo(name) = o)
+      }
+    }
     val redeemed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     probeRedo.foreach { case (name, once) =>
       var attempt = 0
       var done = false
       while (!done && attempt < 3) {
         val (b, oc) = batchOf(once)
-        if (spreadOf(b) <= 0.30 && oc <= CoLoadCores) {
+        if (spreadOf(b) <= 0.30 && oc <= CoLoadCores &&
+            canaryProbe(s"redeem_$name") >= CanaryBand * bestCanary) {
           probeDirty -= name
+          canaryFlagged -= name
           redeemed(name) = b(1)
           done = true
         } else if (oc > CoLoadCores) Thread.sleep(15000)
@@ -1387,7 +1486,12 @@ object Bench {
       "x_coload_batches" -> coloadBatches.toDouble,
       "x_other_cores_max" -> maxOtherCores,
       "x_redeemed_probes" -> redeemed.size.toDouble,
-      "x_dirty_probes" -> probeDirty.size.toDouble)
+      "x_dirty_probes" -> probeDirty.size.toDouble,
+      "x_canary_probes" -> canarySeq.size.toDouble,
+      "x_canary_best_mrows" -> bestCanary,
+      "x_canary_worst_mrows" ->
+        (if (canarySeq.nonEmpty) canarySeq.values.min else -1.0),
+      "x_canary_flagged" -> canaryFlagged.size.toDouble)
     // the artifact's own verdict on itself: start load never calmed below
     // the gate, or more than 3 SLOW probes are STILL dirty after in-place
     // retries and end-of-run redemption. Per-probe stamps ride in
@@ -1404,9 +1508,16 @@ object Bench {
       .mkString("{", ",", "}")
     val unstableJson = probeDirty
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the full canary sequence rides the artifact so per-lane host-state
+    // attribution is auditable after the fact (self-defense v3)
+    val canaryJson = canarySeq
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val canaryFlaggedJson = canaryFlagged
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = resultsFinal.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","polluted":$polluted,"unstable":$unstableJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","polluted":$polluted,"unstable":$unstableJson,"canary_flagged":$canaryFlaggedJson,"canaries":$canaryJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the JSON goes to stdout as
     // its own (last) line AND to a file — sbt/log4j noise on stdout blinded
     // the round-1 perf gate ("parsed": null in BENCH_r01.json).

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.Checkpoints.StageOps
 import graft.operators.{Ann, Dedup, Mixing, Multimodal, QualityModel}
 
 /** Round-5 widening: the production-shape paths the round-4 surface
@@ -101,7 +102,7 @@ object InventoryScale {
         val textPairs = graft.operators.Dedup.nearDupPairs(docs, "doc_id",
             "text", threshold = 0.8, shingleN = 3, numHashes = 64,
             bands = 16)
-          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+          .select(col("id_a"), col("id_b")).staged
         val images = docs.select(col("doc_id")).as[Long].map { id =>
           val h =
             if (id % 9 == 0 && id > 0)
@@ -112,7 +113,7 @@ object InventoryScale {
         val imgPairs = Dedup.hammingBandedPairs(
             Multimodal.bmpDhash(images), "media_id", "dhash",
             maxHamming = 6, bands = 8)
-          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+          .select(col("id_a"), col("id_b")).staged
         val audio = docs.select(col("doc_id")).as[Long].map { id =>
           val h =
             if (id % 7 == 0 && id > 1)
@@ -123,7 +124,7 @@ object InventoryScale {
         val audPairs = Dedup.hammingBandedPairs(
             Multimodal.wavFingerprint(audio), "media_id", "afp",
             maxHamming = 6, bands = 8)
-          .select(col("id_a"), col("id_b")).localCheckpoint(true)
+          .select(col("id_a"), col("id_b")).staged
         val nText = textPairs.count()
         val nImg = imgPairs.count()
         val nAud = audPairs.count()
@@ -253,7 +254,7 @@ object InventoryScale {
         // checkpointed: the dims gate and the dHash path both consume
         // it — one decode+resize per image (the q200 pattern)
         val resized = Multimodal.resizeImages(media, "media_id", "bytes",
-          maxSide = 36).localCheckpoint(true)
+          maxSide = 36).staged
         val nResized = resized.count()
         val nDimsOk = resized
           .filter(col("width") === 36 && col("height") === 32).count()
@@ -464,6 +465,50 @@ object InventoryScale {
       },
       Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
  CAST(3 AS BIGINT) AS n_close_frames
+ FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
+
+    QueryDef("q207_audio_neardup_trimmed",
+      // ARBITRARY-OFFSET audio trims (round-12 verdict item 3): q205
+      // catches trims that are WINDOW multiples, but the commonest real
+      // edit — trim a little off the front — is window-non-multiple far
+      // more often than not, shifts within-window content, and degrades
+      // q205 to the Hamming tolerance (its scaladoc's own acknowledged
+      // gap). The scaladoc's remedy, now implemented: OVERLAPPING window
+      // fingerprints (stride = windowSamples/2) feed the SAME
+      // shiftedSlotNearDupPairs operator, so any HALF-window-multiple
+      // trim aligns exactly while q205's non-overlapping mode scores
+      // recall 0 on it (MultimodalSpec pins the contrast on this fixture
+      // shape). Fixture: 4-window clips (window = 65·64 = 4160 samples);
+      // for doc_id % 10 == 0 a copy at id + 10⁶ trimmed by HALF a window
+      // (2080 samples — not a window multiple). Overlapped, the base
+      // carries 7 windows (offsets 0, W/2, …, 3W), the trimmed copy 6
+      // (base offsets W/2 … 3W), every copy window content-identical to
+      // its aligned base window — so each planted pair matches on
+      // exactly least(6, 7) = 6 distinct windows per side, pure
+      // structural arithmetic for the oracle. Same banded pass, star
+      // cap, and two-sided distinct rollup as q205 at 2× fingerprint
+      // rows.
+      (s, d) => {
+        import s.implicits._
+        val Offset = 1000000L
+        val W = 65 * 64
+        val media = documents(s, d).select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            def wh(wdx: Int): Long =
+              Multimodal.mix64(id * 131 + wdx * 7919 + 207L)
+            val baseBytes =
+              Multimodal.wavWithWindowFingerprints((0 until 4).map(wh))
+            val base = (id, baseBytes)
+            if (id % 10 == 0)
+              Seq(base, (id + Offset, Multimodal.wavTrimmed(baseBytes, W / 2)))
+            else Seq(base)
+          }.toDF("media_id", "bytes")
+        Multimodal.audioNearDupPairsShifted(media, "media_id", "bytes",
+            maxHamming = 6, minCloseWindows = 3, strideSamples = W / 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+ CAST(6 AS BIGINT) AS n_close_windows
  FROM documents WHERE doc_id % 10 = 0 ORDER BY 1, 2""")),
 
     QueryDef("q166_priority_sample_ci",
@@ -852,7 +897,7 @@ object InventoryScale {
             docs, "doc_id", "text", k = 8, keepFirst = true)
           .filter(col("n_removed") < col("n_words"))
           .select(col("doc_id"), col("clean_text"))
-          .localCheckpoint(true)
+          .staged
         val nSpan = cleaned.count()
         val pairs = graft.operators.Dedup.winnowContainmentPairs(
           cleaned, "doc_id", "clean_text", k = 4, w = 8, minShared = 2)
@@ -864,7 +909,7 @@ object InventoryScale {
             (col("sz_b") < col("sz_a") || col("sz_a") === col("sz_b")))
           .select(col("id_b").as("doc_id"))
         val triaged = cleaned.join(dropA.union(dropB).distinct(),
-          Seq("doc_id"), "left_anti").localCheckpoint(true)
+          Seq("doc_id"), "left_anti").staged
         val nTriage = triaged.count()
         val pool = triaged.withColumnRenamed("clean_text", "text")
           .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -902,7 +947,7 @@ object InventoryScale {
           "vec_id", "embedding", path)
         val probes = emb.filter(col("vec_id") < 10)
         val bf = Ann.bruteForceTopKFast(emb, probes, "vec_id", "embedding", 5)
-          .select(col("query_id"), col("neighbor_id")).localCheckpoint(true)
+          .select(col("query_id"), col("neighbor_id")).staged
         val nTrue = bf.count()
         def found(): Long = bf.join(
           Ann.searchIvfIndex(s, path, probes, "vec_id", "embedding",
@@ -943,7 +988,7 @@ object InventoryScale {
             docs, "doc_id", "text", k = 8, keepFirst = true)
           .filter(col("n_removed") < col("n_words"))
           .select(col("doc_id"), col("clean_text"))
-          .localCheckpoint(true)
+          .staged
         val nSpan = cleaned.count()
         val ndPairs = graft.operators.Dedup.nearDupPairs(
           cleaned.withColumnRenamed("clean_text", "text"), "doc_id", "text",
@@ -952,7 +997,7 @@ object InventoryScale {
           .filter(col("id") =!= col("cluster"))
           .select(col("id").as("doc_id"))
         val deduped = cleaned.join(ndLosers, Seq("doc_id"), "left_anti")
-          .localCheckpoint(true)
+          .staged
         val nNear = deduped.count()
         val pairs = graft.operators.Dedup.winnowContainmentPairs(
           deduped, "doc_id", "clean_text", k = 4, w = 8, minShared = 2)
@@ -964,7 +1009,7 @@ object InventoryScale {
             (col("sz_b") < col("sz_a") || col("sz_a") === col("sz_b")))
           .select(col("id_b").as("doc_id"))
         val triaged = deduped.join(dropA.union(dropB).distinct(),
-          Seq("doc_id"), "left_anti").localCheckpoint(true)
+          Seq("doc_id"), "left_anti").staged
         val nTriage = triaged.count()
         val pool = triaged.withColumnRenamed("clean_text", "text")
           .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -1341,7 +1386,7 @@ FROM sel ORDER BY g"""
         // index after drop 1 = empty ∪ drop 1's new grams
         val (c2, _) = graft.operators.Dedup
           .removeDuplicatedSpansIncremental(
-            docs0.filter(col("doc_id") > mid), new1.localCheckpoint(true),
+            docs0.filter(col("doc_id") > mid), new1.staged,
             "doc_id", "text", k = 8, bloomExpectedItems = 1 << 20)
         c1.unionAll(c2).orderBy("doc_id")
       },
@@ -1399,7 +1444,7 @@ FROM sel ORDER BY g"""
         val idx = graft.operators.Dedup.spanGramIndex(
           docs0.filter(col("doc_id") <= mid), "doc_id", "text", k = 8)
         graft.operators.Dedup.gramNoveltyScores(
-          docs0.filter(col("doc_id") > mid), idx.localCheckpoint(true),
+          docs0.filter(col("doc_id") > mid), idx.staged,
           "doc_id", "text", k = 8, bloomExpectedItems = 1 << 20)
           .orderBy("doc_id")
       },

@@ -26,6 +26,46 @@ import org.apache.spark.sql.functions._
   * the `mapPartitions` batching, schema and parallelism are exactly what
   * a real model deployment uses.
   */
+/** Pluggable COMPRESSED-FRAME decoder seam (round-12 verdict item 7):
+  * H.264-class codecs have no JDK decoder in this environment, so
+  * [[Multimodal.parseAviGray]] quarantines their clips by default — a
+  * deployment with a real codec binding (FFmpeg/JavaCV) plugs it in HERE
+  * and every downstream operator (frame dHashes, video near-dup, frame
+  * means) works unchanged: the decoder runs AFTER the same header gate
+  * (declared dims + MaxDecodePixels cap) as every built-in path and
+  * keeps the same quarantine-the-clip contract on a corrupt frame.
+  *
+  * Must be Serializable: decoders are closure-captured into
+  * executor-side `mapPartitions` — the only cluster-safe distribution
+  * path (a driver-side mutable registry would silently not exist on
+  * real executors). */
+trait FrameDecoder extends Serializable {
+  /** The biCompression fourcc this decoder handles, e.g. "H264". */
+  def fourcc: String
+
+  /** Decode ONE frame chunk to row-major gray [0, 255] of exactly
+    * `w * h` values — or None for a corrupt frame, which quarantines
+    * the whole clip (loud absence, the engine-wide decode contract).
+    * A Some of the wrong length also quarantines. */
+  def decodeGray(w: Int, h: Int, frameBytes: Array[Byte]): Option[Array[Int]]
+}
+
+/** Pluggable LEARNED-EMBEDDING seam (round-12 verdict item 7): the
+  * fallback leg of [[Multimodal.extractFeatures]] — kinds with no
+  * container decoder (text, pre-embedded payloads) and bytes that fail
+  * their kind's decode — is a deterministic byte-hash stub by default; a
+  * real model deployment plugs inference in HERE and inherits the
+  * mapPartitions batching, schema, and partition parallelism unchanged.
+  * Must be Serializable (executor-side closure capture, as with
+  * [[FrameDecoder]]). */
+trait MediaEmbedder extends Serializable {
+  /** Embedding of exactly `dim` floats for (kind, bytes), or None to
+    * fall through to the deterministic stub. A Some of the wrong length
+    * fails loudly — a silently truncated embedding would corrupt every
+    * downstream similarity. */
+  def embed(kind: String, bytes: Array[Byte], dim: Int): Option[Array[Float]]
+}
+
 object Multimodal {
 
   /** Canonical media schema: (media_id, kind, bytes, width, height,
@@ -73,7 +113,8 @@ object Multimodal {
     * the decode → pool legs above are as real as the dedup decoders
     * they share kernels with. The `mapPartitions` batching, schema, and
     * parallelism are exactly what a model deployment uses. */
-  def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeature] = {
+  def extractFeatures(media: DataFrame, dim: Int = 16,
+      embedder: Option[MediaEmbedder] = None): Dataset[MediaFeature] = {
     require(dim > 0, s"dim must be positive, got $dim")
     import media.sparkSession.implicits._
     val gridRows = (math.sqrt(dim.toDouble).toInt to 1 by -1)
@@ -89,9 +130,20 @@ object Multimodal {
             case "video" => videoFrameMeans(bytes, dim)
             case _ => None
           }
+          // learned-embedding seam: the plugged model covers whatever
+          // the decode legs could not; the deterministic stub remains
+          // the last resort so the operator NEVER throws on bad bytes
+          val emb = if (feat.isEmpty) embedder.flatMap { e =>
+            val r = e.embed(kind, bytes, dim)
+            r.foreach(f => require(f.length == dim,
+              s"MediaEmbedder returned ${f.length} floats, contract is " +
+                s"exactly dim=$dim — a truncated embedding would corrupt " +
+                "every downstream similarity"))
+            r
+          } else None
           MediaFeature(id, kind,
             if (bytes == null) 0 else bytes.length,
-            feat.getOrElse(stubByteFeatures(bytes, dim)))
+            feat.orElse(emb).getOrElse(stubByteFeatures(bytes, dim)))
         }
       }
   }
@@ -930,28 +982,48 @@ object Multimodal {
   }
 
   /** Per-window LOCAL audio fingerprints: the channel-summed PCM stream
-    * splits into consecutive windows of `windowSamples` samples (tail
-    * remainder dropped) and EACH window gets its own 64-bit
-    * energy-difference fingerprint ([[energyFingerprint]] over the
-    * window's 65 equal sub-windows). Output (idCol, win_idx, wfp) —
-    * the audio twin of [[aviFrameDhashes]]: local signatures make
-    * matching trim-robust where the whole-clip [[wavFingerprint]] is
-    * alignment-bound. Non-PCM-16/corrupt bytes and clips shorter than
-    * one window quarantine. */
+    * splits into windows of `windowSamples` samples starting every
+    * `strideSamples` samples (tail remainder dropped) and EACH window
+    * gets its own 64-bit energy-difference fingerprint
+    * ([[energyFingerprint]] over the window's 65 equal sub-windows).
+    * Output (idCol, win_idx, wfp) — the audio twin of
+    * [[aviFrameDhashes]]: local signatures make matching trim-robust
+    * where the whole-clip [[wavFingerprint]] is alignment-bound.
+    *
+    * `strideSamples = 0` (default) means non-overlapping windows
+    * (stride = windowSamples) — copies trimmed by a WINDOW multiple
+    * align exactly. A stride of `windowSamples / 2` (or smaller) makes
+    * the windows OVERLAP, so a copy trimmed by any STRIDE multiple
+    * still aligns exactly (round-12 verdict item 3: arbitrary-offset
+    * trims — the commonest audio edit — are window-non-multiple far
+    * more often than not); offsets between stride multiples degrade
+    * gracefully with the downstream Hamming tolerance, bounded by
+    * stride/2 misalignment instead of windowSamples/2. The trade is
+    * windowSamples/stride × more fingerprint rows into the banded
+    * pass — linear in the overlap factor, same star-capped shape.
+    * Non-PCM-16/corrupt bytes and clips shorter than one window
+    * quarantine. */
   def wavWindowFingerprints(media: DataFrame, idCol: String = "media_id",
-      bytesCol: String = "bytes", windowSamples: Int = 65 * 64): DataFrame = {
+      bytesCol: String = "bytes", windowSamples: Int = 65 * 64,
+      strideSamples: Int = 0): DataFrame = {
     require(windowSamples >= 65,
       s"windowSamples must be >= 65 (one sample per energy sub-window), " +
         s"got $windowSamples")
+    val stride = if (strideSamples == 0) windowSamples else strideSamples
+    require(stride >= 1 && stride <= windowSamples,
+      s"strideSamples must be in [1, windowSamples] (got $stride): a " +
+        "stride above the window length would skip samples entirely")
     import media.sparkSession.implicits._
     media.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         parsePcm16(bytes).iterator.flatMap { s =>
-          val nWin = s.length / windowSamples
+          val nWin =
+            if (s.length < windowSamples) 0
+            else (s.length - windowSamples) / stride + 1
           (0 until nWin).iterator.map { i =>
             (id, i, energyFingerprint(java.util.Arrays.copyOfRange(
-              s, i * windowSamples, (i + 1) * windowSamples)))
+              s, i * stride, i * stride + windowSamples)))
           }
         }
       })
@@ -968,19 +1040,27 @@ object Multimodal {
     * and the rollup gates on least(countDistinct(win_a),
     * countDistinct(win_b)) ≥ `minCloseWindows` — so looped/static
     * padding cannot fake a pair, the same two-sided distinct guard as
-    * the video mode. Catches any copy shifted by a multiple of
-    * `windowSamples` exactly; finer trims degrade gracefully with the
-    * Hamming tolerance (shrink `windowSamples`, or overlap windows
-    * upstream, to tighten). Output: (id_a, id_b, n_close_windows).
-    * Same scale shape as [[videoNearDupPairsShifted]] — one bucket
-    * exchange on corpus windows, rollup exchanges on MATCH-bounded
-    * rows, star cap bounding hot buckets. */
+    * the video mode. Catches any copy shifted by a multiple of the
+    * window STRIDE exactly: the default (`strideSamples = 0` →
+    * non-overlapping) catches whole-window trims; `strideSamples =
+    * windowSamples / 2` OVERLAPS the windows and catches any
+    * stride-multiple trim — the arbitrary-offset edit class (round-12
+    * verdict item 3) — at the cost of ~2× fingerprint rows into the
+    * banded pass; offsets between stride multiples degrade gracefully
+    * with the Hamming tolerance (misalignment bounded by stride/2
+    * instead of windowSamples/2). Output: (id_a, id_b,
+    * n_close_windows). Same scale shape as
+    * [[videoNearDupPairsShifted]] — one bucket exchange on corpus
+    * windows, rollup exchanges on MATCH-bounded rows, star cap
+    * bounding hot buckets. */
   def audioNearDupPairsShifted(media: DataFrame, idCol: String = "media_id",
       bytesCol: String = "bytes", maxHamming: Int = 6,
       minCloseWindows: Int = 3, bands: Int = 8,
-      windowSamples: Int = 65 * 64, maxWindows: Int = 1 << 16): DataFrame =
+      windowSamples: Int = 65 * 64, maxWindows: Int = 1 << 16,
+      strideSamples: Int = 0): DataFrame =
     shiftedSlotNearDupPairs(
-      wavWindowFingerprints(media, idCol, bytesCol, windowSamples),
+      wavWindowFingerprints(media, idCol, bytesCol, windowSamples,
+        strideSamples),
       idCol, "win_idx", "wfp", maxHamming, minCloseWindows, bands,
       maxWindows, "audioNearDupPairsShifted", "n_close_windows")
 
@@ -1039,6 +1119,13 @@ object Multimodal {
         i += 1
       }
     }
+    pcm16Wav(samples)
+  }
+
+  /** Canonical mono PCM-16 16 kHz WAV bytes for a sample array — the
+    * shared emitter behind [[wavWithWindowFingerprints]] and
+    * [[wavTrimmed]]. */
+  private def pcm16Wav(samples: Array[Short]): Array[Byte] = {
     val dataSize = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1050,6 +1137,21 @@ object Multimodal {
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
     samples.foreach(s => buf.putShort(s): Unit)
     buf.array()
+  }
+
+  /** The same clip minus its first `trimSamples` samples — the
+    * ARBITRARY-OFFSET trim edit (the commonest real audio edit, and
+    * window-non-multiple far more often than not). Fixture generator for
+    * q207: a half-window trim defeats the non-overlapping q205 mode by
+    * construction while the overlapped-window mode (stride =
+    * windowSamples/2) recovers it exactly. Decodes through the same
+    * [[parsePcm16]] the engine uses, so the copy is spec-valid WAV. */
+  def wavTrimmed(bytes: Array[Byte], trimSamples: Int): Array[Byte] = {
+    val s = parsePcm16(bytes).getOrElse(throw new IllegalArgumentException(
+      "wavTrimmed needs a decodable mono PCM-16 WAV"))
+    require(trimSamples >= 0 && trimSamples < s.length,
+      s"trimSamples must be in [0, ${s.length}), got $trimSamples")
+    pcm16Wav(s.drop(trimSamples).map(_.toShort))
   }
 
   // ------------------------------------------------------------------
@@ -1108,6 +1210,13 @@ object Multimodal {
     * carries — the Motion-JPEG fourcc. */
   private val MjpgFourcc = 0x47504A4D // bytes 'M','J','P','G'
 
+  /** Little-endian fourcc as the Int a BITMAPINFOHEADER carries. */
+  private def fourccInt(s: String): Int = {
+    require(s.length == 4, s"fourcc must be 4 chars, got '$s'")
+    (s(0) & 0xFF) | ((s(1) & 0xFF) << 8) | ((s(2) & 0xFF) << 16) |
+      ((s(3) & 0xFF) << 24)
+  }
+
   /** A spec-shaped MJPEG AVI: the same RIFF skeleton as [[aviBytes]]
     * but the video stream declares the 'MJPG' codec (strh handler +
     * strf biCompression) and every '00dc' chunk carries ONE complete
@@ -1115,7 +1224,16 @@ object Multimodal {
     * differ (JPEG is variable-length); all frames must decode to
     * `w × h`. Fixture generator for oracle-gated codec-video dedup
     * (q206). */
-  def aviMjpegBytes(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+  def aviMjpegBytes(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] =
+    aviCodecBytes(w, h, "MJPG", frames)
+
+  /** [[aviMjpegBytes]] generalized to any compressed-stream fourcc —
+    * byte-identical for "MJPG"; other fourccs build fixture clips for
+    * the pluggable [[FrameDecoder]] seam (no JDK decoder exists for
+    * them, which is the point of the seam). */
+  def aviCodecBytes(w: Int, h: Int, fourcc: String,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(fourcc.length == 4, s"fourcc must be 4 chars, got '$fourcc'")
     val perFrame = frames.map(f => 8 + f.length + (f.length & 1))
     val moviSize = 4 + perFrame.sum
     val strfSize = 40
@@ -1135,14 +1253,14 @@ object Multimodal {
       .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
     tag("LIST"); buf.putInt(strlSize); tag("strl")
     tag("strh"); buf.putInt(strhSize)
-    tag("vids"); tag("MJPG")
+    tag("vids"); tag(fourcc)
     buf.putInt(0).putShort(0).putShort(0).putInt(0)
       .putInt(1).putInt(25)
       .putInt(0).putInt(frames.size).putInt(0).putInt(0).putInt(0)
       .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
     tag("strf"); buf.putInt(strfSize)
     buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-    tag("MJPG") // biCompression = the MJPG fourcc
+    tag(fourcc) // biCompression
     buf.putInt(frames.map(_.length).max).putInt(2835).putInt(2835)
       .putInt(0).putInt(0)
     tag("LIST"); buf.putInt(moviSize); tag("movi")
@@ -1162,9 +1280,13 @@ object Multimodal {
     * MJPEG frame bytes decode through the same header-gated ImageIO
     * path as still images. Corrupt bytes — and codecs with no JDK
     * decoder (H.264 etc.) — quarantine to None. */
-  private[graft] def parseAviGray(
-      bytes: Array[Byte]): Option[(Int, Int, Seq[Array[Int]])] = {
+  private[graft] def parseAviGray(bytes: Array[Byte],
+      decoders: Seq[FrameDecoder] = Nil)
+      : Option[(Int, Int, Seq[Array[Int]])] = {
     if (bytes == null || bytes.length < 24) return None
+    val decoderByComp: Map[Int, FrameDecoder] =
+      if (decoders.isEmpty) Map.empty
+      else decoders.map(d => fourccInt(d.fourcc) -> d).toMap
     val buf = java.nio.ByteBuffer.wrap(bytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag(off: Int): String =
@@ -1229,7 +1351,21 @@ object Multimodal {
               y += 1
             }
             frames += gray
-          } else return false // codec with no JDK decoder → quarantine
+          } else decoderByComp.get(comp) match {
+            // pluggable codec seam (round-12 verdict item 7): a plugged
+            // decoder sees the raw frame chunk AFTER the same header
+            // gate (dims + MaxDecodePixels) every built-in path runs,
+            // and keeps the same quarantine-the-clip contract on a
+            // corrupt or wrong-sized frame
+            case Some(dec) =>
+              val sub = java.util.Arrays.copyOfRange(bytes, off + 8,
+                off + 8 + size)
+              dec.decodeGray(w, hh, sub) match {
+                case Some(gray) if gray.length == w * hh => frames += gray
+                case _ => return false
+              }
+            case None => return false // codec with no decoder → quarantine
+          }
         }
         off += 8 + size + (size & 1)
       }
@@ -1246,12 +1382,13 @@ object Multimodal {
     * [[Dedup.hammingBandedPairs]] and roll up matches per video pair
     * for video near-dup (q199's shape); undecodable clips quarantine. */
   def aviFrameDhashes(media: DataFrame, idCol: String = "media_id",
-      bytesCol: String = "bytes"): DataFrame = {
+      bytesCol: String = "bytes",
+      decoders: Seq[FrameDecoder] = Nil): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col(idCol).cast("long"), col(bytesCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        parseAviGray(bytes).toSeq.flatMap { case (w, h, frames) =>
+        parseAviGray(bytes, decoders).toSeq.flatMap { case (w, h, frames) =>
           frames.iterator.zipWithIndex.map { case (gray, i) =>
             (id, i, dhashOfGray(w, h, gray))
           }

@@ -632,6 +632,49 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.wavWindowFingerprints(junk).count() === 0L)
   }
 
+  test("overlapped windows pair arbitrary-offset trims where the non-overlapping mode scores zero") {
+    import spark.implicits._
+    // round-12 verdict item 3: q205 catches WINDOW-multiple trims only;
+    // the commonest edit (trim a little off the front) shifts
+    // within-window content and defeats it. Overlapping windows
+    // (stride = W/2) align any HALF-window-multiple trim exactly.
+    val W = 65 * 64
+    def clip(seed: Long) = Multimodal.wavWithWindowFingerprints(
+      (0 until 4).map(f => Multimodal.mix64(seed + f)))
+    val a = clip(500L)
+    val b = clip(600L)
+    // overlapped fingerprints: 7 windows on a 4-window clip, with the
+    // even-indexed ones (offsets 0, W, 2W, 3W) equal to the constructs
+    val over = Multimodal.wavWindowFingerprints(
+        Seq((9L, a)).toDF("media_id", "bytes"), strideSamples = W / 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(over.size === 7)
+    (0 until 4).foreach(f =>
+      assert(over(2 * f) === Multimodal.mix64(500L + f),
+        "even overlapped windows must reproduce the aligned fingerprints"))
+    val clips = Seq(
+      (1L, a), (2L, Multimodal.wavTrimmed(a, W / 2)), // half-window trim
+      (3L, b), (4L, Multimodal.wavTrimmed(b, 3 * W / 2)), // 1.5-window trim
+      (5L, clip(700L))) // unrelated singleton
+      .toDF("media_id", "bytes")
+    // q205's non-overlapping mode misses both trims BY CONSTRUCTION
+    // (within-window content shifted by half a window)...
+    assert(Multimodal.audioNearDupPairsShifted(clips, minCloseWindows = 3)
+      .count() === 0L,
+      "non-overlapping mode must score recall 0 on half-window trims")
+    // ...the overlapped mode recovers both exactly: base has 7 windows,
+    // the W/2-trimmed copy 6 (all aligned), the 3W/2-trimmed copy 4
+    val pairs = Multimodal.audioNearDupPairsShifted(clips,
+        minCloseWindows = 3, strideSamples = W / 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs === Set((1L, 2L, 6L), (3L, 4L, 4L)))
+    // stride contract is loud: a stride above the window length would
+    // silently skip samples
+    intercept[IllegalArgumentException] {
+      Multimodal.wavWindowFingerprints(clips, strideSamples = W + 1)
+    }
+  }
+
   test("MJPEG AVI: JPEG frame chunks decode through ImageIO; unknown codecs quarantine") {
     import spark.implicits._
     // MCU-aligned constructs survive JPEG's lossy round-trip bit-exactly
@@ -668,4 +711,148 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs === Set((1L, 2L, 3L)))
   }
+
+  test("FrameDecoder seam: a plugged fake codec matches the built-in DIB path bit-for-bit; contracts stay loud") {
+    import spark.implicits._
+    // 12x8 gray frames; DIB twin: 24bpp bottom-up, BGR = (g,g,g) so the
+    // built-in decode recovers exactly the same gray values
+    val w = 12; val h = 8; val stride = (w * 3 + 3) / 4 * 4
+    def dib(gray: Array[Int]): Array[Byte] = {
+      val out = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val off = (h - 1 - y) * stride + x * 3
+        val g = gray(y * w + x).toByte
+        out(off) = g; out(off + 1) = g; out(off + 2) = g
+      }
+      out
+    }
+    val gA = Array.tabulate(w * h)(i => (i * 7 + 3) % 256)
+    val gB = Array.tabulate(w * h)(i => (i * 13 + 1) % 256)
+    val aviDib = Multimodal.aviBytes(w, h, Seq(dib(gA), dib(gB)))
+    val aviFake = Multimodal.aviCodecBytes(w, h, "H264",
+      Seq(gA.map(_.toByte), gB.map(_.toByte)))
+    // MJPG generalization is byte-identical through the shared builder
+    val jf = Seq(Multimodal.imageWithDhash(Multimodal.mix64(31L), "jpg"))
+    assert(Multimodal.aviMjpegBytes(72, 64, jf).toSeq ===
+      Multimodal.aviCodecBytes(72, 64, "MJPG", jf).toSeq)
+    // without a plugged decoder the unknown codec quarantines (the
+    // pre-seam behavior, unchanged)
+    val fakeDf = Seq((1L, aviFake)).toDF("media_id", "bytes")
+    assert(Multimodal.aviFrameDhashes(fakeDf).count() === 0L)
+    // with the fake codec plugged, the full container walk -> header
+    // gate -> decode -> dHash chain produces EXACTLY the built-in DIB
+    // path's rows on the same gray content
+    val viaFake = Multimodal.aviFrameDhashes(fakeDf,
+        decoders = Seq(new FakeGrayCodec("H264"))).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sorted.toSeq
+    val viaDib = Multimodal.aviFrameDhashes(
+        Seq((1L, aviDib)).toDF("media_id", "bytes")).collect()
+      .map(r => (r.getInt(1), r.getLong(2))).sorted.toSeq
+    assert(viaFake === viaDib && viaFake.size === 2,
+      "plugged decoder must be indistinguishable from the built-in path " +
+        "on identical gray content")
+    // a corrupt frame (wrong payload size -> decoder None) quarantines
+    // the clip — the engine-wide loud-absence contract
+    val corrupt = Multimodal.aviCodecBytes(w, h,
+      "H264", Seq(gA.map(_.toByte), Array[Byte](1, 2, 3)))
+    assert(Multimodal.aviFrameDhashes(Seq((2L, corrupt))
+        .toDF("media_id", "bytes"),
+      decoders = Seq(new FakeGrayCodec("H264"))).count() === 0L)
+    // a MISBEHAVING decoder (wrong-length Some) also quarantines rather
+    // than corrupting downstream frames
+    assert(Multimodal.aviFrameDhashes(fakeDf,
+      decoders = Seq(new WrongLengthCodec("H264"))).count() === 0L)
+    // the header gate still fronts the plugged decoder: an
+    // over-MaxDecodePixels header quarantines before any decode
+    val huge = {
+      val b = Multimodal.aviCodecBytes(w, h, "H264", Seq(gA.map(_.toByte)))
+      // patch strf biWidth/biHeight to 60000x60000 (strf payload starts
+      // after the fixed 12+8+64+12+8+64... find it by scanning for 'strf')
+      val i = b.indexOfSlice("strf".getBytes("US-ASCII"))
+      val buf = java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(i + 12, 60000); buf.putInt(i + 16, 60000)
+      b
+    }
+    assert(Multimodal.aviFrameDhashes(Seq((3L, huge))
+        .toDF("media_id", "bytes"),
+      decoders = Seq(new FakeGrayCodec("H264"))).count() === 0L,
+      "the MaxDecodePixels header gate must front plugged decoders too")
+  }
+
+  test("MediaEmbedder seam: plugged embeddings cover the stub leg only; wrong-length embeddings fail loudly") {
+    import spark.implicits._
+    // constant-gray PNG: the REAL pooled path, which the embedder must
+    // never override
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach(y => (0 until 16).foreach(x =>
+      img.setRGB(x, y, (100 << 16) | (100 << 8) | 100)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq(
+      (1L, "image", bos.toByteArray), // real decode -> pooled, not embedded
+      (2L, "text", "hello".getBytes("UTF-8")), // embedder covers
+      (3L, "blob", Array[Byte](7, 8))) // embedder declines -> stub
+      .toDF("media_id", "kind", "bytes")
+    val feats = Multimodal.extractFeatures(media, dim = 16,
+        embedder = Some(new FakeTextEmbedder)).collect()
+      .map(f => f.media_id -> f.feature.toSeq).toMap
+    assert(feats(1L) === Seq.fill(16)(100.0f),
+      "a successful decode leg must win over the embedder")
+    assert(feats(2L) === (0 until 16).map(i => (i + 5).toFloat),
+      "the embedder must cover the former stub leg for its kinds")
+    val stub3 = {
+      val b = Array[Byte](7, 8)
+      val f = new Array[Float](16)
+      b.indices.foreach(i => f(i % 16) += (b(i) & 0xFF) * 0.001f)
+      f.toSeq
+    }
+    assert(feats(3L) === stub3,
+      "an embedder that declines falls through to the deterministic stub")
+    // wrong-length embedding: loud in-task failure, never truncation
+    val e = intercept[Throwable] {
+      Multimodal.extractFeatures(media, dim = 16,
+        embedder = Some(new WrongDimEmbedder)).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("contract is exactly dim")))
+  }
+}
+
+/** Identity "codec" for the [[graft.operators.FrameDecoder]] seam spec:
+  * each frame chunk IS the raw w*h gray bytes. Top-level (not nested in
+  * the suite) so the closure serializes without dragging the suite in —
+  * exactly the constraint a real JNI decoder wrapper lives under. */
+private class FakeGrayCodec(override val fourcc: String)
+    extends graft.operators.FrameDecoder {
+  def decodeGray(w: Int, h: Int, fb: Array[Byte]): Option[Array[Int]] =
+    if (fb != null && fb.length == w * h) Some(fb.map(_ & 0xFF)) else None
+}
+
+/** Misbehaving decoder: always returns a wrong-length frame. */
+private class WrongLengthCodec(override val fourcc: String)
+    extends graft.operators.FrameDecoder {
+  def decodeGray(w: Int, h: Int, fb: Array[Byte]): Option[Array[Int]] =
+    Some(Array(1, 2, 3))
+}
+
+/** Fake learned embedder: deterministic floats for kind "text", declines
+  * everything else. */
+private class FakeTextEmbedder extends graft.operators.MediaEmbedder {
+  def embed(kind: String, bytes: Array[Byte],
+      dim: Int): Option[Array[Float]] =
+    if (kind == "text")
+      Some(Array.tabulate(dim)(i =>
+        (i + (if (bytes == null) 0 else bytes.length)).toFloat))
+    else None
+}
+
+/** Contract violator: returns dim-1 floats. */
+private class WrongDimEmbedder extends graft.operators.MediaEmbedder {
+  def embed(kind: String, bytes: Array[Byte],
+      dim: Int): Option[Array[Float]] =
+    Some(new Array[Float](dim - 1))
 }
