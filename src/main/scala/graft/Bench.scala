@@ -189,9 +189,11 @@ object Bench {
     // probe — the exact SUM over the warm 6 M-row li10 frame, best of 2
     // (max filters one-off GC/JIT blips) — runs BEFORE and AFTER each
     // heavy lane group; a lane whose bracketing canaries are out-of-band
-    // (min bracket < HALF the run's best canary — r12's collapse read
-    // 0.3-0.45x while healthy within-run spread stays above 0.6x, and a
-    // sanity run at sf0.01 showed 0.6 self-flags healthy lanes) is stamped
+    // (min bracket < 0.4 x the run's MEDIAN canary — r12's collapse read
+    // 0.3-0.45x of healthy; the reference is the median, not the max,
+    // because a single pristine-moment spike otherwise sets a bar that
+    // flags the normal mid-run GC/page-cache dips: r13 run 1 measured
+    // healthy canaries 42-60 next to one 92 spike) is stamped
     // unstable-by-canary and sent to end-of-run redemption (which itself
     // now requires an in-band canary) instead of standing as a clean
     // number.
@@ -205,9 +207,18 @@ object Bench {
         li10f.agg(sum(col("l_extendedprice"))).collect(): Unit
         nRows / ((System.nanoTime() - t0) / 1e9) / 1e6
       }
+      once() // warm-up: absorbs the retiring lane's GC debt + cold JIT
       val mrows = math.max(once(), once())
       canarySeq(tag) = mrows
       mrows
+    }
+    // run `f` with broadcast joins disabled — the conf context the
+    // unijoin60/skew lanes measure under, reproducible at redemption time
+    def noBroadcast[T](f: => T): T = {
+      val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try f
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
     var canaryPending: (Seq[String], Double) = null
     def canaryPre(lanes: String*): Unit =
@@ -776,6 +787,21 @@ object Bench {
         val sa = timeMedian("x_unijoin60_sampled_sec") {
           sumOf(us.left, us.right, us.scaleFactor): Unit
         }
+        // end-of-run redemption runs OUTSIDE this block's conf scope:
+        // re-register the thunks with the no-broadcast context or a
+        // redeemed value measures a broadcast join where the lane
+        // measures a shuffle join (r13 run 1 stamped 0.42 s for the
+        // 60 M-row shuffle lane that way)
+        probeOnce("x_unijoin60_exact_sec") = () => noBroadcast {
+          val t0 = System.nanoTime()
+          sumOf(liScattered, ordSel, 1.0): Unit
+          (System.nanoTime() - t0) / 1e9
+        }
+        probeOnce("x_unijoin60_sampled_sec") = () => noBroadcast {
+          val t0 = System.nanoTime()
+          sumOf(us.left, us.right, us.scaleFactor): Unit
+          (System.nanoTime() - t0) / 1e9
+        }
         (ex, sa)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
@@ -806,6 +832,18 @@ object Bench {
         val salted = timeMedian("x_skew_salted_sec") {
           agged(graft.operators.Skew.saltedJoin(skewedFact, buildSide,
             "l_suppkey", salts = 8)).collect(): Unit
+        }
+        // conf-scoped redemption thunks — same reason as unijoin60
+        probeOnce("x_skew_plain_sec") = () => noBroadcast {
+          val t0 = System.nanoTime()
+          agged(skewedFact.join(buildSide, "l_suppkey")).collect(): Unit
+          (System.nanoTime() - t0) / 1e9
+        }
+        probeOnce("x_skew_salted_sec") = () => noBroadcast {
+          val t0 = System.nanoTime()
+          agged(graft.operators.Skew.saltedJoin(skewedFact, buildSide,
+            "l_suppkey", salts = 8)).collect(): Unit
+          (System.nanoTime() - t0) / 1e9
         }
         (plain, salted)
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
@@ -1397,13 +1435,16 @@ object Bench {
     // batch). Flag it dirty and send it to redemption; redemption
     // itself must now re-run under an IN-BAND canary, so a redeemed
     // number is one measured at host speed.
-    val CanaryBand = 0.5
+    val CanaryBand = 0.4
     val bestCanary =
       if (canarySeq.nonEmpty) canarySeq.values.max else 0.0
+    val medianCanary =
+      if (canarySeq.isEmpty) 0.0
+      else { val v = canarySeq.values.toSeq.sorted; v(v.size / 2) }
     val canaryFlagged =
       scala.collection.mutable.LinkedHashSet.empty[String]
     canaryBrackets.foreach { case (name, (pre, post)) =>
-      if (math.min(pre, post) < CanaryBand * bestCanary) {
+      if (math.min(pre, post) < CanaryBand * medianCanary) {
         canaryFlagged += name
         probeDirty += name
         if (!probeRedo.contains(name))
@@ -1417,7 +1458,7 @@ object Bench {
       while (!done && attempt < 3) {
         val (b, oc) = batchOf(once)
         if (spreadOf(b) <= 0.30 && oc <= CoLoadCores &&
-            canaryProbe(s"redeem_$name") >= CanaryBand * bestCanary) {
+            canaryProbe(s"redeem_$name") >= CanaryBand * medianCanary) {
           probeDirty -= name
           canaryFlagged -= name
           redeemed(name) = b(1)
@@ -1489,6 +1530,7 @@ object Bench {
       "x_dirty_probes" -> probeDirty.size.toDouble,
       "x_canary_probes" -> canarySeq.size.toDouble,
       "x_canary_best_mrows" -> bestCanary,
+      "x_canary_median_mrows" -> medianCanary,
       "x_canary_worst_mrows" ->
         (if (canarySeq.nonEmpty) canarySeq.values.min else -1.0),
       "x_canary_flagged" -> canaryFlagged.size.toDouble)
