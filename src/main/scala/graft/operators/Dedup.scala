@@ -501,10 +501,11 @@ object Dedup {
       .staged
     var round = 0
     var converged = false
+    var failed = true // any exit before the success flip releases labels
     // finally: a mid-loop exception (or the non-convergence throw below)
-    // must still unpersist the edge cache — and on the throw path the
-    // last labels checkpoint too — or the failure path leaks them back
-    // to ContextCleaner timing (round-12 ADVICE)
+    // must still unpersist the edge cache — and the in-flight labels
+    // checkpoint too — or the failure path leaks them back to
+    // ContextCleaner timing (round-12 ADVICE)
     try {
     while (round < maxRounds && !converged) {
       // candidate labels flowing across edges, then min per id (incl. own).
@@ -529,16 +530,17 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
-    if (!converged) {
-      graft.Checkpoints.release(labels)
-      throw new IllegalStateException(
-        s"dupClusters did not converge within maxRounds=$maxRounds: the " +
-          "pair graph holds a component of diameter > maxRounds, and a " +
-          "partial labeling would silently split dup clusters (every " +
-          "consumer assumes full collapse). Raise maxRounds — only " +
-          "unconverged rounds actually run.")
+    if (!converged) throw new IllegalStateException(
+      s"dupClusters did not converge within maxRounds=$maxRounds: the " +
+        "pair graph holds a component of diameter > maxRounds, and a " +
+        "partial labeling would silently split dup clusters (every " +
+        "consumer assumes full collapse). Raise maxRounds — only " +
+        "unconverged rounds actually run.")
+    failed = false
+    } finally {
+      edges.unpersist(blocking = false)
+      if (failed) graft.Checkpoints.release(labels)
     }
-    } finally edges.unpersist(blocking = false)
     labels
   }
 
