@@ -1435,22 +1435,23 @@ object Bench {
     // batch). Flag it dirty and send it to redemption; redemption
     // itself must now re-run under an IN-BAND canary, so a redeemed
     // number is one measured at host speed.
-    val CanaryBand = 0.4
+    // decision kernel lives in graft.bench.CanaryAttribution (pure,
+    // spec-tested) — Bench only wires measurements to verdicts
     val bestCanary =
       if (canarySeq.nonEmpty) canarySeq.values.max else 0.0
     val medianCanary =
       if (canarySeq.isEmpty) 0.0
-      else { val v = canarySeq.values.toSeq.sorted; v(v.size / 2) }
-    val canaryFlagged =
-      scala.collection.mutable.LinkedHashSet.empty[String]
-    canaryBrackets.foreach { case (name, (pre, post)) =>
-      if (math.min(pre, post) < CanaryBand * medianCanary) {
-        canaryFlagged += name
-        probeDirty += name
-        if (!probeRedo.contains(name))
-          probeOnce.get(name).foreach(o => probeRedo(name) = o)
-      }
+      else graft.bench.CanaryAttribution.median(canarySeq.values.toSeq)
+    val canaryFlagged = scala.collection.mutable.LinkedHashSet.empty[String]
+    canaryFlagged ++= graft.bench.CanaryAttribution.flagged(
+      canaryBrackets, canarySeq.values.toSeq)
+    canaryFlagged.foreach { name =>
+      probeDirty += name
+      if (!probeRedo.contains(name))
+        probeOnce.get(name).foreach(o => probeRedo(name) = o)
     }
+    val redemptionBar =
+      graft.bench.CanaryAttribution.redemptionBar(canarySeq.values.toSeq)
     val redeemed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     probeRedo.foreach { case (name, once) =>
       var attempt = 0
@@ -1458,7 +1459,7 @@ object Bench {
       while (!done && attempt < 3) {
         val (b, oc) = batchOf(once)
         if (spreadOf(b) <= 0.30 && oc <= CoLoadCores &&
-            canaryProbe(s"redeem_$name") >= CanaryBand * medianCanary) {
+            canaryProbe(s"redeem_$name") >= redemptionBar) {
           probeDirty -= name
           canaryFlagged -= name
           redeemed(name) = b(1)

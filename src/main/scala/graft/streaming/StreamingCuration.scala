@@ -294,9 +294,12 @@ object StreamingCuration {
       .staged)
     val droppedByStore = storePairs.select(col("new_id").as(idCol)).distinct()
     // in-batch representatives: component-min over verified batch pairs
-    val internalLosers = st.track(Dedup.dupClusters(internalPairs)
+    // track the LABELS frame (the checkpoint leaf dupClusters returns),
+    // not a derivation of it — release's single-owned-leaf contract
+    val internalLabels = st.track(Dedup.dupClusters(internalPairs))
+    val internalLosers = internalLabels
       .filter(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol)))
+      .select(col("id").as(idCol))
     val postNear = st.track(postSpan
       .join(internalLosers, Seq(idCol), "left_anti")
       .join(droppedByStore, Seq(idCol), "left_anti")
