@@ -144,4 +144,38 @@ class CheckpointsSpec extends SparkSpec {
     assert(ladderReliable === ladderLocal && ladderReliable.size === 8,
       "ladder output must be bit-identical across checkpoint routes")
   }
+
+  test("reliable route: streaming curateBatch folds identically to the local route") {
+    // the third heavy stage() user besides ANN and the ladder — the one
+    // a real cluster deployment runs for hours, where executor loss is
+    // WHEN, not if
+    val s2 = spark.newSession()
+    s2.sparkContext.setCheckpointDir(tmpPath("reliable_ckpt3"))
+    s2.conf.set(Checkpoints.ReliableConf, "true")
+    def fold(s: SparkSession, tag: String): Set[(Long, String)] = {
+      import s.implicits._
+      val store = tmpPath(s"reliable_cur_store_$tag")
+      val out = tmpPath(s"reliable_cur_out_$tag")
+      val b0 = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog today", "web"),
+        (2L, "exact duplicate content appearing in both batches here", "web"))
+        .toDF("doc_id", "text", "source")
+      val b1 = Seq(
+        (11L, "a fresh unique document about catalyst optimizer rules", "web"),
+        (12L, "exact duplicate content appearing in both batches here", "web"))
+        .toDF("doc_id", "text", "source")
+      val cfg = graft.streaming.StreamingCuration.Config()
+      graft.streaming.StreamingCuration.curateBatch(b0, store, None,
+        "doc_id", "text", cfg, batchId = 0L, outPath = Some(out))
+      graft.streaming.StreamingCuration.curateBatch(b1, store, None,
+        "doc_id", "text", cfg, batchId = 1L, outPath = Some(out))
+      s.read.parquet(out).select(col("doc_id"), col("split")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    }
+    val reliable = fold(s2, "rel")
+    val local = fold(spark, "loc")
+    assert(reliable === local && reliable.map(_._1) === Set(1L, 2L, 11L),
+      "two-batch curation fold must be route-invariant (doc 12 deduped " +
+        "against batch 0's persisted fingerprints on both routes)")
+  }
 }
