@@ -78,13 +78,24 @@ object Checkpoints {
     *     [[stage]]/`localCheckpoint`), never a derivation.
     *
     * No-op on reliably-checkpointed frames (file-backed — see [[stage]])
-    * and on plans with no `LogicalRDD` leaf. */
-  def release(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectLeaves().foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
+    * and on plans with no `LogicalRDD` leaf.
+    *
+    * Contract part 2 is ENFORCED: a plan with more than one `LogicalRDD`
+    * leaf (a join/union of checkpoints) fails HERE, at the call site,
+    * instead of silently freeing a sibling's blocks and failing far away
+    * on its next read. Every legitimate release target is the staging
+    * frame itself — a single-leaf plan. */
+  def release(df: DataFrame): Unit = {
+    val rddLeaves = df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
     }
+    require(rddLeaves.size <= 1,
+      s"Checkpoints.release: plan has ${rddLeaves.size} LogicalRDD leaves " +
+        "— releasing a frame that combines multiple checkpoints would free " +
+        "blocks a sibling frame still needs. Release each staged frame " +
+        "itself, not a derivation that joins/unions checkpoints.")
+    rddLeaves.foreach(_.rdd.unpersist(blocking = false): Unit)
+  }
 
   /** Try/finally companion for multi-stage operators: [[stage]] each
     * internal frame through the tracker, then `releaseAll()` in ONE

@@ -317,8 +317,14 @@ object Sampling {
     * verdict item 4). A negative weight would get a negative priority,
     * never be sampled, and silently bias the subset-sum estimate. Zero
     * weights are fine (sampled only once every positive weight is,
-    * estimator contribution 0 when τ=0); NULL weights pass through
-    * unguarded (they sort last and never enter the estimate).
+    * estimator contribution 0 when τ=0); NULL weights pass the guard but
+    * are FILTERED OUT before the top-k: a null weight means "no weight",
+    * and the DLT design has no place for it. (Without the filter, a
+    * population with fewer than k+1 non-null weights would let null rows
+    * pad the top-(k+1): the count===k+1 test in [[prioritySumEstimate]]
+    * then sets τ to the minimum NON-null priority instead of 0, and each
+    * padded null row contributes greatest(null, τ)=τ to the sum while
+    * inflating n_used — an upward bias. Round-13 ADVICE.)
     *
     * @return the top-(k+1) frame `(ps_key, ps_w, ps_prio)`, priority
     *         descending. Feed to [[prioritySumEstimate]]. */
@@ -334,6 +340,7 @@ object Sampling {
         "non-negative — a negative weight gets a negative priority, is " +
         "never sampled, and silently biases the subset-sum estimate"))
     df.select(key.as("ps_key"), when(guard.isNull, wRaw).as("ps_w"))
+      .filter(col("ps_w").isNotNull)
       .withColumn("ps_prio", col("ps_w") * lit(m.toDouble) / h)
       .orderBy(col("ps_prio").desc, col("ps_key").asc)
       .limit(k + 1)

@@ -294,8 +294,9 @@ object StreamingCuration {
       .staged)
     val droppedByStore = storePairs.select(col("new_id").as(idCol)).distinct()
     // in-batch representatives: component-min over verified batch pairs
-    // track the LABELS frame (the checkpoint leaf dupClusters returns),
-    // not a derivation of it — release's single-owned-leaf contract
+    // track the frame dupClusters returns — a PROJECTION over its final
+    // staged frame, already eagerly checkpointed (so no re-stage), and
+    // single-leaf, so release's owned-leaf contract holds on it directly
     val internalLabels = st.track(Dedup.dupClusters(internalPairs))
     val internalLosers = internalLabels
       .filter(col("id") =!= col("cluster"))
@@ -514,19 +515,27 @@ object StreamingCuration {
       .join(readRetractions(spark, storePath), Seq("id"), "left_anti")
     // full labeling retained: the star fold below needs EVERY node's
     // component, including dropped docs (their edges are the chain
-    // evidence) — the kept filter applies only to the retraction rule
-    val labels = Dedup.dupClusters(pairs).staged
-    val keptClusters = labels.join(effectiveKept, Seq("id"), "left_semi")
-    val reps = keptClusters.groupBy(col("cluster"))
-      .agg(min(col("id")).as("__rep"))
-    val losers = keptClusters.join(reps, "cluster")
-      .filter(col("id") =!= col("__rep")).select(col("id"))
-      .staged
-    // record FIRST (tombstones are the correctness-bearing output; the
-    // edge fold is an equivalent rewrite and can lag a crash)
-    if (!losers.isEmpty) recordRetractions(spark, storePath, losers, upToBatch)
-    if (compactPairs) foldDupPairs(spark, storePath, labels, upToBatch)
-    losers
+    // evidence) — the kept filter applies only to the retraction rule.
+    // dupClusters' result is ALREADY eagerly checkpointed (a projection
+    // over its final staged frame — re-staging it here would write a
+    // second copy and leave the first to ContextCleaner timing, the
+    // accumulate-until-GC class this module closes elsewhere); track it
+    // so the blocks are freed once both consumers below materialized
+    val st = new graft.Checkpoints.Staging
+    try {
+      val labels = st.track(Dedup.dupClusters(pairs))
+      val keptClusters = labels.join(effectiveKept, Seq("id"), "left_semi")
+      val reps = keptClusters.groupBy(col("cluster"))
+        .agg(min(col("id")).as("__rep"))
+      val losers = keptClusters.join(reps, "cluster")
+        .filter(col("id") =!= col("__rep")).select(col("id"))
+        .staged
+      // record FIRST (tombstones are the correctness-bearing output; the
+      // edge fold is an equivalent rewrite and can lag a crash)
+      if (!losers.isEmpty) recordRetractions(spark, storePath, losers, upToBatch)
+      if (compactPairs) foldDupPairs(spark, storePath, labels, upToBatch)
+      losers
+    } finally st.releaseAll()
   }
 
   /** Fold every committed `batch=<id>` delta with `0 <= id < upToBatch`,

@@ -53,9 +53,10 @@ object LadderProbe {
       val sec = (System.nanoTime() - t0) / 1e9
       // drain the async listener bus before reading the counter — a fixed
       // sleep under-reports when late onTaskEnd events land after it on a
-      // loaded machine (round-12 ADVICE)
+      // loaded machine (round-12 ADVICE); bounded wait so a deep backlog
+      // degrades to a warned under-report, not a crashed probe run
       org.apache.spark.graftshim.ListenerShim
-        .waitUntilListenerBusEmpty(spark.sparkContext)
+        .waitUntilListenerBusEmpty(spark.sparkContext): Unit
       val heap1 = rt.totalMemory() - rt.freeMemory()
       println(f"[ladderprobe] run=$i groups=$groups rows_per_group=" +
         f"$rowsPerGroup n=$n out_rows=$rows sec=$sec%.2f " +

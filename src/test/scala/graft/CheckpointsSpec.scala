@@ -73,6 +73,30 @@ class CheckpointsSpec extends SparkSpec {
     assert(df.count() === 89)
   }
 
+  test("release refuses a multi-leaf plan (join of two checkpoints) at the call site") {
+    val a = Checkpoints.stage(spark.range(0, 1000).toDF("id"))
+    val b = Checkpoints.stage(
+      spark.range(0, 1000).toDF("id").withColumn("x", col("id") * 2))
+    val joined = a.join(b, "id")
+    val e = intercept[IllegalArgumentException] { Checkpoints.release(joined) }
+    assert(e.getMessage.contains("LogicalRDD leaves"),
+      s"multi-leaf release must fail loudly, got: ${e.getMessage}")
+    // neither side was touched: both remain readable, then clean up
+    assert(a.count() === 1000L && b.count() === 1000L)
+    Checkpoints.release(a)
+    Checkpoints.release(b)
+  }
+
+  test("release accepts a single-leaf PROJECTION over a checkpoint (the dupClusters shape)") {
+    val staged = Checkpoints.stage(
+      spark.range(0, 50000).toDF("id").withColumn("cluster", col("id") / 10))
+    val projection = staged.select(col("id"), col("cluster"))
+    val id = leafRddIds(staged).head
+    Checkpoints.release(projection) // single leaf — the owned-leaf contract holds
+    assert(!persistentIds(spark).contains(id),
+      "releasing a projection must free the underlying checkpoint's blocks")
+  }
+
   test("Staging tracker releases every tracked frame in one call") {
     val st = new Checkpoints.Staging
     val a = st.stage(spark.range(0, 50000).toDF("id"))

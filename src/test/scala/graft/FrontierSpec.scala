@@ -90,7 +90,7 @@ class FrontierSpec extends SparkSpec {
       s"expected the named contract error, got: $e")
   }
 
-  test("priority sample: NULL weights pass the guard and sort last") {
+  test("priority sample: NULL weights pass the guard and are filtered out of the top-k") {
     val withNulls = li.withColumn("__w",
       when(col("l_linenumber") === 1, lit(null).cast("double"))
         .otherwise(col("l_extendedprice")))
@@ -99,7 +99,34 @@ class FrontierSpec extends SparkSpec {
       col("__w"), k = 50).collect()
     assert(top.length == 51)
     assert(top.forall(!_.isNullAt(1)),
-      "null-weight rows must never outrank real priorities")
+      "null-weight rows must never enter the sample")
+  }
+
+  test("priority sample: null rows cannot pad a small top-(k+1) and bias the estimate upward") {
+    // fewer non-null weights than k+1, plus many null-weight rows: before
+    // the round-13 ADVICE fix, nulls padded the top-(k+1) so count===k+1
+    // set tau to the min NON-null priority (instead of 0) and every padded
+    // null row contributed greatest(null, tau)=tau to the sum while
+    // inflating n_used — the estimate must instead degenerate to the EXACT
+    // sum of the non-null weights (exhaustive sample, tau=0)
+    val k = 100
+    val mostlyNull = li.limit(500).withColumn("__w",
+      when(col("l_linenumber") === 1, col("l_extendedprice"))
+        .otherwise(lit(null).cast("double")))
+    val nNonNull = mostlyNull.filter(col("__w").isNotNull).count()
+    assert(nNonNull > 0 && nNonNull < k + 1,
+      s"fixture must have fewer non-null weights than k+1, got $nNonNull")
+    val top = Sampling.prioritySample(mostlyNull,
+      col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L),
+      col("__w"), k = k)
+    val est = Sampling.prioritySumEstimate(top, k = k).collect()(0)
+    val exact = mostlyNull.filter(col("__w").isNotNull)
+      .agg(sum(round(col("__w"), 4).cast("decimal(28,4)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(est.getLong(1) == nNonNull,
+      s"n_used must count only non-null-weight rows: ${est.getLong(1)} vs $nNonNull")
+    assert(math.abs(est.getDouble(0) - exact) < 1e-6,
+      s"estimate must equal the exact non-null sum: ${est.getDouble(0)} vs $exact")
   }
 
   test("priority estimator: k >= N degenerates to the exact sum (tau = 0)") {
