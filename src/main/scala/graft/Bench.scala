@@ -128,33 +128,8 @@ object Bench {
 
     val headline = Inventory.all.filter(_.headline)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // session warm-up, discarded: the FIRST headline query otherwise pays
-    // one-time session costs (janino codegen compiler init, parquet footer
-    // cache, JIT tiers) partly inside its measured batch — r7 recorded q01
-    // 0.35→0.60 s purely from probe ordering (round-7 verdict item 5)
-    headline.headOption.foreach { q =>
-      (1 to 2).foreach { _ =>
-        try { q.run(spark, sfDir).collect(): Unit }
-        catch { case _: Throwable => () }
-      }
-    }
-    val results = headline.map { q =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        q.run(spark, sfDir).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t = try {
-        once() // warmup
-        stableMedian(q.name, () => once())
-      } catch {
-        case e: Throwable =>
-          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\n\\r\\t]", " ").take(200)
-          -1.0
-      }
-      q.name -> t
-    }
+    // (the headline loop itself runs AFTER the canary machinery below, so
+    // its lanes ride a bracket like every other group — round-14)
     // Scale probe at reference-baseline size (BASELINE.md: 10M-row SUM,
     // 5.123 s exact, up to 234x claimed sampled speedup): union the sf
     // lineitem 10x (~6M rows at sf0.1) and compare a full exact SUM against
@@ -221,14 +196,53 @@ object Bench {
       finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
     var canaryPending: (Seq[String], Double) = null
-    def canaryPre(lanes: String*): Unit =
+    def canaryPre(lanes: String*): Unit = {
+      // a silent overwrite here would DROP a bracket if a pre/post pairing
+      // is ever missed — fail at the mispaired call site (round-13 ADVICE)
+      require(canaryPending == null,
+        s"canaryPre(${lanes.head}) called with an unflushed bracket for " +
+          s"${canaryPending._1.mkString(",")} — missing canaryPost()")
       canaryPending = (lanes.toSeq, canaryProbe("pre_" + lanes.head))
+    }
     def canaryPost(): Unit = if (canaryPending != null) {
       val post = canaryProbe("post_" + canaryPending._1.head)
       canaryPending._1.foreach(n =>
         canaryBrackets(n) = (canaryPending._2, post))
       canaryPending = null
     }
+    // headline queries, bracketed as one group (their lanes are cheap —
+    // per-lane probes would cost more than the lanes; round-14)
+    // session warm-up, discarded: the FIRST headline query otherwise pays
+    // one-time session costs (janino codegen compiler init, parquet footer
+    // cache, JIT tiers) partly inside its measured batch — r7 recorded q01
+    // 0.35→0.60 s purely from probe ordering (round-7 verdict item 5)
+    headline.headOption.foreach { q =>
+      (1 to 2).foreach { _ =>
+        try { q.run(spark, sfDir).collect(): Unit }
+        catch { case _: Throwable => () }
+      }
+    }
+    canaryPre(headline.map(_.name): _*)
+    val results = headline.map { q =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.run(spark, sfDir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = try {
+        once() // warmup
+        stableMedian(q.name, () => once())
+      } catch {
+        case e: Throwable =>
+          errors(q.name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\n\\r\\t]", " ").take(200)
+          -1.0
+      }
+      q.name -> t
+    }
+    canaryPost()
+    canaryPre("x10_exact_sum_sec", "x10_sys10_sum_sec",
+      "x10_filesample10_sum_sec")
     val tExact = timeMedian("x10_exact_sum_sec") {
       li10f.agg(sum(col("l_extendedprice"))).collect(): Unit
     }
@@ -243,6 +257,7 @@ object Bench {
       fileSf.df.agg(sum(col("l_extendedprice")) * lit(fileSf.scaleFactor))
         .collect(): Unit
     }
+    canaryPost()
     // estimator accuracy at the same 10% fractions (the reference claims
     // 95.8–99.96% across its sampling configs — this is the measured
     // comparable, not a simulation)
@@ -299,11 +314,19 @@ object Bench {
         .collect(): Unit
     val (kLo, kHi) = (maxKey / 2, maxKey / 2 + maxKey / 100)    // ~1% band
     val (pLo, pHi) = (maxPart / 2, maxPart / 2 + maxPart / 100) // ~1% band
+    // one bracket per CHEAP group (round-13 verdict item 3: the r13 driver
+    // stamp carried x_layout_clustered_sec 5.88 — a mid-run dip on an
+    // unbracketed lane, stamping a nonsense 0.109 "speedup" unflagged);
+    // per-lane probes would cost more than these sub-second lanes
+    canaryPre("x_layout_scattered_sec", "x_layout_clustered_sec",
+      "x_zorder_keyband_sec", "x_linear_partband_sec",
+      "x_zorder_partband_sec")
     val tScanScattered = timeMedian("x_layout_scattered_sec")(bandScan(liScattered, "l_orderkey", kLo, kHi))
     val tScanClustered = timeMedian("x_layout_clustered_sec")(bandScan(liClustered, "l_orderkey", kLo, kHi))
     val tZorderKey = timeMedian("x_zorder_keyband_sec")(bandScan(liZorder, "l_orderkey", kLo, kHi))
     val tLinearPart = timeMedian("x_linear_partband_sec")(bandScan(liClustered, "l_partkey", pLo, pHi))
     val tZorderPart = timeMedian("x_zorder_partband_sec")(bandScan(liZorder, "l_partkey", pLo, pHi))
+    canaryPost()
     // Hive-style directory partitioning by ship month: pruning happens at
     // PLANNING time from the directory listing (PartitionFilters — zero
     // footers read for excluded months), the coarse complement of the
@@ -325,11 +348,13 @@ object Bench {
       df.filter(cond).agg(count(lit(1)),
         sum(xxhash64(col("l_orderkey"), col("l_extendedprice"), col("l_shipdate"))
           .cast("decimal(38,0)"))).collect(): Unit
+    canaryPre("x_hivepart_pruned_sec", "x_hivepart_scattered_sec")
     val tMonthPruned = timeMedian("x_hivepart_pruned_sec")(monthHash(liMonth,
       col("ship_month") === "1998-06"))
     val tMonthScattered = timeMedian("x_hivepart_scattered_sec")(monthHash(liScattered,
       col("l_shipdate") >= lit("1998-06-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-07-01").cast("timestamp")))
+    canaryPost()
     // Parquet BLOOM-FILTER point-lookup probe at 60 M rows, on a SYNTHETIC
     // scattered 64-bit content key. The fixture's natural keys are DENSE
     // (1..150k, every in-range value exists somewhere — the first cut of
@@ -365,12 +390,21 @@ object Bench {
           sum(xxhash64(col("uid"), col("l_extendedprice"))
             .cast("decimal(38,0)")))
         .collect(): Unit
+    canaryPre("x_bloom_plain_sec", "x_bloom_filtered_sec")
     val tBloomPlain = timeMedian("x_bloom_plain_sec")(pointLookup(liUidPlain))
     val tBloomFiltered = timeMedian("x_bloom_filtered_sec")(pointLookup(liUidBloom))
+    canaryPost()
     // embedding near-dup over the full embeddings fixture: exercises the
     // native vec_dot codegen kernel (signature + verify) through the
     // multi-table LSH bucket-collect path
     val emb = Tables.embeddings(spark, sfDir)
+    // embed + ANN lanes: one bracket across the group (the recall/bytes
+    // computations interleaved between the timed lanes are untimed and
+    // ride inside the same window)
+    canaryPre("x_embed_neardup_sec", "x_ann_ivf_sec", "x_ann_ivf_int8_sec",
+      "x_ann_index_build_sec", "x_ann_index_search_sec",
+      "x_ann_index8_build_sec", "x_ann_index8_search_sec",
+      "x_ann_index_maint_cycle_sec", "x_ann_index_retrain_sec")
     val tEmbedDedup = timeMedian("x_embed_neardup_sec") {
       graft.operators.Ann.cosineNearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.4).count(): Unit
@@ -460,6 +494,7 @@ object Bench {
     val tIndexRetrain = timeMedian("x_ann_index_retrain_sec") {
       graft.operators.Ann.retrainIvfIndex(spark, ivfIndexPath): Unit
     }
+    canaryPost()
     // the SCALE claim behind targeted deletes is bytes-rewritten ∝
     // touched lists, not local wall-clock (at fixture size every
     // maintenance shape is job-overhead-bound, and a UNIFORM id slice
@@ -584,6 +619,7 @@ object Bench {
     // cost is actually visible; at 100 TB the orders side is far past any
     // broadcast threshold and this IS the plan that matters).
     val orders = Tables.orders(spark, sfDir)
+    canaryPre("x_join_plain_sec", "x_join_bucketed_sec")
     val (tJoinPlain, tJoinBucketed) = {
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -628,9 +664,15 @@ object Bench {
         plainOnce(); bucketedOnce()
         val pairs = Seq.fill(5)((plainOnce(), bucketedOnce()))
         val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
+        // interleaved machinery, not stableMedian — register conf-scoped
+        // thunks so a canary-flagged lane has a redemption path that
+        // measures the SAME no-broadcast plan (round-14)
+        probeOnce("x_join_plain_sec") = () => noBroadcast(plainOnce())
+        probeOnce("x_join_bucketed_sec") = () => noBroadcast(bucketedOnce())
         (med(pairs.map(_._1)), med(pairs.map(_._2)))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+    canaryPost()
     // Universe-join-sampling probe: sampling THROUGH the join. Both sides
     // filtered to the same 10% hash band of the join key (JoinSampling) —
     // the one sampling design whose joined SUM is unbiased at ×10 — vs
@@ -639,6 +681,7 @@ object Bench {
     // predicate shrinks 10× on BOTH sides (an independent per-row design
     // could thin only one side without bias). Interleaved pairs so load
     // drift hits both equally.
+    canaryPre("x_unijoin_exact_sec", "x_unijoin_sampled_sec")
     val (tUniExact, tUniSampled, uniAccPct) = {
       val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -664,10 +707,14 @@ object Bench {
         val med = (xs: Seq[Double]) => xs.sorted.apply(xs.size / 2)
         val exactV = sumOf(li10f, ordSel, 1.0)
         val estV = sumOf(us.left, us.right, us.scaleFactor)
+        // conf-scoped redemption thunks — same reason as unijoin60
+        probeOnce("x_unijoin_exact_sec") = () => noBroadcast(exactOnce())
+        probeOnce("x_unijoin_sampled_sec") = () => noBroadcast(sampledOnce())
         (med(pairs.map(_._1)), med(pairs.map(_._2)),
           100.0 * (1.0 - math.abs(estV - exactV) / exactV))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
     }
+    canaryPost()
     // Priority-sampling probe: the top-(k+1)-by-priority selection as
     // TakeOrderedAndProject (per-partition bounded heaps — what
     // Sampling.prioritySample emits) vs the naive expression of the same
@@ -717,8 +764,14 @@ object Bench {
     // the identical query with that rule EXCLUDED is the plan every
     // pre-3.5 engine runs, single-partition-sorting all 60 M rows. One
     // run for the demo leg (it is the point, not the fight).
-    canaryPre("x_priority60_topk_sec", "x_priority60_sort_sec",
-      "x_priority60_sort_nolimit_sec")
+    // the nolimit DEMO leg is deliberately outside the bracket: it is a
+    // one-shot (~2 min single run of a deliberately-terrible plan) whose
+    // value supports a qualitative claim — the excluded-rule plan dies at
+    // 60 M rows — that no host dip can flip (112 s vs ~0.5 s); bracketing
+    // it without a redemption thunk would leave it permanently dirty when
+    // flagged, and a 3-run redemption batch would cost ~6 min for nothing
+    // (round-13 ADVICE)
+    canaryPre("x_priority60_topk_sec", "x_priority60_sort_sec")
     val (tPrio60Topk, tPrio60Sort, tPrio60SortNoLimit) = {
       import org.apache.spark.sql.expressions.Window
       val pw = col("l_extendedprice")
@@ -900,6 +953,8 @@ object Bench {
       // overhead-bound and the rewrite honestly buys nothing locally
       val qHi = "SELECT COUNT(DISTINCT l_orderkey * 8 + l_linenumber) " +
         "AS d FROM lineitem"
+      canaryPre("x_cd_exact_sec", "x_cd_hicard_exact_sec",
+        "x_cd_hll_sec", "x_cd_hicard_hll_sec")
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
       val exactV = spark.sql(q).first.getLong(0)
       val tEx = timeMedian("x_cd_exact_sec") { spark.sql(q).collect(): Unit }
@@ -909,6 +964,25 @@ object Bench {
       val tAp = timeMedian("x_cd_hll_sec") { spark.sql(q).collect(): Unit }
       val tHiAp = timeMedian("x_cd_hicard_hll_sec") { spark.sql(qHi).collect(): Unit }
       spark.conf.set("spark.graft.approx.countDistinct.enabled", "false")
+      canaryPost()
+      // conf-scoped redemption thunks: these lanes measure under a
+      // per-leg toggle that end-of-run redemption would not see — the
+      // HLL lanes would redeem against the EXACT plan (and vice versa),
+      // the unijoin60-0.49 failure class with the sign flipped
+      def cdScoped(enabled: Boolean, sql: String): () => Double = () => {
+        val k = "spark.graft.approx.countDistinct.enabled"
+        val savedCd = spark.conf.get(k)
+        spark.conf.set(k, enabled.toString)
+        try {
+          val t0 = System.nanoTime()
+          spark.sql(sql).collect(): Unit
+          (System.nanoTime() - t0) / 1e9
+        } finally spark.conf.set(k, savedCd)
+      }
+      probeOnce("x_cd_exact_sec") = cdScoped(enabled = false, q)
+      probeOnce("x_cd_hicard_exact_sec") = cdScoped(enabled = false, qHi)
+      probeOnce("x_cd_hll_sec") = cdScoped(enabled = true, q)
+      probeOnce("x_cd_hicard_hll_sec") = cdScoped(enabled = true, qHi)
       (tEx, tAp, 100.0 * math.abs(apxV - exactV).toDouble / exactV,
         tHiEx, tHiAp)
     }
@@ -920,6 +994,7 @@ object Bench {
     val docsAll = Tables.documents(spark, sfDir)
     val evalSet = docsAll.filter(pmod(col("doc_id"), lit(97L)) === 0)
       .select(col("doc_id"), col("text"))
+    canaryPre("x_pipeline_sec")
     val tPipeline = timeMedian("x_pipeline_sec") {
       graft.operators.CurationPipeline.run(docsAll, Some(evalSet),
         "doc_id", "text", "source",
@@ -927,6 +1002,7 @@ object Bench {
           modelFilterMinMarginCents = Some(-1000L)))
         .agg(count(lit(1))).collect(): Unit
     }
+    canaryPost()
     // per-stage attribution for the same flow (one staged run: each stage
     // persisted + counted, so a regression in x_pipeline_sec is traceable
     // to a stage; stages sum to ≈ the fused total + materialization cost)
@@ -958,16 +1034,45 @@ object Bench {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("batch",
         org.apache.spark.sql.types.LongType)))
-    def stateRead(): Unit = spark.read.schema(stateSchema)
-      .parquet(s"$statePath/fingerprints")
+    def stateReadAt(p: String): Unit = spark.read.schema(stateSchema)
+      .parquet(s"$p/fingerprints")
       .filter(col("batch") =!= lit(50L))
       .agg(count(col("fp"))).collect(): Unit
+    def stateRead(): Unit = stateReadAt(statePath)
+    canaryPre("x_state_read_50deltas_sec", "x_state_read_compacted_sec")
     val tState50 = timeMedian("x_state_read_50deltas_sec") { stateRead() }
+    // compactState is a ONE-WAY mutation of the live dir — keep a byte
+    // copy of the 50-delta layout so a flagged 50-delta lane still has a
+    // redemption path that measures the same small-files shape (without
+    // it the lane would redeem against the COMPACTED layout: too-fast,
+    // the unijoin60-0.49 class)
+    val statePreCompact = statePath + "_precompact"
+    locally {
+      val src = java.nio.file.Paths.get(statePath)
+      val dst = java.nio.file.Paths.get(statePreCompact)
+      if (java.nio.file.Files.exists(dst)) {
+        java.nio.file.Files.walk(dst)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      java.nio.file.Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t): Unit
+        else java.nio.file.Files.copy(p, t): Unit
+      }
+    }
+    probeOnce("x_state_read_50deltas_sec") = () => {
+      val t0 = System.nanoTime()
+      stateReadAt(statePreCompact)
+      (System.nanoTime() - t0) / 1e9
+    }
     graft.streaming.StreamingCuration.compactState(spark, statePath,
       upToBatch = 50L)
     val tStateCompacted = timeMedian("x_state_read_compacted_sec") {
       stateRead()
     }
+    canaryPost()
     // Storage-pressure stamp for the dedup10x lanes (round-12 root-cause
     // instrumentation): cached RDD blocks/bytes accumulated by the
     // preceding lanes' localCheckpoints at the moment the heaviest dedup
@@ -1048,6 +1153,42 @@ object Bench {
         threshold = 0.8).count(): Unit
     }
     canaryPost()
+    // Reliable-checkpoint route at bench scale (round-13 verdict item 4):
+    // the same nearDupPairs flow on the 10× corpus with every staging
+    // site routed to file-backed checkpoint() instead of
+    // localCheckpoint(true) — the 100 TB fault-tolerance posture priced
+    // as a measured ratio against x_dedup10x_pairs_sec, not argued from
+    // frame sizes. The checkpoint dir is wiped before every timed run
+    // (reliable files are cleaned by ContextCleaner only under a
+    // non-default conf, and release() no-ops on the reliable route by
+    // design) so accumulation never rides inside a later measurement.
+    val relCkptDir = s"/tmp/graft_bench_relckpt_$sfTag"
+    def reliablePairsOnce(): Double = {
+      val dir = java.nio.file.Paths.get(relCkptDir)
+      if (java.nio.file.Files.exists(dir)) {
+        java.nio.file.Files.walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      val savedDir = spark.sparkContext.getCheckpointDir
+      spark.sparkContext.setCheckpointDir(relCkptDir)
+      spark.conf.set(graft.Checkpoints.ReliableConf, "true")
+      try {
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.nearDupPairs(docs10, "doc_id", "text",
+          threshold = 0.8).count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      } finally {
+        spark.conf.unset(graft.Checkpoints.ReliableConf)
+        savedDir.foreach(spark.sparkContext.setCheckpointDir)
+      }
+    }
+    canaryPre("x_reliable_ckpt_pairs_sec")
+    val tReliablePairs = {
+      reliablePairsOnce() // warmup
+      stableMedian("x_reliable_ckpt_pairs_sec", () => reliablePairsOnce())
+    }
+    canaryPost()
     // Size-ratio pre-prune probe, in the regime the prune EXISTS for
     // (round-10 verdict item 3: the first fixture — short docs, twins at
     // 1/3 length colliding w.p. ~18% — stamped the prune net-NEGATIVE in
@@ -1074,6 +1215,7 @@ object Bench {
             greatest(lit(1), size(split(col("text"), " ")) * 7 / 10)))
             .as("text")))
     }
+    canaryPre("x_sizeprune_off_sec", "x_sizeprune_on_sec")
     val tSizePruneOff = timeMedian("x_sizeprune_off_sec") {
       graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
         threshold = 0.8, sizePrune = false).count(): Unit
@@ -1082,6 +1224,7 @@ object Bench {
       graft.operators.Dedup.nearDupPairs(docsHet, "doc_id", "text",
         threshold = 0.8, sizePrune = true).count(): Unit
     }
+    canaryPost()
     // The prune's real currency is exchange BYTES in the regime where the
     // verify joins are SORT-MERGE — at fixture scale the candidate side
     // broadcasts and the hash arrays never enter a shuffle at all (first
@@ -1119,6 +1262,8 @@ object Bench {
     // Exact duplicated-span removal over the full documents fixture —
     // the q180 workload as a wall-clock trend line (gram vocab exchange +
     // broadcast dup set + per-doc reassembly)
+    canaryPre("x_spandedup_sec", "x_spandedup10x_sec", "x_winnow_sec",
+      "x_pipeline_withspan_sec")
     val tSpanDedup = timeMedian("x_spandedup_sec") {
       graft.operators.Dedup.removeDuplicatedSpans(docsAll, "doc_id", "text",
           k = 8)
@@ -1150,6 +1295,7 @@ object Bench {
           modelFilterMinMarginCents = Some(-1000L), spanDedupK = Some(8)))
         .agg(count(lit(1))).collect(): Unit
     }
+    canaryPost()
     // q20's star-join plan at 60 M fact rows (the li100 fixture): pruned
     // dims broadcast, fact scans once into partial agg — the scale trend
     // for the most expensive gated join query
@@ -1178,6 +1324,7 @@ object Bench {
     // small multiple, nowhere near 50×; the alternative B-resample design
     // would be)
     val liKeyB = col("l_orderkey") * lit(8191L) + col("l_linenumber") * lit(131L)
+    canaryPre("x_bootstrap_plain_sec", "x_bootstrap_sec")
     val tPlainSum = timeMedian("x_bootstrap_plain_sec") {
       li.filter(pmod(liKeyB, lit(10L)) === 0)
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))).collect(): Unit
@@ -1187,6 +1334,7 @@ object Bench {
         col("l_extendedprice").cast("decimal(18,2)"), liKeyB, step = 10L,
         replicas = 50).collect(): Unit
     }
+    canaryPost()
     // COLD-cache layout probes (round-5 item: the z-order ratio flipped
     // 32.7× → 3.6× purely from page-cache warmth — record both regimes so
     // that flip never needs re-explaining). Cold = page cache dropped via
@@ -1208,6 +1356,15 @@ object Bench {
         w.write("1"); w.close()
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       })
+    // bracket only when the cold lanes actually run (coldMedian returns
+    // -1 without registering a thunk when drop_caches is unavailable —
+    // an unconditional bracket would then name unredeemable lanes). The
+    // bracketing canary probes pay one cold re-warm of li10f inside
+    // canaryProbe's untimed warm-up run — measured values stay warm.
+    if (dropCachesOk) canaryPre("x_zorder_partband_cold_sec",
+      "x_linear_partband_cold_sec", "x_hivepart_pruned_cold_sec",
+      "x_hivepart_scattered_cold_sec", "x_bloom_plain_cold_sec",
+      "x_bloom_filtered_cold_sec")
     val tZorderPartCold = coldMedian("x_zorder_partband_cold_sec")(
       bandScan(liZorder, "l_partkey", pLo, pHi))
     val tLinearPartCold = coldMedian("x_linear_partband_cold_sec")(
@@ -1225,6 +1382,7 @@ object Bench {
       pointLookup(liUidPlain))
     val tBloomFilteredCold = coldMedian("x_bloom_filtered_cold_sec")(
       pointLookup(liUidBloom))
+    if (dropCachesOk) canaryPost()
     // Grouped adaptive ladder AT its 10⁶-group contract ceiling (round-10
     // verdict item 8: maxGroups was lifted 10⁴ → 10⁶ and spec'd at 10⁵;
     // this stamps the ceiling itself with a measurement). Synthetic
@@ -1295,6 +1453,12 @@ object Bench {
       "x_winnow_sec" -> tWinnow,
       "x_pipeline_withspan_sec" -> tPipelineSpan,
       "x_q20_60m_sec" -> tQ20at60m,
+      "x_reliable_ckpt_pairs_sec" -> tReliablePairs,
+      // the measured price of executor-loss recoverability on the
+      // heaviest staging user (round-13 verdict item 4)
+      "x_reliable_ckpt_overhead" ->
+        (if (tDedup10Pairs > 0) tReliablePairs / tDedup10Pairs else -1.0),
+      "x_bootstrap_plain_sec" -> tPlainSum,
       "x_bootstrap_sec" -> tBootstrap,
       "x_bootstrap_vs_plain_sum" ->
         (if (tPlainSum > 0) tBootstrap / tPlainSum else -1.0),
@@ -1450,19 +1614,65 @@ object Bench {
       if (!probeRedo.contains(name))
         probeOnce.get(name).foreach(o => probeRedo(name) = o)
     }
+    // bench self-defense invariants (round-13 verdict items 1-2): every
+    // redeemable lane is bracket-covered (an unbracketed lane can stamp a
+    // dipped value unflagged — r13's x_layout_speedup 0.109), and every
+    // bracketed lane has a redemption thunk (a flag with no redemption
+    // path is permanently dirty by construction). Errored lanes never
+    // registered a thunk and are excused — their value is -1 with the
+    // error recorded, not a number anyone can quote.
+    locally {
+      val unbracketed =
+        probeOnce.keySet -- canaryBrackets.keySet -- errors.keySet
+      require(unbracketed.isEmpty,
+        s"bench invariant: redeemable lanes without a canary bracket: " +
+          unbracketed.mkString(", "))
+      val unredeemable =
+        canaryBrackets.keySet -- probeOnce.keySet -- errors.keySet
+      require(unredeemable.isEmpty,
+        s"bench invariant: bracketed lanes without a redemption thunk: " +
+          unredeemable.mkString(", "))
+    }
     val redemptionBar =
       graft.bench.CanaryAttribution.redemptionBar(canarySeq.values.toSeq)
+    // the lane's in-run (flagged) values, for the plausibility window
+    val origVals: Map[String, Double] = (results ++ extra).toMap
     val redeemed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    probeRedo.foreach { case (name, once) =>
+    val redemptionRejected =
+      scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    probeRedo.foreach { case (name, registeredAtDirtyTime) =>
+      // ALWAYS redeem through the LATEST registration: stableMedian
+      // registers its plain thunk into probeRedo the moment a lane goes
+      // dirty in place, BEFORE the lane's conf-scoped re-registration
+      // runs — r13's official stamp redeemed x_unijoin60_exact_sec
+      // through that stale closure, measured a broadcast-eligible plan,
+      // and stamped an impossible 0.49 s for a 60 M-row shuffle join
+      // (root-caused in tools/RedemptionProbe; round-14). probeOnce is
+      // updated by every re-registration; probeRedo is not.
+      val once = probeOnce.getOrElse(name, registeredAtDirtyTime)
+      val flaggedVal = origVals.getOrElse(name, -1.0)
+      val bracketMin = canaryBrackets.get(name)
+        .map(b => math.min(b._1, b._2)).getOrElse(medianCanary)
       var attempt = 0
       var done = false
       while (!done && attempt < 3) {
         val (b, oc) = batchOf(once)
+        val redeemCanary = canaryProbe(s"redeem_$name")
         if (spreadOf(b) <= 0.30 && oc <= CoLoadCores &&
-            canaryProbe(s"redeem_$name") >= redemptionBar) {
-          probeDirty -= name
-          canaryFlagged -= name
-          redeemed(name) = b(1)
+            redeemCanary >= redemptionBar) {
+          // the host was healthy — now the VALUE must be plausible too:
+          // a redeemed number outside the window derived from the
+          // flagged measurement and the observed dip is measuring the
+          // wrong thing (plan, warm state, or leg mix-up); keep the
+          // flag rather than stamp it (round-13 verdict item 1)
+          if (graft.bench.CanaryAttribution.plausibleRedemption(
+              flaggedVal, bracketMin, redeemCanary, b(1))) {
+            probeDirty -= name
+            canaryFlagged -= name
+            redeemed(name) = b(1)
+          } else {
+            redemptionRejected(name) = b(1)
+          }
           done = true
         } else if (oc > CoLoadCores) Thread.sleep(15000)
         attempt += 1
@@ -1472,8 +1682,14 @@ object Bench {
       k -> redeemed.getOrElse(k, v) }
     val m = scala.collection.mutable.LinkedHashMap(extra: _*)
     redeemed.foreach { case (k, v) => if (m.contains(k)) m(k) = v }
-    // (ratio metric, numerator, denominator) — recomputed when any base
-    // probe was redeemed; ratio = num / den
+    // (ratio metric, numerator, denominator); ratio = num / den. The
+    // recompute below runs UNCONDITIONALLY over the final bases, so a
+    // redeemed base can never leave a stale derived ratio — the r13
+    // official stamp printed exact 0.49 / sampled 0.30 / "speedup"
+    // 0.7439, an internally inconsistent triple, because this table was
+    // missing eight entries (round-13 verdict item 2). COMPLETENESS IS
+    // ASSERTED: every x_* metric whose name encodes a ratio must appear
+    // here (see the require below the table).
     val ratioDefs = Seq(
       ("x_bootstrap_vs_plain_sum", "x_bootstrap_sec", "x_bootstrap_plain_sec"),
       ("x_cd_rewrite_speedup", "x_cd_exact_sec", "x_cd_hll_sec"),
@@ -1485,6 +1701,8 @@ object Bench {
         "x_ann_index_search_sec"),
       ("x_ann_index8_search_speedup", "x_ann_index_search_sec",
         "x_ann_index8_search_sec"),
+      ("x_ann_index_maint_vs_rebuild", "x_ann_index_build_sec",
+        "x_ann_index_maint_cycle_sec"),
       ("x10_speedup_sys", "x10_exact_sum_sec", "x10_sys10_sum_sec"),
       ("x10_speedup_file", "x10_exact_sum_sec", "x10_filesample10_sum_sec"),
       ("x_layout_speedup", "x_layout_scattered_sec", "x_layout_clustered_sec"),
@@ -1499,25 +1717,50 @@ object Bench {
       ("x_bloom_pointlookup_speedup", "x_bloom_plain_sec",
         "x_bloom_filtered_sec"),
       ("x_bloom_pointlookup_cold_speedup", "x_bloom_plain_cold_sec",
-        "x_bloom_filtered_cold_sec"))
-    if (redeemed.nonEmpty) {
-      // add x_bootstrap_plain_sec so its redeemed value is visible to the
-      // ratio recompute (it was previously ratio-only)
-      if (!m.contains("x_bootstrap_plain_sec"))
-        m("x_bootstrap_plain_sec") = redeemed.getOrElse(
-          "x_bootstrap_plain_sec", tPlainSum)
-      ratioDefs.foreach { case (out, num, den) =>
-        if (m.contains(out) && m.contains(num) && m.contains(den))
-          m(out) = if (m(den) > 0) m(num) / m(den) else -1.0
-      }
-      if (redeemed.contains("x10_exact_sum_sec"))
-        m("x10_exact_mrows_per_sec") = nRows / m("x10_exact_sum_sec") / 1e6
-      if (Seq("x_ann_ivf_sec", "x_ann_index_search_sec",
-          "x_ann_index_build_sec").exists(redeemed.contains)) {
-        val d = m("x_ann_ivf_sec") - m("x_ann_index_search_sec")
-        m("x_ann_index_breakeven_batches") =
-          if (d > 0) m("x_ann_index_build_sec") / d else -1.0
-      }
+        "x_bloom_filtered_cold_sec"),
+      ("x_priority_speedup", "x_priority_sort_sec", "x_priority_topk_sec"),
+      ("x_priority60_speedup", "x_priority60_sort_sec",
+        "x_priority60_topk_sec"),
+      ("x_priority60_nolimit_speedup", "x_priority60_sort_nolimit_sec",
+        "x_priority60_topk_sec"),
+      ("x_unijoin_speedup", "x_unijoin_exact_sec", "x_unijoin_sampled_sec"),
+      ("x_unijoin60_speedup", "x_unijoin60_exact_sec",
+        "x_unijoin60_sampled_sec"),
+      ("x_bucketed_join_speedup", "x_join_plain_sec", "x_join_bucketed_sec"),
+      ("x_sizeprune_speedup", "x_sizeprune_off_sec", "x_sizeprune_on_sec"),
+      ("x_state_compaction_speedup", "x_state_read_50deltas_sec",
+        "x_state_read_compacted_sec"),
+      ("x_reliable_ckpt_overhead", "x_reliable_ckpt_pairs_sec",
+        "x_dedup10x_pairs_sec"))
+    // completeness guard: a ratio-shaped metric missing from ratioDefs
+    // goes stale on redemption — fail the run instead. Non-time ratios
+    // (bytes/fraction bases that are not redeemable lanes) are excused
+    // by name.
+    locally {
+      val nonTimeRatios = Set("x_sizeprune_bytes_shrink",
+        "x_ann_index_bytes_shrink", "x_int8_leg_shrink",
+        "x_ann_bloom_sidecar_frac", "x_ann_index_1list_rewrite_frac",
+        "x_ann_index_breakeven_batches") // breakeven recomputed below
+      val ratioShaped = m.keysIterator.filter(k =>
+        k.endsWith("_speedup") || k.endsWith("_overhead") ||
+          k.endsWith("_shrink") || k.endsWith("_vs_plain_sum") ||
+          k.endsWith("_vs_rebuild")).toSet
+      val missing = ratioShaped -- ratioDefs.map(_._1).toSet -- nonTimeRatios
+      require(missing.isEmpty,
+        s"bench invariant: ratio metrics not covered by ratioDefs " +
+          s"(would go stale on redemption): ${missing.mkString(", ")}")
+    }
+    ratioDefs.foreach { case (out, num, den) =>
+      if (m.contains(out) && m.contains(num) && m.contains(den))
+        m(out) = if (m(den) > 0) m(num) / m(den) else -1.0
+    }
+    if (redeemed.contains("x10_exact_sum_sec"))
+      m("x10_exact_mrows_per_sec") = nRows / m("x10_exact_sum_sec") / 1e6
+    if (Seq("x_ann_ivf_sec", "x_ann_index_search_sec",
+        "x_ann_index_build_sec").exists(redeemed.contains)) {
+      val d = m("x_ann_ivf_sec") - m("x_ann_index_search_sec")
+      m("x_ann_index_breakeven_batches") =
+        if (d > 0) m("x_ann_index_build_sec") / d else -1.0
     }
     m ++= Seq(
       "x_loadavg_start" -> loadStart,
@@ -1528,6 +1771,7 @@ object Bench {
       "x_coload_batches" -> coloadBatches.toDouble,
       "x_other_cores_max" -> maxOtherCores,
       "x_redeemed_probes" -> redeemed.size.toDouble,
+      "x_redemption_rejected_probes" -> redemptionRejected.size.toDouble,
       "x_dirty_probes" -> probeDirty.size.toDouble,
       "x_canary_probes" -> canarySeq.size.toDouble,
       "x_canary_best_mrows" -> bestCanary,
@@ -1558,9 +1802,18 @@ object Bench {
       .mkString("{", ",", "}")
     val canaryFlaggedJson = canaryFlagged
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // WHICH lanes were redeemed (and which redemptions were rejected as
+    // implausible, with the rejected value) ride the artifact — a reader
+    // must be able to tell a redeemed number from an in-place one
+    // (round-13 verdict item 1a)
+    val redeemedJson = redeemed.keysIterator
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rejectedJson = redemptionRejected
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val total = resultsFinal.map(_._2).filter(_ >= 0).sum
     val line =
-      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","polluted":$polluted,"unstable":$unstableJson,"canary_flagged":$canaryFlaggedJson,"canaries":$canaryJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      f"""{"metric":"headline_total","value":$total%.4f,"unit":"sec","polluted":$polluted,"unstable":$unstableJson,"canary_flagged":$canaryFlaggedJson,"redeemed":$redeemedJson,"redemption_rejected":$rejectedJson,"canaries":$canaryJson,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // Belt and braces for the driver's parser: the JSON goes to stdout as
     // its own (last) line AND to a file — sbt/log4j noise on stdout blinded
     // the round-1 perf gate ("parsed": null in BENCH_r01.json).

@@ -44,4 +44,44 @@ object CanaryAttribution {
   def redemptionBar(canaries: Seq[Double],
       band: Double = DefaultBand): Double =
     if (canaries.isEmpty) 0.0 else band * median(canaries)
+
+  /** Plausibility gate on the redeemed VALUE itself (round-13 verdict
+    * item 1): an in-band canary proves the HOST was healthy during the
+    * re-measure, but not that the re-measure ran the lane's plan — the
+    * r13 driver stamp redeemed the 60 M-row no-broadcast shuffle join to
+    * 0.49 s (healthy band 3.4–4.5 s) because the redemption thunk
+    * observed a different plan. Too-FAST is as invalid as too-slow.
+    *
+    * Accepted window, derived from the flagged measurement itself:
+    *  - upper bound `slowMargin × flaggedSec`: redemption exists to
+    *    replace a dip-inflated number, so a redeemed value meaningfully
+    *    SLOWER than the flagged one is measuring a worse host, not a
+    *    better lane;
+    *  - lower bound `fastMargin × flaggedSec × hostScale` where
+    *    `hostScale = min(1, bracketMin / redeemCanary)` is the full
+    *    correction if the ENTIRE flagged value were dip-inflation
+    *    (canary M rows/s ∝ host speed, lane seconds ∝ 1/host speed).
+    *    A lane cannot credibly run faster than its flagged time fully
+    *    corrected for the observed dip, margin aside.
+    *
+    * A rejected redemption keeps the lane FLAGGED — the honest record is
+    * "this number is dirty", never a plausible-but-wrong replacement.
+    *
+    * @param flaggedSec      the lane's in-run (flagged) measurement
+    * @param bracketMinMrows slower side of the lane's canary bracket
+    *                        (pass the run median when unbracketed —
+    *                        hostScale then ≈ 1 and the window is simply
+    *                        [fastMargin, slowMargin] × flagged)
+    * @param redeemCanaryMrows the canary measured at redemption time */
+  def plausibleRedemption(flaggedSec: Double, bracketMinMrows: Double,
+      redeemCanaryMrows: Double, redeemedSec: Double,
+      fastMargin: Double = 0.6, slowMargin: Double = 1.5): Boolean = {
+    if (flaggedSec <= 0 || redeemedSec <= 0) return false
+    val hostScale =
+      if (redeemCanaryMrows > 0 && bracketMinMrows > 0)
+        math.min(1.0, bracketMinMrows / redeemCanaryMrows)
+      else 1.0
+    redeemedSec >= fastMargin * flaggedSec * hostScale &&
+      redeemedSec <= slowMargin * flaggedSec
+  }
 }

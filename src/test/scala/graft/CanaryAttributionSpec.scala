@@ -59,4 +59,61 @@ class CanaryAttributionSpec extends AnyFunSuite {
     assert(CanaryAttribution.flagged(Seq("l" -> (1.0, 1.0)), Nil) === Set.empty)
     assert(CanaryAttribution.redemptionBar(Nil) === 0.0)
   }
+
+  // --- redemption plausibility (round-14: verdict item 1) -------------
+
+  test("the r13 stamp's 0.49 s unijoin60 redemption is REJECTED as too fast") {
+    // the actual r13 numbers: lane flagged with bracket worst 14.48
+    // M rows/s against a run median ~58.9; redemption canary in-band
+    // (≥ 0.4 × 58.9 ≈ 23.6, take a healthy 58.0). Whatever the flagged
+    // in-place value was (the builder's healthy band is 3.4–4.5 s; a
+    // mid-dip measurement reads HIGHER), a redeemed 0.49 s sits far
+    // below the full dip correction and must not stand.
+    for (flagged <- Seq(3.4, 4.5, 13.0, 20.0)) {
+      assert(!CanaryAttribution.plausibleRedemption(
+        flaggedSec = flagged, bracketMinMrows = 14.48,
+        redeemCanaryMrows = 58.0, redeemedSec = 0.49),
+        s"0.49 must be rejected against flagged=$flagged")
+    }
+  }
+
+  test("a redemption consistent with full dip correction is accepted") {
+    // host at ~0.25x while the lane ran: flagged 16 s, true ~4 s —
+    // the redeemed value near flagged x hostScale passes
+    assert(CanaryAttribution.plausibleRedemption(
+      flaggedSec = 16.0, bracketMinMrows = 14.5,
+      redeemCanaryMrows = 58.0, redeemedSec = 4.2))
+  }
+
+  test("a clean-lane/dipped-bracket redemption near the flagged value is accepted") {
+    // the dip happened OUTSIDE the lane's own batch (bracket caught it,
+    // the value itself was healthy): redeemed ≈ flagged must pass even
+    // though the full-correction prediction is far below
+    assert(CanaryAttribution.plausibleRedemption(
+      flaggedSec = 3.4, bracketMinMrows = 14.5,
+      redeemCanaryMrows = 58.0, redeemedSec = 3.5))
+  }
+
+  test("a redemption slower than slowMargin x flagged is rejected") {
+    assert(!CanaryAttribution.plausibleRedemption(
+      flaggedSec = 3.0, bracketMinMrows = 50.0,
+      redeemCanaryMrows = 55.0, redeemedSec = 5.0),
+      "redemption exists to replace a dip-inflated number — meaningfully " +
+        "slower means a worse host, not a better lane")
+  }
+
+  test("unbracketed spread-dirty lane: window is [fastMargin, slowMargin] x flagged") {
+    // bracketMin = run median → hostScale ≈ 1
+    assert(CanaryAttribution.plausibleRedemption(
+      flaggedSec = 2.0, bracketMinMrows = 55.0,
+      redeemCanaryMrows = 55.0, redeemedSec = 1.3))
+    assert(!CanaryAttribution.plausibleRedemption(
+      flaggedSec = 2.0, bracketMinMrows = 55.0,
+      redeemCanaryMrows = 55.0, redeemedSec = 1.0))
+  }
+
+  test("degenerate inputs never validate a redemption") {
+    assert(!CanaryAttribution.plausibleRedemption(-1.0, 50.0, 55.0, 1.0))
+    assert(!CanaryAttribution.plausibleRedemption(1.0, 50.0, 55.0, -1.0))
+  }
 }
