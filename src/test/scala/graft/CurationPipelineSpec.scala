@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CurationPipeline, Decontam, Dedup, Mixing, TextAnalysis}
+import graft.operators.{CurationPipeline, Decontam, Dedup, Mixing, Multimodal, TextAnalysis}
 
 /** End-to-end composition: the full curation flow over the fixture, each
   * stage's row accounting cross-checked against the operators run alone. */
@@ -178,5 +178,60 @@ class CurationPipelineSpec extends SparkSpec {
       CurationPipeline.Config(nearDupThreshold = 0.999999,
         fuzzyDecontaminateThreshold = Some(0.7)))
     assert(timings.map(_._1).contains("fuzzy_decontaminate"))
+  }
+
+  test("pipeline-level media seams: decoders + embedder wire through Config into sem-dedup") {
+    // round-13 verdict item 6: a deployment plugs FrameDecoder /
+    // MediaEmbedder ONCE in the pipeline config — no operator call sites
+    // touched — and the extracted features feed the semantic-dedup stage.
+    // Same fakes as the MultimodalSpec seam cases.
+    val w = 12; val h = 8
+    val gA = Array.tabulate(w * h)(i => (i * 7 + 3) % 256)
+    // an "H264" clip only the PLUGGED codec can decode (2 frames)
+    val avi = Multimodal.aviCodecBytes(w, h, "H264",
+      Seq(gA.map(_.toByte), gA.map(_.toByte)))
+    // the two text docs are 37 UTF-8 bytes EACH, so the fake embedder
+    // (feature i = i + byte length) emits identical vectors — the
+    // semantic twins the sem-dedup stage must collapse
+    val t1 = "spark catalyst optimizer rules engine"
+    val t2 = "minhash banding buckets verify kernel"
+    assert(t1.getBytes("UTF-8").length === 37 &&
+      t2.getBytes("UTF-8").length === 37)
+    val docs = Seq(
+      (1L, t1, "web", "text", t1.getBytes("UTF-8")),
+      (2L, t2, "web", "text", t2.getBytes("UTF-8")),
+      (3L, "a third distinct document about columnar layouts", "web",
+        "video", avi))
+      .toDF("doc_id", "text", "source", "kind", "bytes")
+    val cfg = CurationPipeline.Config(
+      mediaFeatures = Some(CurationPipeline.MediaFeatures(dim = 4)),
+      frameDecoders = Seq(new FakeGrayCodec("H264")),
+      mediaEmbedder = Some(new FakeTextEmbedder),
+      semanticDedup = Some(("media_vec", 0.95, 1)))
+    val out = CurationPipeline.run(docs, None, "doc_id", "text", "source",
+      cfg).cache()
+    assert(out.columns.contains("media_vec"))
+    // the equal-length text twins collapsed to the min id; video survives
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    val vecs = out.select($"doc_id", $"media_vec").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // text leg: the plugged embedder's deterministic vector
+    assert(vecs(1L) === (0 until 4).map(i => (i + 37).toFloat))
+    // video leg: REAL frame means through the plugged codec — mean gray
+    // of each of the 2 frames, zero-padded to dim
+    val mean = gA.sum.toFloat / (w * h)
+    assert(vecs(3L) === Seq(mean, mean, 0.0f, 0.0f),
+      "the plugged codec must produce decoded frame means, not the stub")
+    out.unpersist()
+    // control: WITHOUT the decoder the H264 clip falls through to the
+    // byte stub — the pipeline-level plug is load-bearing. Sem-dedup is
+    // off here: the stub's hash-derived positive vector can land within
+    // cosine 0.95 of the text vectors and drop doc 3 before the assert —
+    // the control's claim is about the VECTOR, not the dedup.
+    val noDecode = CurationPipeline.run(docs, None, "doc_id", "text",
+      "source", cfg.copy(frameDecoders = Nil, semanticDedup = None))
+      .filter($"doc_id" === 3L)
+      .select($"media_vec").collect()(0).getSeq[Float](0)
+    assert(noDecode !== Seq(mean, mean, 0.0f, 0.0f))
   }
 }
