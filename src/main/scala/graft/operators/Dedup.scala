@@ -175,34 +175,31 @@ object Dedup {
   /** Per-document banded signature rows: (id, band, bandSig). bandSig is the
     * xxhash64 of the band's slice of the MinHash signature.
     *
-    * Physical shape: scan-stage [[shingles]] kernel → explode → codegen'd
-    * hash + 64 partial-min aggregates → groupBy(id). Shingling inside the
-    * scan means the ONLY exchange is the groupBy, and map-side combine
-    * collapses it to numHashes longs per document before it moves — the
-    * round-4 window-lead form shuffled the corpus's entire token stream
-    * first just to build shingles (its window needed hash partitioning on
-    * the doc id). MinHash over the kernel's DISTINCT shingles equals
-    * MinHash over all positions (min over a multiset == min over its
-    * set), so signatures are unchanged bit-for-bit. */
+    * Physical shape (round-14): the WHOLE signature comes out of the
+    * scan-stage [[graft.functions.MinHashSig]] kernel — one precompiled
+    * loop per document, NO explode, NO aggregate, NO exchange at all (the
+    * previous shape exploded corpus × shingles rows and rebuilt signatures
+    * with a 64-way min aggregate whose groupBy(id) exchange carried the
+    * exploded stream; before that, the round-4 window-lead form shuffled
+    * the corpus's entire token stream). Signatures are bit-identical to
+    * the aggregate form (DedupSpec locks kernel ≡ aggregate): min over the
+    * n-gram multiset equals min over the distinct-shingle set, and docs
+    * with no shingles return NULL here exactly where explode emitted no
+    * row. Band sigs hash the same "m0,m1,.." strings as before. */
   def lshBands(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val p = lit(2147483647L)
-    val rng = new scala.util.Random(seed)
-    val ab = Seq.fill(numHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
-      rng.nextInt(Int.MaxValue).toLong))
-    val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleN)).as("s"))
-      .select(col(idCol), shingleHash(col("s")).as("h"))
-    val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("h") * lit(a) + lit(b), p)).as(s"m$i")
-    }
-    val sig = exploded.groupBy(col(idCol)).agg(minAggs.head, minAggs.tail: _*)
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val sigCol = ColumnShim.column(graft.functions.MinHashSig(
+      ColumnShim.expression(col(textCol)), shingleN, numHashes, seed))
+    val sig = df.select(col(idCol), sigCol.as("mh"))
+      .filter(col("mh").isNotNull)
     val bandSigs = (0 until bands).map { bnd =>
       xxhash64(concat_ws(",",
-        (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*))
+        (bnd * rows until (bnd + 1) * rows)
+          .map(i => element_at(col("mh"), i + 1)): _*))
     }
     sig.select(col(idCol), posexplode(array(bandSigs: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_sig")

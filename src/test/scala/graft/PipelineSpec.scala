@@ -21,6 +21,44 @@ class PipelineSpec extends SparkSpec {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("MinHashSig kernel bands equal the explode+64-min-aggregate banding bit-for-bit") {
+    // the round-14 scan-stage kernel replaced lshBands' explode + groupBy
+    // aggregate; this reconstructs the OLD shape (same interleaved a/b
+    // draws, same pmod chain, same band-sig string hash) and pins equality
+    // on the fixture plus an empty/short-doc edge (explode emitted no row
+    // there; the kernel must yield no band rows either)
+    import spark.implicits._
+    val edge = Seq((900001L, ""), (900002L, "one two"),
+      (900003L, "one two three")).toDF("doc_id", "text")
+    val df = docs.select(col("doc_id"), col("text")).unionAll(edge)
+    val (numHashes, bands, shingleN, seed) = (64, 16, 3, 42L)
+    val rows = numHashes / bands
+    val p = lit(2147483647L)
+    val rng = new scala.util.Random(seed)
+    val ab = Seq.fill(numHashes)((rng.nextInt(Int.MaxValue - 1).toLong + 1,
+      rng.nextInt(Int.MaxValue).toLong))
+    val exploded = df
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), shingleN)).as("s"))
+      .select(col("doc_id"), Dedup.shingleHash(col("s")).as("h"))
+    val minAggs = ab.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), p)).as(s"m$i")
+    }
+    val sig = exploded.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandSigs = (0 until bands).map { bnd =>
+      xxhash64(concat_ws(",",
+        (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i")): _*))
+    }
+    val legacy = sig.select(col("doc_id"), posexplode(array(bandSigs: _*)))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val kernel = Dedup.lshBands(df, "doc_id", "text", shingleN, numHashes,
+        bands, seed)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(kernel === legacy)
+    assert(!kernel.exists(t => t._1 == 900001L || t._1 == 900002L),
+      "sub-shingle docs must emit no band rows, as under explode")
+    assert(kernel.exists(_._1 == 900003L))
+  }
+
   test("prefix-filtered ngram Jaccard join is exact at thresholds LSH cannot guarantee") {
     for (t <- Seq(0.5, 0.7, 0.9)) {
       val pf = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t)
