@@ -65,16 +65,25 @@ object Decontam {
     * shuffle join on the gram key. */
   def contamination(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3, broadcastEval: Boolean = true): DataFrame = {
-    val evalGrams = docNgrams(eval, idCol, textCol, n)
-      .select(col("gram")).distinct()
+    // round-14: gram matching runs on 64-bit gram hashes (the
+    // [[graft.operators.Dedup.shingleHashes64]] scan kernel) — the eval
+    // probe set broadcasts as 8-byte longs instead of gram strings and
+    // the join compares longs (guide §2.3/§3). Distinct-per-doc is the
+    // kernel's contract, so counts match docNgrams' exactly unless two
+    // distinct grams collide in 64 bits (P ≈ V²·2⁻⁶⁵; the tri-scale
+    // DuckDB oracle replays exact string semantics and gates it).
+    val gramHashes = (f: DataFrame) => f.select(col(idCol),
+      explode(Dedup.shingleHashes64(col(textCol), n)).as("__gh"))
+    val evalGrams = gramHashes(eval)
+      .select(col("__gh")).distinct()
       .withColumn("__hit", lit(1L))
     val probe = if (broadcastEval) broadcast(evalGrams) else evalGrams
     // ONE explode pass: left-join every train gram against the broadcast
     // eval set, then count total and matched grams in the same aggregation
     // (map-side combine absorbs the gram fan-out before the id shuffle) —
     // the two-branch total/overlap form would explode the corpus twice
-    docNgrams(train, idCol, textCol, n)
-      .join(probe, Seq("gram"), "left")
+    gramHashes(train)
+      .join(probe, Seq("__gh"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_overlap"))

@@ -811,16 +811,24 @@ object Dedup {
     * (≥80% duplicated span).
     *
     * Scale shape: one explode per doc (scan stage, native
-    * [[graft.functions.WordNgrams]] kernel), one partial-agg shuffle keyed
-    * on the gram to count carrying docs, one shuffle join of grams against
-    * those counts (AQE splits hot grams), one partial-agg shuffle back on
-    * the doc id. Nothing is ever all-pairs and no gram list is collected. */
+    * [[graft.functions.WordNgramHashes]] kernel — sorted distinct 64-bit
+    * gram hashes, so the gram-frequency exchange and the gram join are
+    * keyed on 8-byte longs instead of gram STRINGS; round-14, guide §2.3
+    * "shuffle fewer bytes"), one partial-agg shuffle keyed on the hash to
+    * count carrying docs, one shuffle join of grams against those counts
+    * (AQE splits hot grams), one partial-agg shuffle back on the doc id.
+    * Nothing is ever all-pairs and no gram list is collected. Counts are
+    * identical to the string-keyed form unless two DISTINCT grams collide
+    * in 64 bits (P ≈ V²·2⁻⁶⁵ over the gram vocabulary — the same accepted
+    * bound as [[jaccardHashed]]; the tri-scale DuckDB oracle replays the
+    * exact string semantics and gates it). */
   def dupNgramStats(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val grams = Decontam.docNgrams(df, idCol, textCol, n)
-    // grams are distinct per doc, so count(*) per gram == carrying docs
-    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("n_docs"))
-    grams.join(counts, Seq("gram"))
+    val grams = df.select(col(idCol),
+      explode(shingleHashes64(col(textCol), n)).as("__gh"))
+    // gram hashes are distinct per doc, so count(*) per hash == carrying docs
+    val counts = grams.groupBy(col("__gh")).agg(count(lit(1)).as("n_docs"))
+    grams.join(counts, Seq("__gh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("n_docs") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
@@ -1132,20 +1140,42 @@ object Dedup {
     * the vocabulary, so AQE turns the join back into a broadcast and the
     * full position stream never exchanges. */
   private def coveredSpanPositions(occ: DataFrame, idCol: String,
-      k: Int, keepFirst: Boolean = false): DataFrame = {
+      k: Int, keepFirst: Boolean = false): DataFrame =
+    spanCoverArrays(duplicatedOccurrences(occ, idCol, keepFirst), idCol, k)
+      .select(col(idCol), explode(col("__cov")).as("p"))
+
+  /** The duplicated-occurrence rows feeding span coverage: every
+    * occurrence of a gram seen ≥ 2 times corpus-wide, minus (under
+    * `keepFirst`) each gram's min-packed first occurrence. */
+  private def duplicatedOccurrences(occ: DataFrame, idCol: String,
+      keepFirst: Boolean): DataFrame = {
     val packed = spanPacked(idCol)
     val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("__c"),
         min(packed).as("__first"))
       .filter(col("__c") >= 2)
-    val dupOcc =
-      if (keepFirst) occ.join(dup.select(col("h"), col("__first")), Seq("h"))
-        .filter(packed =!= col("__first"))
-      else occ.join(dup.select(col("h")), Seq("h"), "left_semi")
-    dupOcc
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
-      .distinct()
+    if (keepFirst) occ.join(dup.select(col("h"), col("__first")), Seq("h"))
+      .filter(packed =!= col("__first"))
+    else occ.join(dup.select(col("h")), Seq("h"), "left_semi")
   }
+
+  /** Per-doc covered-position ARRAYS `(id, __cov)` from duplicated
+    * occurrence rows `(id, pos, …)` — round-14 fused form: ship ONE row
+    * per duplicated occurrence into the per-doc exchange and take the
+    * interval union in doc-local array algebra. The previous shape
+    * exploded k positions per occurrence BEFORE a global distinct, so the
+    * dedup exchange carried k× the rows (the all-duplicated 10× corpus
+    * shuffled its full token stream × k), and reassembly then re-collected
+    * the very same per-doc sets with a second imperative aggregate.
+    * `collect_list` suffices (a gram start position occurs once per doc);
+    * `array_distinct(∪ [pos, pos+k-1])` per doc ≡ the old global-distinct
+    * (id, p) row set, and the array is bounded by doc length — the same
+    * bound the old reassembly's collect_set already carried. */
+  private def spanCoverArrays(posRows: DataFrame, idCol: String,
+      k: Int): DataFrame =
+    posRows
+      .groupBy(col(idCol)).agg(collect_list(col("pos")).as("__ps"))
+      .select(col(idCol), sort_array(array_distinct(flatten(
+        transform(col("__ps"), p => sequence(p, p + lit(k - 1)))))).as("__cov"))
 
   /** EXACT duplicated-span removal — the substring-level dedup of Lee et
     * al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1182,9 +1212,17 @@ object Dedup {
       k: Int = 8, keepFirst: Boolean = false,
       minSpanWords: Int = 0): DataFrame = {
     val occ = spanGramOccurrences(df, idCol, textCol, k)
-    val cov = coveredSpanPositions(occ, idCol, k, keepFirst)
-    reassembleSpans(df, idCol, textCol,
-      if (minSpanWords > k) longRunsOnly(cov, idCol, minSpanWords) else cov)
+    if (minSpanWords > k)
+      reassembleSpans(df, idCol, textCol,
+        longRunsOnly(coveredSpanPositions(occ, idCol, k, keepFirst), idCol,
+          minSpanWords))
+    else
+      // fused path (round-14): per-doc covered arrays flow straight into
+      // reassembly — no k×-exploded distinct exchange, no second
+      // position-set aggregate
+      reassembleSpansCov(df, idCol, textCol,
+        spanCoverArrays(duplicatedOccurrences(occ, idCol, keepFirst),
+          idCol, k))
   }
 
   /** Keep only covered positions sitting in a MAXIMAL consecutive run of
@@ -1212,9 +1250,15 @@ object Dedup {
     * onto the doc scan, scan-stage `array_except` reassembly (hash-set
     * linear in words + spans). */
   private def reassembleSpans(df: DataFrame, idCol: String, textCol: String,
-      coveredPos: DataFrame): DataFrame = {
-    val covered = coveredPos
-      .groupBy(col(idCol)).agg(sort_array(collect_set(col("p"))).as("__cov"))
+      coveredPos: DataFrame): DataFrame =
+    reassembleSpansCov(df, idCol, textCol, coveredPos
+      .groupBy(col(idCol)).agg(sort_array(collect_set(col("p"))).as("__cov")))
+
+  /** [[reassembleSpans]] taking the per-doc covered set as an ARRAY frame
+    * `(id, __cov)` — the fused form that skips the position-row roundtrip
+    * when the producer already has doc-local arrays. */
+  private def reassembleSpansCov(df: DataFrame, idCol: String,
+      textCol: String, covered: DataFrame): DataFrame = {
     val words = split(col(textCol), " +")
     df.select(col(idCol), words.as("__w"))
       .join(covered, Seq(idCol), "left")
@@ -1274,12 +1318,13 @@ object Dedup {
     // a non-first occurrence of a batch-new gram — exactly q182's "an
     // earlier occurrence exists", with the index standing in for all of
     // the past
-    val coveredPos = occ.join(newFirsts, Seq("h"), "left")
+    val coveredRows = occ.join(newFirsts, Seq("h"), "left")
       .filter(col("__first").isNull || spanPacked(idCol) =!= col("__first"))
-      .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
-      .distinct()
-    (reassembleSpans(newDocs, idCol, textCol, coveredPos),
+    // fused coverage (round-14): same interval-union-in-arrays shape as
+    // removeDuplicatedSpans — one row per covered occurrence exchanges,
+    // never k× exploded position rows
+    (reassembleSpansCov(newDocs, idCol, textCol,
+        spanCoverArrays(coveredRows, idCol, k)),
       newFirsts.select(col("h")))
   }
 

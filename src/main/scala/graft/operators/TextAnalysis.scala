@@ -567,12 +567,19 @@ object TextAnalysis {
     * when the vocab is small) → per-doc aggregation. The 1-row corpus
     * total rides a broadcast cross join. Nothing quadratic. */
   def unigramRarity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // round-14: the vocabulary-count exchange and the term join are keyed
+    // on xxhash64(term) — 8 bytes per token on the wire instead of the
+    // term string (guide §2.3). Counts (and so every rarity integer) are
+    // identical to the string-keyed form unless two distinct terms
+    // collide in 64 bits (P ≈ V²·2⁻⁶⁵ over the vocabulary); the DuckDB
+    // oracle replays the exact string semantics tri-scale and gates it.
     val tok = df.select(col(idCol),
         explode(split(lower(col(textCol)), " +")).as("term"))
       .filter(length(col("term")) > 0)
-    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("n_t"))
+      .select(col(idCol), xxhash64(col("term")).as("__th"))
+    val counts = tok.groupBy(col("__th")).agg(count(lit(1)).as("n_t"))
     val total = counts.agg(sum(col("n_t")).as("n_total"))
-    tok.join(counts, "term")
+    tok.join(counts, "__th")
       .crossJoin(broadcast(total))
       .withColumn("__rarity", expr("n_total div n_t"))
       .groupBy(col(idCol))
