@@ -107,14 +107,19 @@ object CurationPipeline {
     require(config.temperature.isEmpty ||
       (config.mixSteps.isEmpty && config.mixDefaultStep == 1L),
       "configure mixSteps or temperature, not both")
-    // 1. exact dedup on the normalized fingerprint: one hash aggregation
+    // 1. exact dedup on the normalized fingerprint: one hash aggregation.
+    //    min_by(row, id) per fingerprint — the round-14 shape: map-side
+    //    partial aggregation collapses duplicate copies BEFORE the
+    //    exchange and nothing is sorted, where the previous
+    //    row_number-window form shuffled every full row by fingerprint
+    //    and sorted each partition. Identical survivor set (ids are
+    //    unique, so "min id per fingerprint" has no ties).
     val exact: DataFrame => DataFrame = { docs =>
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("__fp")).orderBy(col(idCol))
+      val cols = docs.columns.toSeq
       docs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__fp", "__rn")
+        .groupBy(col("__fp"))
+        .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+        .select(cols.map(c => col(s"__r.$c")): _*)
     }
     // 1b. optional segment-level (line) dedup: strip corpus-wide repeated
     //     segments BEFORE near-dedup (the CCNet ordering — boilerplate
@@ -223,14 +228,41 @@ object CurationPipeline {
       Seq("quality" -> quality) ++ modelFilter ++ Seq("mix_split" -> mixSplit)
   }
 
+  /** Stage outputs that downstream stages consume MORE THAN ONCE (the
+    * text-swap joins read their input twice; dropNearDups reads its input
+    * three times — bands, verify semi-join, anti-join; decontaminate reads
+    * twice). Without a checkpoint every extra consumer re-runs the whole
+    * upstream pipeline — the fused withspan flow was re-computing the
+    * exact-dedup aggregate up to 6× (round-14 measurement: fused 8.2 s vs
+    * ≈ 2 s of actual stage work). */
+  private val stagedStages =
+    Set("exact_dedup", "line_dedup", "span_dedup", "near_dedup")
+
   /** Run the full curation flow over `docs(idCol, textCol, sourceCol, …)`;
     * `eval` is the held-out benchmark set to scrub against (pass an empty
-    * DataFrame with the same two columns to skip decontamination). */
+    * DataFrame with the same two columns to skip decontamination).
+    *
+    * Multi-consumer stage outputs are EAGERLY checkpointed
+    * ([[stagedStages]]); intermediates made dead by a later checkpoint are
+    * released before returning, and the LAST staged frame (near_dedup)
+    * stays — the returned frame reads its blocks, and they are freed by
+    * the ContextCleaner when the result becomes unreachable (the same
+    * contract as [[Dedup.nearDupPairs]]' result). */
   def run(docs: DataFrame, eval: Option[DataFrame], idCol: String,
       textCol: String, sourceCol: String,
-      config: Config = Config()): DataFrame =
-    stageList(eval, idCol, textCol, sourceCol, config)
-      .foldLeft(docs) { case (df, (_, f)) => f(df) }
+      config: Config = Config()): DataFrame = {
+    import graft.Checkpoints.StageOps
+    val st = new graft.Checkpoints.Staging
+    try {
+      stageList(eval, idCol, textCol, sourceCol, config)
+        .foldLeft(docs) { case (df, (name, f)) =>
+          val out = f(df)
+          if (name == "near_dedup") out.staged // kept: result reads it
+          else if (stagedStages(name)) st.track(out.staged)
+          else out
+        }
+    } finally st.releaseAll() // near_dedup's checkpoint cut their lineage
+  }
 
   /** [[run]] with per-stage wall-clock attribution: each stage output is
     * persisted and counted before the next stage starts, so each timing
