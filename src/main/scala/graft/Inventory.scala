@@ -27,6 +27,23 @@ final case class QueryDef(
     /** included in the per-round Bench headline set */
     headline: Boolean = false)
 
+/** Plan helpers shared across inventory files. */
+object QueryOps {
+  /** Deterministic total order for a BOUNDED-cardinality result (grouped
+    * rollups over low-cardinality keys — return flags, nations, sources,
+    * change types): single-partition sort instead of a global `orderBy`.
+    * The orderBy pays a range-partitioner SAMPLING pass plus a range
+    * exchange per execution to order rows that fit one task at ANY scale
+    * (round-14; guide §2.4 — "an orderBy used only to make output
+    * deterministic"). coalesce(1) adds no exchange (narrow merge of the
+    * final agg's already-tiny output) and sortWithinPartitions of one
+    * partition IS a total order, so the row sequence is identical to
+    * `orderBy(cols)`. Only for results whose cardinality is bounded by a
+    * dimension domain, never corpus-sized ones. */
+  def orderedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.coalesce(1).sortWithinPartitions(cols: _*)
+}
+
 /** Oracle-SQL fragments shared across inventory files. */
 object OracleSnippets {
   /** Shared-shingle BLOCKED exact-Jaccard pair CTEs over `documents`
@@ -100,10 +117,10 @@ object Inventory {
       Some("SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, COUNT(*) AS cnt FROM lineitem WHERE l_extendedprice BETWEEN 1000.0 AND 50000.0")),
 
     QueryDef("q06_groupby_sum",
-      (s, d) => lineitem(s, d)
+      (s, d) => QueryOps.orderedSmall(lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(sum(dec("l_extendedprice")).cast("double").as("sum_price"))
-        .orderBy(col("l_returnflag")),
+        .agg(sum(dec("l_extendedprice")).cast("double").as("sum_price")),
+        col("l_returnflag")),
       Some("SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       headline = true),
 
@@ -162,9 +179,9 @@ object Inventory {
     QueryDef("q13_approx_groupby_sum_sys10",
       (s, d) => {
         val sf = Sampling.systematic(lineitem(s, d), liKey, step = 10L)
-        sf.df.groupBy(col("l_returnflag"))
-          .agg((sum(dec("l_extendedprice")).cast("double") * lit(10.0)).as("sum_price_est"))
-          .orderBy(col("l_returnflag"))
+        QueryOps.orderedSmall(sf.df.groupBy(col("l_returnflag"))
+          .agg((sum(dec("l_extendedprice")).cast("double") * lit(10.0)).as("sum_price_est")),
+          col("l_returnflag"))
       },
       Some(s"SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) * 10.0 AS sum_price_est FROM lineitem WHERE $liKeySql % 10 = 0 GROUP BY l_returnflag ORDER BY l_returnflag"),
       headline = true),

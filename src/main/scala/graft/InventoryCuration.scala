@@ -372,10 +372,11 @@ object InventoryCuration {
       // spreads phase 1 over content-hash shards and ranks only the
       // ≤ shards·n survivors. Ordering ends in doc_id ⇒ total order ⇒
       // row-identical to the single-window form (SkewSpec).
-      (s, d) => Skew.topNPerKey(documents(s, d), Seq("source"),
+      (s, d) => graft.QueryOps.orderedSmall(
+        Skew.topNPerKey(documents(s, d), Seq("source"),
           Seq(col("n_chars").desc, col("doc_id").asc), n = 3)
-        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
-        .orderBy(col("source"), col("rank")),
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars")),
+        col("source"), col("rank")),
       Some("""SELECT source, rank, doc_id, n_chars FROM (SELECT source, doc_id, n_chars, ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank FROM documents) WHERE rank <= 3 ORDER BY source, rank"""),
       headline = true),
 

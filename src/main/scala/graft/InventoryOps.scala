@@ -112,12 +112,13 @@ object InventoryOps {
             when(pmod(col("o_orderkey"), lit(11L)) === 0,
               col("o_totalprice") + lit(1.0))
               .otherwise(col("o_totalprice")))
-        Cdc.snapshotDiff(oldSnap, newSnap,
-            Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
-          .groupBy(col("change_type"))
-          .agg(count(lit(1)).as("cnt"), min(col("o_orderkey")).as("min_key"),
-            max(col("o_orderkey")).as("max_key"))
-          .orderBy(col("change_type"))
+        graft.QueryOps.orderedSmall(
+          Cdc.snapshotDiff(oldSnap, newSnap,
+              Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+            .groupBy(col("change_type"))
+            .agg(count(lit(1)).as("cnt"), min(col("o_orderkey")).as("min_key"),
+              max(col("o_orderkey")).as("max_key")),
+          col("change_type"))
       },
       Some("""WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS st FROM orders WHERE o_orderkey % 97 <> 3), nw AS (SELECT o_orderkey AS k, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS p, o_orderstatus AS st FROM orders WHERE o_orderkey % 89 <> 7), d AS (SELECT COALESCE(o.k, nw.k) AS k, CASE WHEN o.k IS NULL THEN 'added' WHEN nw.k IS NULL THEN 'removed' WHEN (o.p IS DISTINCT FROM nw.p) OR (o.st IS DISTINCT FROM nw.st) THEN 'changed' ELSE 'unchanged' END AS change_type FROM o FULL OUTER JOIN nw ON o.k = nw.k) SELECT change_type, COUNT(*) AS cnt, MIN(k) AS min_key, MAX(k) AS max_key FROM d GROUP BY 1 ORDER BY 1"""),
       headline = true),

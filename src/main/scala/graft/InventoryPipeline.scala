@@ -62,7 +62,7 @@ object InventoryPipeline {
           .groupBy(col("n_name"))
           .agg(sum(round(rev, 4).cast("decimal(18,4)")).cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
-          .orderBy(col("n_name"))
+          .transform(graft.QueryOps.orderedSmall(_, col("n_name")))
       },
       Some("""SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name ORDER BY n_name"""),
       headline = true),
@@ -121,7 +121,7 @@ object InventoryPipeline {
             col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("n_name"))
           .agg(sum(round(rev, 4).cast("decimal(18,4)")).cast("double").as("revenue"))
-          .orderBy(col("n_name"))
+          .transform(graft.QueryOps.orderedSmall(_, col("n_name")))
       },
       Some("""SELECT n_name, CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY n_name ORDER BY n_name"""),
       headline = true),
@@ -166,11 +166,11 @@ object InventoryPipeline {
 
     // -- events: time-window aggregation (batch twin of the streaming path) -
     QueryDef("q22_events_hourly",
-      (s, d) => events(s, d)
+      (s, d) => graft.QueryOps.orderedSmall(events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("sum_value"))
-        .orderBy(col("hour"), col("event_type")),
+          sum(round(col("value"), 2).cast("decimal(18,2)")).cast("double").as("sum_value")),
+        col("hour"), col("event_type")),
       Some("""SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sum_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"""),
       headline = true),
 
@@ -723,8 +723,9 @@ object InventoryPipeline {
       // TF vocabulary inspection: top-5 terms per source; the shuffle after
       // the explode carries one row per distinct (source, term) — partial
       // aggregation absorbs the occurrence fan-out map-side
-      (s, d) => TextAnalysis.topTerms(documents(s, d), "source", "text", k = 5)
-        .orderBy(col("source"), col("rank")),
+      (s, d) => graft.QueryOps.orderedSmall(
+        TextAnalysis.topTerms(documents(s, d), "source", "text", k = 5),
+        col("source"), col("rank")),
       Some("""WITH tok AS (SELECT source, unnest(string_split_regex(lower(text), ' +')) AS term FROM documents), c AS (SELECT source, term, COUNT(*) AS occ FROM tok WHERE length(term) > 0 GROUP BY 1, 2) SELECT source, term, occ, ROW_NUMBER() OVER (PARTITION BY source ORDER BY occ DESC, term) AS rank FROM c QUALIFY rank <= 5 ORDER BY source, rank"""),
       headline = true),
 

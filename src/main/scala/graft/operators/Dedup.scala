@@ -492,6 +492,14 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
+      // round-14: cache the edge set ALREADY hash-partitioned on the join
+      // key — the per-round join needs hashpartitioning(dst) and the
+      // distinct's (src, dst) partitioning does not satisfy it, so every
+      // propagation round was re-exchanging the whole edge cache; the
+      // InMemoryRelation preserves this partitioning, so rounds now
+      // shuffle only the (small) label side (guide §2.4: two operations
+      // keyed the same way share one exchange)
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))

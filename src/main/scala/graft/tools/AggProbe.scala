@@ -39,6 +39,11 @@ object AggProbe {
     println(f"groupBy sum dec:       ${med(li.groupBy(col("l_returnflag")).agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).orderBy(col("l_returnflag")).collect())}%8.1f ms")
     println(f"groupBy sum dec noord: ${med(li.groupBy(col("l_returnflag")).agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).collect())}%8.1f ms")
     println(f"groupBy sum dec c1sort:${med(li.groupBy(col("l_returnflag")).agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")).coalesce(1).sortWithinPartitions(col("l_returnflag")).collect())}%8.1f ms")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    println(f"sum rev double:        ${med(li.agg(sum(rev)).collect())}%8.1f ms")
+    println(f"sum round4 double:     ${med(li.agg(sum(round(rev, 4))).collect())}%8.1f ms")
+    println(f"sum rev dec(18,4):     ${med(li.agg(sum(rev.cast("decimal(18,4)"))).collect())}%8.1f ms")
+    println(f"sum round4 dec(18,4):  ${med(li.agg(sum(round(rev, 4).cast("decimal(18,4)"))).collect())}%8.1f ms")
     // relation resolution cost: fresh read vs reused frame
     println(f"fresh read + count:    ${med(graft.Tables.lineitem(spark, sfDir).agg(count(lit(1))).collect())}%8.1f ms")
     println(f"reused frame + count:  ${med(li.agg(count(lit(1))).collect())}%8.1f ms")

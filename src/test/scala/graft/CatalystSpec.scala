@@ -152,11 +152,12 @@ class CatalystSpec extends SparkSpec {
     val q89 = Inventory.byName("q89_unshipped_orders").run(spark, sf0001)
     assert(q89.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "top-k no longer plans as TakeOrderedAndProject")
-    // q67: decontamination's gram explode runs the native kernel, not the
-    // interpreted fold
+    // q67: decontamination's gram explode runs the native HASHED kernel
+    // (round-14: the probe set broadcasts 8-byte gram hashes, not gram
+    // strings), never the interpreted fold
     val q67 = Inventory.byName("q67_decontaminate").run(spark, sf0001)
-    assert(q67.queryExecution.executedPlan.toString.contains("word_ngrams"),
-      "native word_ngrams kernel missing from the decontamination plan")
+    assert(q67.queryExecution.executedPlan.toString.contains("word_ngram_hashes"),
+      "native word_ngram_hashes kernel missing from the decontamination plan")
     // q96: explicit-schema from_json keeps the scan pruned to the two
     // referenced columns — no inference widened the read
     val q96 = Inventory.byName("q96_json_extract").run(spark, sf0001)
